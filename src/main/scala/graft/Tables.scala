@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared helpers for the driver test tables (`TESTDATA.md`) and for
+  * oracle-deterministic query output.
+  *
+  * Determinism conventions (driver hash-compares our parquet dump against a
+  * DuckDB run of `SparkEntry.oracleSql`, sorting columns by name):
+  *   - every query result is fully ordered (`orderBy` on a unique key set) so
+  *     row order cannot depend on partitioning;
+  *   - every floating-point aggregate is rounded (`r2`/`r6`) identically on
+  *     both sides, so parallel-summation error below the rounding grain
+  *     cannot flip the hash.
+  */
+object Tables {
+
+  /** Load one driver parquet table from an sf directory. */
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Round a double aggregate to cents — for sums of monetary columns. */
+  def r2(c: Column): Column = round(c, 2)
+
+  /** Round a double aggregate to 6 places — for averages/ratios where more
+    * resolution is meaningful but bit-exactness across engines is not
+    * guaranteed.
+    */
+  def r6(c: Column): Column = round(c, 6)
+}
