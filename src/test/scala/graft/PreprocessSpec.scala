@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Preprocess
+
+/** Unit tests for the P1-P10 cleaning pass against the adversarial inputs of
+  * FIXTURES.md §B1 (the reference's quirks: pre-strip placeholder matching,
+  * keep-first duplicate headers, all-or-nothing numeric cast, per-value
+  * datetime coercion).
+  */
+class PreprocessSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("P1 normalizeName matches preprocess.py:32-39 semantics") {
+    assert(Preprocess.normalizeName(" Expense Type ") == "expense_type")
+    assert(Preprocess.normalizeName("Col#1!") == "col1")
+    assert(Preprocess.normalizeName("Unnamed: 3") == "unnamed_3")
+    assert(Preprocess.normalizeName("trip_date") == "trip_date")
+  }
+
+  private def messy() = {
+    val schema = StructType(Seq(
+      StructField("a0", StringType), // " Expense Type "
+      StructField("a1", StringType), // "Col#1!"
+      StructField("a2", StringType), // "Unnamed: 3" -> dropped (P3)
+      StructField("a3", StringType), // "empty_col" all-null -> dropped (P2)
+      StructField("a4", StringType), // "merchant" (first occurrence, kept)
+      StructField("a5", StringType), // "merchant" (duplicate, dropped P4)
+      StructField("a6", StringType), // "amount" ("12,5" poison -> stays string)
+      StructField("a7", StringType), // "amount_clean" -> cast double (P7)
+      StructField("a8", StringType)  // "trip_date" -> per-value timestamp (P8)
+    ))
+    val rows = Seq(
+      Row(" food ", "x", "junkcol", null, "Aral Autohof", "dup", "12,5", " 10 ", "2024-01-01 10:00:00"),
+      Row("travel", "y", null, null, "n/a", "dup", "3.5", "2.25", "junk"),
+      Row("travel", "y", null, null, "N/A", "dup", "3.5", "2.25", "junk"), // "N/A" survives P5
+      Row("hotel", "z", "j", null, " - ", "dup", "7", "1e2", null),        // " - " survives P5
+      Row("hotel", "z", "j", null, " - ", "dup", "7", "1e2", null)         // exact dup row (P9)
+    )
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+      .toDF(" Expense Type ", "Col#1!", "Unnamed: 3", "empty_col",
+        "merchant", "merchant", "amount", "amount_clean", "trip_date")
+  }
+
+  test("full cleaning pass: columns, casts, placeholders, dedup") {
+    val res = Preprocess.clean(messy(), verbose = true)
+    val out = res.df
+    // P1/P2/P3/P4: names normalized; empty_col + unnamed_3 dropped; merchant kept once
+    assert(out.columns.toSeq ==
+      Seq("expense_type", "col1", "merchant", "amount", "amount_clean", "trip_date"))
+    // P7: amount stays string (one unparseable "12,5"), amount_clean -> double
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("amount") == StringType)
+    assert(types("amount_clean") == DoubleType)
+    // P8: trip_date name-matched -> timestamp, "junk" -> null
+    assert(types("trip_date") == TimestampType)
+    // P9: 5 rows -> 4 (one exact duplicate)
+    assert(out.count() == 4)
+
+    val rows = out.collect().map(r => r.getAs[String]("merchant")).toSet
+    // P5/P6 quirk: lowercase "n/a" nulled; "N/A" and " - " (pre-strip
+    // mismatch) survive, then get trimmed by P6.
+    assert(rows.contains(null))
+    assert(rows.contains("N/A"))
+    assert(rows.contains("-"))
+    assert(rows.contains("Aral Autohof"))
+
+    // P6 trim applied: " food " -> "food"; P7 cast parsed " 10 " -> 10.0, "1e2" -> 100.0
+    val food = out.filter(out("expense_type") === "food").collect()
+    assert(food.length == 1)
+    assert(food(0).getAs[Double]("amount_clean") == 10.0)
+    assert(out.filter(out("amount_clean") === 100.0).count() == 1)
+
+    // P8 per-value: one parseable timestamp, "junk" -> null
+    assert(out.filter(out("trip_date").isNotNull).count() == 1)
+
+    // P10 log mentions the decisions
+    assert(res.log.exists(_.contains("empty_col")))
+    assert(res.log.exists(_.contains("amount_clean")))
+    assert(res.log.exists(_.contains("duplicate")))
+  }
+
+  test("cleaning is idempotent on inputs without pre-strip placeholder values") {
+    // Note: full idempotence is intentionally FALSE for the reference's
+    // semantics — " - " survives pass 1 (placeholder match is pre-strip,
+    // preprocess.py:60-66), trims to "-", which a second pass then nulls.
+    // On inputs without such boundary values, cleaning is a fixpoint.
+    val once = Preprocess.clean(messy()).df.filter("merchant IS NULL OR merchant <> '-'")
+    val twice = Preprocess.clean(once).df
+    assert(twice.schema == once.schema)
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("quirk: ' - ' survives one pass, is nulled by a second (reference pre-strip semantics)") {
+    val once = Preprocess.clean(messy()).df
+    assert(once.filter(once("merchant") === "-").count() == 1)
+    val twice = Preprocess.clean(once).df
+    assert(twice.filter(twice("merchant") === "-").count() == 0)
+  }
+
+  test("all-placeholder string column casts vacuously to double") {
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row("n/a", "x"), Row("", "y"))),
+      StructType(Seq(StructField("v", StringType), StructField("k", StringType))))
+    val out = Preprocess.clean(df).df
+    assert(out.schema("v").dataType == DoubleType)
+    assert(out.filter(out("v").isNotNull).count() == 0)
+  }
+}
