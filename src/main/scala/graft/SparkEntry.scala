@@ -18,12 +18,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      operators.Cleaning.queries
+      operators.Cleaning.queries ++
+      operators.Enrichment.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
-      operators.Cleaning.oracle
+      operators.Cleaning.oracle ++
+      operators.Enrichment.oracle
 }

@@ -16,9 +16,22 @@ import org.apache.spark.sql.functions._
   */
 object Tables {
 
-  /** Load one driver parquet table from an sf directory. */
+  /** Load one driver parquet table from an sf directory.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * rejects by default; it is read via the nanos-as-long escape hatch and
+    * converted to a microsecond timestamp (`ts div 1000` floor-truncates,
+    * matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast for the oracle).
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.select(raw.columns.map {
+        case "ts" => expr("timestamp_micros(ts div 1000)").as("ts")
+        case c => col(c)
+      }.toIndexedSeq: _*)
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Round a double aggregate to cents — for sums of monetary columns. */
   def r2(c: Column): Column = round(c, 2)

@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic enrichment engines replacing the reference's LLM calls
+  * (SURVEY.md §2.4, E1/E2). The reference's semantics are "a labeling
+  * function exists and is applied to a small deterministic sample per
+  * column" — the contract here preserves the sample-in/label-out shape
+  * (`prompts/text_column_classifier.txt`, `prompts/detect_language.txt`)
+  * with pluggable implementations; the default impls are pure heuristics,
+  * so the pipeline is reproducible and zero-egress.
+  *
+  * Labels match the reference's closed vocabularies:
+  * `TEXT`/`NON-TEXT`/`UNKNOWN` (`translate.py:36-55`) and
+  * `ENGLISH`/`NON-ENGLISH`/`UNKNOWN` (`translate.py:57-76`; the prompt's
+  * rule "any one non-English value ⇒ NON-ENGLISH", `detect_language.txt:5`).
+  * The `ERROR` label of the reference (its exception path) cannot occur in
+  * a pure implementation and is intentionally absent.
+  */
+object Enrich {
+
+  /** E1: free-text vs code/id/numeric column classifier
+    * (`translate.py:36-55`).
+    */
+  trait ColumnClassifier {
+    /** @return "TEXT", "NON-TEXT" or "UNKNOWN" */
+    def classify(columnName: String, sample: Seq[String]): String
+  }
+
+  /** E2: column-level language detector (`translate.py:57-76`). */
+  trait LanguageDetector {
+    /** Per-value score: true iff the value looks non-English. */
+    def isNonEnglish(value: String): Boolean
+    /** @return "ENGLISH", "NON-ENGLISH" or "UNKNOWN" */
+    def detect(sample: Seq[String]): String = {
+      val vals = sample.filter(v => v != null && v.nonEmpty)
+      if (vals.isEmpty) "UNKNOWN"
+      else if (vals.exists(isNonEnglish)) "NON-ENGLISH" // prompt line 5
+      else "ENGLISH"
+    }
+  }
+
+  /** Default E1: a value is non-text when it is numeric-like, id-like
+    * (letters + `#`/`_` + trailing digits), or a short single-token code;
+    * the column is TEXT when fewer than half the sampled values are
+    * non-text. Pure and total — same inputs, same label, any machine.
+    */
+  object HeuristicColumnClassifier extends ColumnClassifier {
+    private val NumericLike = "^[-+]?[\\d.,/:\\s%-]+$".r
+    private val IdLike = "^[A-Za-z]*[#_]?\\d+$".r
+
+    def valueNonText(v: String): Boolean = {
+      val t = v.trim
+      t.isEmpty ||
+        NumericLike.matches(t) ||
+        IdLike.matches(t) ||
+        (t.length <= 3 && !t.exists(_.isWhitespace))
+    }
+
+    override def classify(columnName: String, sample: Seq[String]): String = {
+      val vals = sample.filter(v => v != null && v.trim.nonEmpty)
+      if (vals.isEmpty) "UNKNOWN"
+      else {
+        val nonText = vals.count(valueNonText)
+        if (nonText * 2 < vals.size) "TEXT" else "NON-TEXT"
+      }
+    }
+  }
+
+  /** Default E2: a value is non-English when it contains a non-ASCII letter
+    * or its tokens hit more non-English stopwords than English ones.
+    * Stopword lists cover the languages in the reference's golden artifact
+    * (German, French, Spanish, Swedish — `cache/translated-map.json`).
+    */
+  object HeuristicLanguageDetector extends LanguageDetector {
+    private[engine] val ForeignStopwords: Set[String] = Set(
+      // de
+      "der", "die", "das", "und", "nicht", "mit", "für", "ist", "von", "des",
+      "ein", "eine", "im", "zum", "zur", "bei", "nur", "oder", "kosten",
+      // fr
+      "le", "les", "et", "ou", "je", "est", "une", "du", "au", "aux", "sur",
+      // es
+      "el", "los", "las", "una", "que", "por", "con", "nacional",
+      // sv
+      "och", "på", "för", "till", "av", "med", "som")
+    private[engine] val EnglishStopwords: Set[String] = Set(
+      "the", "and", "of", "to", "in", "is", "for", "with", "on", "at", "by",
+      "from", "as", "or", "an", "be", "this", "that", "it", "are")
+
+    override def isNonEnglish(value: String): Boolean = {
+      val hasForeignLetter = value.exists(c => c > 127 && Character.isLetter(c))
+      if (hasForeignLetter) true
+      else {
+        // Distinct-token hits, matching the array_intersect semantics of
+        // the distributed form below.
+        val tokens = value.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSet
+        val foreign = tokens.count(ForeignStopwords)
+        val english = tokens.count(EnglishStopwords)
+        foreign > 0 && foreign > english
+      }
+    }
+
+    /** Distributed form of [[isNonEnglish]] as a pure Column expression —
+      * used when scoring the full distinct dictionary instead of a sample,
+      * so detection scales with cardinality and stays codegen-friendly (no
+      * UDF).
+      */
+    def isNonEnglishExpr(c: Column): Column = {
+      val hasForeignLetter = c.rlike("[^\\x00-\\x7F]")
+      val tokens = split(lower(c), "[^\\p{L}]+")
+      val foreign = size(array_intersect(tokens, typedlit(ForeignStopwords.toSeq)))
+      val english = size(array_intersect(tokens, typedlit(EnglishStopwords.toSeq)))
+      hasForeignLetter || (foreign > 0 && foreign > english)
+    }
+  }
+}

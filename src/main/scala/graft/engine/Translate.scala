@@ -1,0 +1,116 @@
+package graft.engine
+
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** Translation operators (SURVEY.md §2.4 E3/E4/E5).
+  *
+  * The reference translates per-column DISTINCT values in batches of 100 via
+  * the Azure Translator REST API (`translate.py:78-123`), then applies the
+  * resulting `{original → translated}` map back to the rows with identity
+  * fallback (`translate.py:219-224`: `value_map.get(x, x)`). Identity
+  * fallback is also its error path — an HTTP failure leaves values untouched
+  * (`translate.py:111-116`).
+  *
+  * Here translation is a [[Translator]] trait; the default
+  * [[DictionaryTranslator]] is a deterministic dictionary seeded from a
+  * translation-table artifact shaped exactly like the reference's golden
+  * `cache/translated-map.json` (`{column → {original → translated}}`).
+  * Application is the scalable part and uses two physical strategies:
+  *   - small maps → a broadcast `typedlit` map literal +
+  *     `coalesce(element_at(m, col), col)` — pure codegen expression, zero
+  *     shuffle, zero extra jobs;
+  *   - large maps (the golden artifact's `merchant` column has 21 775
+  *     entries) → a broadcast left join + `coalesce(translated, col)` — the
+  *     dictionary is broadcast to every executor once, the 100-TB fact table
+  *     never shuffles.
+  * A remote batched implementation would sit behind the same trait using
+  * `mapPartitions` + `grouped(100)` (SURVEY §2.4 E3); out of scope under
+  * zero egress.
+  */
+trait Translator {
+  /** E3: translate a batch of distinct values. Total: every input is a key
+    * of the result (identity fallback for unknown values).
+    */
+  def translate(values: Seq[String]): Map[String, String]
+
+  /** E4 (`translate.py:125-149`): one-off translation, identity fallback. */
+  def translateOne(value: String): String =
+    translate(Seq(value)).getOrElse(value, value)
+}
+
+/** Deterministic dictionary-backed translator.
+  *
+  * @param table per-column translation maps, `{column → {orig → translated}}`
+  * @param literalMapThreshold map sizes at or below this use the expression
+  *   strategy; above it, the broadcast-join strategy
+  */
+final class DictionaryTranslator(
+    val table: Map[String, Map[String, String]],
+    literalMapThreshold: Int = 1000)
+  extends Translator {
+
+  private val flat: Map[String, String] = table.values.flatten.toMap
+
+  override def translate(values: Seq[String]): Map[String, String] =
+    values.map(v => v -> flat.getOrElse(v, v)).toMap
+
+  /** Map for one column (empty when the column has no dictionary). */
+  def forColumn(c: String): Map[String, String] = table.getOrElse(c, Map.empty)
+
+  /** E5 (`translate.py:219-224`): apply every applicable column map in ONE
+    * `select` (single projection node — plan size stays linear in width).
+    * Columns without a dictionary pass through untouched, unknown values
+    * fall back to identity, null stays null.
+    */
+  def applyTo(df: DataFrame): DataFrame = {
+    val (small, large) = table
+      .filter { case (c, m) => m.nonEmpty && df.columns.contains(c) }
+      .partition { case (_, m) => m.size <= literalMapThreshold }
+
+    val projected = df.select(df.columns.map { c =>
+      small.get(c) match {
+        case Some(m) =>
+          val lookup: Column = element_at(typedlit(m), col(c))
+          coalesce(lookup, col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+
+    // Large maps: one broadcast left join per column; the fact side never
+    // shuffles and the joins chain without materialization.
+    large.foldLeft(projected) { case (acc, (c, m)) =>
+      val spark = df.sparkSession
+      import spark.implicits._
+      val dict = m.toSeq.toDF("__orig", "__trans")
+      acc.join(broadcast(dict), acc(c) === col("__orig"), "left")
+        .select(acc.columns.map {
+          case `c` => coalesce(col("__trans"), col(c)).as(c)
+          case o => col(o)
+        }.toIndexedSeq: _*)
+    }
+  }
+}
+
+object DictionaryTranslator {
+
+  /** Load a translation table shaped like the reference's golden artifact
+    * (`cache/translated-map.json`): `{column → {original → translated}}`.
+    * Driver-side load — translation tables are dictionary-sized by
+    * construction (distinct values, not rows).
+    */
+  def fromJson(path: String): DictionaryTranslator = {
+    val root = new ObjectMapper().readTree(new java.io.File(path))
+    val table = root.properties().asScala.map { e =>
+      val col = e.getKey
+      val m = e.getValue.properties().asScala
+        .map(f => f.getKey -> f.getValue.asText()).toMap
+      col -> m
+    }.toMap
+    new DictionaryTranslator(table)
+  }
+}

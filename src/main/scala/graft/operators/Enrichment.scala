@@ -1,0 +1,169 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+import graft.Tables.t
+import graft.engine.{Dictionary, Enrich}
+import graft.engine.DictionaryTranslator
+import graft.engine.SchemaMap
+import graft.engine.SchemaMap.ColumnMapping
+
+/** Oracle-checked queries for the dictionary + enrichment surface
+  * (SURVEY.md §2.3 D1-D2, §2.4 E1/E5/E8) over the driver tables.
+  *
+  * The classifier query (`e1_*`) runs the deterministic heuristic on
+  * deterministic samples, so its oracle is a pinned VALUES literal — a
+  * golden regression check rather than a recomputation (the heuristic is
+  * not reasonably SQL-expressible; the pin guards semantics drift).
+  */
+object Enrichment {
+
+  /** D1: long-format distinct dictionary over documents' text columns. */
+  def distinctDictionary(spark: SparkSession, dir: String): DataFrame =
+    Dictionary.distinctValues(t(spark, dir, "documents"), Seq("lang", "source"))
+      .orderBy("column_name", "value")
+
+  /** D2: deterministic head-N samples, two columns from two tables. */
+  def valueSample(spark: SparkSession, dir: String): DataFrame = {
+    val lang = Dictionary.sampleTopN(t(spark, dir, "documents"), "lang", 3)
+      .select(lit("lang").as("column_name"), col("value"))
+    val etype = Dictionary.sampleTopN(t(spark, dir, "events"), "event_type", 3)
+      .select(lit("event_type").as("column_name"), col("value"))
+    lang.unionAll(etype).orderBy("column_name", "value")
+  }
+
+  /** The status/flag dictionaries used by the translation queries — small
+    * enough for the expression strategy, with deliberate gaps ("P" and "N"
+    * have no entry) so identity fallback is exercised.
+    */
+  private val flagMaps = Map(
+    "l_returnflag" -> Map("A" -> "Accepted", "R" -> "Returned"),
+    "l_linestatus" -> Map("F" -> "Finished", "O" -> "Open"))
+
+  /** E5 via map-literal expressions (small-dictionary strategy). */
+  def translateFlags(spark: SparkSession, dir: String): DataFrame =
+    translateFlagsWith(new DictionaryTranslator(flagMaps), spark, dir)
+
+  /** E5 via broadcast joins (large-dictionary strategy, forced by a zero
+    * threshold — same semantics, different physical plan).
+    */
+  def translateFlagsJoin(spark: SparkSession, dir: String): DataFrame =
+    translateFlagsWith(
+      new DictionaryTranslator(flagMaps, literalMapThreshold = 0), spark, dir)
+
+  private def translateFlagsWith(
+      tr: DictionaryTranslator, spark: SparkSession, dir: String): DataFrame =
+    tr.applyTo(t(spark, dir, "lineitem").select("l_returnflag", "l_linestatus"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private val translateFlagsOracle =
+    """SELECT
+      |  CASE l_returnflag WHEN 'A' THEN 'Accepted' WHEN 'R' THEN 'Returned'
+      |       ELSE l_returnflag END AS l_returnflag,
+      |  CASE l_linestatus WHEN 'F' THEN 'Finished' WHEN 'O' THEN 'Open'
+      |       ELSE l_linestatus END AS l_linestatus,
+      |  count(*) AS n
+      |FROM lineitem
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
+  /** E1: classify representative string columns from deterministic top-10
+    * samples. Driver-side on tiny samples by design (`translate.py:36-55`
+    * samples 10 values per column); result is one row per column.
+    */
+  def classifyColumns(spark: SparkSession, dir: String): DataFrame = {
+    val inputs = Seq(
+      ("orders", "o_orderpriority"), ("orders", "o_orderstatus"),
+      ("part", "p_name"), ("part", "p_brand"),
+      ("customer", "c_mktsegment"), ("customer", "c_name"),
+      ("nation", "n_name"), ("lineitem", "l_returnflag"))
+    val rows = inputs.map { case (table, c) =>
+      val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
+      Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
+    }
+    val schema = StructType(Seq(
+      StructField("column_name", StringType), StructField("label", StringType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .orderBy("column_name")
+  }
+
+  private val classifyOracle =
+    """SELECT * FROM (VALUES
+      |  ('customer.c_mktsegment', 'TEXT'),
+      |  ('customer.c_name', 'NON-TEXT'),
+      |  ('lineitem.l_returnflag', 'NON-TEXT'),
+      |  ('nation.n_name', 'NON-TEXT'),
+      |  ('orders.o_orderpriority', 'TEXT'),
+      |  ('orders.o_orderstatus', 'NON-TEXT'),
+      |  ('part.p_brand', 'NON-TEXT'),
+      |  ('part.p_name', 'TEXT')
+      |) AS v(column_name, label)
+      |ORDER BY column_name""".stripMargin
+
+  /** E6+E8: map a messy source frame onto a destination star schema by name
+    * similarity, then vertically partition; emits the fact-table slice.
+    * The destination schema models the reference's GHG star schema
+    * (`prompts/schema_description.txt:1-11`) with driver-table columns.
+    */
+  def verticalPartition(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "orders").select(
+      col("o_orderkey").as("Order Key"),
+      col("o_totalprice").as("Total Price!"),
+      col("o_orderpriority").as(" order priority "),
+      col("o_orderstatus").as("status"))
+    val dest = Map(
+      "FACT_Orders" -> Seq("order_key", "total_price"),
+      "DIM_OrderMeta" -> Seq("order_priority", "order_status"))
+    val mapper = new SchemaMap.NameSimilarityMapper()
+    // Direct mapper output keeps the original source names as keys;
+    // cleanMapping is only for the LLM-line parse path where keys need E7
+    // normalization.
+    val mapping = mapper.mapColumns(src.columns.toSeq, dest)
+      .collect { case (srcCol, Some(cm)) => srcCol -> cm }
+    val parts = SchemaMap.verticalPartition(src, mapping)
+    parts("FACT_Orders").orderBy("order_key")
+  }
+
+  private val verticalPartitionOracle =
+    """SELECT o_orderkey AS order_key, o_totalprice AS total_price
+      |FROM orders
+      |ORDER BY order_key""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_distinct_dictionary" -> distinctDictionary,
+    "d2_value_sample" -> valueSample,
+    "e5_translate_flags" -> translateFlags,
+    "e5_translate_flags_join" -> translateFlagsJoin,
+    "e1_classify_columns" -> classifyColumns,
+    "e8_vertical_partition" -> verticalPartition
+  )
+
+  val oracle: Map[String, String] = Map(
+    "d1_distinct_dictionary" ->
+      """SELECT column_name, value FROM (
+        |  SELECT DISTINCT 'lang' AS column_name, trim(lang) AS value
+        |  FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'source', trim(source) FROM documents
+        |  WHERE source IS NOT NULL)
+        |ORDER BY column_name, value""".stripMargin,
+    "d2_value_sample" ->
+      """SELECT * FROM (
+        |  (SELECT 'lang' AS column_name, value FROM (
+        |     SELECT DISTINCT trim(lang) AS value FROM documents
+        |     WHERE lang IS NOT NULL) ORDER BY value LIMIT 3)
+        |  UNION ALL
+        |  (SELECT 'event_type', value FROM (
+        |     SELECT DISTINCT trim(event_type) AS value FROM events
+        |     WHERE event_type IS NOT NULL) ORDER BY value LIMIT 3))
+        |ORDER BY column_name, value""".stripMargin,
+    "e5_translate_flags" -> translateFlagsOracle,
+    "e5_translate_flags_join" -> translateFlagsOracle,
+    "e1_classify_columns" -> classifyOracle,
+    "e8_vertical_partition" -> verticalPartitionOracle
+  )
+}

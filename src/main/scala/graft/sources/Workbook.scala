@@ -1,0 +1,70 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Sources and sinks (SURVEY.md §2.1).
+  *
+  * S1/S3 ([[Loader.load]]): the reference dispatches on file extension —
+  * `.csv` via `pd.read_csv(low_memory=False)` (whole-file schema inference),
+  * `.xlsx` via `pd.read_excel`, anything else raises
+  * (`preprocess.py:15-26`). Here: csv (header + inferSchema for parity),
+  * parquet, json; unknown extensions throw `IllegalArgumentException`.
+  *
+  * S2/S7 ([[WorkbookSource]]/[[WorkbookSink]]): the reference's multi-sheet
+  * Excel workbook is a `{sheet name → table}` namespace
+  * (`preprocess.py:17-20`, `mapper.py:123-136`). Binary xlsx needs an
+  * external library (unavailable offline), so the workbook abstraction is a
+  * DIRECTORY of single-table files — sheet name = file base name — which is
+  * also the only representation that scales: each "sheet" is a splittable
+  * parquet/csv dataset instead of a single-node binary blob. The sink keeps
+  * the reference's 31-character sheet-name truncation rule (`mapper.py:134`,
+  * Excel's limit) as a documented naming transform.
+  */
+object Loader {
+
+  /** S1/S3: extension-dispatched load. */
+  def load(spark: SparkSession, path: String): DataFrame = {
+    val lower = path.toLowerCase
+    if (lower.endsWith(".csv"))
+      spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+    else if (lower.endsWith(".parquet")) spark.read.parquet(path)
+    else if (lower.endsWith(".json")) spark.read.json(path)
+    else throw new IllegalArgumentException(
+      s"Unsupported file format: $path (expected .csv, .parquet or .json)")
+  }
+}
+
+trait WorkbookSource {
+  /** S2: load a `{table name → DataFrame}` namespace. */
+  def load(spark: SparkSession, path: String): Map[String, DataFrame]
+}
+
+/** Directory-of-tables workbook: every regular file (or partitioned
+  * subdirectory of parquet/csv parts) under `path` is one table named by its
+  * base name.
+  */
+object DirWorkbookSource extends WorkbookSource {
+  override def load(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    val dir = new java.io.File(path)
+    require(dir.isDirectory, s"Not a directory: $path")
+    dir.listFiles().toSeq.sortBy(_.getName).flatMap { f =>
+      val name = f.getName.replaceFirst("\\.[^.]+$", "")
+      try Some(name -> (
+        if (f.isDirectory) spark.read.parquet(f.getPath)
+        else Loader.load(spark, f.getPath)))
+      catch { case _: IllegalArgumentException => None } // skip non-table files
+    }.toMap
+  }
+}
+
+object WorkbookSink {
+
+  /** The reference's Excel sheet-name cap (`mapper.py:134`). */
+  def sheetName(table: String): String = table.take(31)
+
+  /** S7: one parquet dataset per table under `path`. */
+  def save(tables: Map[String, DataFrame], path: String): Unit =
+    tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
+      df.write.mode("overwrite").parquet(s"$path/${sheetName(name)}")
+    }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Enrich.{HeuristicColumnClassifier, HeuristicLanguageDetector}
+
+/** E1/E2 heuristic engines on reference-shaped inputs (German/Spanish/
+  * Swedish strings drawn from the golden `cache/translated-map.json` keys).
+  */
+class EnrichSpec extends AnyFunSuite {
+
+  test("E1 classifier: free text vs codes/ids/numbers") {
+    val c = HeuristicColumnClassifier
+    assert(c.classify("priority", Seq("1-URGENT", "2-HIGH", "4-NOT SPECIFIED")) == "TEXT")
+    assert(c.classify("merchant", Seq("Aral Autohof", "Deutsche Bahn", "Clean Car Gmbh")) == "TEXT")
+    assert(c.classify("status", Seq("F", "O", "P")) == "NON-TEXT")
+    assert(c.classify("brand", Seq("Brand#1", "Brand#22", "Brand#13")) == "NON-TEXT")
+    assert(c.classify("ids", Seq("Customer#000000001", "Customer#000000002")) == "NON-TEXT")
+    assert(c.classify("amounts", Seq("12.5", "1,300.00", "-7")) == "NON-TEXT")
+    assert(c.classify("dates", Seq("2024-01-01", "2024/02/03")) == "NON-TEXT")
+    assert(c.classify("empty", Seq.empty) == "UNKNOWN")
+    assert(c.classify("blank", Seq("", "  ")) == "UNKNOWN")
+  }
+
+  test("E2 detector: per-value scoring") {
+    val d = HeuristicLanguageDetector
+    assert(d.isNonEnglish("Fortbildungskosten für Mitarbeiter")) // non-ASCII ü
+    assert(d.isNonEnglish("der Zug und das Auto"))               // de stopwords
+    assert(d.isNonEnglish("el coche y los trenes"))              // es stopwords
+    assert(d.isNonEnglish("Resor och parkering"))                // sv stopwords
+    assert(!d.isNonEnglish("Long-distance domestic transport"))
+    assert(!d.isNonEnglish("Hotel"))                             // shared vocab -> English default
+    assert(!d.isNonEnglish("the train and the car"))
+  }
+
+  test("E2 detector: column label follows 'any one non-English' prompt rule") {
+    val d = HeuristicLanguageDetector
+    assert(d.detect(Seq("Hotel", "Travel costs", "KM Geld und Spesen")) == "NON-ENGLISH")
+    assert(d.detect(Seq("Hotel", "Travel costs", "Parking")) == "ENGLISH")
+    assert(d.detect(Seq.empty) == "UNKNOWN")
+  }
+
+  test("E2 expression form agrees with driver-side form") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vals = Seq(
+      "Fortbildungskosten für Mitarbeiter", "der Zug und das Auto",
+      "el coche y los trenes", "Resor och parkering", "Hotel",
+      "Long-distance domestic transport", "the train and the car")
+    val viaExpr = vals.toDF("v")
+      .select(HeuristicLanguageDetector.isNonEnglishExpr($"v").as("ne"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(viaExpr == vals.map(HeuristicLanguageDetector.isNonEnglish))
+  }
+}
