@@ -1,19 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{t, r2, r6}
 
 /** Relational query surface (SURVEY.md §2.5): aggregations, joins, windows,
-  * set ops, top-k — the capabilities the reference lacks but the north star
-  * requires, expressed as declarative DataFrame plans so Catalyst handles
-  * pushdown, join selection (broadcast for the small dimensions), partial
+  * set ops, top-k, grouping sets, scalar functions — the capabilities the
+  * reference lacks but the north star requires, expressed as declarative
+  * DataFrame plans so Catalyst handles pushdown, join selection, partial
   * aggregation and AQE.
   *
-  * Scale notes (100 TB): every query here shuffles only on its aggregation or
+  * Scale notes (100 TB): every query shuffles only on its aggregation or
   * join keys; dimension tables (region/nation/supplier/customer/part) are
-  * broadcast-joined — no shuffle of the fact table for enrichment joins; the
-  * fact-table scans push filters and prune columns into the parquet reader.
+  * broadcast-joined — the fact tables (lineitem/orders/events) never shuffle
+  * for enrichment joins; fact scans push filters and prune columns into the
+  * parquet reader; top-k compiles to TakeOrderedAndProject (no global sort
+  * materialization).
+  *
+  * Determinism conventions for the DuckDB oracle: every result fully
+  * ordered on a unique key set; monetary sums rounded to 2 (2-decimal
+  * inputs keep true sums ≥ 0.005 from any rounding boundary, so parallel
+  * summation error below 1e-9 cannot flip the hash); ratios/averages to 6;
+  * integer-valued window/rank/date functions cast to long to match DuckDB's
+  * BIGINT; null grouping keys from rollup/grouping sets replaced by
+  * sentinels on both sides (sidesteps NULLS FIRST/LAST divergence).
   */
 object Relational {
 
@@ -38,8 +49,219 @@ object Relational {
       .orderBy($"l_returnflag", $"l_linestatus")
   }
 
+  /** TPC-H Q3-style shipping priority: broadcast the filtered customer dim
+    * into orders, shuffle-join lineitem on the order key, top-10 by revenue
+    * via TakeOrderedAndProject.
+    */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val ord = t(spark, dir, "orders").filter($"o_orderdate" < lit("1998-07-01"))
+    val li = t(spark, dir, "lineitem").filter($"l_shipdate" > lit("1998-07-01"))
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style regional revenue: all four dimension joins broadcast;
+    * the only shuffle is lineitem->orders and the final tiny aggregation.
+    */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val region = t(spark, dir, "region").filter($"r_name" === "EUROPE")
+    val nation = t(spark, dir, "nation")
+    val supp = t(spark, dir, "supplier")
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1999-01-01"))
+    val li = t(spark, dir, "lineitem")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  /** TPC-H Q10-style: top-20 customers by revenue lost to returned items. */
+  def q10ReturnedTop(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem").filter($"l_returnflag" === "R")
+    val ord = t(spark, dir, "orders")
+    val cust = t(spark, dir, "customer")
+    val nation = t(spark, dir, "nation")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"c_name", $"n_name")
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** Ranking window: top-3 orders per customer (row_number over a unique
+    * total order) — one shuffle on the partition key.
+    */
+  def w1TopOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    t(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice",
+        row_number().over(w).cast("long").as("rn"))
+      .filter($"rn" <= 3)
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  /** Analytic window: per-user running value total and previous event type
+    * over the event stream (frame-based running aggregate + lag).
+    */
+  def w2RunningTotals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    t(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+        $"event_type", $"value",
+        r2(sum($"value").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+          .as("running_value"),
+        lag($"event_type", 1).over(w).as("prev_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Set operations: customers with both urgent and low-priority orders
+    * (INTERSECT), with urgent only (EXCEPT), and all with either (UNION
+    * distinct), tagged and unioned.
+    */
+  def set1PriorityCustomers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = t(spark, dir, "orders")
+    val urgent = ord.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey").distinct()
+    val low = ord.filter($"o_orderpriority" === "5-LOW")
+      .select($"o_custkey").distinct()
+    val both = urgent.intersect(low).select(lit("both").as("tag"), $"o_custkey")
+    val onlyU = urgent.except(low).select(lit("urgent_only").as("tag"), $"o_custkey")
+    val either = urgent.union(low).distinct()
+      .select(lit("either").as("tag"), $"o_custkey")
+    both.unionAll(onlyU).unionAll(either).orderBy($"tag", $"o_custkey")
+  }
+
+  /** Top-k with a broadcast dimension join: 15 best-selling parts.
+    * Aggregation runs on the fact side keys first; the sort is
+    * TakeOrderedAndProject, never a full global sort.
+    */
+  def topkPartsByQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .groupBy($"l_partkey")
+      .agg(r2(sum($"l_quantity")).as("total_qty"))
+      .join(broadcast(t(spark, dir, "part")), $"l_partkey" === $"p_partkey")
+      .select($"p_name", $"l_partkey", $"total_qty")
+      .orderBy($"total_qty".desc, $"l_partkey")
+      .limit(15)
+  }
+
+  /** Rollup over nation x market segment with sentinel subtotal labels
+    * (no null sort keys — oracle-portable).
+    */
+  def g1RollupAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .rollup($"n_name", $"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"), r2(sum($"c_acctbal")).as("total_acctbal"))
+      .select(coalesce($"n_name", lit("ALL")).as("nation"),
+        coalesce($"c_mktsegment", lit("ALL")).as("segment"),
+        $"n_customers", $"total_acctbal")
+      .orderBy($"nation", $"segment")
+  }
+
+  /** Explicit grouping sets over orders: by status, by priority, grand
+    * total — Spark's groupingSets API, sentinel-labeled.
+    */
+  def g2GroupingSetsOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = t(spark, dir, "orders")
+    ord.groupingSets(
+        Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+        $"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r2(sum($"o_totalprice")).as("total_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"total_price")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Semi/anti joins as EXISTS / NOT EXISTS counts. */
+  def j1SemiAntiCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders")
+    val supp = t(spark, dir, "supplier")
+    val li = t(spark, dir, "lineitem")
+    val withOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("customers_with_orders").as("k"), $"n")
+    val noSales = supp.join(li, $"s_suppkey" === $"l_suppkey", "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("suppliers_without_sales").as("k"), $"n")
+    val noOrders = cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("customers_without_orders").as("k"), $"n")
+    withOrders.unionAll(noSales).unionAll(noOrders).orderBy($"k")
+  }
+
+  /** Scalar function library showcase (string/date/math) — all
+    * codegen-friendly builtins, no UDFs.
+    */
+  def s1ScalarFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .select($"o_orderkey",
+        year($"o_orderdate").cast("long").as("y"),
+        month($"o_orderdate").cast("long").as("m"),
+        date_trunc("month", $"o_orderdate").as("month_start"),
+        substring($"o_orderpriority", 1, 1).as("pri_digit"),
+        concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("tag"),
+        lower($"o_orderpriority").as("pri_lower"),
+        length($"o_orderpriority").cast("long").as("pri_len"),
+        r6(sqrt($"o_totalprice")).as("price_sqrt"),
+        r6(log($"o_totalprice")).as("price_ln"))
+      .orderBy($"o_orderkey")
+  }
+
+  /** Semi-structured extraction: parse the events.props JSON payload and
+    * aggregate by a derived bucket (from_json is codegen'd; the whole plan
+    * is scan -> project -> partial agg -> final agg).
+    */
+  def j2EventsJson(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "events")
+      .select(
+        from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").as("k"),
+        $"value")
+      .groupBy(($"k" % 10).cast("long").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
+      .orderBy($"k_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_pricing_summary" -> q1PricingSummary
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q3_shipping_priority" -> q3ShippingPriority,
+    "q5_region_revenue" -> q5RegionRevenue,
+    "q10_returned_top" -> q10ReturnedTop,
+    "w1_top_orders_per_customer" -> w1TopOrdersPerCustomer,
+    "w2_running_totals" -> w2RunningTotals,
+    "set1_priority_customers" -> set1PriorityCustomers,
+    "topk_parts_by_quantity" -> topkPartsByQuantity,
+    "g1_rollup_acctbal" -> g1RollupAcctbal,
+    "g2_grouping_sets_orders" -> g2GroupingSetsOrders,
+    "j1_semi_anti_counts" -> j1SemiAntiCounts,
+    "s1_scalar_functions" -> s1ScalarFunctions,
+    "j2_events_json" -> j2EventsJson
   )
 
   val oracle: Map[String, String] = Map(
@@ -56,6 +278,122 @@ object Relational {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q10_returned_top" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem, orders, customer, nation
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+    "w1_top_orders_per_customer" ->
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "w2_running_totals" ->
+      """SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |  event_type, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "set1_priority_customers" ->
+      """SELECT * FROM (
+        |  SELECT 'both' AS tag, o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |  UNION ALL
+        |  SELECT 'urgent_only', o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    EXCEPT
+        |    SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |  UNION ALL
+        |  SELECT 'either', o_custkey FROM (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "topk_parts_by_quantity" ->
+      """SELECT p_name, l_partkey, round(sum(l_quantity), 2) AS total_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_name, l_partkey
+        |ORDER BY total_qty DESC, l_partkey
+        |LIMIT 15""".stripMargin,
+    "g1_rollup_acctbal" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY ROLLUP (n_name, c_mktsegment)
+        |ORDER BY nation, segment""".stripMargin,
+    "g2_grouping_sets_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY status, priority""".stripMargin,
+    "j1_semi_anti_counts" ->
+      """SELECT * FROM (
+        |  SELECT 'customers_with_orders' AS k, count(*) AS n FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT 'suppliers_without_sales', count(*) FROM supplier
+        |  WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |  UNION ALL
+        |  SELECT 'customers_without_orders', count(*) FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+        |ORDER BY k""".stripMargin,
+    "s1_scalar_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  date_trunc('month', o_orderdate) AS month_start,
+        |  substr(o_orderpriority, 1, 1) AS pri_digit,
+        |  concat_ws('|', o_orderstatus, o_orderpriority) AS tag,
+        |  lower(o_orderpriority) AS pri_lower,
+        |  CAST(length(o_orderpriority) AS BIGINT) AS pri_len,
+        |  round(sqrt(o_totalprice), 6) AS price_sqrt,
+        |  round(ln(o_totalprice), 6) AS price_ln
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "j2_events_json" ->
+      """SELECT CAST(CAST(props->>'$.k' AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY k_bucket""".stripMargin
   )
 }

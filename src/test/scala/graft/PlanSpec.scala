@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions: the scale properties the queries claim
+  * (broadcast dimension joins, parquet filter pushdown + column pruning,
+  * top-k as TakeOrderedAndProject, whole-stage codegen presence) must
+  * actually appear in the executed plan — not just in Scaladoc.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q5 joins all four dimensions via broadcast, no shuffle on dims") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
+  }
+
+  test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(2000))
+    // 7 of 11 lineitem columns read
+    assert(!p.contains("l_orderkey"), "scan should prune unused key columns")
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("whole-stage codegen covers the q1 aggregate (final AQE plan)") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect() // finalize THIS adaptive plan (count() would plan separately)
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd operators print as "*(stageId) Op" in the final plan string
+    assert(p.contains("isFinalPlan=true") && p.contains("*("), p.take(2000))
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
