@@ -19,7 +19,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Cleaning.queries ++
-      operators.Enrichment.queries
+      operators.Enrichment.queries ++
+      operators.TextAnalysis.queries ++
+      operators.Dedup.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -27,5 +29,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracle ++
       operators.Cleaning.oracle ++
-      operators.Enrichment.oracle
+      operators.Enrichment.oracle ++
+      operators.TextAnalysis.oracle ++
+      operators.Dedup.oracle
 }

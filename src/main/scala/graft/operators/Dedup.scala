@@ -1,0 +1,222 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions.{fingerprint, tokenSet}
+
+/** Deduplication operator family over `documents` (north-star extension,
+  * SURVEY.md §2.5): exact, blocked n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): no operator ever builds an unblocked cross join.
+  *   - exact: one hash aggregate on the content fingerprint;
+  *   - jaccard: candidate pairs only within (lang, length-bucket) blocks —
+  *     an equi-join Catalyst executes as a shuffle hash join on the block
+  *     key, never a cartesian;
+  *   - minhash: explode shingles → per-doc signature aggregate → LSH band
+  *     buckets → equi-join on (band, bucket). Work is proportional to
+  *     corpus size + true-ish candidate count, the standard web-scale dedup
+  *     shape;
+  *   - simhash: same banding idea on 16-bit fingerprint chunks.
+  *
+  * MinHash portability trick: a "permutation" is md5(seed || shingle) and
+  * the signature entry is the lexicographic MIN of those hex strings — min
+  * over strings is engine-portable (identical lowercase-hex md5 on both
+  * sides), so the full LSH pipeline has an exact DuckDB oracle with no
+  * bespoke hash functions.
+  */
+object Dedup {
+
+  /** Ordered lowercase word tokens (duplicates preserved — shingling needs
+    * order, unlike [[tokenSet]]).
+    */
+  private def tokensOrdered(c: Column): Column =
+    array_remove(split(lower(c), "[^a-z]+"), "")
+
+  /** Distinct word-bigram shingles. */
+  private def shingles(c: Column): Column = {
+    val t = tokensOrdered(c)
+    array_distinct(transform(sequence(lit(1), size(t) - 1),
+      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
+  }
+
+  /** Exact dedup by content fingerprint: canonical = min doc_id per group.
+    * Input is documents unioned with an id-shifted copy of itself so real
+    * duplicate groups exist to collapse (the driver corpus is dup-free).
+    */
+  def exactDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    docs.unionAll(copies)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("canonical_doc_id")
+  }
+
+  /** Blocked n-gram (word-set) Jaccard near-dup pairs: candidates share
+    * (lang, n_chars DIV 50); emit pairs with Jaccard >= 0.6.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      floor(col("n_chars") / lit(50.0)).cast("long").as("lb"),
+      tokenSet(col("text")).as("ts"))
+    val a = p.alias("a")
+    val b = p.alias("b")
+    val inter = size(array_intersect(col("a.ts"), col("b.ts")))
+    val union = size(col("a.ts")) + size(col("b.ts")) - inter
+    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(inter.cast("double") / union, 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private val NumHashes = 8
+  private val BandSize = 2 // 4 bands x 2 rows
+
+  /** Per-doc MinHash signature (8 string-min hashes over bigram shingles). */
+  private def signatures(spark: SparkSession, dir: String): DataFrame = {
+    val ex = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val aggs = (0 until NumHashes).map(k =>
+      min(md5(concat(lit(k.toString), col("s")))).as(s"s$k"))
+    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH band buckets in long format (doc_id, band, bucket). */
+  private def bandBuckets(sig: DataFrame): DataFrame = {
+    val bands = (0 until NumHashes / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(k => col(s"s$k"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("bucket"))
+    }
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** MinHash+LSH near-dup pairs: candidates collide in >= 1 band; verified
+    * by exact shingle-Jaccard >= 0.7.
+    */
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bb = bandBuckets(signatures(spark, dir))
+    val cand = bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = t(spark, dir, "documents")
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
+    val union = size(col("sa.sh")) + size(col("sb.sh")) - inter
+    cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(inter.cast("double") / union, 4).as("shingle_jaccard"))
+      .filter(col("shingle_jaccard") >= 0.7)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 64-bit SimHash per document plus banded near-dup pair counts.
+    * xxhash64 drives the bit votes (not engine-portable — this query is a
+    * rows-only check; SimHashSpec pins semantics on inline data).
+    */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val ex = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(i =>
+      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val fps = sig.select(col("doc_id"), fp.as("fp"))
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))
+    val bb = fps.select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bb"))
+      .select(col("doc_id"), col("fp"),
+        col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val ham = bit_count(col("x.fp").bitwiseXOR(col("y.fp")))
+    bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        ham.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 8)
+      .groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("hamming")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd1_exact_dedup" -> exactDedup,
+    "dd2_jaccard_pairs" -> jaccardPairs,
+    "dd3_minhash_lsh" -> minhashLsh,
+    "dd4_simhash" -> simhash
+  )
+
+  // Single-line on purpose: this fragment is interpolated into a larger
+  // string whose .stripMargin would otherwise eat the first '|' of any
+  // line-leading '||' concat operator.
+  private val sqlToks =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+  private val sqlShingles =
+    s"list_distinct(list_transform(range(1, len($sqlToks)), i -> list_element($sqlToks, i) || ' ' || list_element($sqlToks, i + 1)))"
+
+  val oracle: Map[String, String] = Map(
+    "dd1_exact_dedup" ->
+      """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
+        |FROM (SELECT doc_id, text FROM documents
+        |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+        |GROUP BY 1
+        |ORDER BY canonical_doc_id""".stripMargin,
+    "dd2_jaccard_pairs" ->
+      """WITH p AS (
+        |  SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS lb,
+        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS ts
+        |  FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
+        |FROM p a JOIN p b
+        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dd3_minhash_lsh" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, $sqlShingles AS shingles FROM documents),
+         | ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         | sig AS (SELECT doc_id,
+         |   min(md5('0'||s)) s0, min(md5('1'||s)) s1, min(md5('2'||s)) s2,
+         |   min(md5('3'||s)) s3, min(md5('4'||s)) s4, min(md5('5'||s)) s5,
+         |   min(md5('6'||s)) s6, min(md5('7'||s)) s7
+         |  FROM ex GROUP BY doc_id),
+         | bands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
+         |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
+         |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
+         |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
+         | cand AS (
+         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         |  FROM bands x JOIN bands y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    (len(sa.shingles) + len(sb.shingles)
+         |     - len(list_intersect(sa.shingles, sb.shingles))), 4) AS shingle_jaccard
+         |FROM cand
+         |JOIN sh sa ON doc_a = sa.doc_id
+         |JOIN sh sb ON doc_b = sb.doc_id
+         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |    (len(sa.shingles) + len(sb.shingles)
+         |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.7
+         |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extensions, SURVEY.md §2.5): token counting, quality scoring, language
+  * ID, fingerprinting. Pure per-row projections — no shuffle except the
+  * deterministic output sort / small aggregations — so throughput at 100 TB
+  * is scan-bound.
+  */
+object TextAnalysis {
+
+  /** Per-document analysis columns (the profile a training-data pipeline
+    * attaches before filtering).
+    */
+  def profile(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        round(alphaRatio(col("text")), 6).as("alpha_ratio"),
+        round(punctRatio(col("text")), 6).as("punct_ratio"),
+        round(stopwordRatio(col("text")), 6).as("stopword_ratio"),
+        qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_detected"),
+        fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  /** Quality-band aggregation: the filter decision a pipeline would make,
+    * summarized per detected language and quality decile.
+    */
+  def qualityBands(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(langId(col("text")).as("lang_detected"),
+        floor(qualityScore(col("text")) * 10).cast("long").as("quality_decile"),
+        tokenCount(col("text")).as("n_tokens"))
+      .groupBy("lang_detected", "quality_decile")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("lang_detected", "quality_decile")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_text_profile" -> profile,
+    "t2_quality_bands" -> qualityBands
+  )
+
+  // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
+  // TextFunctions exactly.
+  private def sqlTokenSet(c: String) =
+    s"list_distinct(list_filter(regexp_split_to_array(lower($c), '[^a-z]+'), x -> x <> ''))"
+  private def sqlHits(c: String, words: Seq[String]) =
+    s"len(list_intersect(${sqlTokenSet(c)}, [${words.map("'" + _ + "'").mkString(",")}]))"
+  private def sqlTokenCount(c: String) =
+    s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE CAST(length(regexp_split_to_array(trim($c), '\\s+')) AS BIGINT) END"
+  private def sqlBpe(c: String) =
+    s"CAST(len(regexp_extract_all($c, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+  private def sqlAlpha(c: String) =
+    s"CASE WHEN length($c) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($c, '[^A-Za-z]', '', 'g')) AS DOUBLE) / length($c) END"
+  private def sqlPunct(c: String) =
+    s"""CASE WHEN length($c) = 0 THEN 0.0 ELSE CAST(length(regexp_replace($c, '[^.,;:!?''"()-]', '', 'g')) AS DOUBLE) / length($c) END"""
+  private def sqlStopRatio(c: String) = {
+    val toks = s"list_filter(regexp_split_to_array(lower($c), '[^a-z]+'), x -> x <> '')"
+    val stop = graft.functions.TextFunctions.EnStop.map("'" + _ + "'").mkString(",")
+    s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST(len(list_filter($toks, x -> list_contains([$stop], x))) AS DOUBLE) / len($toks) END"
+  }
+  private def sqlQuality(c: String) = {
+    val en = graft.functions.TextFunctions.EnStop
+    s"""round(${sqlAlpha(c)} * 0.4 + least(length($c) / 200.0, 1.0) * 0.3 +
+       | least(${sqlHits(c, en)} / 4.0, 1.0) * 0.2 +
+       | (1.0 - least(${sqlPunct(c)} * 5.0, 1.0)) * 0.1, 6)""".stripMargin
+  }
+  private def sqlLangId(c: String) = {
+    import graft.functions.TextFunctions._
+    val (en, de, es, fr) =
+      (sqlHits(c, EnStop), sqlHits(c, DeStop), sqlHits(c, EsStop), sqlHits(c, FrStop))
+    s"""CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'und'
+       | WHEN $en >= $de AND $en >= $es AND $en >= $fr THEN 'en'
+       | WHEN $de >= $es AND $de >= $fr THEN 'de'
+       | WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
+  }
+  private def sqlFp(c: String) =
+    s"md5(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'))"
+
+  val oracle: Map[String, String] = Map(
+    "t1_text_profile" ->
+      s"""SELECT doc_id,
+         |  ${sqlTokenCount("text")} AS n_tokens,
+         |  ${sqlBpe("text")} AS n_bpe_tokens,
+         |  round(${sqlAlpha("text")}, 6) AS alpha_ratio,
+         |  round(${sqlPunct("text")}, 6) AS punct_ratio,
+         |  round(${sqlStopRatio("text")}, 6) AS stopword_ratio,
+         |  ${sqlQuality("text")} AS quality,
+         |  ${sqlLangId("text")} AS lang_detected,
+         |  ${sqlFp("text")} AS fp
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "t2_quality_bands" ->
+      s"""SELECT ${sqlLangId("text")} AS lang_detected,
+         |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,
+         |  count(*) AS n_docs,
+         |  CAST(sum(${sqlTokenCount("text")}) AS BIGINT) AS total_tokens
+         |FROM documents
+         |GROUP BY 1, 2
+         |ORDER BY lang_detected, quality_decile""".stripMargin
+  )
+}
