@@ -21,7 +21,8 @@ object SparkEntry {
       operators.Cleaning.queries ++
       operators.Enrichment.queries ++
       operators.TextAnalysis.queries ++
-      operators.Dedup.queries
+      operators.Dedup.queries ++
+      operators.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -31,5 +32,6 @@ object SparkEntry {
       operators.Cleaning.oracle ++
       operators.Enrichment.oracle ++
       operators.TextAnalysis.oracle ++
-      operators.Dedup.oracle
+      operators.Dedup.oracle ++
+      operators.Similarity.oracle
 }

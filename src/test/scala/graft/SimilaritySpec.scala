@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f))).toDF("a", "b")
+    val out = df.select(Similarity.cosine(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    assert(math.abs(out(0) - 1.0) < 1e-12)
+    assert(out(1) == 0.0)
+  }
+
+  test("signBucket packs leading-dimension signs, 1-based") {
+    import spark.implicits._
+    val df = Seq(Array(1f, -1f, 2f, -2f), Array(-1f, -1f, -1f, -1f)).toDF("a")
+    val out = df.select(Similarity.signBucket(col("a"), 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == (1 + 4)) // dims 1 and 3 positive
+    assert(out(1) == 0)
+  }
+
+  test("brute-force top-k: ANN results are a subset with same scoring") {
+    val brute = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val ann = Similarity.annBucketed(spark, sf).collect()
+    assert(ann.nonEmpty)
+    // every ANN hit that also appears in the brute-force top-10 agrees on score
+    ann.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
+  test("near-dup pairs respect threshold and ordering") {
+    val rows = Similarity.embeddingNearDup(spark, sf).collect()
+    assert(rows.forall(_.getAs[Double]("cos") >= 0.4))
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+}
