@@ -22,7 +22,8 @@ object SparkEntry {
       operators.Enrichment.queries ++
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
-      operators.Similarity.queries
+      operators.Similarity.queries ++
+      operators.Events.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -33,5 +34,6 @@ object SparkEntry {
       operators.Enrichment.oracle ++
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
-      operators.Similarity.oracle
+      operators.Similarity.oracle ++
+      operators.Events.oracle
 }

@@ -1,0 +1,113 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the events stream (north-star
+  * extension, SURVEY.md §2.5 "Streaming"). Each transform takes a
+  * DataFrame that may be batch or streaming — the same declarative plan
+  * serves both, which is exactly how the batch oracle queries in
+  * [[graft.operators.Events]] pin the streaming semantics: a windowed
+  * streaming aggregation, once the watermark closes a window, has emitted
+  * precisely what the batch `window()` groupBy computes.
+  *
+  * State scale: windowed aggregation state is bounded by (windows x keys)
+  * inside the watermark horizon; sessionization state is one open session
+  * per active user, evicted by event-time timeout. Both shard by the
+  * grouping key across executors — no single-node state.
+  */
+object Streams {
+
+  /** Tumbling 1-hour counts per event type with a 10-minute watermark —
+    * the streaming twin of `Events.tumbling`.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(unix_millis(col("w.start")).as("window_start_ms"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Exactly-once-per-key dedup inside the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+}
+
+/** Typed event for stateful processing. */
+final case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** Emitted session: closed by a gap or by event-time timeout. */
+final case class SSession(
+    user_id: Long, session_start_ms: Long, session_end_ms: Long,
+    n_events: Long, total_value: Double)
+
+/** Open-session state carried between micro-batches. */
+final case class SessionState(
+    startMs: Long, lastMs: Long, n: Long, total: Double)
+
+/** Custom stateful sessionization via flatMapGroupsWithState — the
+  * "KeyValueGroupedDataset custom state" surface. Semantics match
+  * `session_window(ts, gap)`: merge while the next event starts strictly
+  * inside last + gap; session end = last event + gap.
+  */
+object Sessionize {
+
+  val DefaultGapMs: Long = 5 * 60 * 1000L
+
+  def sessions(events: Dataset[SEvent], gapMs: Long = DefaultGapMs): Dataset[SSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        update(gapMs))
+  }
+
+  private[streaming] def update(gapMs: Long)(
+      userId: Long,
+      events: Iterator[SEvent],
+      state: GroupState[SessionState]): Iterator[SSession] = {
+    def close(s: SessionState): SSession =
+      SSession(userId, s.startMs, s.lastMs + gapMs, s.n, s.total)
+
+    if (events.isEmpty && state.hasTimedOut) {
+      val out = state.getOption.map(close).iterator.toSeq
+      state.remove()
+      out.iterator
+    } else {
+      // Micro-batch input is unordered; sort locally (bounded by one
+      // user's events in one batch) and fold into sessions.
+      val sorted = events.toArray.sortBy(_.ts.getTime)
+      val closed = Seq.newBuilder[SSession]
+      var cur = state.getOption.orNull
+      sorted.foreach { e =>
+        val ms = e.ts.getTime
+        cur = cur match {
+          case null => SessionState(ms, ms, 1, e.value)
+          case s if ms < s.lastMs + gapMs =>
+            SessionState(s.startMs, math.max(s.lastMs, ms), s.n + 1, s.total + e.value)
+          case s =>
+            closed += close(s)
+            SessionState(ms, ms, 1, e.value)
+        }
+      }
+      if (cur != null) {
+        // A session whose gap already expired relative to the watermark
+        // can never be extended — emit it now (a timeout in the past is
+        // rejected by the state store).
+        val wm = state.getCurrentWatermarkMs()
+        if (cur.lastMs + gapMs <= wm) closed += close(cur)
+        else {
+          state.update(cur)
+          state.setTimeoutTimestamp(cur.lastMs + gapMs)
+        }
+      }
+      closed.result().iterator
+    }
+  }
+}
