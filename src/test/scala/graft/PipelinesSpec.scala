@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.types.{DoubleType, StringType, TimestampType}
+
+import graft.engine.{DictionaryTranslator, Pipelines}
+import graft.sources.DirWorkbookSource
+
+/** EP1/EP2/EP3 end-to-end over the messy CSV fixture (FIXTURES.md §B1)
+  * with the golden translation-map excerpt.
+  */
+class PipelinesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def csvPath = getClass.getResource("/messy_source.csv").getPath
+  private lazy val golden = DictionaryTranslator.fromJson(
+    getClass.getResource("/translation_map.json").getPath)
+
+  test("EP1: load + clean the messy CSV") {
+    val res = Pipelines.cleanPipeline(spark, csvPath)
+    val out = res.df
+    assert(out.columns.toSeq == Seq("expense_type", "col1", "merchant",
+      "amount", "amount_clean", "trip_date", "expenseaccountname"))
+    val types = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(types("amount") == StringType)       // "12,5" poisons the cast
+    assert(types("amount_clean") == DoubleType) // all parse
+    assert(types("trip_date") == TimestampType) // name-matched, per-value
+    assert(out.count() == 5)                    // one exact-dup row removed
+  }
+
+  test("EP2: classify, detect, translate NON-ENGLISH text columns") {
+    val df = graft.sources.Loader.load(spark, csvPath)
+    val report = Pipelines.translatePipeline(df, golden)
+    // merchant + expenseaccountname carry real text; German values make
+    // expenseaccountname NON-ENGLISH
+    assert(report.columnLabels("expenseaccountname") == "TEXT")
+    assert(report.languageLabels.get("expenseaccountname").contains("NON-ENGLISH"))
+    assert(report.translatedColumns.contains("expenseaccountname"))
+    val vals = report.df.select("expenseaccountname")
+      .collect().map(_.getString(0)).toSet
+    assert(vals.contains("Hotel Abroad"))     // translated
+    assert(vals.contains("Meal package"))     // translated
+    assert(vals.contains("Hotel"))            // "Hotell" (sv) translated
+    assert(vals.contains("Other"))            // "Anderes" translated
+    // identity fallback: untranslated values survive
+    assert(vals.contains("Toll") || vals.contains("Peaje"))
+  }
+
+  test("EP3: schema-map + vertical partition + workbook sink roundtrip") {
+    val df = graft.sources.Loader.load(spark, csvPath)
+    val dest = Map(
+      "FACT_Expense" -> Seq("amount_clean", "merchant"),
+      "DIM_Trip" -> Seq("trip_date"))
+    val sink = Files.createTempDirectory("graft-wb").toString
+    val tables = Pipelines.mapPipeline(df, dest, sinkPath = Some(sink))
+    assert(tables.keySet == Set("FACT_Expense", "DIM_Trip"))
+    assert(tables("FACT_Expense").columns.sorted.toSeq == Seq("amount_clean", "merchant"))
+    // sink roundtrip via the directory workbook source
+    val loaded = DirWorkbookSource.load(spark, sink)
+    assert(loaded.keySet == Set("FACT_Expense", "DIM_Trip"))
+    assert(loaded("DIM_Trip").count() == tables("DIM_Trip").count())
+  }
+
+  test("workbook sheet names truncate to 31 chars") {
+    assert(graft.sources.WorkbookSink.sheetName("A" * 40).length == 31)
+  }
+}
