@@ -34,12 +34,23 @@ object Dedup {
   private def tokensOrdered(c: Column): Column =
     array_remove(split(lower(c), "[^a-z]+"), "")
 
-  /** Distinct word-bigram shingles. */
-  private def shingles(c: Column): Column = {
-    val t = tokensOrdered(c)
-    array_distinct(transform(sequence(lit(1), size(t) - 1),
-      i => concat(element_at(t, i), lit(" "), element_at(t, i + 1))))
-  }
+  /** Distinct word-bigram shingles from an ALREADY-MATERIALIZED token
+    * array attribute. The token expression must not be inlined here: Spark
+    * does no common-subexpression elimination inside lambda bodies, so an
+    * inline split would re-tokenize the whole text for every shingle
+    * (measured ~6x slowdown on the LSH pipeline).
+    */
+  private def shinglesOf(tokAttr: Column): Column =
+    array_distinct(transform(sequence(lit(1), size(tokAttr) - 1),
+      i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1))))
+
+  /** documents -> (doc_id, sh): tokenization and shingling as two stacked
+    * projections so each runs once per row.
+    */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
+      .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
 
   /** Exact dedup by content fingerprint: canonical = min doc_id per group.
     * Input is documents unioned with an id-shifted copy of itself so real
@@ -64,12 +75,20 @@ object Dedup {
       tokenSet(col("text")).as("ts"))
     val a = p.alias("a")
     val b = p.alias("b")
-    val inter = size(array_intersect(col("a.ts"), col("b.ts")))
-    val union = size(col("a.ts")) + size(col("b.ts")) - inter
+    // Size-ratio prefilter: jaccard <= min/max set sizes, so pairs below
+    // the threshold on sizes alone never pay for an intersection. Cannot
+    // change results (no false negatives) — the oracle needs no guard.
+    val sizeGuard =
+      least(size(col("a.ts")), size(col("b.ts"))).cast("double") /
+        greatest(size(col("a.ts")), size(col("b.ts"))) >= 0.6
     a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
         col("a.doc_id") < col("b.doc_id"))
+      .filter(sizeGuard)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(inter.cast("double") / union, 4).as("jaccard"))
+        size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
+        (size(col("a.ts")) + size(col("b.ts"))).as("su"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("su") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
       .orderBy("doc_a", "doc_b")
   }
@@ -77,12 +96,18 @@ object Dedup {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands x 2 rows
 
-  /** Per-doc MinHash signature (8 string-min hashes over bigram shingles). */
+  /** Per-doc MinHash signature: ONE md5 per exploded shingle, with the 8
+    * "permutations" taken as the md5's disjoint 4-hex-char windows (16 bits
+    * each — plenty against ~10^2 shingles/doc). 8x less hashing than
+    * md5-per-seed at identical portability: substr windows of the same
+    * lowercase hex are independent orderings on both engines.
+    */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val ex = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val ex = shingled(spark, dir)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .select(col("doc_id"), md5(col("s")).as("h"))
     val aggs = (0 until NumHashes).map(k =>
-      min(md5(concat(lit(k.toString), col("s")))).as(s"s$k"))
+      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
     ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
@@ -106,14 +131,14 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = t(spark, dir, "documents")
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val inter = size(array_intersect(col("sa.sh"), col("sb.sh")))
-    val union = size(col("sa.sh")) + size(col("sb.sh")) - inter
+    val sh = shingled(spark, dir)
     cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
-        round(inter.cast("double") / union, 4).as("shingle_jaccard"))
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("i"),
+        (size(col("sa.sh")) + size(col("sb.sh"))).as("su"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
       .filter(col("shingle_jaccard") >= 0.7)
       .orderBy("doc_a", "doc_b")
   }
@@ -186,17 +211,18 @@ object Dedup {
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
         |FROM p a JOIN p b
         |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-        |WHERE CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
-        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) >= 0.6
+        |WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
+        |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd3_minhash_lsh" ->
       s"""WITH sh AS (
          |  SELECT doc_id, $sqlShingles AS shingles FROM documents),
-         | ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         | ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
          | sig AS (SELECT doc_id,
-         |   min(md5('0'||s)) s0, min(md5('1'||s)) s1, min(md5('2'||s)) s2,
-         |   min(md5('3'||s)) s3, min(md5('4'||s)) s4, min(md5('5'||s)) s5,
-         |   min(md5('6'||s)) s6, min(md5('7'||s)) s7
+         |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
+         |   min(substr(h, 9, 4)) s2, min(substr(h, 13, 4)) s3,
+         |   min(substr(h, 17, 4)) s4, min(substr(h, 21, 4)) s5,
+         |   min(substr(h, 25, 4)) s6, min(substr(h, 29, 4)) s7
          |  FROM ex GROUP BY doc_id),
          | bands AS (
          |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
@@ -214,9 +240,9 @@ object Dedup {
          |FROM cand
          |JOIN sh sa ON doc_a = sa.doc_id
          |JOIN sh sb ON doc_b = sb.doc_id
-         |WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+         |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
          |    (len(sa.shingles) + len(sb.shingles)
-         |     - len(list_intersect(sa.shingles, sb.shingles))) >= 0.7
+         |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7
          |ORDER BY doc_a, doc_b""".stripMargin
   )
 }

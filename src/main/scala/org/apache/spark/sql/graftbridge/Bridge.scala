@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Classic-mode Column <-> Expression bridge.
+  *
+  * Spark 4's Connect refactor made the Column/Expression conversion
+  * utilities `private[sql]`; a library shipping custom Catalyst
+  * expressions needs exactly these two calls, so this object lives in an
+  * `org.apache.spark.sql` subpackage to reach them (the established
+  * pattern for Spark-native extension libraries).
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

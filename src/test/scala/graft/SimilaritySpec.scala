@@ -9,6 +9,16 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("native FloatDotProduct is bit-identical to the builtin fold on real vectors") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
+    val pairs = e.alias("a").crossJoin(e.alias("b")).limit(2000)
+    val both = pairs.select(
+      Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+      Similarity.dotBuiltin(col("a.embedding"), col("b.embedding")).as("builtin"))
+    assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(
