@@ -24,7 +24,9 @@ object SparkEntry {
       operators.Dedup.queries ++
       operators.Similarity.queries ++
       operators.Events.queries ++
-      operators.Multimodal.queries
+      operators.Multimodal.queries ++
+      operators.AsOf.queries ++
+      operators.TypedAgg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -37,5 +39,7 @@ object SparkEntry {
       operators.Dedup.oracle ++
       operators.Similarity.oracle ++
       operators.Events.oracle ++
-      operators.Multimodal.oracle
+      operators.Multimodal.oracle ++
+      operators.AsOf.oracle ++
+      operators.TypedAgg.oracle
 }

@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Artifacts
+
+/** S4/S5 JSON artifact roundtrips. */
+class ArtifactsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("frame artifact roundtrip preserves rows; timestamps serialize as ISO") {
+    import spark.implicits._
+    val df = Seq((1L, "a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("id", "s", "ts")
+    val path = Files.createTempDirectory("graft-art").toString + "/frame"
+    Artifacts.store(df, path)
+    val back = Artifacts.load(spark, path)
+    assert(back.count() == 1)
+    val r = back.collect()(0)
+    assert(r.getAs[Long]("id") == 1L)
+    assert(r.getAs[String]("ts").startsWith("2024-01-01T10:00:00"))
+  }
+
+  test("map artifact roundtrip matches the golden-map shape") {
+    val m = Map("merchant" -> Map("Aral Autohof" -> "Aral truck stop"),
+      "col2" -> Map("a" -> "b", "c" -> "d"))
+    val path = Files.createTempDirectory("graft-art").toString + "/map.json"
+    Artifacts.storeMap(m, path)
+    assert(Artifacts.loadMap(path) == m)
+    // interoperates with the translator loader
+    val tr = graft.engine.DictionaryTranslator.fromJson(path)
+    assert(tr.translateOne("Aral Autohof") == "Aral truck stop")
+  }
+}
