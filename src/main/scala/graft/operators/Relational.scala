@@ -248,7 +248,83 @@ object Relational {
       .orderBy($"k_bucket")
   }
 
+  /** TPC-H Q4-style: correlated EXISTS with an inequality — orders having
+    * at least one line shipped more than 60 days after order date, counted
+    * per priority. The EXISTS compiles to a left-semi join with the extra
+    * non-equi condition attached; only the order key shuffles.
+    */
+  def q4LatePriority(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01"))
+    val li = t(spark, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+    ord.join(li,
+        $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAY"),
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** TPC-H Q12-style conditional aggregation: priority mix per return
+    * flag — CASE inside sums, single shuffle.
+    */
+  def q12PriorityMix(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val hi = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    t(spark, dir, "lineitem").select($"l_orderkey", $"l_returnflag")
+      .join(t(spark, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** TPC-H Q14-style ratio aggregate: share of revenue from PROMO parts. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select($"p_partkey", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .agg(round(lit(100.0) *
+        sum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))) / sum(rev), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** TPC-H Q17-style correlated scalar subquery (per-part average),
+    * expressed as aggregate + self-join: lines far below their part's
+    * average quantity.
+    */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val li = t(spark, dir, "lineitem")
+    val avgQty = li.groupBy($"l_partkey".as("ak"))
+      .agg(avg($"l_quantity").as("aq"))
+    li.join(avgQty, $"l_partkey" === $"ak")
+      .filter($"l_quantity" < lit(0.5) * $"aq")
+      .agg(r2(sum($"l_extendedprice") / 7.0).as("avg_yearly"))
+  }
+
+  /** LIKE-pattern filter with aggregation (string predicate pushdown). */
+  def q13NamePattern(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "part")
+      .filter($"p_name".like("%blue%") || $"p_name".like("%red%"))
+      .groupBy($"p_type")
+      .agg(count(lit(1)).as("n_parts"),
+        r2(avg($"p_retailprice")).as("avg_price"))
+      .orderBy($"p_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_late_priority" -> q4LatePriority,
+    "q12_priority_mix" -> q12PriorityMix,
+    "q14_promo_share" -> q14PromoShare,
+    "q17_small_quantity" -> q17SmallQuantity,
+    "q13_name_pattern" -> q13NamePattern,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -265,6 +341,43 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q4_late_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q12_priority_mix" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(100.0 *
+        |  sum(CASE WHEN p_type = 'PROMO'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |  sum(l_extendedprice * (1.0 - l_discount)), 4) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q17_small_quantity" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l, (SELECT l_partkey AS ak, avg(l_quantity) AS aq
+        |                  FROM lineitem GROUP BY l_partkey) a
+        |WHERE l.l_partkey = a.ak AND l.l_quantity < 0.5 * a.aq""".stripMargin,
+    "q13_name_pattern" ->
+      """SELECT p_type, count(*) AS n_parts,
+        |  round(avg(p_retailprice), 2) AS avg_price
+        |FROM part
+        |WHERE p_name LIKE '%blue%' OR p_name LIKE '%red%'
+        |GROUP BY p_type
+        |ORDER BY p_type""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
