@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.GraftExtensions
+
+/** Recommended session bootstrap for library consumers.
+  *
+  * Encodes the configuration this engine is designed against: AQE on
+  * (runtime re-planning, skew-join splitting, partition coalescing),
+  * shuffle partitions sized to the cluster (NOT the 200 default — pass
+  * `defaultParallelism`), UTC session time (oracle/parquet parity), and
+  * the engine's SQL extensions registered. On a real cluster only
+  * `master`/`defaultParallelism` change; every operator in this library is
+  * partitioning-aware by construction, so the same code runs unmodified
+  * from `local[4]` to 1000 executors.
+  */
+object GraftSession {
+
+  def builder(
+      master: String = "local[*]",
+      appName: String = "graft",
+      defaultParallelism: Option[Int] = None): SparkSession.Builder = {
+    val b = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.filterPushdown", "true")
+    defaultParallelism.foldLeft(b)((bb, n) =>
+      bb.config("spark.sql.shuffle.partitions", n.toString))
+  }
+
+  def local(cores: Int = Runtime.getRuntime.availableProcessors()): SparkSession = {
+    val s = builder(s"local[$cores]", defaultParallelism = Some(cores))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

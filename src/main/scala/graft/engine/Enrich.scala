@@ -76,7 +76,7 @@ object Enrich {
     * languages of `cache/translated-map.json` (de, fr, es, sv).
     */
   object HeuristicLanguageDetector extends LanguageDetector {
-    private[engine] val ForeignStopwords: Set[String] = Set(
+    private[graft] val ForeignStopwords: Set[String] = Set(
       // de
       "der", "die", "das", "und", "nicht", "mit", "für", "ist", "von", "des",
       "ein", "eine", "im", "zum", "zur", "bei", "nur", "oder", "kosten",
@@ -92,9 +92,9 @@ object Enrich {
     /** Word suffixes characteristic of the artifact's source languages and
       * vanishingly rare as English word endings.
       */
-    private[engine] val ForeignSuffixes: Seq[String] =
+    private[graft] val ForeignSuffixes: Seq[String] =
       Seq("keit", "heit", "schale", "kosten", "aje", "ttning", "samkeit")
-    private[engine] val EnglishStopwords: Set[String] = Set(
+    private[graft] val EnglishStopwords: Set[String] = Set(
       "the", "and", "of", "to", "in", "is", "for", "with", "on", "at", "by",
       "from", "as", "or", "an", "be", "this", "that", "it", "are")
 

@@ -39,8 +39,33 @@ object AsOf {
       .orderBy("purchase_id")
   }
 
+  /** Interval (range) join: every click by the same user in the 10 minutes
+    * before a purchase. The equi-key (user_id) carries the join through a
+    * single shuffle; the time window is a post-join range filter — the
+    * batch twin of the watermarked stream-stream join in
+    * [[graft.streaming.Streams.clickPurchaseJoin]].
+    */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+    purchases.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cts") >= col("ts") - expr("INTERVAL 10 MINUTE") &&
+          col("cts") < col("ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_millis(col("ts")).as("purchase_ts_ms"),
+        unix_millis(col("cts")).as("click_ts_ms"),
+        (unix_millis(col("ts")) - unix_millis(col("cts"))).as("gap_ms"))
+      .orderBy("purchase_id", "click_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ev4_asof_join" -> purchaseAfterClick
+    "ev4_asof_join" -> purchaseAfterClick,
+    "ev5_interval_join" -> intervalJoin
   )
 
   val oracle: Map[String, String] = Map(
@@ -61,6 +86,18 @@ object AsOf {
         |  click_id, click_ts_ms, epoch_ms(ts) - click_ts_ms AS gap_ms
         |FROM carried
         |WHERE event_type = 'purchase'
-        |ORDER BY purchase_id""".stripMargin
+        |ORDER BY purchase_id""".stripMargin,
+    "ev5_interval_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events WHERE event_type IN ('click', 'purchase'))
+        |SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id,
+        |  epoch_ms(p.ts) AS purchase_ts_ms, epoch_ms(c.ts) AS click_ts_ms,
+        |  epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM e p JOIN e c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin
   )
 }

@@ -133,7 +133,25 @@ object Enrichment {
       |FROM orders
       |ORDER BY order_key""".stripMargin
 
+  /** E2 in its DISTRIBUTED form: per-value non-English scoring as a pure
+    * Column expression over the corpus (how detection runs when the
+    * distinct dictionary itself is large). The text column is mixed with
+    * fixed multilingual literals so both labels occur.
+    */
+  def detectLanguageDistributed(spark: SparkSession, dir: String): DataFrame = {
+    val mixed = when(col("doc_id") % 4 === 0, lit("Verpflegungspauschale Erstattung"))
+      .when(col("doc_id") % 4 === 1, lit("el coche y los trenes de la ciudad"))
+      .otherwise(col("text"))
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        Enrich.HeuristicLanguageDetector.isNonEnglishExpr(mixed).as("non_english"))
+      .groupBy("non_english")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("non_english")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "e2_detect_distributed" -> detectLanguageDistributed,
     "d1_distinct_dictionary" -> distinctDictionary,
     "d2_value_sample" -> valueSample,
     "e5_translate_flags" -> translateFlags,
@@ -142,7 +160,34 @@ object Enrichment {
     "e8_vertical_partition" -> verticalPartition
   )
 
+  private val e2Oracle: String = {
+    val d = Enrich.HeuristicLanguageDetector
+    def lst(s: Iterable[String]) = s.toSeq.sorted.map("'" + _ + "'").mkString(",")
+    val sfx = d.ForeignSuffixes.mkString("|")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN 'Verpflegungspauschale Erstattung'
+       |         WHEN doc_id % 4 = 1 THEN 'el coche y los trenes de la ciudad'
+       |         ELSE text END AS v
+       |  FROM documents),
+       | tok AS (
+       |  SELECT doc_id, v,
+       |    regexp_split_to_array(lower(v), '[^\\p{L}]+') AS tk
+       |  FROM m)
+       |SELECT (
+       |    regexp_matches(v, '[^\\x00-\\x7F]')
+       |    OR len(list_filter(tk, x -> regexp_matches(x, '.($sfx)$$'))) > 0
+       |    OR (len(list_intersect(tk, [${lst(d.ForeignStopwords)}])) > 0
+       |        AND len(list_intersect(tk, [${lst(d.ForeignStopwords)}])) >
+       |            len(list_intersect(tk, [${lst(d.EnglishStopwords)}])))
+       |  ) AS non_english, count(*) AS n
+       |FROM tok
+       |GROUP BY 1
+       |ORDER BY non_english""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "e2_detect_distributed" -> e2Oracle,
     "d1_distinct_dictionary" ->
       """SELECT column_name, value FROM (
         |  SELECT DISTINCT 'lang' AS column_name, trim(lang) AS value

@@ -35,6 +35,29 @@ object Streams {
     events
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-stream interval join: clicks within the 10 minutes before a
+    * purchase by the same user. Watermarks on BOTH sides plus the time
+    * range bound the join state (clicks older than the watermark minus
+    * the interval are evicted) — the streaming twin of
+    * [[graft.operators.AsOf.intervalJoin]].
+    */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"),
+        col("ts").as("cts"))
+      .withWatermark("cts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts"))
+      .withWatermark("ts", "10 minutes")
+    purchases.join(clicks,
+        col("user_id") === col("cu") &&
+          col("cts") >= col("ts") - expr("INTERVAL 10 MINUTE") &&
+          col("cts") < col("ts"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        unix_millis(col("ts")).as("purchase_ts_ms"),
+        unix_millis(col("cts")).as("click_ts_ms"))
+  }
 }
 
 /** Typed event for stateful processing. */

@@ -81,6 +81,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length >= batch.length - nUsers)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    val q = Streams.clickPurchaseJoin(eventStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin_out")
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    val streamed = spark.table("ssjoin_out").collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    val batch = graft.operators.AsOf.intervalJoin(spark, sf).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
+    assert(streamed.nonEmpty)
+    // watermark-evicted late files can only lose pairs, never invent them
+    assert(streamed.subsetOf(batch))
+    assert(streamed.size * 2 >= batch.size,
+      s"streamed ${streamed.size} of ${batch.size} batch pairs")
+  }
+
   test("dropDuplicatesWithinWatermark removes planted duplicates") {
     // duplicates written into the SAME files so each copy lands in the same
     // micro-batch (a second stream's copies would arrive behind the
