@@ -42,4 +42,19 @@ class PlanSpec extends AnyFunSuite {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("no query in the whole surface plans a CartesianProduct") {
+    // The one intentional cross join (single broadcast query row) plans as
+    // BroadcastNestedLoopJoin; an actual CartesianProduct anywhere means a
+    // blocking/banding bug that would detonate at scale.
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
+      plan(name).contains("CartesianProduct")
+    }
+    assert(offenders.isEmpty, s"cartesian plans: $offenders")
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
+    assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
+  }
 }
