@@ -319,7 +319,55 @@ object Relational {
       .orderBy($"p_type")
   }
 
+  /** Pivot: account balance per nation pivoted across market segments
+    * (explicit value list keeps columns deterministic; compiles to one
+    * hash aggregate with CASE projections — no extra shuffle vs groupBy).
+    */
+  def p1PivotSegments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .pivot("c_mktsegment", segs)
+      .agg(r2(sum($"c_acctbal")))
+      .orderBy($"n_name")
+  }
+
+  /** Array function library over the embedding vectors: size, min/max,
+    * indexing, slices, sorted prefix — the ArrayType scalar surface.
+    */
+  def a1ArrayFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "embeddings")
+      .select($"vec_id",
+        size($"embedding").cast("long").as("dim"),
+        round(array_min($"embedding").cast("double"), 4).as("v_min"),
+        round(array_max($"embedding").cast("double"), 4).as("v_max"),
+        round(element_at($"embedding", 1).cast("double"), 4).as("v_first"),
+        round(element_at(slice($"embedding", 1, 4), 4).cast("double"), 4).as("v4"),
+        round(element_at(sort_array($"embedding"), 1).cast("double"), 4).as("sorted_first"))
+      .orderBy($"vec_id")
+  }
+
+  /** Exact percentiles (linear interpolation) per market segment — the
+    * sort-based aggregate family.
+    */
+  def pct1Percentiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "customer")
+      .groupBy($"c_mktsegment")
+      .agg(
+        round(expr("percentile(c_acctbal, 0.5)"), 4).as("median_acctbal"),
+        round(expr("percentile(c_acctbal, 0.9)"), 4).as("p90_acctbal"),
+        count(lit(1)).as("n"))
+      .orderBy($"c_mktsegment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_pivot_segments" -> p1PivotSegments,
+    "a1_array_functions" -> a1ArrayFunctions,
+    "pct1_percentiles" -> pct1Percentiles,
     "q4_late_priority" -> q4LatePriority,
     "q12_priority_mix" -> q12PriorityMix,
     "q14_promo_share" -> q14PromoShare,
@@ -341,6 +389,34 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "p1_pivot_segments" ->
+      """SELECT n_name,
+        |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
+        |  round(sum(CASE WHEN c_mktsegment = 'BUILDING' THEN c_acctbal END), 2) AS "BUILDING",
+        |  round(sum(CASE WHEN c_mktsegment = 'FURNITURE' THEN c_acctbal END), 2) AS "FURNITURE",
+        |  round(sum(CASE WHEN c_mktsegment = 'HOUSEHOLD' THEN c_acctbal END), 2) AS "HOUSEHOLD",
+        |  round(sum(CASE WHEN c_mktsegment = 'MACHINERY' THEN c_acctbal END), 2) AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "a1_array_functions" ->
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS dim,
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS v_min,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS v_max,
+        |  round(CAST(list_element(embedding, 1) AS DOUBLE), 4) AS v_first,
+        |  round(CAST(list_element(list_slice(embedding, 1, 4), 4) AS DOUBLE), 4) AS v4,
+        |  round(CAST(list_element(list_sort(embedding), 1) AS DOUBLE), 4) AS sorted_first
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+    "pct1_percentiles" ->
+      """SELECT c_mktsegment,
+        |  round(quantile_cont(c_acctbal, 0.5), 4) AS median_acctbal,
+        |  round(quantile_cont(c_acctbal, 0.9), 4) AS p90_acctbal,
+        |  count(*) AS n
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q4_late_priority" ->
       """SELECT o_orderpriority, count(*) AS n_orders
         |FROM orders
