@@ -28,6 +28,9 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // engine-wide default: parquet TIMESTAMP(NANOS) columns decode as
+      // raw longs (see Tables.t, which converts events.ts explicitly)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     defaultParallelism.foldLeft(b)((bb, n) =>
       bb.config("spark.sql.shuffle.partitions", n.toString))
   }

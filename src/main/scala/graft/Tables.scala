@@ -22,6 +22,13 @@ object Tables {
     * rejects by default; it is read via the nanos-as-long escape hatch and
     * converted to a microsecond timestamp (`ts div 1000` floor-truncates,
     * matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast for the oracle).
+    *
+    * The escape hatch is a SESSION-WIDE conf and is deliberately left set
+    * (an engine-wide default, also set by [[GraftSession]]): restoring it
+    * after this call would be unsound because the returned frame is lazy
+    * and re-consults the conf at execution. Effect on other reads: parquet
+    * nanos columns elsewhere decode as raw longs instead of failing — an
+    * explicit schema shape, not silent data corruption.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {

@@ -54,10 +54,21 @@ final class DictionaryTranslator(
     val literalMapThreshold: Int = 1000)
   extends Translator {
 
-  private val flat: Map[String, String] = table.values.flatten.toMap
+  // Column-agnostic lookup for the columnless trait methods: when two
+  // column dictionaries disagree on a key, the lexicographically-FIRST
+  // column wins — deterministic regardless of map iteration order. Use
+  // [[translateColumn]] when the column is known (applyTo always does).
+  private val flat: Map[String, String] =
+    table.toSeq.sortBy(_._1).reverse.flatMap(_._2).toMap
 
   override def translate(values: Seq[String]): Map[String, String] =
     values.map(v => v -> flat.getOrElse(v, v)).toMap
+
+  /** E3 with the column known: per-column semantics, identity fallback. */
+  def translateColumn(column: String, values: Seq[String]): Map[String, String] = {
+    val m = forColumn(column)
+    values.map(v => v -> m.getOrElse(v, v)).toMap
+  }
 
   /** Map for one column (empty when the column has no dictionary). */
   def forColumn(c: String): Map[String, String] = table.getOrElse(c, Map.empty)

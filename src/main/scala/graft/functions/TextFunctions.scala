@@ -15,9 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  /** Lowercased alphabetic word tokens in document order, duplicates
+    * preserved — THE single tokenization definition; every operator
+    * (text analysis, dedup shingling) and every oracle SQL fragment must
+    * derive from this expression so tokenization cannot drift.
+    */
+  def tokensOrdered(c: Column): Column =
+    array_remove(split(lower(c), "[^a-z]+"), "")
+
   /** Lowercased alphabetic word tokens, deduplicated (set semantics). */
   def tokenSet(c: Column): Column =
-    array_distinct(array_remove(split(lower(c), "[^a-z]+"), ""))
+    array_distinct(tokensOrdered(c))
 
   /** Whitespace token count (the "wc -w" notion of tokens). */
   def tokenCount(c: Column): Column =
@@ -58,7 +66,7 @@ object TextFunctions {
     * share, not distinct): hits / tokenCount.
     */
   def stopwordRatio(c: Column): Column = {
-    val toks = array_remove(split(lower(c), "[^a-z]+"), "")
+    val toks = tokensOrdered(c)
     val hits = size(filter(toks, t => array_contains(typedlit(EnStop), t)))
     when(size(toks) === 0, lit(0.0)).otherwise(hits.cast("double") / size(toks))
   }

@@ -28,11 +28,7 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   */
 object Dedup {
 
-  /** Ordered lowercase word tokens (duplicates preserved — shingling needs
-    * order, unlike [[tokenSet]]).
-    */
-  private def tokensOrdered(c: Column): Column =
-    array_remove(split(lower(c), "[^a-z]+"), "")
+  import graft.functions.TextFunctions.tokensOrdered
 
   /** Distinct word-bigram shingles from an ALREADY-MATERIALIZED token
     * array attribute. The token expression must not be inlined here: Spark
@@ -40,9 +36,13 @@ object Dedup {
     * inline split would re-tokenize the whole text for every shingle
     * (measured ~6x slowdown on the LSH pipeline).
     */
-  private def shinglesOf(tokAttr: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(tokAttr) - 1),
-      i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1))))
+  private[graft] def shinglesOf(tokAttr: Column): Column =
+    // size<2 guard: sequence(1, 0) DESCENDS in Spark ([1,0] -> element_at 0
+    // throws), while the oracle's range(1, len) is simply empty — so short
+    // documents must short-circuit to an empty array here.
+    when(size(tokAttr) < 2, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(sequence(lit(1), size(tokAttr) - 1),
+        i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1)))))
 
   /** documents -> (doc_id, sh): tokenization and shingling as two stacked
     * projections so each runs once per row.
@@ -76,11 +76,14 @@ object Dedup {
     val a = p.alias("a")
     val b = p.alias("b")
     // Size-ratio prefilter: jaccard <= min/max set sizes, so pairs below
-    // the threshold on sizes alone never pay for an intersection. Cannot
-    // change results (no false negatives) — the oracle needs no guard.
+    // the threshold on sizes alone never pay for an intersection. The
+    // bound uses the ROUND-ADJUSTED threshold (0.59995): the final filter
+    // keeps round(j,4) >= 0.6, i.e. true j >= 0.59995, and since
+    // size-ratio >= j the guard can never drop a pair the final filter
+    // would keep — the oracle needs no guard.
     val sizeGuard =
       least(size(col("a.ts")), size(col("b.ts"))).cast("double") /
-        greatest(size(col("a.ts")), size(col("b.ts"))) >= 0.6
+        greatest(size(col("a.ts")), size(col("b.ts"))) >= 0.59995
     a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
         col("a.doc_id") < col("b.doc_id"))
       .filter(sizeGuard)

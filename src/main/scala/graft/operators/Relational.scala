@@ -243,7 +243,9 @@ object Relational {
         from_json($"props", org.apache.spark.sql.types.StructType.fromDDL("k INT"))
           .getField("k").as("k"),
         $"value")
-      .groupBy(($"k" % 10).cast("long").as("k_bucket"))
+      // sentinel for missing/malformed props (nullable sort keys order
+      // differently across engines — module convention)
+      .groupBy(coalesce(($"k" % 10).cast("long"), lit(-1L)).as("k_bucket"))
       .agg(count(lit(1)).as("n"), r2(sum($"value")).as("total_value"))
       .orderBy($"k_bucket")
   }
@@ -579,7 +581,7 @@ object Relational {
         |FROM orders
         |ORDER BY o_orderkey""".stripMargin,
     "j2_events_json" ->
-      """SELECT CAST(CAST(props->>'$.k' AS INTEGER) % 10 AS BIGINT) AS k_bucket,
+      """SELECT coalesce(CAST(CAST(props->>'$.k' AS INTEGER) % 10 AS BIGINT), -1) AS k_bucket,
         |  count(*) AS n, round(sum(value), 2) AS total_value
         |FROM events
         |GROUP BY 1

@@ -74,8 +74,11 @@ final case class SessionState(
 
 /** Custom stateful sessionization via flatMapGroupsWithState — the
   * "KeyValueGroupedDataset custom state" surface. Semantics match
-  * `session_window(ts, gap)`: merge while the next event starts strictly
-  * inside last + gap; session end = last event + gap.
+  * `session_window(ts, gap)` for in-order-across-batches data: merge while
+  * the next event starts strictly inside last + gap; session end = last
+  * event + gap. Cross-batch events arriving BEFORE the open session's
+  * start are dropped as late data (they may belong to an already-emitted
+  * session; batch `session_window` would instead restructure history).
   */
 object Sessionize {
 
@@ -112,6 +115,13 @@ object Sessionize {
         val ms = e.ts.getTime
         cur = cur match {
           case null => SessionState(ms, ms, 1, e.value)
+          case s if ms < s.startMs =>
+            // Cross-batch out-of-order event predating the open session:
+            // it may belong to an already-emitted session, so merging it
+            // here would diverge from session_window. Treat it as late
+            // data and drop it (the same class of row a watermarked
+            // stateful operator sheds).
+            s
           case s if ms < s.lastMs + gapMs =>
             SessionState(s.startMs, math.max(s.lastMs, ms), s.n + 1, s.total + e.value)
           case s =>

@@ -32,6 +32,23 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
   }
 
+  test("shingling survives documents with fewer than two tokens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // regression: sequence(1, size-1) descends for size<=1 and indexes
+    // element 0; short docs must shingle to an empty array instead
+    val docs = Seq((1L, "hello"), (2L, "12345 67"), (3L, "two words here"))
+      .toDF("doc_id", "text")
+    val out = docs
+      .select(col("doc_id"), graft.functions.TextFunctions.tokensOrdered(col("text")).as("t"))
+      .select(col("doc_id"), graft.operators.Dedup.shinglesOf(col("t")).as("sh"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L).isEmpty)                       // single token
+    assert(out(2L).isEmpty)                       // digits-only -> zero alpha tokens
+    assert(out(3L).toSeq == Seq("two words", "words here"))
+  }
+
   test("simhash: aggregated pair counts at low hamming distance") {
     val rows = graft.operators.Dedup.simhash(spark, sf).collect()
     assert(rows.forall(_.getAs[Long]("hamming") <= 8L))

@@ -19,6 +19,22 @@ class SimilaritySpec extends AnyFunSuite {
     assert(both.collect().forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("native dot product: ragged lengths and null elements yield NULL like the builtin") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val ragged = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+    val both = ragged.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotBuiltin(col("a"), col("b")).as("builtin")).collect()(0)
+    assert(both.isNullAt(0) && both.isNullAt(1))
+    val withNullElem = Seq((Seq(Option(1f), None), Seq(Option(1f), Option(2f))))
+      .toDF("a", "b")
+    val both2 = withNullElem.select(
+      Similarity.dot(col("a"), col("b")).as("native"),
+      Similarity.dotBuiltin(col("a"), col("b")).as("builtin")).collect()(0)
+    assert(both2.isNullAt(0) && both2.isNullAt(1))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(

@@ -82,7 +82,14 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stream-stream interval join == batch interval join") {
-    val q = Streams.clickPurchaseJoin(eventStream)
+    // single file -> single micro-batch: both sides' state sees all rows,
+    // so the join must emit exactly the batch result (multi-file runs shed
+    // late files nondeterministically — file listing order != time order)
+    val oneDir = Files.createTempDirectory("graft-ssj").toString
+    t(spark, sf, "events").coalesce(1).write.mode("overwrite").parquet(oneDir)
+    val schema = spark.read.parquet(oneDir).schema
+    val stream = spark.readStream.schema(schema).parquet(oneDir)
+    val q = Streams.clickPurchaseJoin(stream)
       .writeStream.outputMode("append")
       .format("memory").queryName("ssjoin_out")
       .start()
@@ -91,11 +98,8 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
     val batch = graft.operators.AsOf.intervalJoin(spark, sf).collect()
       .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("click_id"))).toSet
-    assert(streamed.nonEmpty)
-    // watermark-evicted late files can only lose pairs, never invent them
-    assert(streamed.subsetOf(batch))
-    assert(streamed.size * 2 >= batch.size,
-      s"streamed ${streamed.size} of ${batch.size} batch pairs")
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
   test("dropDuplicatesWithinWatermark removes planted duplicates") {
