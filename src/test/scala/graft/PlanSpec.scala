@@ -43,6 +43,17 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("dedup scans prune documents to the columns they need") {
+    val p = plan("dd3_minhash_lsh")
+    // the minhash pipeline needs doc_id + text only
+    assert(!p.contains("n_chars") && !p.contains("source"), p.take(1500))
+  }
+
+  test("similarity near-dup reads embeddings without label") {
+    val p = plan("sim3_embedding_neardup")
+    assert(!p.contains("label"), p.take(1500))
+  }
+
   test("no query in the whole surface plans a CartesianProduct") {
     // The one intentional cross join (single broadcast query row) plans as
     // BroadcastNestedLoopJoin; an actual CartesianProduct anywhere means a
