@@ -42,9 +42,45 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("lang_detected", "quality_decile")
 
+  /** Rolling-hash-style shingle fingerprint alongside the whole-document
+    * md5: the minimum hashed word-bigram (the first MinHash signature
+    * column) — stable under small edits away from the minimal shingle,
+    * where the whole-doc hash flips on any edit. Short docs (<2 tokens)
+    * fingerprint as null.
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokensOrdered
+    val base = t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp_doc"),
+        tokensOrdered(col("text")).as("tk"))
+    val bigrams = transform(sequence(lit(1), size(col("tk")) - 1),
+      i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))
+    val withShingle = base.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("s"), col("fp_doc"))
+      .groupBy("doc_id", "fp_doc")
+      .agg(min(substring(md5(col("s")), 1, 16)).as("fp_shingle"))
+    base.select(col("doc_id"), col("fp_doc"))
+      .join(withShingle.select(col("doc_id").as("d2"), col("fp_shingle")),
+        col("doc_id") === col("d2"), "left")
+      .select(col("doc_id"), col("fp_doc"), col("fp_shingle"))
+      .orderBy("doc_id")
+  }
+
+  /** The end filter a training pipeline applies: keep documents above a
+    * quality bar in the target language; emit the kept ids + scores.
+    */
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
+        langId(col("text")).as("lang_detected"))
+      .filter(col("quality") >= 0.7 && col("lang_detected") === "en")
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_profile" -> profile,
-    "t2_quality_bands" -> qualityBands
+    "t2_quality_bands" -> qualityBands,
+    "t3_fingerprints" -> fingerprints,
+    "t4_quality_filter" -> qualityFilter
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -96,6 +132,28 @@ object TextAnalysis {
          |  ${sqlLangId("text")} AS lang_detected,
          |  ${sqlFp("text")} AS fp
          |FROM documents
+         |ORDER BY doc_id""".stripMargin,
+    "t3_fingerprints" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${sqlFp("text")} AS fp_doc,
+         |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+         |  FROM documents),
+         | sh AS (
+         |  SELECT doc_id,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> list_element(t, i) || ' ' || list_element(t, i + 1))) AS s
+         |  FROM tk WHERE len(t) >= 2),
+         | ms AS (
+         |  SELECT doc_id, min(substr(md5(s), 1, 16)) AS fp_shingle
+         |  FROM sh GROUP BY doc_id)
+         |SELECT tk.doc_id, tk.fp_doc, ms.fp_shingle
+         |FROM tk LEFT JOIN ms ON tk.doc_id = ms.doc_id
+         |ORDER BY tk.doc_id""".stripMargin,
+    "t4_quality_filter" ->
+      s"""SELECT doc_id, ${sqlQuality("text")} AS quality,
+         |  ${sqlLangId("text")} AS lang_detected
+         |FROM documents
+         |WHERE ${sqlQuality("text")} >= 0.7 AND ${sqlLangId("text")} = 'en'
          |ORDER BY doc_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
