@@ -366,7 +366,29 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** One ANSI-SQL text shared VERBATIM by both engines: Spark runs it via
+    * `spark.sql` over temp views, DuckDB runs the identical string as the
+    * oracle — demonstrating the SQL facade next to the DataFrame surface.
+    */
+  private[operators] val SharedRevenueSql: String =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |  count(*) AS n_lines
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  def sql1RevenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    Seq("lineitem", "orders", "customer", "nation")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(SharedRevenueSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql1_revenue_by_nation" -> sql1RevenueByNation,
     "p1_pivot_segments" -> p1PivotSegments,
     "a1_array_functions" -> a1ArrayFunctions,
     "pct1_percentiles" -> pct1Percentiles,
@@ -391,6 +413,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql1_revenue_by_nation" -> SharedRevenueSql,
     "p1_pivot_segments" ->
       """SELECT n_name,
         |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",
