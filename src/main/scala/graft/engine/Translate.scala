@@ -32,7 +32,7 @@ import scala.jdk.CollectionConverters._
   * `mapPartitions` + `grouped(100)` (SURVEY §2.4 E3); out of scope under
   * zero egress.
   */
-trait Translator {
+trait Translator extends Serializable {
   /** E3: translate a batch of distinct values. Total: every input is a key
     * of the result (identity fallback for unknown values).
     */
@@ -112,6 +112,47 @@ final class DictionaryTranslator(
           case o => col(o)
         }.toIndexedSeq: _*)
     }
+  }
+}
+
+/** Decorator adding the reference's call-batching (`translate.py:98-100`:
+  * 100 values per Azure request) to any [[Translator]] with per-call
+  * overhead. Pure pass-through for dictionary-backed impls; essential for
+  * a remote impl (which would also add the rate limiting of
+  * `translate.py:118` here — out of scope under zero egress).
+  */
+final class BatchedTranslator(underlying: Translator, batchSize: Int = 100)
+  extends Translator {
+  require(batchSize > 0)
+  override def translate(values: Seq[String]): Map[String, String] =
+    values.grouped(batchSize)
+      .map(underlying.translate)
+      .foldLeft(Map.empty[String, String])(_ ++ _)
+}
+
+object Translate {
+
+  /** Distributed batched translation of a long-format distinct dictionary
+    * `(column_name, value)`: `mapPartitions` + `grouped(batchSize)`, so a
+    * remote-service translator is called once per batch per partition —
+    * the scale shape of the reference's loop (`translate.py:78-123`)
+    * where the expensive call count is bounded by DISTINCT values /
+    * batchSize, never row count.
+    */
+  def translateDictionary(
+      dict: org.apache.spark.sql.DataFrame,
+      translator: Translator,
+      batchSize: Int = 100): org.apache.spark.sql.DataFrame = {
+    val spark = dict.sparkSession
+    import spark.implicits._
+    dict.select("column_name", "value").as[(String, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          val m = translator.translate(batch.map(_._2))
+          batch.map { case (c, v) => (c, v, m.getOrElse(v, v)) }
+        }
+      }
+      .toDF("column_name", "value", "translated")
   }
 }
 
