@@ -63,6 +63,18 @@ class PipelinesSpec extends AnyFunSuite {
     assert(loaded("DIM_Trip").count() == tables("DIM_Trip").count())
   }
 
+  test("S6 CSV sink roundtrip through the extension-dispatched loader") {
+    val df = graft.sources.Loader.load(spark, csvPath)
+    val cleaned = Pipelines.cleanPipeline(spark, csvPath).df
+    val out = Files.createTempDirectory("graft-csv").toString + "/out.csv"
+    cleaned.write.mode("overwrite").option("header", "true").csv(out)
+    // Spark writes a directory of part files; read the directory back
+    val back = spark.read.option("header", "true").option("inferSchema", "true").csv(out)
+    assert(back.count() == cleaned.count())
+    assert(back.columns.sorted.toSeq == cleaned.columns.sorted.toSeq)
+    assert(df.count() >= cleaned.count())
+  }
+
   test("workbook sheet names truncate to 31 chars") {
     assert(graft.sources.WorkbookSink.sheetName("A" * 40).length == 31)
   }

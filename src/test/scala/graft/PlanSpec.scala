@@ -64,6 +64,11 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"cartesian plans: $offenders")
   }
 
+  test("d1 distinct dictionary reads the source exactly once (long-format explode)") {
+    val p = plan("d1_distinct_dictionary")
+    assert("FileScan".r.findAllIn(p).size == 1, p.take(1500))
+  }
+
   test("every oracleSql key has a queries entry") {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")

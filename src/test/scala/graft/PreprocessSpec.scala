@@ -101,6 +101,19 @@ class PreprocessSpec extends AnyFunSuite {
     assert(twice.filter(twice("merchant") === "-").count() == 0)
   }
 
+  test("wide frames clean without plan blow-up (one select, not withColumn chains)") {
+    import org.apache.spark.sql.functions._
+    val n = 120
+    val wide = spark.range(50).select(
+      (0 until n).map(i => concat(lit(s"v$i-"), col("id")).as(s"Col $i!")): _*)
+    val t0 = System.nanoTime()
+    val out = Preprocess.clean(wide).df
+    assert(out.columns.length == n)
+    assert(out.count() == 50)
+    // analysis+execution of 120 columns must stay in seconds, not minutes
+    assert((System.nanoTime() - t0) / 1e9 < 60.0)
+  }
+
   test("all-placeholder string column casts vacuously to double") {
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row("n/a", "x"), Row("", "y"))),
