@@ -76,10 +76,17 @@ object Dedup {
     * (lang, n_chars DIV 50); emit pairs with Jaccard >= 0.6.
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Token sets are hashed to 60-bit ints (15 hex chars of md5) BEFORE
+    // the pairwise stage: array_intersect on primitive longs beats string
+    // sets by a wide margin at 2M+ candidate pairs. Portable bit-for-bit —
+    // the oracle applies the identical hash, so even a collision (which
+    // would merge two tokens) produces the same count on both engines.
+    val hashedSet = array_distinct(transform(tokenSet(col("text")),
+      x => conv(md5(x).substr(1, 15), 16, 10).cast("long")))
     val p = t(spark, dir, "documents").select(
       col("doc_id"), col("lang"),
       floor(col("n_chars") / lit(50.0)).cast("long").as("lb"),
-      tokenSet(col("text")).as("ts"))
+      hashedSet.as("ts"))
     val a = p.alias("a")
     val b = p.alias("b")
     // Size-ratio prefilter: jaccard <= min/max set sizes, so pairs below
@@ -221,8 +228,10 @@ object Dedup {
     "dd2_jaccard_pairs" ->
       """WITH p AS (
         |  SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS lb,
-        |    list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-        |      x -> x <> '')) AS ts
+        |    list_distinct(list_transform(
+        |      list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |        x -> x <> '')),
+        |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS ts
         |  FROM documents)
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
