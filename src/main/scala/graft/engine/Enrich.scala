@@ -119,7 +119,12 @@ object Enrich {
       * UDF).
       */
     def isNonEnglishExpr(c: Column): Column = {
-      val hasForeignLetter = c.rlike("[^\\x00-\\x7F]")
+      // non-ASCII LETTER, matching the driver-side form exactly (plain
+      // [^\x00-\x7F] would also flag em dashes, €, °, ...): strip ASCII,
+      // then test the remainder for any unicode letter — RE2 (the oracle
+      // side) has no char-class intersection, and this form is portable.
+      val hasForeignLetter =
+        regexp_replace(c, "[\\x00-\\x7F]", "").rlike("\\p{L}")
       val tokens = split(lower(c), "[^\\p{L}]+")
       val foreign = size(array_intersect(tokens, typedlit(ForeignStopwords.toSeq)))
       val english = size(array_intersect(tokens, typedlit(EnglishStopwords.toSeq)))

@@ -52,9 +52,16 @@ object Pipelines {
       .filter(_.dataType == StringType).map(_.name).toSeq
 
     // D2 samples -> E1 classification (driver-side, one tiny job per col —
-    // same cost shape as the reference's one LLM call per column)
-    val samples = stringCols.map(c =>
-      c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN)).toMap
+    // same cost shape as the reference's one LLM call per column). The
+    // per-column jobs are independent; submit them concurrently instead
+    // of paying N sequential job latencies on wide tables.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val samples = Await.result(
+      Future.traverse(stringCols)(c =>
+        Future(c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN))),
+      Duration.Inf).toMap
     val columnLabels = samples.map { case (c, s) => c -> classifier.classify(c, s) }
     val textCols = stringCols.filter(c => columnLabels(c) == "TEXT")
 

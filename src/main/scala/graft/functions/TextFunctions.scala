@@ -27,6 +27,18 @@ object TextFunctions {
   def tokenSet(c: Column): Column =
     array_distinct(tokensOrdered(c))
 
+  /** Word-bigram shingles (duplicates preserved) from an
+    * ALREADY-MATERIALIZED token array attribute — THE single shingle
+    * definition (dedup LSH, fingerprints). PRECONDITIONS: the argument is
+    * a column attribute, never an inline expression (Spark does no CSE
+    * inside lambda bodies — an inline split re-tokenizes per shingle),
+    * and size >= 2 (sequence(1, 0) descends and indexes element 0 —
+    * filter rows first).
+    */
+  def rawShingles(tokAttr: Column): Column =
+    transform(sequence(lit(1), size(tokAttr) - 1),
+      i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1)))
+
   /** Whitespace token count (the "wc -w" notion of tokens). */
   def tokenCount(c: Column): Column =
     when(length(trim(c)) === 0, lit(0L))

@@ -36,16 +36,13 @@ object Dedup {
     * inline split would re-tokenize the whole text for every shingle
     * (measured ~6x slowdown on the LSH pipeline).
     */
-  /** PRECONDITION: size(tokAttr) >= 2 — callers must filter first.
-    * sequence(1, 0) DESCENDS in Spark ([1,0] -> element_at 0 throws) for
-    * shorter inputs; the filter lives at the ROW level (plain codegen'd
-    * Filter) rather than as a when/otherwise here, because a CaseWhen
-    * wrapping a higher-order function measurably doubles the projection
-    * cost (the HOF branch drops out of efficient evaluation).
+  /** Distinct shingle set (see TextFunctions.rawShingles for the
+    * preconditions: materialized token attribute, size >= 2 filtered at
+    * the row level — a when/otherwise guard around the HOF measurably
+    * doubles the projection cost).
     */
   private[graft] def shinglesOf(tokAttr: Column): Column =
-    array_distinct(transform(sequence(lit(1), size(tokAttr) - 1),
-      i => concat(element_at(tokAttr, i), lit(" "), element_at(tokAttr, i + 1))))
+    array_distinct(graft.functions.TextFunctions.rawShingles(tokAttr))
 
   /** documents -> (doc_id, sh): tokenization and shingling as two stacked
     * projections so each runs once per row. Documents with fewer than two
@@ -126,10 +123,9 @@ object Dedup {
     val base = t(spark, dir, "documents")
       .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-    val rawShingles = transform(sequence(lit(1), size(col("t")) - 1),
-      i => concat(element_at(col("t"), i), lit(" "), element_at(col("t"), i + 1)))
     val ex = base
-      .select(col("doc_id"), explode(rawShingles).as("s"))
+      .select(col("doc_id"),
+        explode(graft.functions.TextFunctions.rawShingles(col("t"))).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
     val aggs = (0 until NumHashes).map(k =>
       min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))

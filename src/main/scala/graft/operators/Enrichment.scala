@@ -184,7 +184,7 @@ object Enrichment {
        |    regexp_split_to_array(lower(v), '[^\\p{L}]+') AS tk
        |  FROM m)
        |SELECT (
-       |    regexp_matches(v, '[^\\x00-\\x7F]')
+       |    regexp_matches(regexp_replace(v, '[\\x00-\\x7F]', '', 'g'), '\\p{L}')
        |    OR len(list_filter(tk, x -> regexp_matches(x, '.($sfx)$$'))) > 0
        |    OR (len(list_intersect(tk, [${lst(d.ForeignStopwords)}])) > 0
        |        AND len(list_intersect(tk, [${lst(d.ForeignStopwords)}])) >

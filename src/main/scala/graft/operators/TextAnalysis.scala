@@ -49,14 +49,12 @@ object TextAnalysis {
     * fingerprint as null.
     */
   def fingerprints(spark: SparkSession, dir: String): DataFrame = {
-    import graft.functions.TextFunctions.tokensOrdered
+    import graft.functions.TextFunctions.{rawShingles, tokensOrdered}
     val base = t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp_doc"),
         tokensOrdered(col("text")).as("tk"))
-    val bigrams = transform(sequence(lit(1), size(col("tk")) - 1),
-      i => concat(element_at(col("tk"), i), lit(" "), element_at(col("tk"), i + 1)))
     val withShingle = base.filter(size(col("tk")) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("s"), col("fp_doc"))
+      .select(col("doc_id"), explode(rawShingles(col("tk"))).as("s"), col("fp_doc"))
       .groupBy("doc_id", "fp_doc")
       .agg(min(substring(md5(col("s")), 1, 16)).as("fp_shingle"))
     base.select(col("doc_id"), col("fp_doc"))

@@ -47,13 +47,26 @@ object DirWorkbookSource extends WorkbookSource {
   override def load(spark: SparkSession, path: String): Map[String, DataFrame] = {
     val dir = new java.io.File(path)
     require(dir.isDirectory, s"Not a directory: $path")
-    dir.listFiles().toSeq.sortBy(_.getName).flatMap { f =>
+    val entries = dir.listFiles().toSeq.sortBy(_.getName).flatMap { f =>
       val name = f.getName.replaceFirst("\\.[^.]+$", "")
-      try Some(name -> (
-        if (f.isDirectory) spark.read.parquet(f.getPath)
-        else Loader.load(spark, f.getPath)))
-      catch { case _: IllegalArgumentException => None } // skip non-table files
-    }.toMap
+      // Subdirectories: try parquet parts first, then csv parts (a Spark
+      // csv sink writes a directory too). Anything unreadable as a table
+      // is skipped, not fatal — workbooks may carry stray files.
+      val loaded =
+        if (f.isDirectory)
+          scala.util.Try(spark.read.parquet(f.getPath))
+            .orElse(scala.util.Try(
+              spark.read.option("header", "true").option("inferSchema", "true")
+                .csv(f.getPath)))
+            .toOption
+        else scala.util.Try(Loader.load(spark, f.getPath)).toOption
+      loaded.map(name -> _)
+    }
+    // Base-name collisions ("sales.csv" + "sales.json") keep the FIRST in
+    // sorted-name order — deterministic, never a silent last-wins.
+    entries.foldLeft(Map.empty[String, DataFrame]) {
+      case (acc, (k, v)) => if (acc.contains(k)) acc else acc + (k -> v)
+    }
   }
 }
 

@@ -132,10 +132,14 @@ object Sessionize {
       if (cur != null) {
         // A session whose gap already expired relative to the watermark
         // can never be extended — emit it now (a timeout in the past is
-        // rejected by the state store).
+        // rejected by the state store). The previously-stored state must
+        // also be REMOVED, or its pending timeout would later re-emit a
+        // stale overlapping session for the same events.
         val wm = state.getCurrentWatermarkMs()
-        if (cur.lastMs + gapMs <= wm) closed += close(cur)
-        else {
+        if (cur.lastMs + gapMs <= wm) {
+          closed += close(cur)
+          if (state.exists) state.remove()
+        } else {
           state.update(cur)
           state.setTimeoutTimestamp(cur.lastMs + gapMs)
         }
