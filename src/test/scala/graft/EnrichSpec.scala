@@ -46,7 +46,9 @@ class EnrichSpec extends AnyFunSuite {
     val vals = Seq(
       "Fortbildungskosten für Mitarbeiter", "der Zug und das Auto",
       "el coche y los trenes", "Resor och parkering", "Hotel",
-      "Long-distance domestic transport", "the train and the car")
+      "Long-distance domestic transport", "the train and the car",
+      // non-ASCII NON-letters must not flag: both forms say English
+      "Price — 100", "20 °C costs €5")
     val viaExpr = vals.toDF("v")
       .select(HeuristicLanguageDetector.isNonEnglishExpr($"v").as("ne"))
       .collect().map(_.getBoolean(0)).toSeq
