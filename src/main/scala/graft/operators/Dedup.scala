@@ -164,24 +164,27 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** 64-bit SimHash per document plus banded near-dup pair counts.
-    * xxhash64 drives the bit votes (not engine-portable — this query is a
-    * rows-only check; SimHashSpec pins semantics on inline data).
+  /** 60-bit SimHash per document plus banded near-dup pair counts. The
+    * token hash is the 60-bit md5 prefix (same portable hash as the
+    * Jaccard stage), so the ENTIRE pipeline — votes, fingerprint, 15-bit
+    * bands, hamming distances — is engine-portable and fully
+    * oracle-checked (DuckDB has >>, &, xor, bit_count on BIGINT).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     val ex = t(spark, dir, "documents")
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
-    val votes = (0 until 64).map(i =>
+      .select(col("doc_id"),
+        conv(md5(col("tok")).substr(1, 15), 16, 10).cast("long").as("h"))
+    val votes = (0 until 60).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
     val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map(i =>
+    val fp = (0 until 60).map(i =>
       when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
     val fps = sig.select(col("doc_id"), fp.as("fp"))
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
-        shiftright(col("fp"), b * 16).bitwiseAND(0xFFFFL).as("chunk")))
+        shiftright(col("fp"), b * 15).bitwiseAND(0x7FFFL).as("chunk")))
     val bb = fps.select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("fp"),
         col("bb.band").as("band"), col("bb.chunk").as("chunk"))
@@ -210,10 +213,42 @@ object Dedup {
   // line-leading '||' concat operator.
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
+
+  /** dd4 oracle, generated from the same 60-bit/15-bit-band loop as the
+    * Spark plan so the two can never drift.
+    */
+  private val dd4Oracle: String = {
+    val votes = (0 until 60)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS v$i")
+      .mkString(", ")
+    val fpExpr = (0 until 60)
+      .map(i => s"CASE WHEN v$i > 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END")
+      .mkString(" + ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_distinct($sqlToks)) AS tk FROM documents),
+       | hx AS (
+       |  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+       | v AS (SELECT doc_id, $votes FROM hx GROUP BY doc_id),
+       | fps AS (SELECT doc_id, $fpExpr AS fp FROM v),
+       | bands AS (
+       |  SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS chunk
+       |  FROM fps CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b)),
+       | cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS bd, x.fp AS xf, y.fp AS yf
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
+       |SELECT CAST(bit_count(xor(xf, yf)) AS BIGINT) AS hamming,
+       |  count(*) AS n_pairs
+       |FROM cand
+       |WHERE bit_count(xor(xf, yf)) <= 8
+       |GROUP BY 1
+       |ORDER BY hamming""".stripMargin
+  }
   private val sqlShingles =
     s"list_distinct(list_transform(range(1, len($sqlToks)), i -> list_element($sqlToks, i) || ' ' || list_element($sqlToks, i + 1)))"
 
   val oracle: Map[String, String] = Map(
+    "dd4_simhash" -> dd4Oracle,
     "dd1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
         |  min(doc_id) AS canonical_doc_id, count(*) AS n_copies
