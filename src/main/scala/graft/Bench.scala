@@ -1,6 +1,16 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Timed action: a noop-sink write materializes EVERY column of EVERY
+    * row through the full physical plan — unlike `count()`, under which
+    * Catalyst prunes all projections (count needs no columns) and
+    * EliminateSorts drops final ORDER BYs, silently under-measuring
+    * string/math-heavy queries. Same materialization shape Verify's
+    * parquet write uses for the correctness gate, minus the disk I/O.
+    */
+  private def run(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -13,16 +23,16 @@ object Bench {
     // Warm up the session (codegen compiler, parquet footer caches, shuffle
     // machinery) so the first timed query isn't charged ~5s of JVM startup.
     try {
-      spark.range(1000).selectExpr("sum(id)").count()
+      run(spark.range(1000).selectExpr("sum(id)").toDF())
       SparkEntry.queries.get("q1_pricing_summary")
-        .foreach(fn => fn(spark, sfDir).count())
+        .foreach(fn => run(fn(spark, sfDir)))
     } catch { case _: Throwable => () }
     // A failed query records -1.0, never its time-to-exception: a broken
     // query must make the bench look broken, not fast.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val elapsed =
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0

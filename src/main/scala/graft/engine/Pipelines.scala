@@ -55,13 +55,18 @@ object Pipelines {
     // same cost shape as the reference's one LLM call per column). The
     // per-column jobs are independent; submit them concurrently instead
     // of paying N sequential job latencies on wide tables.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val samples = Await.result(
-      Future.traverse(stringCols)(c =>
-        Future(c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN))),
-      Duration.Inf).toMap
+    import scala.concurrent.duration._
+    // Finite deadline: a wedged sample job must surface as an error, not
+    // hang the driver forever.
+    val samples =
+      try Await.result(
+        Future.traverse(stringCols)(c =>
+          Future(c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN))),
+        10.minutes).toMap
+      catch { case _: TimeoutException => throw new RuntimeException(
+        "translatePipeline: column sample jobs did not finish within 10 minutes") }
     val columnLabels = samples.map { case (c, s) => c -> classifier.classify(c, s) }
     val textCols = stringCols.filter(c => columnLabels(c) == "TEXT")
 

@@ -84,16 +84,22 @@ object Enrichment {
     // The per-column sample jobs are independent — submit them
     // concurrently (Spark schedules driver-side jobs in parallel) instead
     // of paying 8 sequential job latencies.
-    import scala.concurrent.{Await, Future}
+    import scala.concurrent.{Await, Future, TimeoutException}
     import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
-    val rows = Await.result(
-      Future.traverse(inputs) { case (table, c) =>
-        Future {
-          val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
-          Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
-        }
-      }, Duration.Inf)
+    import scala.concurrent.duration._
+    // Finite deadline: a wedged sample job must surface as an error, not
+    // hang the driver forever (the jobs are seconds-sized; 10 minutes is
+    // pure headroom).
+    val rows =
+      try Await.result(
+        Future.traverse(inputs) { case (table, c) =>
+          Future {
+            val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
+            Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
+          }
+        }, 10.minutes)
+      catch { case _: TimeoutException => throw new RuntimeException(
+        "classifyColumns: column sample jobs did not finish within 10 minutes") }
     val schema = StructType(Seq(
       StructField("column_name", StringType), StructField("label", StringType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
