@@ -47,9 +47,13 @@ object Multimodal {
   }
 
   /** Deterministic fake standing in for a real image/audio decoder:
-    * features are byte-histogram statistics of the payload (stable across
-    * runs and machines; a real codec — javacv, a JNI libav binding —
-    * replaces this object only).
+    * features are byte-histogram COUNTS of the payload (stable across runs
+    * and machines; a real codec — javacv, a JNI libav binding — replaces
+    * this object only). Counts are exact integers (a float is exact up to
+    * 2^24), so any normalization happens in double at the aggregation —
+    * which is what makes the mm2 gate SQL-replicable: a float32
+    * frequency-histogram's accumulation order is engine-dependent, integer
+    * counts are not.
     */
   final class StubDecoder(val featureDim: Int = 8) extends Decoder {
     override def decode(kind: String, format: String, payload: Array[Byte]): Array[Float] = {
@@ -60,8 +64,6 @@ object Multimodal {
           f(math.floorMod(payload(i).toInt, featureDim)) += 1.0f
           i += 1
         }
-        var k = 0
-        while (k < featureDim) { f(k) /= payload.length.toFloat; k += 1 }
       }
       f
     }
@@ -79,7 +81,11 @@ object Multimodal {
         (col("doc_id") % 3).cast("int") + 1).as("kind"),
       element_at(typedlit(Seq("png", "wav", "mp4")),
         (col("doc_id") % 3).cast("int") + 1).as("format"),
-      encode(col("text"), "UTF-8").as("payload"),
+      // Payload bytes are the ASCII-sanitized text (one byte per char by
+      // construction), so byte-level stub features are recomputable from
+      // the text column by any SQL engine — the driver corpus is pure
+      // ASCII anyway (verified), the strip just pins the invariant.
+      encode(regexp_replace(col("text"), "[^\\x20-\\x7E]", ""), "UTF-8").as("payload"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 1920).cast("int")).as("width"),
       when(col("doc_id") % 3 === 0, (col("n_chars") % 1080).cast("int")).as("height"),
       when(col("doc_id") % 3 =!= 0, col("n_chars") * 10).as("duration_ms"))
@@ -120,8 +126,10 @@ object Multimodal {
     metadataProfile(syntheticMedia(spark, dir))
 
   /** Oracle query: feature extraction through the stub decoder, aggregated
-    * per kind (feature vectors summarized so the oracle can recompute the
-    * byte-histogram semantics in SQL).
+    * per kind. Feature-0 counts sum exactly (integers), and the normalized
+    * share is ONE double division per output row at the very end — the
+    * order-insensitive arithmetic that lets DuckDB recompute the
+    * byte-histogram semantics bit-for-bit.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
@@ -129,8 +137,10 @@ object Multimodal {
     extractFeatures(syntheticMedia(spark, dir), new StubDecoder(8))
       .groupBy($"kind")
       .agg(count(lit(1)).as("n"),
-        round(sum(element_at($"feature", 1)).cast("double"), 4).as("f0_sum"),
+        sum(element_at($"feature", 1).cast("long")).as("f0_total"),
         sum($"n_bytes").as("total_bytes"))
+      .select($"kind", $"n", $"f0_total", $"total_bytes",
+        round($"f0_total".cast("double") / $"total_bytes", 6).as("f0_share"))
       .orderBy($"kind")
   }
 
@@ -147,9 +157,25 @@ object Multimodal {
         |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE 0 END) AS BIGINT) AS total_duration_ms
         |FROM documents
         |GROUP BY 1, 2
-        |ORDER BY kind, format""".stripMargin
-    // mm2_media_features: rows-only (float32 histogram accumulation order
-    // inside the stub decoder is not replicable in DuckDB SQL); semantics
-    // pinned by MultimodalSpec on inline payloads instead.
+        |ORDER BY kind, format""".stripMargin,
+    // The stub decoder's byte-histogram counts, recomputed from the text
+    // column: the ASCII-sanitized payload has one byte per character, so
+    // feature bucket 0 = count of characters with codepoint % 8 = 0.
+    "mm2_media_features" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents),
+        | h AS (
+        |  SELECT doc_id, kind, length(st) AS nb,
+        |    len(list_filter(range(1, length(st) + 1), i -> ord(st[i]) % 8 = 0)) AS f0
+        |  FROM s)
+        |SELECT kind, count(*) AS n, CAST(sum(f0) AS BIGINT) AS f0_total,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes,
+        |  round(CAST(sum(f0) AS DOUBLE) / sum(nb), 6) AS f0_share
+        |FROM h
+        |GROUP BY kind
+        |ORDER BY kind""".stripMargin
   )
 }

@@ -9,13 +9,16 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("stub decoder is deterministic and normalized") {
+  test("stub decoder is deterministic, integer-exact counts") {
     val d = new StubDecoder(8)
     val payload = "hello multimodal world".getBytes("UTF-8")
     val a = d.decode("image", "png", payload)
     val b = d.decode("image", "png", payload)
     assert(a.toSeq == b.toSeq)
-    assert(math.abs(a.sum - 1.0f) < 1e-5f) // histogram normalized by length
+    assert(a.sum == payload.length.toFloat) // histogram of counts, not freqs
+    assert(a.forall(v => v == math.rint(v))) // every bucket an exact integer
+    // 'h'=104 and 'p'=112 are = 0 mod 8: bucket 0 counts them
+    assert(a(0) == payload.count(c => math.floorMod(c.toInt, 8) == 0).toFloat)
     assert(d.decode("audio", "wav", Array.emptyByteArray).forall(_ == 0f))
     assert(d.decode("audio", "wav", null).forall(_ == 0f))
   }
