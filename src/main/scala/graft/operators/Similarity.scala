@@ -7,8 +7,8 @@ import graft.Tables.t
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors,
   * north-star extension, SURVEY.md §2.5): brute-force cosine top-k as the
-  * exact baseline, a sign-LSH bucketed ANN variant as the scale path, and
-  * embedding-cosine near-duplicate pairs.
+  * exact baseline, a multi-probe sign-LSH ANN variant as the scale path,
+  * and banded sign-LSH embedding near-duplicate pairs.
   *
   * Numeric portability: floats are cast to double BEFORE any arithmetic
   * (float→double is exact), and the dot product is a strict left-to-right
@@ -16,15 +16,32 @@ import graft.Tables.t
   * `list_dot_product` uses on `DOUBLE[]` — so Spark and the oracle produce
   * bit-identical cosines, rounded to 6 only as belt-and-braces.
   *
-  * Scale design: the query vector is a broadcast single row (never a
-  * shuffle of the corpus); near-dup generates candidates only within
-  * sign-LSH buckets (equi-join, no cartesian); the ANN query prunes the
-  * scan to one bucket — the inverted-file (IVF) shape where the coarse
-  * quantizer is the sign pattern of the leading dimensions. At real scale
-  * the bucket id would be a partition/bucketing key so a query touches one
-  * partition; the expression-level plumbing is identical.
+  * Scale design: the quantizer's hyperplane-bit count b GROWS WITH THE
+  * CORPUS ([[Similarity.chooseBits]]: smallest b with 2^b >= n/32), so
+  * cell population stays ~constant and candidate pair counts stay linear
+  * in n instead of n²/constant. Recall lost to the finer cells is bought
+  * back structurally, not by coarsening:
+  *   - near-dup runs L=4 independent hash tables (bands), each drawing its
+  *     b sign bits from a disjoint 16-dim window; a pair is a candidate if
+  *     it collides in ANY band — always an equi-join on (band, bucket),
+  *     never a cartesian;
+  *   - ANN multi-probes the query's own cell plus all b Hamming-1
+  *     neighbor cells — b+1 probes, broadcast against the corpus as an
+  *     equi-join on the cell id.
+  * The query vector is a broadcast single row (never a shuffle of the
+  * corpus). At real scale the cell id is the partition/bucketing key so a
+  * probe touches b+1 partitions; the expression-level plumbing is
+  * identical. Past b = 16 bits per band (the disjoint-window dimension
+  * budget at 64 dims) you add tables or switch the bit source to random
+  * hyperplanes — which drop into the same (band, bucket) seam.
   */
 object Similarity {
+
+  /** Hash tables (bands) for near-dup; band j draws its sign bits from
+    * dimensions [j*BandDim + 1, j*BandDim + bits].
+    */
+  private val NumBands = 4
+  private val BandDim = 16
 
   /** Left-to-right double dot product of two float-array columns — the
     * native codegen expression ([[graft.functions.FloatDotProduct]]).
@@ -50,14 +67,35 @@ object Similarity {
   /** Cosine similarity (double, unrounded). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Sign-LSH bucket over the first `bits` dimensions: bit k set iff
-    * dimension k+1 is positive. 1-based element_at matches DuckDB's
+  /** Sign-LSH cell over dimensions [offset+1, offset+bits]: bit k set iff
+    * that dimension is positive. 1-based element_at matches DuckDB's
     * list_element.
     */
-  def signBucket(a: Column, bits: Int): Column =
+  def signBucketAt(a: Column, offset: Int, bits: Int): Column =
     (1 to bits).map(k =>
-      when(element_at(a, k) > 0f, lit(1L << (k - 1))).otherwise(lit(0L)))
+      when(element_at(a, offset + k) > 0f, lit(1L << (k - 1))).otherwise(lit(0L)))
       .reduce(_ + _)
+
+  /** Leading-dimension sign cell (offset 0). */
+  def signBucket(a: Column, bits: Int): Column = signBucketAt(a, 0, bits)
+
+  /** Corpus-scaling hyperplane-bit count: the smallest b such that
+    * 2^b >= n/32 (~32 vectors per cell on sign-balanced data), clamped to
+    * [4, 16] — 16 is the per-band budget of disjoint coordinate
+    * hyperplanes at 64 dims. Integer-only arithmetic (binary-string
+    * length, no log2 floating point) so the DuckDB oracle derives the
+    * IDENTICAL b from count(*) with `length(bin((n+31)//32 - 1))`.
+    */
+  private[operators] def chooseBits(n: Long): Int = {
+    val m = (n + 31L) / 32L
+    math.max(4, math.min(16, java.lang.Long.toBinaryString(math.max(m - 1L, 0L)).length))
+  }
+
+  /** The same formula as a DuckDB scalar, kept adjacent so they can't
+    * drift.
+    */
+  private val sqlBitsCte =
+    "prm AS (SELECT greatest(4, least(16, length(bin((count(*) + 31) // 32 - 1)))) AS b FROM embeddings)"
 
   /** Embeddings with their norm precomputed ONCE per vector — every
     * pairwise stage divides by stored norms instead of re-folding 64
@@ -68,12 +106,17 @@ object Similarity {
   private def withNorm(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"),
-        norm(col("embedding")).as("nrm"),
-        signBucket(col("embedding"), 4).as("bucket"))
+        norm(col("embedding")).as("nrm"))
 
   private def cosPre(a: String, b: String): Column =
     dot(col(s"$a.embedding"), col(s"$b.embedding")) /
       (col(s"$a.nrm") * col(s"$b.nrm"))
+
+  /** Corpus size → quantizer bits, one cheap count against the parquet
+    * footer statistics (driver-side, O(files)).
+    */
+  private def bitsFor(spark: SparkSession, dir: String): Int =
+    chooseBits(t(spark, dir, "embeddings").count())
 
   /** Exact brute-force cosine top-10 against the vec_id=0 query vector. */
   def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -88,35 +131,50 @@ object Similarity {
       .limit(10)
   }
 
-  /** IVF-style ANN: search only the query's sign-LSH bucket (16 coarse
-    * cells over 4 leading dims), top-5. Approximate by construction; the
-    * oracle replicates the same bucket restriction, so the gate checks the
-    * algorithm, not recall.
+  /** IVF-style ANN with multi-probe: search the query's sign-LSH cell plus
+    * every Hamming-1 neighbor cell (b+1 probes over 2^b corpus-scaled
+    * cells), top-5. Approximate by construction; the oracle replicates the
+    * same probe set, so the gate checks the algorithm, not recall.
     */
   def annBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val b = bitsFor(spark, dir)
     val e = withNorm(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), b))
     val q = e.filter(col("vec_id") === 0L)
       .select(col("embedding").as("qv"), col("nrm").as("qn"),
         col("bucket").as("qbucket"))
+    val probeArr = array((col("qbucket") +: (0 until b).map(i =>
+      col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = q.select(col("qv"), col("qn"), explode(probeArr).as("pbucket"))
     e.filter(col("vec_id") =!= 0L)
-      .join(broadcast(q), col("bucket") === col("qbucket"))
+      .join(broadcast(probes), col("bucket") === col("pbucket"))
       .select(col("vec_id"), col("label"),
         round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(5)
   }
 
-  /** Embedding-cosine near-duplicate pairs: candidates share a 4-bit
-    * sign-LSH bucket; emit pairs with cosine >= 0.4.
+  /** Embedding-cosine near-duplicate pairs: candidates collide in >= 1 of
+    * L=4 sign-LSH bands (b corpus-scaled bits each, disjoint 16-dim
+    * windows); collisions are verified with the exact cosine and emitted
+    * at >= 0.4. Work = corpus + candidate count, not n²/constant.
     */
   def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val b = bitsFor(spark, dir)
     val e = withNorm(spark, dir)
-    val a = e.alias("a")
-    val b = e.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") &&
-        col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        round(cosPre("a", "b"), 6).as("cos"))
+    val bands = (0 until NumBands).map(j =>
+      struct(lit(j).as("band"),
+        signBucketAt(col("embedding"), j * BandDim, b).as("bucket")))
+    val bb = e.select(col("vec_id"), explode(array(bands: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cand = bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand.join(e.alias("a"), col("vec_a") === col("a.vec_id"))
+      .join(e.alias("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"), round(cosPre("a", "b"), 6).as("cos"))
       .filter(col("cos") >= 0.4)
       .orderBy("vec_a", "vec_b")
   }
@@ -129,11 +187,14 @@ object Similarity {
 
   private val sqlCos =
     "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))"
-  private val sqlBucket =
-    "(CASE WHEN list_element(embedding, 1) > 0 THEN 1 ELSE 0 END + " +
-      "CASE WHEN list_element(embedding, 2) > 0 THEN 2 ELSE 0 END + " +
-      "CASE WHEN list_element(embedding, 3) > 0 THEN 4 ELSE 0 END + " +
-      "CASE WHEN list_element(embedding, 4) > 0 THEN 8 ELSE 0 END)"
+
+  /** Sign-LSH cell id in DuckDB at a dynamic bit count; `off` is a SQL
+    * expression for the 0-based dimension offset.
+    */
+  private def sqlCell(off: String): String =
+    "CAST(list_sum(list_transform(range(1, (SELECT b FROM prm) + 1), " +
+      s"k -> CASE WHEN list_element(embedding, CAST($off + k AS INTEGER)) > 0 " +
+      "THEN (1::BIGINT << CAST(k - 1 AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
     "sim1_cosine_topk" ->
@@ -143,18 +204,34 @@ object Similarity {
          |ORDER BY cos DESC, a.vec_id
          |LIMIT 10""".stripMargin,
     "sim2_ann_bucketed" ->
-      s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
-         |    CAST($sqlBucket AS BIGINT) AS bucket FROM embeddings)
-         |SELECT a.vec_id, a.label, round($sqlCos, 6) AS cos
-         |FROM n a JOIN n b
-         |  ON b.vec_id = 0 AND a.vec_id <> 0 AND a.bucket = b.bucket
+      s"""WITH $sqlBitsCte,
+         | n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    ${sqlCell("0")} AS bucket FROM embeddings),
+         | q AS (SELECT v AS qv, bucket AS qb FROM n WHERE vec_id = 0),
+         | probes AS (
+         |  SELECT qv, qb AS pb FROM q
+         |  UNION ALL
+         |  SELECT qv, xor(qb, (1::BIGINT << CAST(i AS INTEGER)))
+         |  FROM q CROSS JOIN range((SELECT b FROM prm)) r(i))
+         |SELECT a.vec_id, a.label,
+         |  round(list_dot_product(a.v, p.qv) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+         |FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id
          |LIMIT 5""".stripMargin,
     "sim3_embedding_neardup" ->
-      s"""WITH n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-         |    CAST($sqlBucket AS BIGINT) AS bucket FROM embeddings)
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round($sqlCos, 6) AS cos
-         |FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      s"""WITH $sqlBitsCte,
+         | n AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings),
+         | bb AS (
+         |  SELECT vec_id, band, ${sqlCell("band * 16")} AS bucket
+         |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(band)),
+         | cand AS (
+         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         |  FROM bb x JOIN bb y
+         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
+         |SELECT cand.vec_a, cand.vec_b, round($sqlCos, 6) AS cos
+         |FROM cand JOIN n a ON cand.vec_a = a.vec_id
+         |          JOIN n b ON cand.vec_b = b.vec_id
          |WHERE round($sqlCos, 6) >= 0.4
          |ORDER BY vec_a, vec_b""".stripMargin
   )

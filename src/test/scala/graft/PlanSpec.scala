@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("label"), p.take(1500))
   }
 
+  test("sim3 candidate generation stays an equi-join on (band, bucket)") {
+    val p = plan("sim3_embedding_neardup")
+    // the pair join must hash/merge on the band+bucket keys — a nested
+    // loop or cartesian here is the n² shape the banding exists to avoid
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+    val equiJoin = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+    assert(equiJoin.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("no query in the whole surface plans a CartesianProduct") {
     // The one intentional cross join (single broadcast query row) plans as
     // BroadcastNestedLoopJoin; an actual CartesianProduct anywhere means a

@@ -55,6 +55,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out(1) == 0)
   }
 
+  test("quantizer bits scale with corpus size, clamped to [4,16]") {
+    // smallest b with 2^b >= n/32: cell population stays ~constant, so
+    // candidate pairs stay linear in n (the round-1 verdict's scale fix)
+    assert(Similarity.chooseBits(1) == 4)
+    assert(Similarity.chooseBits(500) == 4)
+    assert(Similarity.chooseBits(2000) == 6)
+    assert(Similarity.chooseBits(1L << 20) == 15)
+    assert(Similarity.chooseBits(100000000L) == 16) // clamped at the dim budget
+    // monotone non-decreasing over doublings
+    val bs = (0 to 40).map(i => Similarity.chooseBits(1L << i))
+    assert(bs == bs.sorted)
+  }
+
+  test("signBucketAt draws bits from the band's dimension window") {
+    import spark.implicits._
+    val df = Seq(Array(-1f, -1f, 1f, -1f, 2f, 1f)).toDF("a")
+    // offset 2, 3 bits -> dims 3,4,5 -> bits (1,0,1) -> 5
+    val out = df.select(Similarity.signBucketAt(col("a"), 2, 3).as("b"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == 5L)
+  }
+
   test("brute-force top-k: ANN results are a subset with same scoring") {
     val brute = Similarity.cosineTopK(spark, sf).collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
