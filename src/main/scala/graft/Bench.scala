@@ -26,7 +26,12 @@ object Bench {
       run(spark.range(1000).selectExpr("sum(id)").toDF())
       SparkEntry.queries.get("q1_pricing_summary")
         .foreach(fn => run(fn(spark, sfDir)))
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // Warm-up failures are non-fatal (the timed loop re-raises per query)
+      // but must be visible — a systematically broken q1 should not fail
+      // silently here first.
+      System.err.println(s"[bench] warm-up failed: ${e.getMessage}")
+    }
     // A failed query records -1.0, never its time-to-exception: a broken
     // query must make the bench look broken, not fast.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -65,8 +65,12 @@ object Pipelines {
         Future.traverse(stringCols)(c =>
           Future(c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN))),
         10.minutes).toMap
-      catch { case _: TimeoutException => throw new RuntimeException(
-        "translatePipeline: column sample jobs did not finish within 10 minutes") }
+      catch { case te: TimeoutException =>
+        // The wedged sample jobs must not outlive the failure — cancel them
+        // before surfacing, and keep the timeout as the cause.
+        cleaned.df.sparkSession.sparkContext.cancelAllJobs()
+        throw new RuntimeException(
+          "translatePipeline: column sample jobs did not finish within 10 minutes", te) }
     val columnLabels = samples.map { case (c, s) => c -> classifier.classify(c, s) }
     val textCols = stringCols.filter(c => columnLabels(c) == "TEXT")
 

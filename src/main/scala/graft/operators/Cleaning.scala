@@ -38,9 +38,47 @@ object Cleaning {
         col("priority_level"), col("total"))
   }
 
+  /** Fixture for the S1/S3 CSV scan path: a deterministic messy CSV written
+    * idempotently at query time to a FIXED path (under the repo build dir)
+    * so the static oracle SQL can re-read the same bytes with DuckDB's
+    * `read_csv`. Exercises extension dispatch + header + schema inference
+    * (`Loader.load`), then the full P1-P10 pass: padded mixed-case headers,
+    * an "Unnamed:" column, an all-null column, placeholder values, a
+    * numeric-as-string column and a per-value-junk date column — the same
+    * shapes the reference meets via `pd.read_csv` (`preprocess.py:21-24`).
+    *
+    * Every surviving column parses as STRING on both engines (each carries
+    * a placeholder or junk value, so neither schema sniffer can promote
+    * it), which pins the P7 all-or-nothing cast decision to the cleaning
+    * pass rather than the reader. The timestamp column is compared as
+    * epoch-ms (the repo's portable-timestamp convention).
+    */
+  private val CsvFixturePath = "/root/repo/target/fixtures/p_clean_input.csv"
+  private val CsvFixture =
+    """ Order Id !, Amount ,Ship Date,Unnamed: 3,empty_col, Note
+      |1,10.5,2024-01-02 03:04:05,x,,  alpha beta
+      |2,20.25,junk,y,,gamma
+      |n/a,-,2024-02-03 10:30:00,z,,null
+      |4,40.75,2024-03-04 00:00:01,w,,delta
+      |5,20.25,2024-01-02 03:04:05,x,,none
+      |2,20.25,junk,y,,gamma
+      |""".stripMargin
+
+  def cleanCsv(spark: SparkSession, dir: String): DataFrame = {
+    val p = java.nio.file.Paths.get(CsvFixturePath)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.write(p, CsvFixture.getBytes("UTF-8"))
+    val cleaned = Preprocess.clean(graft.sources.Loader.load(spark, CsvFixturePath)).df
+    cleaned.select(col("order_id_"), col("amount"),
+        unix_millis(col("ship_date")).as("ship_date_ms"), col("note"))
+      .orderBy(col("order_id_").asc_nulls_first, col("amount"),
+        col("ship_date_ms").asc_nulls_first, col("note").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_clean_documents" -> cleanDocuments,
-    "p_clean_messy" -> cleanMessy
+    "p_clean_messy" -> cleanMessy,
+    "p_clean_csv" -> cleanCsv
   )
 
   private val ph = "('n/a','none','-','null','')"
@@ -63,6 +101,21 @@ object Cleaning {
         |  o_totalprice AS total
         |FROM orders
         |ORDER BY orderkey ASC NULLS FIRST, order_date ASC NULLS FIRST,
-        |  priority_level, total""".stripMargin
+        |  priority_level, total""".stripMargin,
+    "p_clean_csv" ->
+      s"""WITH src AS (
+         |  SELECT * FROM read_csv('$CsvFixturePath', header=true, all_varchar=true)),
+         | c AS (
+         |  SELECT
+         |    trim(CASE WHEN "Order Id !" IN $ph THEN NULL ELSE "Order Id !" END) AS o,
+         |    trim(CASE WHEN "Amount" IN $ph THEN NULL ELSE "Amount" END) AS a,
+         |    trim(CASE WHEN "Ship Date" IN $ph THEN NULL ELSE "Ship Date" END) AS s,
+         |    trim(CASE WHEN "Note" IN $ph THEN NULL ELSE "Note" END) AS nt
+         |  FROM src)
+         |SELECT DISTINCT CAST(o AS DOUBLE) AS order_id_, CAST(a AS DOUBLE) AS amount,
+         |  epoch_ms(try_cast(s AS TIMESTAMP)) AS ship_date_ms, nt AS note
+         |FROM c
+         |ORDER BY order_id_ ASC NULLS FIRST, amount,
+         |  ship_date_ms ASC NULLS FIRST, note ASC NULLS FIRST""".stripMargin
   )
 }

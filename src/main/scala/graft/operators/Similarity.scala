@@ -86,7 +86,7 @@ object Similarity {
     * length, no log2 floating point) so the DuckDB oracle derives the
     * IDENTICAL b from count(*) with `length(bin((n+31)//32 - 1))`.
     */
-  private[operators] def chooseBits(n: Long): Int = {
+  private[graft] def chooseBits(n: Long): Int = {
     val m = (n + 31L) / 32L
     math.max(4, math.min(16, java.lang.Long.toBinaryString(math.max(m - 1L, 0L)).length))
   }
@@ -95,7 +95,7 @@ object Similarity {
     * drift.
     */
   private val sqlBitsCte =
-    "prm AS (SELECT greatest(4, least(16, length(bin((count(*) + 31) // 32 - 1)))) AS b FROM embeddings)"
+    "prm AS (SELECT greatest(4, least(16, length(bin(greatest((count(*) + 31) // 32 - 1, 0))))) AS b FROM embeddings)"
 
   /** Embeddings with their norm precomputed ONCE per vector — every
     * pairwise stage divides by stored norms instead of re-folding 64
@@ -212,7 +212,7 @@ object Similarity {
          |  SELECT qv, qb AS pb FROM q
          |  UNION ALL
          |  SELECT qv, xor(qb, (1::BIGINT << CAST(i AS INTEGER)))
-         |  FROM q CROSS JOIN range((SELECT b FROM prm)) r(i))
+         |  FROM q CROSS JOIN (SELECT unnest(range((SELECT b FROM prm))) AS i) r)
          |SELECT a.vec_id, a.label,
          |  round(list_dot_product(a.v, p.qv) /
          |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos

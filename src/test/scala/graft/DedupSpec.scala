@@ -58,4 +58,23 @@ class DedupSpec extends AnyFunSuite {
     val hs = rows.map(_.getAs[Long]("hamming"))
     assert(hs.toSet.size == hs.length)
   }
+
+  test("simhash hot-bucket cap bounds a boilerplate corpus's band join") {
+    import spark.implicits._
+    val cap = graft.operators.Dedup.HotBucketCap
+    // Degenerate corpus: 300 byte-identical documents — every doc lands in
+    // the SAME (band, chunk) bucket of every band, the worst case the cap
+    // exists for. Uncapped, the band join would emit 300*299/2 = 44 850
+    // pairs; with the cap only the `cap` lowest doc_ids per bucket pair up,
+    // and since all four bands cap to the SAME doc_id set, the distinct
+    // pair count is exactly cap*(cap-1)/2 at hamming 0.
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotbucket").toString
+    (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.simhash(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("hamming") == 0L)
+    assert(rows.head.getAs[Long]("n_pairs") == cap.toLong * (cap - 1) / 2)
+  }
 }

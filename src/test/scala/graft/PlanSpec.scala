@@ -63,6 +63,15 @@ class PlanSpec extends AnyFunSuite {
     assert(equiJoin.findFirstIn(p).isDefined, p.take(2000))
   }
 
+  test("dd2 candidate generation stays an equi-join on (band, bucket)") {
+    val p = plan("dd2_jaccard_pairs")
+    // round-3 rewrite: candidates come from MinHash band buckets, never
+    // the fixed-cardinality (lang, length) blocks' within-block pair join
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"), p.take(2000))
+    val equiJoin = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+    assert(equiJoin.findFirstIn(p).isDefined, p.take(2000))
+  }
+
   test("no query in the whole surface plans a CartesianProduct") {
     // The one intentional cross join (single broadcast query row) plans as
     // BroadcastNestedLoopJoin; an actual CartesianProduct anywhere means a

@@ -64,8 +64,8 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.chooseBits(1L << 20) == 15)
     assert(Similarity.chooseBits(100000000L) == 16) // clamped at the dim budget
     // monotone non-decreasing over doublings
-    val bs = (0 to 40).map(i => Similarity.chooseBits(1L << i))
-    assert(bs == bs.sorted)
+    val bs: List[Int] = (0 to 40).map(i => Similarity.chooseBits(1L << i)).toList
+    assert(bs == bs.sortBy(identity))
   }
 
   test("signBucketAt draws bits from the band's dimension window") {

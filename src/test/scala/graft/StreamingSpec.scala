@@ -102,6 +102,54 @@ class StreamingSpec extends AnyFunSuite {
       s"streamed ${streamed.size} vs batch ${batch.size}")
   }
 
+  test("sessionization drops cross-batch late events predating the open session (exact counts)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // MemoryStream gives EXACT control over micro-batch boundaries (file
+    // listing order is not time order), so the late-drop branch at
+    // Sessionize.update (event predating the open session's start) can be
+    // pinned to an exact emitted-session set and dropped-event count.
+    val base = 1704103200000L // 2024-01-01T10:00:00Z
+    def ev(user: Long, minute: Int) =
+      SEvent(user, new java.sql.Timestamp(base + minute * 60000L), 1.0)
+    val input = MemoryStream[SEvent]
+    val q = Sessionize.sessions(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions_out")
+      .start()
+    try {
+      // Batch 1 (user 1): 10:00, 10:02 merge (gap 5m); 10:30 closes session
+      // A [10:00, 10:07) and opens B. Watermark after the batch: 10:20.
+      input.addData(ev(1, 0), ev(1, 2), ev(1, 30))
+      q.processAllAvailable()
+      // Batch 2: 10:05 is LATE — behind the watermark AND predating open
+      // session B's start — and must be dropped, not merged. 10:32 extends
+      // B; 10:50 closes B [10:30, 10:37) and opens C. Watermark -> 10:40.
+      input.addData(ev(1, 5), ev(1, 32), ev(1, 50))
+      q.processAllAvailable()
+      // Batch 3 (user 2): advances the watermark to 11:20 (> C's 10:55
+      // timeout, which fires on the NEXT batch); opens D at 11:30.
+      input.addData(ev(2, 90))
+      q.processAllAvailable()
+      // Batch 4: 11:31 extends D (still open); the now-passed watermark
+      // fires C's event-time timeout -> C [10:50, 10:55) emitted.
+      input.addData(ev(2, 91))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("late_sessions_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ms"),
+        r.getAs[Long]("session_end_ms"), r.getAs[Long]("n_events"))).toSet
+    def m(minute: Int) = base + minute * 60000L
+    assert(emitted == Set(
+      (1L, m(0), m(7), 2L),   // A — would differ if 10:05 were merged
+      (1L, m(30), m(37), 2L), // B — n_events would be 3 if 10:05 survived
+      (1L, m(50), m(55), 1L)))
+    // Exact accounting: 8 input events = 5 emitted + 2 in open session D
+    // + exactly 1 dropped late event.
+    assert(emitted.toSeq.map(_._4).sum == 8L - 2L - 1L)
+  }
+
   test("dropDuplicatesWithinWatermark removes planted duplicates") {
     // duplicates written into the SAME files so each copy lands in the same
     // micro-batch (a second stream's copies would arrive behind the
