@@ -52,15 +52,24 @@ object TextFunctions {
     size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"), lit(0)))
       .cast("long")
 
-  /** Share of characters that are ASCII letters. */
+  private val AsciiLetters = (('A' to 'Z') ++ ('a' to 'z')).mkString
+  private val PunctChars = ".,;:!?'\"()-"
+
+  /** Share of characters that are ASCII letters. Counted by deleting the
+    * class via `translate` (a per-char map lookup) instead of a regex
+    * NFA pass — same count as `regexp_replace(c, "[^A-Za-z]", "")`'s
+    * length, which is what the oracle SQL computes.
+    */
   def alphaRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(c, "[^A-Za-z]", "")).cast("double") / length(c))
+      .otherwise((length(c) - length(translate(c, AsciiLetters, ""))).cast("double") / length(c))
 
-  /** Share of characters that are punctuation. */
+  /** Share of characters that are punctuation (same translate-not-regex
+    * counting as [[alphaRatio]]).
+    */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, lit(0.0))
-      .otherwise(length(regexp_replace(c, "[^.,;:!?'\"()-]", "")).cast("double") / length(c))
+      .otherwise((length(c) - length(translate(c, PunctChars, ""))).cast("double") / length(c))
 
   /** English stopwords used by quality scoring and language ID. Kept small
     * and fixed so the oracle SQL can enumerate them.

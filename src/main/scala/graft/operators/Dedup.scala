@@ -249,11 +249,60 @@ object Dedup {
       .orderBy("hamming")
   }
 
+  /** Canonical-assignment dedup: every document mapped to the minimum
+    * doc_id of its connected component in the dd3 (MinHash-verified)
+    * near-dup graph — singletons map to themselves. This is the LINEAR
+    * dedup output a training pipeline actually consumes (keep canonical,
+    * drop the rest), as opposed to the quadratic-in-cluster-size pair
+    * listings of dd2/dd3.
+    *
+    * Algorithm: min-label propagation with pointer doubling. Each round
+    * (a) lowers every node's label to the min over its neighbors' labels
+    * (one equi-join + aggregate), then (b) replaces every label by its
+    * label's label (one self-join — path halving), so convergence takes
+    * O(log(diameter)) distributed rounds rather than O(diameter). Each
+    * round is shuffle-bounded by |edges|; the driver only checks a
+    * convergence count per round and `localCheckpoint` truncates the
+    * iterative lineage. The same loop shape runs unchanged on a
+    * 1000-executor cluster (it is the standard large-graph CC recipe).
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+    val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = t(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("canon"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val nbrMin = adj.join(labels, col("dst") === col("doc_id"))
+        .groupBy(col("src")).agg(min(col("canon")).as("nbr"))
+      val lowered = labels.join(nbrMin, col("doc_id") === col("src"), "left")
+        .select(col("doc_id"), col("canon"),
+          least(col("canon"), coalesce(col("nbr"), col("canon"))).as("c1"))
+      val halved = lowered.alias("l")
+        .join(labels.select(col("doc_id").as("pid"), col("canon").as("pcanon")),
+          col("c1") === col("pid"))
+        .select(col("l.doc_id").as("doc_id"), col("l.canon").as("prev"),
+          least(col("c1"), col("pcanon")).as("canon"))
+        .localCheckpoint()
+      changed = halved.filter(col("canon") < col("prev")).count()
+      labels = halved.select(col("doc_id"), col("canon"))
+      rounds += 1
+    }
+    adj.unpersist()
+    labels.select(col("doc_id"), col("canon").as("canonical_doc_id"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup,
     "dd2_jaccard_pairs" -> jaccardPairs,
     "dd3_minhash_lsh" -> minhashLsh,
-    "dd4_simhash" -> simhash
+    "dd4_simhash" -> simhash,
+    "dd5_dedup_clusters" -> dedupClusters
   )
 
   // Single-line on purpose: this fragment is interpolated into a larger
@@ -301,6 +350,44 @@ object Dedup {
   private val sqlShingles =
     s"list_distinct(list_transform(range(1, len($sqlToks)), i -> list_element($sqlToks, i) || ' ' || list_element($sqlToks, i + 1)))"
 
+  /** dd3's shingle→signature→band→candidate pipeline as a reusable CTE
+    * chain (shared by the dd3 and dd5 oracles so they cannot drift). No
+    * inner line is margin-prefixed, so interpolating the stripped fragment
+    * into a larger SQL string is safe.
+    */
+  private val dd3Ctes: String =
+    s"""sh AS (
+       |  SELECT doc_id, $sqlShingles AS shingles FROM documents),
+       | ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
+       | sig AS (SELECT doc_id,
+       |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
+       |   min(substr(h, 9, 4)) s2, min(substr(h, 13, 4)) s3,
+       |   min(substr(h, 17, 4)) s4, min(substr(h, 21, 4)) s5,
+       |   min(substr(h, 25, 4)) s6, min(substr(h, 29, 4)) s7
+       |  FROM ex GROUP BY doc_id),
+       | bands AS (
+       |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
+       | cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+
+  /** dd3's verified-pair SELECT (no ORDER BY — dd5 wraps it as a CTE). */
+  private val dd3PairSelect: String =
+    """SELECT doc_a, doc_b,
+      |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |     - len(list_intersect(sa.shingles, sb.shingles))), 4) AS shingle_jaccard
+      |FROM cand
+      |JOIN sh sa ON doc_a = sa.doc_id
+      |JOIN sh sb ON doc_b = sb.doc_id
+      |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
+      |    (len(sa.shingles) + len(sb.shingles)
+      |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dd4_simhash" -> dd4Oracle,
     "dd1_exact_dedup" ->
@@ -347,34 +434,25 @@ object Dedup {
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.6
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd3_minhash_lsh" ->
-      s"""WITH sh AS (
-         |  SELECT doc_id, $sqlShingles AS shingles FROM documents),
-         | ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
-         | sig AS (SELECT doc_id,
-         |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
-         |   min(substr(h, 9, 4)) s2, min(substr(h, 13, 4)) s3,
-         |   min(substr(h, 17, 4)) s4, min(substr(h, 21, 4)) s5,
-         |   min(substr(h, 25, 4)) s6, min(substr(h, 29, 4)) s7
-         |  FROM ex GROUP BY doc_id),
-         | bands AS (
-         |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
-         |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
-         |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
-         |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
-         | cand AS (
-         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |  FROM bands x JOIN bands y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
-         |SELECT doc_a, doc_b,
-         |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    (len(sa.shingles) + len(sb.shingles)
-         |     - len(list_intersect(sa.shingles, sb.shingles))), 4) AS shingle_jaccard
-         |FROM cand
-         |JOIN sh sa ON doc_a = sa.doc_id
-         |JOIN sh sb ON doc_b = sb.doc_id
-         |WHERE round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
-         |    (len(sa.shingles) + len(sb.shingles)
-         |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7
-         |ORDER BY doc_a, doc_b""".stripMargin
+      (s"WITH $dd3Ctes\n" +
+        s"$dd3PairSelect\nORDER BY doc_a, doc_b"),
+    // Canonical assignment: min doc_id over each connected component of the
+    // dd3 edge set, computed as a recursive transitive closure (tractable
+    // at oracle scale; the Spark side uses log-round label propagation).
+    "dd5_dedup_clusters" ->
+      (s"WITH RECURSIVE $dd3Ctes,\n" +
+        s" pairs AS ($dd3PairSelect),\n" +
+        """ edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          | reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          |SELECT d.doc_id,
+          |  CAST(least(coalesce(min(r.dst), d.doc_id), d.doc_id) AS BIGINT) AS canonical_doc_id
+          |FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+          |GROUP BY d.doc_id
+          |ORDER BY doc_id""".stripMargin)
   )
 }

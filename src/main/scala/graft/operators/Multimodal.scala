@@ -144,9 +144,39 @@ object Multimodal {
       .orderBy($"kind")
   }
 
+  /** Fixed-size frame window for [[frameSample]]. A real video pipeline
+    * samples keyframes via the codec; the stub samples fixed-width byte
+    * windows — the PLUMBING under test is the 1→N generator shape.
+    */
+  val FrameBytes = 256
+
+  /** Frame sampling: each video payload explodes into ceil(n/256)-many
+    * fixed-width byte windows — the canonical one-row-to-many-frames stage
+    * of a video pipeline, map-only (explode, no shuffle), with the payload
+    * pruned from the output in favor of per-frame size + fingerprint.
+    * Because the synthetic payload is ASCII text bytes, DuckDB recomputes
+    * the identical frames (and md5 fingerprints) from character substrings,
+    * making the generator fully oracle-checked.
+    */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val v = syntheticMedia(spark, dir)
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"), length(col("payload")).cast("long").as("nb"))
+      .filter(col("nb") > 0)
+    v.select(col("media_id"), col("payload"),
+        explode(sequence(lit(0L), expr(s"(nb - 1) div $FrameBytes"))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $FrameBytes + 1 as int), $FrameBytes)").as("frame"))
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(col("frame")).as("frame_fp"))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_profile" -> mediaProfile,
-    "mm2_media_features" -> mediaFeatures
+    "mm2_media_features" -> mediaFeatures,
+    "mm3_frame_sample" -> frameSample
   )
 
   val oracle: Map[String, String] = Map(
@@ -176,6 +206,22 @@ object Multimodal {
         |  round(CAST(sum(f0) AS DOUBLE) / sum(nb), 6) AS f0_share
         |FROM h
         |GROUP BY kind
-        |ORDER BY kind""".stripMargin
+        |ORDER BY kind""".stripMargin,
+    // Frames recomputed from the text column: the ASCII-sanitized payload
+    // is one byte per character, so a byte window == a character substring
+    // and the md5 fingerprints agree byte-for-byte.
+    "mm3_frame_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 2),
+        | f AS (SELECT media_id, st, length(st) AS nb FROM s WHERE length(st) > 0),
+        | fr AS (SELECT media_id, st,
+        |   unnest(range(0, (nb - 1) // 256 + 1)) AS frame_idx FROM f)
+        |SELECT media_id, frame_idx,
+        |  CAST(length(substr(st, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes,
+        |  md5(substr(st, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_fp
+        |FROM fr
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -59,6 +59,18 @@ class DedupSpec extends AnyFunSuite {
     assert(hs.toSet.size == hs.length)
   }
 
+  test("dedup clusters: canonical assignment is a fixpoint consistent with dd3 edges") {
+    val labels = graft.operators.Dedup.dedupClusters(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("canonical_doc_id")).toMap
+    assert(labels.size == 500)                    // linear output: one row per doc
+    assert(labels.forall { case (d, c) => c <= d })  // canonical = component min
+    assert(labels.values.forall(c => labels(c) == c)) // canonicals are self-canonical
+    // every verified near-dup pair landed in the same cluster
+    graft.operators.Dedup.minhashLsh(spark, sf).collect().foreach { r =>
+      assert(labels(r.getAs[Long]("doc_a")) == labels(r.getAs[Long]("doc_b")))
+    }
+  }
+
   test("simhash hot-bucket cap bounds a boilerplate corpus's band join") {
     import spark.implicits._
     val cap = graft.operators.Dedup.HotBucketCap
