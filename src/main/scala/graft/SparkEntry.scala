@@ -26,7 +26,8 @@ object SparkEntry {
       operators.Events.queries ++
       operators.Multimodal.queries ++
       operators.AsOf.queries ++
-      operators.TypedAgg.queries
+      operators.TypedAgg.queries ++
+      engine.Skew.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
       operators.Events.oracle ++
       operators.Multimodal.oracle ++
       operators.AsOf.oracle ++
-      operators.TypedAgg.oracle
+      operators.TypedAgg.oracle ++
+      engine.Skew.oracle
 }

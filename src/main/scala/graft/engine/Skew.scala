@@ -1,7 +1,9 @@
 package graft.engine
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.Tables.t
 
 /** Skew mitigation utilities (SURVEY.md §2.5 / north-star scale notes).
   *
@@ -48,4 +50,49 @@ object Skew {
       .agg(sum(col(value)).as("__partial"))
       .groupBy(col(key))
       .agg(sum(col("__partial")).as(s"sum_$value"))
+
+  /** Oracle-gated demonstration: the salted two-phase aggregation over the
+    * 3-hot-key `l_returnflag` equals the plain group-by — the salt only
+    * reshapes the shuffle. Quantities are integer-valued, so the extra
+    * combine level cannot drift in float (sum is exact); rounding is belt
+    * and braces per the repo convention.
+    */
+  def saltedSumQuery(spark: SparkSession, dir: String): DataFrame = {
+    val l = t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"),
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("lid"))
+    saltedSum(l, "l_returnflag", "l_quantity", "lid", 16)
+      .select(col("l_returnflag"), round(col("sum_l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Oracle-gated demonstration: the salted replicate-join equals the plain
+    * customer⋈orders join (aggregated to per-segment totals; 2-decimal
+    * inputs keep the rounded sum stable under reordering).
+    */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders")
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+    val c = t(spark, dir, "customer")
+      .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+    saltedJoin(o, c, "o_custkey", "o_orderkey", 8)
+      .groupBy("c_mktsegment")
+      .agg(round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("c_mktsegment")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "skew1_salted_sum" -> saltedSumQuery,
+    "skew2_salted_join" -> saltedJoinQuery
+  )
+
+  val oracle: Map[String, String] = Map(
+    "skew1_salted_sum" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew2_salted_join" ->
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
 }
