@@ -75,10 +75,31 @@ object Cleaning {
         col("ship_date_ms").asc_nulls_first, col("note").asc_nulls_first)
   }
 
+  /** S2/S7 workbook namespace, oracle-gated end to end: write nation+region
+    * into a directory-of-tables workbook via [[graft.sources.WorkbookSink]],
+    * load the namespace back via [[graft.sources.DirWorkbookSource]], and
+    * aggregate across the two sheets — the oracle recomputes the same
+    * answer straight from the original tables, so any loss or corruption in
+    * the sink→source roundtrip breaks the hash.
+    */
+  def workbookRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val path = "/root/repo/target/fixtures/workbook"
+    graft.sources.WorkbookSink.save(
+      Map("nation" -> t(spark, dir, "nation"), "region" -> t(spark, dir, "region")),
+      path)
+    val wb = graft.sources.DirWorkbookSource.load(spark, path)
+    wb("nation")
+      .join(broadcast(wb("region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"))
+      .orderBy("r_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p_clean_documents" -> cleanDocuments,
     "p_clean_messy" -> cleanMessy,
-    "p_clean_csv" -> cleanCsv
+    "p_clean_csv" -> cleanCsv,
+    "wb1_workbook_roundtrip" -> workbookRoundtrip
   )
 
   private val ph = "('n/a','none','-','null','')"
@@ -116,6 +137,10 @@ object Cleaning {
          |  epoch_ms(try_cast(s AS TIMESTAMP)) AS ship_date_ms, nt AS note
          |FROM c
          |ORDER BY order_id_ ASC NULLS FIRST, amount,
-         |  ship_date_ms ASC NULLS FIRST, note ASC NULLS FIRST""".stripMargin
+         |  ship_date_ms ASC NULLS FIRST, note ASC NULLS FIRST""".stripMargin,
+    "wb1_workbook_roundtrip" ->
+      """SELECT r_name, count(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY r_name""".stripMargin
   )
 }

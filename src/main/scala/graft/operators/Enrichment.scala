@@ -169,10 +169,19 @@ object Enrichment {
       .orderBy("non_english")
   }
 
+  /** D3 in oracle-gated form: the deterministic "random" sample — distinct
+    * values ordered by the fixed md5 pseudo-permutation — over part names.
+    * md5 hex and its lexicographic order agree across engines, so the
+    * sampled PREFIX (not just the set) is oracle-checkable.
+    */
+  def hashedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Dictionary.sampleHashed(t(spark, dir, "part"), "p_name", 20)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_detect_distributed" -> detectLanguageDistributed,
     "d1_distinct_dictionary" -> distinctDictionary,
     "d2_value_sample" -> valueSample,
+    "d3_hashed_sample" -> hashedSample,
     "e5_translate_flags" -> translateFlags,
     "e5_translate_flags_join" -> translateFlagsJoin,
     "e1_classify_columns" -> classifyColumns,
@@ -225,6 +234,11 @@ object Enrichment {
         |     SELECT DISTINCT trim(event_type) AS value FROM events
         |     WHERE event_type IS NOT NULL) ORDER BY value LIMIT 3))
         |ORDER BY column_name, value""".stripMargin,
+    "d3_hashed_sample" ->
+      """SELECT value FROM (
+        |  SELECT DISTINCT trim(p_name) AS value FROM part
+        |  WHERE p_name IS NOT NULL)
+        |ORDER BY md5(value), value LIMIT 20""".stripMargin,
     "e5_translate_flags" -> translateFlagsOracle,
     "e5_translate_flags_join" -> translateFlagsOracle,
     "e1_classify_columns" -> classifyOracle,
