@@ -271,7 +271,12 @@ object Dedup {
     val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = t(spark, dir, "documents")
+    // Propagate only over the ACTIVE subgraph (documents touching at least
+    // one edge) — on a near-dup graph that is a small fraction of the
+    // corpus, so the iterative rounds join |V(edges)|-sized frames, not
+    // corpus-sized ones. Untouched documents are self-canonical by
+    // definition and rejoin at the end.
+    var labels = adj.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("canon"))
       .localCheckpoint()
     var changed = 1L
@@ -293,7 +298,11 @@ object Dedup {
       rounds += 1
     }
     adj.unpersist()
-    labels.select(col("doc_id"), col("canon").as("canonical_doc_id"))
+    t(spark, dir, "documents").select(col("doc_id"))
+      .join(labels.select(col("doc_id").as("eid"), col("canon")),
+        col("doc_id") === col("eid"), "left")
+      .select(col("doc_id"),
+        coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
       .orderBy("doc_id")
   }
 

@@ -181,6 +181,37 @@ object Relational {
       .orderBy($"nation", $"segment")
   }
 
+  /** Full cube over (status, priority): all four grouping-set levels with
+    * sentinel labels — the remaining multi-dimensional aggregate shape
+    * (rollup and explicit grouping sets are g1/g2).
+    */
+  def g3CubeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "orders")
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), r2(sum($"o_totalprice")).as("total_price"))
+      .select(coalesce($"o_orderstatus", lit("ALL")).as("status"),
+        coalesce($"o_orderpriority", lit("ALL")).as("priority"),
+        $"n_orders", $"total_price")
+      .orderBy($"status", $"priority")
+  }
+
+  /** Full outer join: per-nation customer and supplier counts, keeping
+    * nations present on only one side (zero-filled).
+    */
+  def j3FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val c = t(spark, dir, "customer")
+      .groupBy($"c_nationkey").agg(count(lit(1)).as("n_customers"))
+    val s = t(spark, dir, "supplier")
+      .groupBy($"s_nationkey").agg(count(lit(1)).as("n_suppliers"))
+    c.join(s, $"c_nationkey" === $"s_nationkey", "full_outer")
+      .select(coalesce($"c_nationkey", $"s_nationkey").cast("long").as("nationkey"),
+        coalesce($"n_customers", lit(0L)).as("n_customers"),
+        coalesce($"n_suppliers", lit(0L)).as("n_suppliers"))
+      .orderBy("nationkey")
+  }
+
   /** Explicit grouping sets over orders: by status, by priority, grand
     * total — Spark's groupingSets API, sentinel-labeled.
     */
@@ -407,7 +438,9 @@ object Relational {
     "topk_parts_by_quantity" -> topkPartsByQuantity,
     "g1_rollup_acctbal" -> g1RollupAcctbal,
     "g2_grouping_sets_orders" -> g2GroupingSetsOrders,
+    "g3_cube_orders" -> g3CubeOrders,
     "j1_semi_anti_counts" -> j1SemiAntiCounts,
+    "j3_full_outer" -> j3FullOuter,
     "s1_scalar_functions" -> s1ScalarFunctions,
     "j2_events_json" -> j2EventsJson
   )
@@ -579,6 +612,22 @@ object Relational {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY status, priority""".stripMargin,
+    "g3_cube_orders" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "j3_full_outer" ->
+      """SELECT CAST(coalesce(c_nationkey, s_nationkey) AS BIGINT) AS nationkey,
+        |  coalesce(n_customers, 0) AS n_customers,
+        |  coalesce(n_suppliers, 0) AS n_suppliers
+        |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey, count(*) AS n_suppliers FROM supplier GROUP BY 1) s
+        |  ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
     "j1_semi_anti_counts" ->
       """SELECT * FROM (
         |  SELECT 'customers_with_orders' AS k, count(*) AS n FROM customer
