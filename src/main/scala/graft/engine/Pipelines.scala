@@ -55,22 +55,13 @@ object Pipelines {
     // same cost shape as the reference's one LLM call per column). The
     // per-column jobs are independent; submit them concurrently instead
     // of paying N sequential job latencies on wide tables.
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration._
-    // Finite deadline: a wedged sample job must surface as an error, not
-    // hang the driver forever.
-    val samples =
-      try Await.result(
-        Future.traverse(stringCols)(c =>
-          Future(c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN))),
-        10.minutes).toMap
-      catch { case te: TimeoutException =>
-        // The wedged sample jobs must not outlive the failure — cancel them
-        // before surfacing, and keep the timeout as the cause.
-        cleaned.df.sparkSession.sparkContext.cancelAllJobs()
-        throw new RuntimeException(
-          "translatePipeline: column sample jobs did not finish within 10 minutes", te) }
+    // Finite deadline + scoped cancellation (Jobs.boundedTraverse): a
+    // wedged sample job surfaces as an error without hanging the driver or
+    // cancelling unrelated work on a shared SparkContext.
+    val samples = Jobs.boundedTraverse(
+        cleaned.df.sparkSession, stringCols, "translatePipeline-samples")(c =>
+        c -> Dictionary.sampleTopNSeq(cleaned.df, c, sampleN))
+      .toMap
     val columnLabels = samples.map { case (c, s) => c -> classifier.classify(c, s) }
     val textCols = stringCols.filter(c => columnLabels(c) == "TEXT")
 

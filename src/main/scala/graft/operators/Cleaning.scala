@@ -53,7 +53,13 @@ object Cleaning {
     * pass rather than the reader. The timestamp column is compared as
     * epoch-ms (the repo's portable-timestamp convention).
     */
-  private val CsvFixturePath = "/root/repo/target/fixtures/p_clean_input.csv"
+  /** Fixture root under the working directory's build dir — the oracle SQL
+    * strings are assembled at runtime from these vals, so Spark and DuckDB
+    * always agree on the location without pinning the checkout path.
+    */
+  private[operators] val FixtureDir =
+    new java.io.File(sys.props("user.dir"), "target/fixtures").getAbsolutePath
+  private val CsvFixturePath = s"$FixtureDir/p_clean_input.csv"
   private val CsvFixture =
     """ Order Id !, Amount ,Ship Date,Unnamed: 3,empty_col, Note
       |1,10.5,2024-01-02 03:04:05,x,,  alpha beta
@@ -71,7 +77,7 @@ object Cleaning {
     val cleaned = Preprocess.clean(graft.sources.Loader.load(spark, CsvFixturePath)).df
     cleaned.select(col("order_id_"), col("amount"),
         unix_millis(col("ship_date")).as("ship_date_ms"), col("note"))
-      .orderBy(col("order_id_").asc_nulls_first, col("amount"),
+      .orderBy(col("order_id_").asc_nulls_first, col("amount").asc_nulls_first,
         col("ship_date_ms").asc_nulls_first, col("note").asc_nulls_first)
   }
 
@@ -83,7 +89,7 @@ object Cleaning {
     * the sink→source roundtrip breaks the hash.
     */
   def workbookRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val path = "/root/repo/target/fixtures/workbook"
+    val path = s"$FixtureDir/workbook"
     graft.sources.WorkbookSink.save(
       Map("nation" -> t(spark, dir, "nation"), "region" -> t(spark, dir, "region")),
       path)
@@ -136,7 +142,7 @@ object Cleaning {
          |SELECT DISTINCT CAST(o AS DOUBLE) AS order_id_, CAST(a AS DOUBLE) AS amount,
          |  epoch_ms(try_cast(s AS TIMESTAMP)) AS ship_date_ms, nt AS note
          |FROM c
-         |ORDER BY order_id_ ASC NULLS FIRST, amount,
+         |ORDER BY order_id_ ASC NULLS FIRST, amount ASC NULLS FIRST,
          |  ship_date_ms ASC NULLS FIRST, note ASC NULLS FIRST""".stripMargin,
     "wb1_workbook_roundtrip" ->
       """SELECT r_name, count(*) AS n_nations

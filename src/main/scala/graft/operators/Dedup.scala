@@ -26,6 +26,14 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   * over strings is engine-portable (identical lowercase-hex md5 on both
   * sides), so the full LSH pipeline has an exact DuckDB oracle with no
   * bespoke hash functions.
+  *
+  * Caching note: the token/shingle frames are persisted for the duration
+  * of the query's plan (three consumers each) and are deliberately not
+  * unpersisted — the `(SparkSession, dir) => DataFrame` contract returns a
+  * lazy plan, so an eager unpersist would run before execution. The cache
+  * manager dedupes identical plans across queries, the frames are
+  * token-array-per-doc sized, and a long-lived service would run these as
+  * bounded jobs whose session teardown reclaims the blocks.
   */
 object Dedup {
 
@@ -111,17 +119,10 @@ object Dedup {
       array_distinct(transform(col("tks"),
         x => conv(md5(x).substr(1, 15), 16, 10).cast("long"))).as("ts"))
     // One md5 per distinct token; the 8 "permutations" are its disjoint
-    // 4-hex-char windows (same scheme as dd3's shingle MinHash).
-    val ex = toks.select(col("doc_id"), explode(col("tks")).as("tok"))
-      .select(col("doc_id"), md5(col("tok")).as("h"))
-    val aggs = (0 until NumHashes).map(k =>
-      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
-    val sig = ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    val bb = bandBuckets(sig)
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "bucket").orderBy("doc_id")))
-      .filter(col("rn") <= HotBucketCap).drop("rn")
+    // 4-hex-char windows — the SAME signatures() aggregate dd3 uses on
+    // shingles, so the two schemes cannot drift.
+    val sig = signatures(toks.select(col("doc_id"), col("tks").as("sh")))
+    val bb = capHotBuckets(bandBuckets(sig), "band", "bucket")
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -207,6 +208,18 @@ object Dedup {
     */
   private[graft] val HotBucketCap = 64
 
+  /** The cap as a plan transform: keep the HotBucketCap lowest doc_ids per
+    * (band, bucket) partition. The ranking shuffles on the SAME key the
+    * subsequent pair join uses — one extra in-bucket sort, no second
+    * exchange. Shared by dd2 and dd4 so the rule cannot drift.
+    */
+  private def capHotBuckets(
+      df: DataFrame, bandCol: String, bucketCol: String): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(bandCol, bucketCol).orderBy("doc_id")))
+      .filter(col("rn") <= HotBucketCap).drop("rn")
+
   /** 60-bit SimHash per document plus banded near-dup pair counts. The
     * token hash is the 60-bit md5 prefix (same portable hash as the
     * Jaccard stage), so the ENTIRE pipeline — votes, fingerprint, 15-bit
@@ -231,11 +244,7 @@ object Dedup {
     val raw = fps.select(col("doc_id"), col("fp"), explode(array(bands: _*)).as("bb"))
       .select(col("doc_id"), col("fp"),
         col("bb.band").as("band"), col("bb.chunk").as("chunk"))
-    val bb = raw
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy("band", "chunk").orderBy("doc_id")))
-      .filter(col("rn") <= HotBucketCap).drop("rn")
+    val bb = capHotBuckets(raw, "band", "chunk")
     val ham = bit_count(col("x.fp").bitwiseXOR(col("y.fp")))
     bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.chunk") === col("y.chunk") &&
@@ -297,6 +306,11 @@ object Dedup {
       labels = halved.select(col("doc_id"), col("canon"))
       rounds += 1
     }
+    // Unconverged labels are WRONG labels (not component minima) — a
+    // pathological component that outlives the round cap must fail loudly,
+    // never return a plausible-looking misassignment.
+    if (changed > 0) throw new IllegalStateException(
+      s"dedupClusters: label propagation did not converge in $rounds rounds")
     adj.unpersist()
     t(spark, dir, "documents").select(col("doc_id"))
       .join(labels.select(col("doc_id").as("eid"), col("canon")),

@@ -83,27 +83,14 @@ object Enrichment {
       ("nation", "n_name"), ("lineitem", "l_returnflag"))
     // The per-column sample jobs are independent — submit them
     // concurrently (Spark schedules driver-side jobs in parallel) instead
-    // of paying 8 sequential job latencies.
-    import scala.concurrent.{Await, Future, TimeoutException}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration._
-    // Finite deadline: a wedged sample job must surface as an error, not
-    // hang the driver forever (the jobs are seconds-sized; 10 minutes is
-    // pure headroom).
-    val rows =
-      try Await.result(
-        Future.traverse(inputs) { case (table, c) =>
-          Future {
-            val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
-            Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
-          }
-        }, 10.minutes)
-      catch { case te: TimeoutException =>
-        // The wedged sample jobs must not outlive the failure — cancel them
-        // before surfacing, and keep the timeout as the cause.
-        spark.sparkContext.cancelAllJobs()
-        throw new RuntimeException(
-          "classifyColumns: column sample jobs did not finish within 10 minutes", te) }
+    // of paying 8 sequential job latencies. Finite deadline + scoped
+    // cancellation via Jobs.boundedTraverse: a timeout cancels only this
+    // batch's job group, never unrelated jobs on the shared context.
+    val rows = graft.engine.Jobs.boundedTraverse(
+      spark, inputs, "classifyColumns") { case (table, c) =>
+      val sample = Dictionary.sampleTopNSeq(t(spark, dir, table), c, 10)
+      Row(s"$table.$c", Enrich.HeuristicColumnClassifier.classify(c, sample))
+    }
     val schema = StructType(Seq(
       StructField("column_name", StringType), StructField("label", StringType)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)

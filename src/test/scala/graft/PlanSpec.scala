@@ -76,6 +76,10 @@ class PlanSpec extends AnyFunSuite {
     // The one intentional cross join (single broadcast query row) plans as
     // BroadcastNestedLoopJoin; an actual CartesianProduct anywhere means a
     // blocking/banding bug that would detonate at scale.
+    // Caveat: dd5's plan here is its FINAL left join — the iterative
+    // propagation rounds execute eagerly inside the constructor and are
+    // equi-joins by construction (dst===doc_id, c1===pid), not visible to
+    // this sweep.
     val offenders = SparkEntry.queries.keys.toSeq.sorted.filter { name =>
       plan(name).contains("CartesianProduct")
     }
