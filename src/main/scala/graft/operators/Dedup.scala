@@ -185,7 +185,11 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
+    // The verified pair set is persisted so dd3's ordered output and dd5's
+    // edge consumption share ONE materialization of the candidate+verify
+    // joins (the cache manager matches the common subplan) — it is
+    // near-dup-count sized, orders of magnitude smaller than the corpus.
+    val verified = cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("sa.sh"), col("sb.sh"))).as("i"),
@@ -193,7 +197,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
       .filter(col("shingle_jaccard") >= 0.7)
-      .orderBy("doc_a", "doc_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    verified.orderBy("doc_a", "doc_b")
   }
 
   /** Hot-bucket guard for the SimHash band join: within each (band, chunk)
