@@ -179,7 +179,7 @@ object Dedup {
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val sh = shingled(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bb = bandBuckets(signatures(sh))
+    val bb = capHotBuckets(bandBuckets(signatures(sh)), "band", "bucket")
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -213,16 +213,18 @@ object Dedup {
     */
   private[graft] val HotBucketCap = 64
 
-  /** The cap as a plan transform: keep the HotBucketCap lowest doc_ids per
+  /** The cap as a plan transform: keep the HotBucketCap lowest ids per
     * (band, bucket) partition. The ranking shuffles on the SAME key the
     * subsequent pair join uses — one extra in-bucket sort, no second
-    * exchange. Shared by dd2 and dd4 so the rule cannot drift.
+    * exchange. Shared by EVERY banded candidate join (dd2, dd3, dd4,
+    * sim3) so the rule cannot drift between schemes.
     */
-  private def capHotBuckets(
-      df: DataFrame, bandCol: String, bucketCol: String): DataFrame =
+  private[graft] def capHotBuckets(
+      df: DataFrame, bandCol: String, bucketCol: String,
+      idCol: String = "doc_id"): DataFrame =
     df.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(bandCol, bucketCol).orderBy("doc_id")))
+          .partitionBy(bandCol, bucketCol).orderBy(idCol)))
       .filter(col("rn") <= HotBucketCap).drop("rn")
 
   /** 60-bit SimHash per document plus banded near-dup pair counts. The
@@ -398,9 +400,15 @@ object Dedup {
        |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
        |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
        |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
+       | cappedb AS (
+       |  SELECT doc_id, band, bucket FROM (
+       |    SELECT doc_id, band, bucket,
+       |      row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
+       |    FROM bands)
+       |  WHERE rn <= $HotBucketCap),
        | cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-       |  FROM bands x JOIN bands y
+       |  FROM cappedb x JOIN cappedb y
        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
 
   /** dd3's verified-pair SELECT (no ORDER BY — dd5 wraps it as a CTE). */

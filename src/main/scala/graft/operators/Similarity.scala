@@ -165,8 +165,12 @@ object Similarity {
     val bands = (0 until NumBands).map(j =>
       struct(lit(j).as("band"),
         signBucketAt(col("embedding"), j * BandDim, b).as("bucket")))
-    val bb = e.select(col("vec_id"), explode(array(bands: _*)).as("bb"))
+    val raw = e.select(col("vec_id"), explode(array(bands: _*)).as("bb"))
       .select(col("vec_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    // Same deterministic hot-bucket cap as the dedup band joins: a
+    // degenerate embedding corpus (many identical vectors) collapses every
+    // band bucket, and the cap bounds that bucket's pair contribution.
+    val bb = Dedup.capHotBuckets(raw, "band", "bucket", "vec_id")
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -225,9 +229,15 @@ object Similarity {
          | bb AS (
          |  SELECT vec_id, band, ${sqlCell("band * 16")} AS bucket
          |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(band)),
+         | capped AS (
+         |  SELECT vec_id, band, bucket FROM (
+         |    SELECT vec_id, band, bucket,
+         |      row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
+         |    FROM bb)
+         |  WHERE rn <= ${Dedup.HotBucketCap}),
          | cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM bb x JOIN bb y
+         |  FROM capped x JOIN capped y
          |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
          |SELECT cand.vec_a, cand.vec_b, round($sqlCos, 6) AS cos
          |FROM cand JOIN n a ON cand.vec_a = a.vec_id
