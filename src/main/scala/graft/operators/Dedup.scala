@@ -101,7 +101,8 @@ object Dedup {
     * (band, bucket)'s contribution to C·(C-1)/2 deterministically-chosen
     * pairs, which is the standard web-scale mitigation (drop/truncate hot
     * buckets; an all-pairs listing of a 60%-duplicative corpus is not a
-    * dedup result anyone consumes — canonical-assignment via dd1/dd3 is).
+    * dedup result anyone consumes — dd1's exact groups and dd5's canonical
+    * assignment are).
     */
   def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     // Tokenize ONCE, cache, and derive both the signature stream and the
@@ -201,8 +202,9 @@ object Dedup {
     verified.orderBy("doc_a", "doc_b")
   }
 
-  /** Hot-bucket guard for the SimHash band join: within each (band, chunk)
-    * bucket only the HotBucketCap lowest doc_ids generate pairs. On a
+  /** Hot-bucket guard for every banded candidate join: within each
+    * (band, bucket) partition only the HotBucketCap lowest ids generate
+    * pairs. On a
     * boilerplate-heavy corpus (many near-identical documents sharing every
     * band chunk) the band join is otherwise quadratic in the hot bucket's
     * population; the cap bounds any bucket's contribution at C·(C-1)/2
