@@ -164,8 +164,25 @@ object Enrichment {
   def hashedSample(spark: SparkSession, dir: String): DataFrame =
     graft.engine.Dictionary.sampleHashed(t(spark, dir, "part"), "p_name", 20)
 
+  /** E3 in its DISTRIBUTED form, oracle-gated: the long-format distinct
+    * dictionary run through `Translate.translateDictionary` (mapPartitions
+    * + grouped batching — the scale shape of the reference's batched REST
+    * loop, `translate.py:78-123`) with a deterministic 4-entry dictionary.
+    * Identity fallback for unknown values is part of the checked contract.
+    */
+  def translateDictionaryQuery(spark: SparkSession, dir: String): DataFrame = {
+    val dict = graft.engine.Dictionary.distinctValues(
+      t(spark, dir, "documents"), Seq("lang", "source"))
+    val tr = new graft.engine.DictionaryTranslator(Map(
+      "lang" -> Map("en" -> "English", "de" -> "German",
+        "es" -> "Spanish", "fr" -> "French")))
+    graft.engine.Translate.translateDictionary(dict, tr)
+      .orderBy("column_name", "value")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e2_detect_distributed" -> detectLanguageDistributed,
+    "e3_translate_dictionary" -> translateDictionaryQuery,
     "d1_distinct_dictionary" -> distinctDictionary,
     "d2_value_sample" -> valueSample,
     "d3_hashed_sample" -> hashedSample,
@@ -220,6 +237,18 @@ object Enrichment {
         |  (SELECT 'event_type', value FROM (
         |     SELECT DISTINCT trim(event_type) AS value FROM events
         |     WHERE event_type IS NOT NULL) ORDER BY value LIMIT 3))
+        |ORDER BY column_name, value""".stripMargin,
+    "e3_translate_dictionary" ->
+      """WITH d AS (
+        |  SELECT DISTINCT 'lang' AS column_name, trim(lang) AS value
+        |  FROM documents WHERE lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT 'source', trim(source) FROM documents
+        |  WHERE source IS NOT NULL),
+        | m(orig, trans) AS (SELECT * FROM (VALUES
+        |  ('en','English'), ('de','German'), ('es','Spanish'), ('fr','French')))
+        |SELECT column_name, value, coalesce(trans, value) AS translated
+        |FROM d LEFT JOIN m ON value = orig
         |ORDER BY column_name, value""".stripMargin,
     "d3_hashed_sample" ->
       """SELECT value FROM (
