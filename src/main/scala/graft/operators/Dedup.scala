@@ -129,8 +129,18 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+    // Size-ratio prefilter: jaccard <= min/max set sizes, so candidates
+    // below the threshold on sizes alone never pay for an intersection.
+    // The bound uses the ROUND-ADJUSTED threshold (0.59995): the final
+    // filter keeps round(j,4) >= 0.6, i.e. true j >= 0.59995, and since
+    // size-ratio >= j the guard can never drop a pair the final filter
+    // would keep — the oracle needs no guard.
+    val sizeGuard =
+      least(size(col("a.ts")), size(col("b.ts"))).cast("double") /
+        greatest(size(col("a.ts")), size(col("b.ts"))) >= 0.59995
     cand.join(p.alias("a"), col("doc_a") === col("a.doc_id"))
       .join(p.alias("b"), col("doc_b") === col("b.doc_id"))
+      .filter(sizeGuard)
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("a.ts"), col("b.ts"))).as("i"),
         (size(col("a.ts")) + size(col("b.ts"))).as("su"))
