@@ -20,10 +20,19 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    names.foreach { n =>
+    try names.foreach { n =>
       println(s"==== $n ====")
-      SparkEntry.queries(n)(spark, sfDir).explain("formatted")
-    }
-    spark.stop()
+      // Per-query isolation: a mistyped name or a constructor that fails
+      // (some constructors run eager driver-side work) must not abort the
+      // remaining audits.
+      SparkEntry.queries.get(n) match {
+        case None => println(s"[explain] unknown query: $n")
+        case Some(fn) =>
+          try fn(spark, sfDir).explain("formatted")
+          catch { case e: Throwable =>
+            println(s"[explain] $n failed: ${e.getMessage}")
+          }
+      }
+    } finally spark.stop()
   }
 }

@@ -41,6 +41,13 @@ trait Translator extends Serializable {
   /** E4 (`translate.py:125-149`): one-off translation, identity fallback. */
   def translateOne(value: String): String =
     translate(Seq(value)).getOrElse(value, value)
+
+  /** E3 with column context (the reference's cache is per-column,
+    * `{column → {orig → translated}}`). Default delegates to the
+    * columnless form for translators without per-column dictionaries.
+    */
+  def translateColumn(column: String, values: Seq[String]): Map[String, String] =
+    translate(values)
 }
 
 /** Deterministic dictionary-backed translator.
@@ -65,7 +72,7 @@ final class DictionaryTranslator(
     values.map(v => v -> flat.getOrElse(v, v)).toMap
 
   /** E3 with the column known: per-column semantics, identity fallback. */
-  def translateColumn(column: String, values: Seq[String]): Map[String, String] = {
+  override def translateColumn(column: String, values: Seq[String]): Map[String, String] = {
     val m = forColumn(column)
     values.map(v => v -> m.getOrElse(v, v)).toMap
   }
@@ -134,10 +141,13 @@ object Translate {
 
   /** Distributed batched translation of a long-format distinct dictionary
     * `(column_name, value)`: `mapPartitions` + `grouped(batchSize)`, so a
-    * remote-service translator is called once per batch per partition —
-    * the scale shape of the reference's loop (`translate.py:78-123`)
-    * where the expensive call count is bounded by DISTINCT values /
-    * batchSize, never row count.
+    * remote-service translator is called once per column per batch per
+    * partition — the scale shape of the reference's loop
+    * (`translate.py:78-123`) where the expensive call count is bounded by
+    * DISTINCT values / batchSize, never row count. Lookups are PER COLUMN
+    * (`translateColumn`), matching the reference's per-column cache — a
+    * value shared by two columns translates by its own column's
+    * dictionary, never another's.
     */
   def translateDictionary(
       dict: org.apache.spark.sql.DataFrame,
@@ -148,8 +158,10 @@ object Translate {
     dict.select("column_name", "value").as[(String, String)]
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          val m = translator.translate(batch.map(_._2))
-          batch.map { case (c, v) => (c, v, m.getOrElse(v, v)) }
+          batch.groupBy(_._1).iterator.flatMap { case (c, vs) =>
+            val m = translator.translateColumn(c, vs.map(_._2))
+            vs.map { case (_, v) => (c, v, m.getOrElse(v, v)) }
+          }
         }
       }
       .toDF("column_name", "value", "translated")

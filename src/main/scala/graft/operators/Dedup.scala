@@ -239,6 +239,24 @@ object Dedup {
           .partitionBy(bandCol, bucketCol).orderBy(idCol)))
       .filter(col("rn") <= HotBucketCap).drop("rn")
 
+  /** [[capHotBuckets]]'s DuckDB mirror, generated from ONE template for
+    * every oracle (dd2/dd3/dd4/sim3) so the SQL rule cannot drift from the
+    * Spark helper or between schemes. `cols` are the carried output
+    * columns; no generated line is margin-prefixed, so interpolating into
+    * stripMargin strings is safe.
+    */
+  private[graft] def sqlCapCte(
+      out: String, src: String, cols: Seq[String],
+      bandCol: String, bucketCol: String, idCol: String): String = {
+    val cl = cols.mkString(", ")
+    s"""$out AS (
+       |  SELECT $cl FROM (
+       |    SELECT $cl,
+       |      row_number() OVER (PARTITION BY $bandCol, $bucketCol ORDER BY $idCol) AS rn
+       |    FROM $src)
+       |  WHERE rn <= $HotBucketCap)""".stripMargin
+  }
+
   /** 60-bit SimHash per document plus banded near-dup pair counts. The
     * token hash is the 60-bit md5 prefix (same portable hash as the
     * Jaccard stage), so the ENTIRE pipeline — votes, fingerprint, 15-bit
@@ -372,12 +390,7 @@ object Dedup {
        | bands AS (
        |  SELECT doc_id, fp, b, (fp >> (b * 15)) & 32767 AS chunk
        |  FROM fps CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(b)),
-       | capped AS (
-       |  SELECT doc_id, fp, b, chunk FROM (
-       |    SELECT doc_id, fp, b, chunk,
-       |      row_number() OVER (PARTITION BY b, chunk ORDER BY doc_id) AS rn
-       |    FROM bands)
-       |  WHERE rn <= $HotBucketCap),
+       | ${sqlCapCte("capped", "bands", Seq("doc_id", "fp", "b", "chunk"), "b", "chunk", "doc_id")},
        | cand AS (
        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS bd, x.fp AS xf, y.fp AS yf
        |  FROM capped x JOIN capped y
@@ -412,12 +425,7 @@ object Dedup {
        |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
        |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
        |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
-       | cappedb AS (
-       |  SELECT doc_id, band, bucket FROM (
-       |    SELECT doc_id, band, bucket,
-       |      row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
-       |    FROM bands)
-       |  WHERE rn <= $HotBucketCap),
+       | ${sqlCapCte("cappedb", "bands", Seq("doc_id", "band", "bucket"), "band", "bucket", "doc_id")},
        | cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM cappedb x JOIN cappedb y
@@ -464,12 +472,7 @@ object Dedup {
         |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
         |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
         |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
-        | capped AS (
-        |  SELECT doc_id, band, bucket FROM (
-        |    SELECT doc_id, band, bucket,
-        |      row_number() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn
-        |    FROM bands)
-        |  WHERE rn <= $HotBucketCap),
+        | ${sqlCapCte("capped", "bands", Seq("doc_id", "band", "bucket"), "band", "bucket", "doc_id")},
         | cand AS (
         |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
         |  FROM capped x JOIN capped y

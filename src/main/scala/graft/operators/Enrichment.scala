@@ -218,16 +218,23 @@ object Enrichment {
        |ORDER BY non_english""".stripMargin
   }
 
+  /** The (lang, source) distinct dictionary as a shared SQL fragment —
+    * mirrors `Dictionary.distinctValues`; used by the d1 AND e3 oracles so
+    * the two cannot drift.
+    */
+  private val sqlDistinctDict =
+    """SELECT DISTINCT 'lang' AS column_name, trim(lang) AS value
+      |  FROM documents WHERE lang IS NOT NULL
+      |  UNION ALL
+      |  SELECT DISTINCT 'source', trim(source) FROM documents
+      |  WHERE source IS NOT NULL""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "e2_detect_distributed" -> e2Oracle,
     "d1_distinct_dictionary" ->
-      """SELECT column_name, value FROM (
-        |  SELECT DISTINCT 'lang' AS column_name, trim(lang) AS value
-        |  FROM documents WHERE lang IS NOT NULL
-        |  UNION ALL
-        |  SELECT DISTINCT 'source', trim(source) FROM documents
-        |  WHERE source IS NOT NULL)
-        |ORDER BY column_name, value""".stripMargin,
+      s"""SELECT column_name, value FROM (
+         |  $sqlDistinctDict)
+         |ORDER BY column_name, value""".stripMargin,
     "d2_value_sample" ->
       """SELECT * FROM (
         |  (SELECT 'lang' AS column_name, value FROM (
@@ -239,17 +246,13 @@ object Enrichment {
         |     WHERE event_type IS NOT NULL) ORDER BY value LIMIT 3))
         |ORDER BY column_name, value""".stripMargin,
     "e3_translate_dictionary" ->
-      """WITH d AS (
-        |  SELECT DISTINCT 'lang' AS column_name, trim(lang) AS value
-        |  FROM documents WHERE lang IS NOT NULL
-        |  UNION ALL
-        |  SELECT DISTINCT 'source', trim(source) FROM documents
-        |  WHERE source IS NOT NULL),
-        | m(orig, trans) AS (SELECT * FROM (VALUES
-        |  ('en','English'), ('de','German'), ('es','Spanish'), ('fr','French')))
-        |SELECT column_name, value, coalesce(trans, value) AS translated
-        |FROM d LEFT JOIN m ON value = orig
-        |ORDER BY column_name, value""".stripMargin,
+      s"""WITH d AS (
+         |  $sqlDistinctDict),
+         | m(orig, trans) AS (SELECT * FROM (VALUES
+         |  ('en','English'), ('de','German'), ('es','Spanish'), ('fr','French')))
+         |SELECT column_name, value, coalesce(trans, value) AS translated
+         |FROM d LEFT JOIN m ON value = orig AND column_name = 'lang'
+         |ORDER BY column_name, value""".stripMargin,
     "d3_hashed_sample" ->
       """SELECT value FROM (
         |  SELECT DISTINCT trim(p_name) AS value FROM part

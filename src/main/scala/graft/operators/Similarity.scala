@@ -229,12 +229,7 @@ object Similarity {
          | bb AS (
          |  SELECT vec_id, band, ${sqlCell("band * 16")} AS bucket
          |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(band)),
-         | capped AS (
-         |  SELECT vec_id, band, bucket FROM (
-         |    SELECT vec_id, band, bucket,
-         |      row_number() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn
-         |    FROM bb)
-         |  WHERE rn <= ${Dedup.HotBucketCap}),
+         | ${Dedup.sqlCapCte("capped", "bb", Seq("vec_id", "band", "bucket"), "band", "bucket", "vec_id")},
          | cand AS (
          |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
          |  FROM capped x JOIN capped y
