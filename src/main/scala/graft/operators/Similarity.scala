@@ -183,10 +183,39 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Batch multi-query ANN — the realistic production shape: every query
+    * vector probes its own cell plus all Hamming-1 neighbors in ONE
+    * broadcast equi-join pass over the corpus, then a per-query window
+    * takes the top-3. Ranking is on the ROUNDED cosine with a vec_id
+    * tiebreak, so both engines rank identically.
+    */
+  def batchAnn(spark: SparkSession, dir: String): DataFrame = {
+    val b = bitsFor(spark, dir)
+    val e = withNorm(spark, dir)
+      .withColumn("bucket", signBucket(col("embedding"), b))
+    val q = e.filter(col("vec_id") <= 2L)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val probeArr = array((col("qbucket") +: (0 until b).map(i =>
+      col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = q.select(col("qid"), col("qv"), col("qn"),
+      explode(probeArr).as("pbucket"))
+    val scored = e.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("cos"))
+    scored.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ann_bucketed" -> annBucketed,
-    "sim3_embedding_neardup" -> embeddingNearDup
+    "sim3_embedding_neardup" -> embeddingNearDup,
+    "sim4_batch_ann" -> batchAnn
   )
 
   private val sqlCos =
@@ -223,6 +252,26 @@ object Similarity {
          |FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id
          |LIMIT 5""".stripMargin,
+    "sim4_batch_ann" ->
+      s"""WITH $sqlBitsCte,
+         | n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    ${sqlCell("0")} AS bucket FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM n WHERE vec_id <= 2),
+         | probes AS (
+         |  SELECT qid, qv, qb AS pb FROM q
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qb, (1::BIGINT << CAST(i AS INTEGER)))
+         |  FROM q CROSS JOIN (SELECT unnest(range((SELECT b FROM prm))) AS i) r),
+         | scored AS (
+         |  SELECT p.qid, a.vec_id, a.label,
+         |    round(list_dot_product(a.v, p.qv) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+         |  FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> p.qid),
+         | rk AS (SELECT qid, vec_id, label, cos,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+         |  FROM scored)
+         |SELECT qid, vec_id, label, cos FROM rk WHERE r <= 3
+         |ORDER BY qid, cos DESC, vec_id""".stripMargin,
     "sim3_embedding_neardup" ->
       s"""WITH $sqlBitsCte,
          | n AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings),

@@ -74,11 +74,28 @@ object TextAnalysis {
       .filter(col("quality") >= 0.7 && col("lang_detected") === "en")
       .orderBy("doc_id")
 
+  /** Repetition signal (the Gopher-family duplicate-content heuristic in
+    * deterministic form): share of word tokens that repeat an earlier
+    * token — `1 - distinct/total`, 0 for token-free documents. High values
+    * mark boilerplate/spam for the quality filter.
+    */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(tokensOrdered(col("text"))).cast("long").as("n_tokens"),
+        size(tokenSet(col("text"))).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")), 6)
+          .as("repetition"))
+      .orderBy("doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_profile" -> profile,
     "t2_quality_bands" -> qualityBands,
     "t3_fingerprints" -> fingerprints,
-    "t4_quality_filter" -> qualityFilter
+    "t4_quality_filter" -> qualityFilter,
+    "t5_repetition" -> repetition
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -153,6 +170,17 @@ object TextAnalysis {
          |FROM documents
          |WHERE ${sqlQuality("text")} >= 0.7 AND ${sqlLangId("text")} = 'en'
          |ORDER BY doc_id""".stripMargin,
+    "t5_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |  round(CASE WHEN len(t) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END, 6) AS repetition
+        |FROM tk
+        |ORDER BY doc_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,
