@@ -36,6 +36,19 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming → S4 artifact sink via `foreachBatch`: every micro-batch
+    * checkpoints as a JSON artifact under `path/batch=<id>` through the
+    * SAME [[graft.sources.Artifacts]] writer the batch pipelines use — the
+    * streaming twin of the reference's store-every-stage pattern
+    * (`preprocess.py:95-110`). Batch-id-scoped overwrite makes replays of
+    * a failed epoch idempotent.
+    */
+  def toArtifacts(df: DataFrame, path: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      graft.sources.Artifacts.store(batch, s"$path/batch=$id")
+    }
+
   /** Stream-stream interval join: clicks within the 10 minutes before a
     * purchase by the same user. Watermarks on BOTH sides plus the time
     * range bound the join state (clicks older than the watermark minus

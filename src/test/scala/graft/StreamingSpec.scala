@@ -150,6 +150,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(emitted.toSeq.map(_._4).sum == 8L - 2L - 1L)
   }
 
+  test("streaming artifact sink checkpoints each micro-batch as reloadable JSON") {
+    val srcDir = Files.createTempDirectory("graft-art-src").toString
+    val outDir = Files.createTempDirectory("graft-art-out").toString
+    // single file -> exactly one micro-batch -> exactly one batch=0 artifact
+    t(spark, sf, "events").coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("event_id"), col("event_type"), col("value"))
+    val q = graft.streaming.Streams.toArtifacts(stream, outDir).start()
+    try { q.processAllAvailable() } finally q.stop()
+    val reloaded = graft.sources.Artifacts.load(spark, s"$outDir/batch=0")
+    assert(reloaded.count() == t(spark, sf, "events").count())
+    assert(reloaded.columns.sorted.toSeq == Seq("event_id", "event_type", "value"))
+  }
+
   test("dropDuplicatesWithinWatermark removes planted duplicates") {
     // duplicates written into the SAME files so each copy lands in the same
     // micro-batch (a second stream's copies would arrive behind the
