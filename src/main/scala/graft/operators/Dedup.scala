@@ -28,12 +28,13 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   * bespoke hash functions.
   *
   * Caching note: the token/shingle frames are persisted for the duration
-  * of the query's plan (three consumers each) and are deliberately not
-  * unpersisted — the `(SparkSession, dir) => DataFrame` contract returns a
-  * lazy plan, so an eager unpersist would run before execution. The cache
-  * manager dedupes identical plans across queries, the frames are
-  * token-array-per-doc sized, and a long-lived service would run these as
-  * bounded jobs whose session teardown reclaims the blocks.
+  * of ONE consuming action via [[graft.engine.Caching.scopedPersist]] —
+  * the `(SparkSession, dir) => DataFrame` contract returns a lazy plan, so
+  * an eager unpersist would run before execution; the scoped form instead
+  * releases the blocks from a query-completion listener once the caller's
+  * action finishes, so a long-lived session does not accumulate storage.
+  * The one multi-action cache (dd5's edge frame, consumed by every
+  * label-propagation round) keeps an explicit persist/unpersist pair.
   */
 object Dedup {
 
@@ -108,9 +109,9 @@ object Dedup {
     // Tokenize ONCE, cache, and derive both the signature stream and the
     // verify-side sets from the cached frame (tokenization is the dominant
     // per-doc cost; it must not run once per plan subtree).
-    val toks = t(spark, dir, "documents")
-      .select(col("doc_id"), tokenSet(col("text")).as("tks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = graft.engine.Caching.scopedPersist(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), tokenSet(col("text")).as("tks")))
     // Token sets are hashed to 60-bit ints (15 hex chars of md5) BEFORE
     // the pairwise stage: array_intersect on primitive longs beats string
     // sets by a wide margin. Portable bit-for-bit — the oracle applies the
@@ -188,18 +189,18 @@ object Dedup {
     * signature path loses nothing by consuming the distinct shingles.
     */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = graft.engine.Caching.scopedPersist(shingled(spark, dir))
     val bb = capHotBuckets(bandBuckets(signatures(sh)), "band", "bucket")
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // The verified pair set is persisted so dd3's ordered output and dd5's
-    // edge consumption share ONE materialization of the candidate+verify
-    // joins (the cache manager matches the common subplan) — it is
-    // near-dup-count sized, orders of magnitude smaller than the corpus.
+    // The verified pair set is persisted (scoped to the consuming action)
+    // so dd3's ordered output — and, within dd5's first materializing
+    // action, the edge frame build — consume ONE materialization of the
+    // candidate+verify joins; it is near-dup-count sized, orders of
+    // magnitude smaller than the corpus.
     val verified = cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -208,8 +209,8 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
       .filter(col("shingle_jaccard") >= 0.7)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verified.orderBy("doc_a", "doc_b")
+    val scoped = graft.engine.Caching.scopedPersist(verified)
+    scoped.orderBy("doc_a", "doc_b")
   }
 
   /** Hot-bucket guard for every banded candidate join: within each

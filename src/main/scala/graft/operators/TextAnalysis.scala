@@ -66,13 +66,20 @@ object TextAnalysis {
 
   /** The end filter a training pipeline applies: keep documents above a
     * quality bar in the target language; emit the kept ids + scores.
+    *
+    * The score/lang trees are pinned with [[graft.functions.EvalOnce]]:
+    * without the barrier the filter is pushed below the projection and the
+    * ~full expression tree (4 stopword intersects + ratios) evaluates
+    * twice per surviving row — measured ~2x on this query at sf0.1.
     */
-  def qualityFilter(spark: SparkSession, dir: String): DataFrame =
+  def qualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.EvalOnce.once
     t(spark, dir, "documents")
-      .select(col("doc_id"), qualityScore(col("text")).as("quality"),
-        langId(col("text")).as("lang_detected"))
+      .select(col("doc_id"), once(qualityScore(col("text"))).as("quality"),
+        once(langId(col("text"))).as("lang_detected"))
       .filter(col("quality") >= 0.7 && col("lang_detected") === "en")
       .orderBy("doc_id")
+  }
 
   /** Repetition signal (the Gopher-family duplicate-content heuristic in
     * deterministic form): share of word tokens that repeat an earlier

@@ -16,25 +16,56 @@ import graft.Tables.t
   * never the fact table. Comparator (price desc, orderkey asc) matches the
   * window-function formulation exactly, so the DuckDB oracle is the
   * row_number form.
+  *
+  * This operator exists to exercise the TYPED Aggregator surface; even
+  * with the primitive-array buffer it pays encoder round-trips the untyped
+  * engine skips, so the window twin (`w1_top_orders_per_customer`,
+  * Relational.scala) is the production path for this query shape.
   */
 object TypedAgg {
 
   final case class OrderRow(o_custkey: Long, o_orderkey: Long, o_totalprice: Double)
   final case class TopOrder(o_orderkey: Long, o_totalprice: Double)
 
-  /** Keep the k best (totalprice desc, orderkey asc) orders. */
-  final class TopKOrders(k: Int) extends Aggregator[OrderRow, List[TopOrder], Seq[TopOrder]] {
-    private def lt(a: TopOrder, b: TopOrder): Boolean =
-      a.o_totalprice > b.o_totalprice ||
-        (a.o_totalprice == b.o_totalprice && a.o_orderkey < b.o_orderkey)
+  /** Aggregation buffer: the current top-k as two PARALLEL PRIMITIVE
+    * arrays, kept sorted best-first. A typed Aggregator pays the buffer
+    * encoder on every update/merge, and `Array[Long]`/`Array[Double]`
+    * fields take the primitive `UnsafeArrayData` fast path — unlike the
+    * previous `List[TopOrder]` buffer, which serialized a Product per
+    * element per row (the dominant cost of the whole aggregate).
+    */
+  final case class TopBuf(orderkeys: Array[Long], prices: Array[Double])
 
-    override def zero: List[TopOrder] = Nil
-    override def reduce(buf: List[TopOrder], row: OrderRow): List[TopOrder] =
-      merge(buf, List(TopOrder(row.o_orderkey, row.o_totalprice)))
-    override def merge(a: List[TopOrder], b: List[TopOrder]): List[TopOrder] =
-      (a ++ b).sortWith(lt).take(k)
-    override def finish(r: List[TopOrder]): Seq[TopOrder] = r
-    override def bufferEncoder: Encoder[List[TopOrder]] = ExpressionEncoder()
+  /** Keep the k best (totalprice desc, orderkey asc) orders. */
+  final class TopKOrders(k: Int) extends Aggregator[OrderRow, TopBuf, Seq[TopOrder]] {
+    // strict "better than": price desc, orderkey asc
+    private def better(pa: Double, ka: Long, pb: Double, kb: Long): Boolean =
+      pa > pb || (pa == pb && ka < kb)
+
+    /** Merge two sorted buffers into the best k (merge-sort step). */
+    private def merged(a: TopBuf, b: TopBuf): TopBuf = {
+      val n = math.min(k, a.orderkeys.length + b.orderkeys.length)
+      val ks = new Array[Long](n)
+      val ps = new Array[Double](n)
+      var i = 0; var j = 0; var o = 0
+      while (o < n) {
+        val takeA = j >= b.orderkeys.length ||
+          (i < a.orderkeys.length &&
+            better(a.prices(i), a.orderkeys(i), b.prices(j), b.orderkeys(j)))
+        if (takeA) { ks(o) = a.orderkeys(i); ps(o) = a.prices(i); i += 1 }
+        else { ks(o) = b.orderkeys(j); ps(o) = b.prices(j); j += 1 }
+        o += 1
+      }
+      TopBuf(ks, ps)
+    }
+
+    override def zero: TopBuf = TopBuf(Array.emptyLongArray, Array.emptyDoubleArray)
+    override def reduce(buf: TopBuf, row: OrderRow): TopBuf =
+      merged(buf, TopBuf(Array(row.o_orderkey), Array(row.o_totalprice)))
+    override def merge(a: TopBuf, b: TopBuf): TopBuf = merged(a, b)
+    override def finish(r: TopBuf): Seq[TopOrder] =
+      r.orderkeys.indices.map(i => TopOrder(r.orderkeys(i), r.prices(i)))
+    override def bufferEncoder: Encoder[TopBuf] = ExpressionEncoder()
     override def outputEncoder: Encoder[Seq[TopOrder]] = ExpressionEncoder()
   }
 

@@ -75,9 +75,32 @@ object WorkbookSink {
   /** The reference's Excel sheet-name cap (`mapper.py:134`). */
   def sheetName(table: String): String = table.take(31)
 
+  /** Sheet names for a whole workbook. Table names that COLLIDE after the
+    * 31-char truncation are deterministically disambiguated with a `~N`
+    * suffix inside the 31-char budget (processed in sorted order, so the
+    * mapping is input-order independent). This is a documented divergence
+    * from the reference, whose `mapper.py:134` truncation silently
+    * overwrites earlier sheets — data loss a sink must never commit.
+    */
+  def sheetNames(tables: Seq[String]): Map[String, String] = {
+    val used = scala.collection.mutable.Set.empty[String]
+    tables.sorted.map { t =>
+      val base = sheetName(t)
+      val name =
+        if (!used(base)) base
+        else Iterator.from(1)
+          .map(i => base.take(31 - (i.toString.length + 1)) + "~" + i)
+          .find(!used(_)).get
+      used += name
+      t -> name
+    }.toMap
+  }
+
   /** S7: one parquet dataset per table under `path`. */
-  def save(tables: Map[String, DataFrame], path: String): Unit =
+  def save(tables: Map[String, DataFrame], path: String): Unit = {
+    val names = sheetNames(tables.keys.toSeq)
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
-      df.write.mode("overwrite").parquet(s"$path/${sheetName(name)}")
+      df.write.mode("overwrite").parquet(s"$path/${names(name)}")
     }
+  }
 }

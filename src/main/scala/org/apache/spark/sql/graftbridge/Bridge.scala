@@ -11,6 +11,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * expressions needs exactly these two calls, so this object lives in an
   * `org.apache.spark.sql` subpackage to reach them (the established
   * pattern for Spark-native extension libraries).
+  *
+  * VERSION PIN: compiled against Spark 4.1's
+  * `org.apache.spark.sql.classic.ExpressionUtils`. This is a private API
+  * with no compatibility guarantee — a Spark minor bump that moves or
+  * renames it must fail at BUILD time, not at runtime; ExtensionsSpec
+  * ("graftbridge reaches Spark's private Column<->Expression seam")
+  * exercises the round-trip so the dependency is also covered by `sbt
+  * test`. If it breaks: the Connect-era replacement is
+  * `Column(ExpressionColumnNode(e))` / pattern-matching the column node —
+  * re-point these two methods only, callers are insulated.
   */
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)

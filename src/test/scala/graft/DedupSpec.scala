@@ -71,6 +71,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("scoped caches are released once the consuming action completes") {
+    import org.apache.spark.storage.StorageLevel
+    // Run dd3 to completion: its shingle + verified-pair frames are
+    // scope-persisted at construction and must be released by the
+    // query-completion listener after the action — not live forever.
+    graft.operators.Dedup.minhashLsh(spark, sf)
+      .write.mode("overwrite").format("noop").save()
+    // storageLevel consults the cache manager by plan equivalence, so a
+    // freshly-built identical frame reports whether the cache entry is
+    // still registered. The listener fires asynchronously — poll briefly.
+    val sh = graft.operators.Dedup.shingled(spark, sf)
+    val deadline = System.currentTimeMillis() + 30000
+    while (sh.storageLevel != StorageLevel.NONE &&
+        System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(sh.storageLevel == StorageLevel.NONE,
+      "shingle frame still cached after the consuming action completed")
+  }
+
   test("simhash hot-bucket cap bounds a boilerplate corpus's band join") {
     import spark.implicits._
     val cap = graft.operators.Dedup.HotBucketCap

@@ -25,4 +25,21 @@ class ExtensionsSpec extends AnyFunSuite {
     // throw (full wiring needs a new session, which local tests share)
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
   }
+
+  test("graftbridge reaches Spark's private Column<->Expression seam") {
+    // Bridge (org.apache.spark.sql.graftbridge) depends on the
+    // `private[sql]` classic.ExpressionUtils — a deliberate, version-pinned
+    // dependency on Spark 4.1 internals. If a Spark upgrade moves or
+    // removes it, this test fails loudly at build time instead of the
+    // library failing at runtime; the round-trip also pins the semantics.
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.graftbridge.Bridge
+    // Column -> Expression -> Column round trip must yield an executable
+    // column (the expression side is a lazily-resolved wrapper node, so
+    // execution — not a type check — is what pins the seam).
+    val expr = Bridge.expression(lit(42))
+    val col = Bridge.column(expr)
+    val out = spark.range(1).select(col.as("v")).collect()(0).getInt(0)
+    assert(out == 42)
+  }
 }

@@ -5,7 +5,7 @@ import org.scalacheck.Prop.forAll
 
 import graft.engine.{DictionaryTranslator, Preprocess}
 import graft.engine.Enrich.{HeuristicColumnClassifier, HeuristicLanguageDetector}
-import graft.operators.TypedAgg.{OrderRow, TopKOrders}
+import graft.operators.TypedAgg.{OrderRow, TopBuf, TopKOrders}
 
 /** Property-based checks (SURVEY.md §5.3) over the pure driver-side
   * functions — totality, closed label vocabularies, aggregator bounds.
@@ -37,19 +37,20 @@ object PropertySpec extends Properties("graft") {
 
   property("TopKOrders bounded, sorted, merge==fold (partial-agg safety)") = {
     val agg = new TopKOrders(3)
+    // TopBuf is parallel primitive arrays (array equality is by reference),
+    // so compare contents as pairs.
+    def pairs(b: TopBuf): List[(Long, Double)] = b.orderkeys.zip(b.prices).toList
     forAll { (rows: List[(Long, Double)]) =>
       val input = rows.zipWithIndex.map { case ((c, p), i) => OrderRow(c, i.toLong, p) }
-      val buf = input.foldLeft(agg.zero)(agg.reduce)
-      val sorted = buf.sliding(2).forall {
-        case List(a, b) =>
-          a.o_totalprice > b.o_totalprice ||
-            (a.o_totalprice == b.o_totalprice && a.o_orderkey < b.o_orderkey)
+      val bp = pairs(input.foldLeft(agg.zero)(agg.reduce))
+      val sorted = bp.sliding(2).forall {
+        case List((ka, pa), (kb, pb)) => pa > pb || (pa == pb && ka < kb)
         case _ => true
       }
       val (l, r) = input.splitAt(input.length / 2)
       val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce),
         r.foldLeft(agg.zero)(agg.reduce))
-      Prop(buf.length <= 3) && Prop(sorted) && Prop(merged == buf)
+      Prop(bp.length <= 3) && Prop(sorted) && Prop(pairs(merged) == bp)
     }
   }
 }

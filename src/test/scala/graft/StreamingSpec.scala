@@ -165,6 +165,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(reloaded.columns.sorted.toSeq == Seq("event_id", "event_type", "value"))
   }
 
+  test("streaming artifact sink: two micro-batches round-trip; batch replay is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val outDir = Files.createTempDirectory("graft-art-multi").toString
+    // MemoryStream pins exact micro-batch boundaries: addData + process =
+    // one batch, so the sink must produce batch=0 and batch=1 artifacts.
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.toArtifacts(input.toDS().toDF("id", "v"), outDir).start()
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def readBatch(id: Long): Set[(Long, String)] =
+      graft.sources.Artifacts.load(spark, s"$outDir/batch=$id").collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toSet
+    assert(readBatch(0) == Set((1L, "a"), (2L, "b")))
+    assert(readBatch(1) == Set((3L, "c")))
+    // the re-read union of all batch artifacts equals the full input
+    assert(readBatch(0) ++ readBatch(1) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // Idempotent replay: a failed epoch re-runs foreachBatch with the SAME
+    // batch id and data. The batch-id-scoped overwrite must leave the
+    // artifact identical — no duplicate rows, no appended files.
+    graft.sources.Artifacts.store(
+      Seq((3L, "c")).toDF("id", "v"), s"$outDir/batch=1")
+    assert(readBatch(1) == Set((3L, "c")))
+    assert(readBatch(0) ++ readBatch(1) == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("dropDuplicatesWithinWatermark removes planted duplicates") {
     // duplicates written into the SAME files so each copy lands in the same
     // micro-batch (a second stream's copies would arrive behind the

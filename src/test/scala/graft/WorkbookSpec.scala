@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{DirWorkbookSource, WorkbookSink}
+
+/** Workbook source/sink (SURVEY.md §2.1 S2/S7): the directory-of-tables
+  * workbook and the reference's 31-char sheet-name rule, including the
+  * truncation-collision edge the reference gets wrong (`mapper.py:134`
+  * silently overwrites earlier sheets when two table names share a
+  * 31-char prefix).
+  */
+class WorkbookSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("sheetName truncates to the Excel 31-char cap") {
+    assert(WorkbookSink.sheetName("short") == "short")
+    assert(WorkbookSink.sheetName("a" * 40) == "a" * 31)
+    assert(WorkbookSink.sheetName("a" * 31) == "a" * 31)
+  }
+
+  test("sheetNames disambiguates truncation collisions deterministically") {
+    // all three truncate to the same 31-char name
+    val base31 = "fact_customer_order_lineitem_da" // exactly 31 chars
+    val a = base31 + "ily_v1"
+    val b = base31 + "ily_v2"
+    val names = WorkbookSink.sheetNames(Seq(b, a, base31))
+    assert(names.values.toSet.size == 3)
+    assert(names.values.forall(_.length <= 31))
+    // sorted order: the bare 31-char name sorts first and keeps the
+    // truncation; later colliders get a ~N suffix within the budget
+    assert(names(base31) == base31)
+    assert(names(a) == base31.take(29) + "~1")
+    assert(names(b) == base31.take(29) + "~2")
+    // input-order independence
+    assert(WorkbookSink.sheetNames(Seq(a, base31, b)) == names)
+  }
+
+  test("colliding tables round-trip losslessly through the sink") {
+    import spark.implicits._
+    val a = "t" + ("x" * 35) + "_alpha"
+    val b = "t" + ("x" * 35) + "_beta"
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb").toString
+    WorkbookSink.save(
+      Map(a -> Seq((1, "a")).toDF("id", "v"), b -> Seq((2, "b")).toDF("id", "v")),
+      dir)
+    // The reference would have written ONE sheet here; we must keep both.
+    val back = DirWorkbookSource.load(spark, dir)
+    assert(back.size == 2)
+    assert(back.values.map(_.collect().map(_.getString(1)).toSeq).toSet ==
+      Set(Seq("a"), Seq("b")))
+  }
+}
