@@ -133,4 +133,50 @@ object Enrich {
       hasForeignLetter || suffixHit || (foreign > 0 && foreign > english)
     }
   }
+
+  /** E1 through the reference's PROMPT plumbing (S8): render the template
+    * per column, delegate to a completion function — the LLM seam, a
+    * deterministic fake in tests, a remote model in a networked
+    * deployment. Response handling mirrors `translate.py:49-52`:
+    * trim + uppercase, anything outside the closed vocabulary → UNKNOWN.
+    * Sample truncation matches `translate.py:43` (top 10).
+    */
+  final class PromptedColumnClassifier(
+      complete: String => String,
+      template: graft.sources.Prompts.PromptTemplate =
+        graft.sources.Prompts.fromResource("text_column_classifier"))
+    extends ColumnClassifier {
+    override def classify(columnName: String, sample: Seq[String]): String = {
+      val out = complete(template.render(Map(
+        "column_name" -> columnName,
+        "sample_values" -> graft.sources.Prompts.sampleValues(sample.take(10)))))
+        .trim.toUpperCase
+      if (Set("TEXT", "NON-TEXT")(out)) out else "UNKNOWN"
+    }
+  }
+
+  /** E2 through the prompt plumbing (S8): ONE call labels the whole
+    * sample (`translate.py:57-76`), unlike the heuristic's per-value
+    * scoring. Empty samples short-circuit to UNKNOWN without a call.
+    */
+  final class PromptedLanguageDetector(
+      complete: String => String,
+      template: graft.sources.Prompts.PromptTemplate =
+        graft.sources.Prompts.fromResource("detect_language"),
+      columnName: String = "values")
+    extends LanguageDetector {
+    override def isNonEnglish(value: String): Boolean =
+      detect(Seq(value)) == "NON-ENGLISH"
+    override def detect(sample: Seq[String]): String = {
+      val vals = sample.filter(v => v != null && v.nonEmpty)
+      if (vals.isEmpty) "UNKNOWN"
+      else {
+        val out = complete(template.render(Map(
+          "column_name" -> columnName,
+          "sample_values" -> graft.sources.Prompts.sampleValues(vals.take(10)))))
+          .trim.toUpperCase
+        if (Set("ENGLISH", "NON-ENGLISH")(out)) out else "UNKNOWN"
+      }
+    }
+  }
 }
