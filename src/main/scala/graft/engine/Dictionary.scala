@@ -61,6 +61,27 @@ object Dictionary {
       .orderBy(md5(col("value")), col("value"))
       .limit(n)
 
+  /** Deterministic STRATIFIED sample: the k smallest ids per stratum under
+    * the md5 pseudo-permutation — the class-balancing subsample a training
+    * pipeline takes (equal-sized per-language slices of an imbalanced
+    * corpus), with the reference's determinism convention (D3's md5 order,
+    * never `random.sample`).
+    *
+    * Scale shape: the rank filter compiles to Spark's WindowGroupLimit,
+    * which keeps only k rows per stratum on the MAP side before the
+    * shuffle — the exchange carries O(strata x k), not the corpus. The
+    * md5-order tiebreak (`idCol` asc) makes the selected PREFIX unique, so
+    * the oracle checks exact membership, not just counts.
+    */
+  def sampleStratified(
+      df: DataFrame, stratumCol: String, idCol: String, k: Int): DataFrame =
+    df.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(stratumCol)
+          .orderBy(md5(col(idCol).cast("string")), col(idCol))))
+      .filter(col("rn") <= k)
+      .drop("rn")
+
   /** D4 (`mapper.py:168-192`): `{table → column names}` over a catalog. */
   def schemaOf(tables: Map[String, DataFrame]): Map[String, Seq[String]] =
     tables.map { case (name, df) => name -> df.schema.fieldNames.toSeq }

@@ -358,12 +358,40 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-contamination check — the train/eval overlap scan every
+    * training pipeline runs before release: which training documents are
+    * verbatim (normalized-fingerprint) copies of held-out evaluation
+    * documents? The "eval" split is carved deterministically (md5 of the
+    * doc_id, first hex digit < '4' — ~1/4 of the corpus) and the
+    * "training" corpus is the id-shifted full copy (the driver corpus has
+    * no planted cross-set dups, so the copy guarantees every eval doc has
+    * exactly one hit to find).
+    *
+    * Scale shape: one fingerprint projection of each side and a single
+    * shuffle equi-join on the fingerprint — the contaminated-pair output
+    * is eval-hit sized. No windows, no bands; exact containment needs
+    * nothing fancier (near-dup contamination is dd2/dd3's machinery
+    * pointed across corpora).
+    */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val fps = t(spark, dir, "documents")
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val evalSet = fps
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      .select(col("doc_id").as("eval_doc_id"), col("fp"))
+    val trainSet = fps.select((col("doc_id") + 1000000L).as("train_doc_id"), col("fp"))
+    trainSet.join(evalSet, "fp")
+      .select(col("eval_doc_id"), col("train_doc_id"))
+      .orderBy("eval_doc_id", "train_doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup,
     "dd2_jaccard_pairs" -> jaccardPairs,
     "dd3_minhash_lsh" -> minhashLsh,
     "dd4_simhash" -> simhash,
-    "dd5_dedup_clusters" -> dedupClusters
+    "dd5_dedup_clusters" -> dedupClusters,
+    "dd6_contamination" -> contamination
   )
 
   // Single-line on purpose: this fragment is interpolated into a larger
@@ -446,6 +474,18 @@ object Dedup {
       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd6_contamination" ->
+      """WITH fps AS (
+        |  SELECT doc_id,
+        |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        | ev AS (
+        |  SELECT doc_id AS eval_doc_id, fp FROM fps
+        |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'),
+        | tr AS (SELECT doc_id + 1000000 AS train_doc_id, fp FROM fps)
+        |SELECT eval_doc_id, train_doc_id
+        |FROM tr JOIN ev USING (fp)
+        |ORDER BY eval_doc_id, train_doc_id""".stripMargin,
     "dd4_simhash" -> dd4Oracle,
     "dd1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

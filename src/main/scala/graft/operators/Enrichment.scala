@@ -180,7 +180,20 @@ object Enrichment {
       .orderBy("column_name", "value")
   }
 
+  /** D3 extended to the STRATIFIED form: the 5 md5-smallest doc_ids per
+    * language — the deterministic class-balancing subsample (equal slices
+    * of an imbalanced corpus). Compiles to WindowGroupLimit: only k rows
+    * per stratum survive to the exchange (see
+    * [[graft.engine.Dictionary.sampleStratified]]).
+    */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.engine.Dictionary.sampleStratified(
+      t(spark, dir, "documents").select(col("lang"), col("doc_id")),
+      "lang", "doc_id", 5)
+      .orderBy("lang", "doc_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d4_stratified_sample" -> stratifiedSample,
     "e2_detect_distributed" -> detectLanguageDistributed,
     "e3_translate_dictionary" -> translateDictionaryQuery,
     "d1_distinct_dictionary" -> distinctDictionary,
@@ -230,6 +243,14 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d4_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 5
+        |ORDER BY lang, doc_id""".stripMargin,
     "e2_detect_distributed" -> e2Oracle,
     "d1_distinct_dictionary" ->
       s"""SELECT column_name, value FROM (

@@ -97,12 +97,68 @@ object TextAnalysis {
           .as("repetition"))
       .orderBy("doc_id")
 
+  /** Corpus vocabulary: the 50 most frequent word tokens with occurrence
+    * and document frequencies — the vocabulary-building pass of a
+    * tokenizer-training pipeline. Scale shape: explode → hash aggregate
+    * with map-side partial combine (shuffle carries distinct tokens, not
+    * occurrences), then a TakeOrderedAndProject top-k; the doc-frequency
+    * count piggybacks on the same (token, doc_id)-level aggregate.
+    */
+  def vocabulary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokensOrdered(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("token"))
+      .limit(50)
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+  private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
+
+  /** PII-style redaction — the scrubbing pass a training pipeline applies
+    * before anything leaves the data plane: emails, URLs and phone-shaped
+    * tokens are counted and replaced by typed tags. PII literals are
+    * INJECTED deterministically by doc_id (the synthetic corpus carries
+    * none), same convention as e2's mixed-language column. URLs redact
+    * first so an address inside a query string cannot double-count. All
+    * three patterns are RE2-safe (no backtracking constructs), so Spark
+    * and the DuckDB oracle match byte-for-byte; the redacted text is
+    * emitted as an md5 fingerprint to keep the gated output narrow.
+    */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val mixed =
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact john.doe@example.com")))
+      .when(col("doc_id") % 5 === 1,
+        concat(col("text"), lit(" visit https://example.com/a?b=1")))
+      .when(col("doc_id") % 5 === 2,
+        concat(col("text"), lit(" call +1-555-0100")))
+      .otherwise(col("text"))
+    val redacted =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(mixed, UrlRe, "<URL>"),
+          EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>")
+    t(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(regexp_extract_all(mixed, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(mixed, lit(UrlRe), lit(0))).cast("long").as("n_urls"),
+        size(regexp_extract_all(mixed, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+        md5(redacted).as("redacted_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_text_profile" -> profile,
     "t2_quality_bands" -> qualityBands,
     "t3_fingerprints" -> fingerprints,
     "t4_quality_filter" -> qualityFilter,
-    "t5_repetition" -> repetition
+    "t5_repetition" -> repetition,
+    "t6_vocab_topk" -> vocabulary,
+    "t7_redact" -> redact
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -188,6 +244,35 @@ object TextAnalysis {
         |    ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END, 6) AS repetition
         |FROM tk
         |ORDER BY doc_id""".stripMargin,
+    "t6_vocab_topk" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS n_occurrences,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM tok GROUP BY token
+        |ORDER BY n_occurrences DESC, token
+        |LIMIT 50""".stripMargin,
+    "t7_redact" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' contact john.doe@example.com'
+         |         WHEN doc_id % 5 = 1 THEN text || ' visit https://example.com/a?b=1'
+         |         WHEN doc_id % 5 = 2 THEN text || ' call +1-555-0100'
+         |         ELSE text END AS v
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(v, '$EmailRe')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(v, '$UrlRe')) AS BIGINT) AS n_urls,
+         |  CAST(len(regexp_extract_all(v, '$PhoneRe')) AS BIGINT) AS n_phones,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(v,
+         |    '$UrlRe', '<URL>', 'g'),
+         |    '$EmailRe', '<EMAIL>', 'g'),
+         |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,

@@ -71,6 +71,17 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("contamination: every eval doc is found exactly once, at its planted copy") {
+    val rows = graft.operators.Dedup.contamination(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // the corpus is dup-free, so the ONLY training hit for an eval doc is
+    // its own id-shifted copy
+    assert(rows.forall(r =>
+      r.getAs[Long]("train_doc_id") == r.getAs[Long]("eval_doc_id") + 1000000L))
+    val evalIds = rows.map(_.getAs[Long]("eval_doc_id"))
+    assert(evalIds.toSet.size == evalIds.length) // one hit per eval doc
+  }
+
   test("scoped caches are released once the consuming action completes") {
     import org.apache.spark.storage.StorageLevel
     // Run dd3 to completion: its shingle + verified-pair frames are

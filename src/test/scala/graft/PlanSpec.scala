@@ -95,4 +95,19 @@ class PlanSpec extends AnyFunSuite {
     val orphans = SparkEntry.oracleSql.keySet.diff(SparkEntry.queries.keySet)
     assert(orphans.isEmpty, s"oracle SQL without query: $orphans")
   }
+
+  test("stratified sample compiles to a map-side WindowGroupLimit") {
+    // the rank<=k filter must become partial WindowGroupLimits BEFORE the
+    // stratum exchange — the property that keeps the shuffle at
+    // O(strata x k) instead of corpus-sized
+    val p = plan("d4_stratified_sample")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2000))
+  }
+
+  test("vocabulary top-k ends in TakeOrderedAndProject with partial aggregation") {
+    val p = plan("t6_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    // partial + final hash aggregates around each exchange (map-side combine)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+  }
 }

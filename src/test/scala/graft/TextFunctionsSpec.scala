@@ -48,4 +48,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     val junk = one(qualityScore(col("t")), "@@!! ## 123 ,,,, ....").asInstanceOf[Double]
     assert(good > junk && good <= 1.0 && junk >= 0.0)
   }
+
+  test("redaction counts exactly the injected PII class per doc_id residue") {
+    // the synthetic corpus carries no PII of its own, so the typed counts
+    // must be exactly the one injected literal for that residue class
+    val rows = graft.operators.TextAnalysis
+      .redact(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val expected = (r.getAs[Long]("doc_id") % 5) match {
+        case 0 => (1L, 0L, 0L)
+        case 1 => (0L, 1L, 0L)
+        case 2 => (0L, 0L, 1L)
+        case _ => (0L, 0L, 0L)
+      }
+      val got = (r.getAs[Long]("n_emails"), r.getAs[Long]("n_urls"),
+        r.getAs[Long]("n_phones"))
+      assert(got == expected, s"doc ${r.getAs[Long]("doc_id")}: $got != $expected")
+    }
+  }
 }
