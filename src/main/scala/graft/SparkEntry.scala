@@ -27,7 +27,8 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.AsOf.queries ++
       operators.TypedAgg.queries ++
-      engine.Skew.queries
+      engine.Skew.queries ++
+      engine.Pipelines.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -43,5 +44,6 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.AsOf.oracle ++
       operators.TypedAgg.oracle ++
-      engine.Skew.oracle
+      engine.Skew.oracle ++
+      engine.Pipelines.oracle
 }

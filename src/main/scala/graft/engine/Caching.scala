@@ -1,6 +1,6 @@
 package graft.engine
 
-import java.util.concurrent.atomic.AtomicBoolean
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicInteger}
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.QueryExecution
@@ -26,8 +26,30 @@ import org.apache.spark.storage.StorageLevel
   * concurrent reader — at worst a second action on the same returned plan
   * recomputes the intermediate, which is the documented contract: the
   * cache's scope is ONE consuming action.
+  *
+  * Listener lifecycle: a listener whose consuming action never arrives
+  * (the caller built the plan for an audit and discarded it, or failed
+  * before executing) must not survive forever — each completed action
+  * would then pay a `sameResult` plan scan per zombie listener, a slow
+  * leak in a long-lived session. Every listener therefore EXPIRES after
+  * [[MaxMissedActions]] completed actions that did not consume its plan:
+  * it unpersists (safe — a late consumer just recomputes) and
+  * deregisters. [[outstanding]] counts live listeners so tests can assert
+  * the session returns to baseline.
   */
 object Caching {
+
+  /** Completed non-consuming actions a scoped cache survives before it
+    * expires. Large enough that interleaved foreground queries (e.g. a
+    * concurrent bench loop) cannot evict a cache whose action is still
+    * queued behind them; small enough that abandoned plans drain promptly.
+    */
+  private[graft] val MaxMissedActions = 64
+
+  private val live = new AtomicInteger(0)
+
+  /** Number of scoped-cache listeners currently registered (test hook). */
+  def outstanding: Int = live.get()
 
   def scopedPersist(
       df: DataFrame,
@@ -42,23 +64,29 @@ object Caching {
     val persisted = df.persist(level)
     val target = persisted.queryExecution.analyzed
     val released = new AtomicBoolean(false)
+    val missed = new AtomicInteger(0)
+    live.incrementAndGet()
     val listener = new QueryExecutionListener {
       // sameResult (not eq): the consuming action analyzes its own copy of
       // the plan tree, so identity comparison would never match.
       private def consumed(qe: QueryExecution): Boolean =
         try qe.analyzed.exists(_.sameResult(target))
         catch { case _: Throwable => false }
-      private def release(qe: QueryExecution): Unit =
-        if (consumed(qe) && released.compareAndSet(false, true)) {
+      private def release(): Unit =
+        if (released.compareAndSet(false, true)) {
           persisted.unpersist(blocking = false)
           spark.listenerManager.unregister(this)
+          live.decrementAndGet()
         }
+      private def onCompleted(qe: QueryExecution): Unit =
+        if (consumed(qe) || missed.incrementAndGet() >= MaxMissedActions)
+          release()
       override def onSuccess(
           funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-        release(qe)
+        onCompleted(qe)
       override def onFailure(
           funcName: String, qe: QueryExecution, exception: Exception): Unit =
-        release(qe)
+        onCompleted(qe)
     }
     spark.listenerManager.register(listener)
     persisted

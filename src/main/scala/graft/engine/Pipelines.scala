@@ -96,4 +96,111 @@ object Pipelines {
     sinkPath.foreach(p => WorkbookSink.save(tables, p))
     tables
   }
+
+  /** pipe1 — the end-to-end training-corpus pipeline, composed from the
+    * operators a real user would chain: P1-P10 clean → quality score +
+    * language ID (t4's scoring) → canonical near-dup assignment over the
+    * SURVIVING corpus (dd5's machinery) → held-out-eval contamination drop
+    * (dd6/dd7's split convention: the md5-carved ~1/4 of ids is the eval
+    * benchmark; any training component touching it is leaked and dropped
+    * whole) → per-language stratified sample (d4).
+    *
+    * Scan discipline (the integration claim): `documents` is read from
+    * parquet EXACTLY ONCE. The cleaned+scored corpus is locally
+    * checkpointed — one materializing job — and every later consumer (the
+    * shingle pass feeding label propagation, the keep-list join, the
+    * final sample) reads those blocks; the FINAL action's plan contains
+    * zero parquet scans (PlanSpec-asserted). A scoped cache would not do
+    * here: the label-propagation rounds are separate actions, and the
+    * first would release the cache before the caller's own action runs.
+    *
+    * Output: the sampled corpus manifest `(doc_id, lang_detected,
+    * quality)` — k=5 docs per detected language, md5-permutation order
+    * (D3's determinism convention), so the oracle checks exact membership.
+    */
+  def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.EvalOnce.once
+    import graft.functions.TextFunctions.{langId, qualityScore}
+
+    val cleaned = Preprocess.clean(graft.Tables.t(spark, dir, "documents")).df
+    val scored = cleaned
+      .select(col("doc_id"), col("text"),
+        once(qualityScore(col("text"))).as("quality"),
+        once(langId(col("text"))).as("lang_detected"))
+      .filter(col("quality") >= 0.5)
+      .localCheckpoint()
+    val labels = graft.operators.Dedup.clustersOf(
+      scored.select(col("doc_id"), col("text")))
+    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+    // Components with at least one eval member are leaked wholesale: any
+    // training doc near-duplicating eval data (or near-duplicating a doc
+    // that does) trains on the benchmark.
+    val contaminated = labels.filter(isEval)
+      .select(col("canonical_doc_id").as("bad")).distinct()
+    val kept = scored
+      .join(labels.select(col("doc_id").as("lid"), col("canonical_doc_id")),
+        col("doc_id") === col("lid"))
+      .filter(!isEval && col("doc_id") === col("canonical_doc_id"))
+      .join(contaminated, col("canonical_doc_id") === col("bad"), "left_anti")
+      .select(col("doc_id"), col("lang_detected"), col("quality"))
+    Dictionary.sampleStratified(kept, "lang_detected", "doc_id", 5)
+      .orderBy("lang_detected", "doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe1_training_corpus" -> trainingCorpus
+  )
+
+  /** pipe1's oracle chains the SAME shared fragments the stage oracles
+    * use — Preprocess.Placeholders, TextAnalysis.sqlQuality/sqlLangId,
+    * Dedup.dd3CtesFrom/dd3PairSelect and dd5's recursive closure — so the
+    * composed pipeline cannot drift from its stages.
+    */
+  val oracle: Map[String, String] = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val ph = Preprocess.Placeholders.map("'" + _ + "'").mkString("(", ",", ")")
+    val q = TextAnalysis.sqlQuality("text")
+    val lang = TextAnalysis.sqlLangId("text")
+    Map("pipe1_training_corpus" ->
+      (s"""WITH RECURSIVE cleaned AS (
+          |  SELECT DISTINCT doc_id,
+          |    trim(CASE WHEN text IN $ph THEN NULL ELSE text END) AS text
+          |  FROM documents),
+          | scored AS (
+          |  SELECT doc_id, text, $q AS quality, $lang AS lang_detected
+          |  FROM cleaned
+          |  WHERE $q >= 0.5),
+          | """.stripMargin +
+        Dedup.dd3CtesFrom("scored", "x.doc_id < y.doc_id") +
+        s",\n pairs AS (${Dedup.dd3PairSelect}),\n" +
+        """ edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          | reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          | labels AS (
+          |  SELECT s.doc_id,
+          |    CAST(least(coalesce(min(r.dst), s.doc_id), s.doc_id) AS BIGINT) AS canon
+          |  FROM scored s LEFT JOIN reach r ON s.doc_id = r.src
+          |  GROUP BY s.doc_id),
+          | contaminated AS (
+          |  SELECT DISTINCT canon FROM labels
+          |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'),
+          | kept AS (
+          |  SELECT s.doc_id, s.lang_detected, s.quality
+          |  FROM scored s JOIN labels l ON s.doc_id = l.doc_id
+          |  WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) >= '4'
+          |    AND s.doc_id = l.canon
+          |    AND l.canon NOT IN (SELECT canon FROM contaminated))
+          |SELECT doc_id, lang_detected, quality FROM (
+          |  SELECT doc_id, lang_detected, quality,
+          |    row_number() OVER (PARTITION BY lang_detected
+          |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+          |  FROM kept)
+          |WHERE rn <= 5
+          |ORDER BY lang_detected, doc_id""".stripMargin))
+  }
 }

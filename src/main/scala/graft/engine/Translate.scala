@@ -1,11 +1,9 @@
 package graft.engine
 
-import com.fasterxml.jackson.databind.ObjectMapper
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import scala.jdk.CollectionConverters._
 
 /** Translation operators (SURVEY.md §2.4 E3/E4/E5).
   *
@@ -173,16 +171,10 @@ object DictionaryTranslator {
   /** Load a translation table shaped like the reference's golden artifact
     * (`cache/translated-map.json`): `{column → {original → translated}}`.
     * Driver-side load — translation tables are dictionary-sized by
-    * construction (distinct values, not rows).
+    * construction (distinct values, not rows). Byte I/O goes through
+    * [[graft.sources.Artifacts.loadMap]] (Hadoop FileSystem), so the
+    * artifact can live on cluster storage next to the frame artifacts.
     */
-  def fromJson(path: String): DictionaryTranslator = {
-    val root = new ObjectMapper().readTree(new java.io.File(path))
-    val table = root.properties().asScala.map { e =>
-      val col = e.getKey
-      val m = e.getValue.properties().asScala
-        .map(f => f.getKey -> f.getValue.asText()).toMap
-      col -> m
-    }.toMap
-    new DictionaryTranslator(table)
-  }
+  def fromJson(path: String): DictionaryTranslator =
+    new DictionaryTranslator(graft.sources.Artifacts.loadMap(path))
 }

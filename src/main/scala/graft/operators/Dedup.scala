@@ -54,17 +54,21 @@ object Dedup {
   private[graft] def shinglesOf(tokAttr: Column): Column =
     array_distinct(graft.functions.TextFunctions.rawShingles(tokAttr))
 
-  /** documents -> (doc_id, sh): tokenization and shingling as two stacked
-    * projections so each runs once per row. Documents with fewer than two
-    * tokens shingle to nothing and can never be candidates, so they are
-    * filtered out entirely — the oracle's empty `range(1, len)` produces
-    * the same absence.
+  /** (doc_id, text) -> (doc_id, sh): tokenization and shingling as two
+    * stacked projections so each runs once per row. Documents with fewer
+    * than two tokens shingle to nothing and can never be candidates, so
+    * they are filtered out entirely — the oracle's empty `range(1, len)`
+    * produces the same absence. Parameterized over the corpus frame so
+    * pipelines can shingle a cleaned/filtered corpus, not just the raw
+    * table.
     */
-  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
-      .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokensOrdered(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
+
+  private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
+    shingledOf(t(spark, dir, "documents").select(col("doc_id"), col("text")))
 
   /** Exact dedup by content fingerprint: canonical = min doc_id per group.
     * Input is documents unioned with an id-shifted copy of itself so real
@@ -188,19 +192,20 @@ object Dedup {
     * tripled dd3's bench cost. MIN is duplicate-insensitive, so the
     * signature path loses nothing by consuming the distinct shingles.
     */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
-    val sh = graft.engine.Caching.scopedPersist(shingled(spark, dir))
+  /** Candidate generation + exact-Jaccard verification over an (already
+    * cached) shingle frame — the reusable core of dd3, consumed by dd5's
+    * edge build and pipe1's dedup stage. The verified pair set is persisted
+    * (scoped to the consuming action) so multiple plan subtrees consume ONE
+    * materialization of the candidate+verify joins; it is near-dup-count
+    * sized, orders of magnitude smaller than the corpus.
+    */
+  private[graft] def verifiedPairsOf(sh: DataFrame): DataFrame = {
     val bb = capHotBuckets(bandBuckets(signatures(sh)), "band", "bucket")
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    // The verified pair set is persisted (scoped to the consuming action)
-    // so dd3's ordered output — and, within dd5's first materializing
-    // action, the edge frame build — consume ONE materialization of the
-    // candidate+verify joins; it is near-dup-count sized, orders of
-    // magnitude smaller than the corpus.
     val verified = cand.join(sh.alias("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.alias("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -209,8 +214,12 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
       .filter(col("shingle_jaccard") >= 0.7)
-    val scoped = graft.engine.Caching.scopedPersist(verified)
-    scoped.orderBy("doc_a", "doc_b")
+    graft.engine.Caching.scopedPersist(verified)
+  }
+
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val sh = graft.engine.Caching.scopedPersist(shingled(spark, dir))
+    verifiedPairsOf(sh).orderBy("doc_a", "doc_b")
   }
 
   /** Hot-bucket guard for every banded candidate join: within each
@@ -313,8 +322,18 @@ object Dedup {
     * iterative lineage. The same loop shape runs unchanged on a
     * 1000-executor cluster (it is the standard large-graph CC recipe).
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = minhashLsh(spark, dir).select(col("doc_a"), col("doc_b"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    clustersOf(t(spark, dir, "documents").select(col("doc_id"), col("text")))
+      .orderBy("doc_id")
+
+  /** The canonical-assignment core over an arbitrary `(doc_id, text)`
+    * corpus frame — dd5 runs it on the raw table, pipe1 on the
+    * cleaned+quality-filtered corpus. Returns the unordered
+    * `(doc_id, canonical_doc_id)` assignment (one row per input doc).
+    */
+  private[graft] def clustersOf(docs: DataFrame): DataFrame = {
+    val sh = graft.engine.Caching.scopedPersist(shingledOf(docs))
+    val pairs = verifiedPairsOf(sh).select(col("doc_a"), col("doc_b"))
     val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -334,12 +353,17 @@ object Dedup {
       val lowered = labels.join(nbrMin, col("doc_id") === col("src"), "left")
         .select(col("doc_id"), col("canon"),
           least(col("canon"), coalesce(col("nbr"), col("canon"))).as("c1"))
+      // LAZY checkpoint: the convergence count below is the round's ONE
+      // action — it materializes the checkpoint blocks and counts in the
+      // same job (an eager checkpoint followed by a count would traverse
+      // the frame twice per round, doubling the driver's job count on the
+      // query that dominates the bench).
       val halved = lowered.alias("l")
         .join(labels.select(col("doc_id").as("pid"), col("canon").as("pcanon")),
           col("c1") === col("pid"))
         .select(col("l.doc_id").as("doc_id"), col("l.canon").as("prev"),
           least(col("c1"), col("pcanon")).as("canon"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       changed = halved.filter(col("canon") < col("prev")).count()
       labels = halved.select(col("doc_id"), col("canon"))
       rounds += 1
@@ -350,12 +374,11 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"dedupClusters: label propagation did not converge in $rounds rounds")
     adj.unpersist()
-    t(spark, dir, "documents").select(col("doc_id"))
+    docs.select(col("doc_id"))
       .join(labels.select(col("doc_id").as("eid"), col("canon")),
         col("doc_id") === col("eid"), "left")
       .select(col("doc_id"),
         coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
-      .orderBy("doc_id")
   }
 
   /** Benchmark-contamination check — the train/eval overlap scan every
@@ -385,13 +408,57 @@ object Dedup {
       .orderBy("eval_doc_id", "train_doc_id")
   }
 
+  /** NEAR-dup cross-corpus contamination — the realistic form of eval
+    * leakage dd6's verbatim check misses: a training document that is a
+    * lightly-edited copy of a held-out eval document. This is dd3's
+    * machinery pointed ACROSS the train/eval split: one shingle pass over
+    * the combined corpus, MinHash band candidates restricted to
+    * cross-corpus pairs, exact shingle-Jaccard >= 0.7 verification. The
+    * split follows dd6's conventions — eval = the md5-carved ~1/4 of the
+    * corpus, train = the id-shifted full copy (every eval doc is
+    * guaranteed its verbatim hit at jaccard 1.0; the corpus's organic
+    * near-dups supply the lightly-edited ones).
+    *
+    * Scale shape: identical to dd3 — candidate count tracks cross-corpus
+    * duplicate density (band collisions), never |train| x |eval|; hot
+    * buckets share the one [[capHotBuckets]] rule; output is
+    * eval-hit-sized. The cross-side predicate on the banded equi-join
+    * costs nothing extra: eval ids < 1000000 <= train ids, so it is the
+    * same "ordered pair" shape with the split point fixed.
+    */
+  def nearContamination(spark: SparkSession, dir: String): DataFrame = {
+    // Shingle ONCE; both corpus sides and both verify sides derive from
+    // the cached frame with cheap projections.
+    val base = graft.engine.Caching.scopedPersist(shingled(spark, dir))
+    val evalSide = base.filter(
+      substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+    val trainSide = base.select((col("doc_id") + 1000000L).as("doc_id"), col("sh"))
+    val corpus = evalSide.unionAll(trainSide)
+    val bb = capHotBuckets(bandBuckets(signatures(corpus)), "band", "bucket")
+    val cand = bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < lit(1000000L) && col("y.doc_id") >= lit(1000000L))
+      .select(col("x.doc_id").as("eval_doc_id"), col("y.doc_id").as("train_doc_id"))
+      .distinct()
+    cand.join(corpus.alias("sa"), col("eval_doc_id") === col("sa.doc_id"))
+      .join(corpus.alias("sb"), col("train_doc_id") === col("sb.doc_id"))
+      .select(col("eval_doc_id"), col("train_doc_id"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("i"),
+        (size(col("sa.sh")) + size(col("sb.sh"))).as("su"))
+      .select(col("eval_doc_id"), col("train_doc_id"),
+        round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
+      .filter(col("shingle_jaccard") >= 0.7)
+      .orderBy("eval_doc_id", "train_doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup,
     "dd2_jaccard_pairs" -> jaccardPairs,
     "dd3_minhash_lsh" -> minhashLsh,
     "dd4_simhash" -> simhash,
     "dd5_dedup_clusters" -> dedupClusters,
-    "dd6_contamination" -> contamination
+    "dd6_contamination" -> contamination,
+    "dd7_near_contamination" -> nearContamination
   )
 
   // Single-line on purpose: this fragment is interpolated into a larger
@@ -435,13 +502,16 @@ object Dedup {
     s"list_distinct(list_transform(range(1, len($sqlToks)), i -> list_element($sqlToks, i) || ' ' || list_element($sqlToks, i + 1)))"
 
   /** dd3's shingle→signature→band→candidate pipeline as a reusable CTE
-    * chain (shared by the dd3 and dd5 oracles so they cannot drift). No
-    * inner line is margin-prefixed, so interpolating the stripped fragment
-    * into a larger SQL string is safe.
+    * chain, parameterized over the source relation (must expose
+    * `doc_id, text`) and the candidate-pair predicate — shared by the
+    * dd3, dd5 AND dd7 oracles so the pipeline cannot drift between them.
+    * dd7 swaps the predicate from "lower id first" to "cross-corpus only".
+    * No inner line is margin-prefixed, so interpolating the stripped
+    * fragment into a larger SQL string is safe.
     */
-  private val dd3Ctes: String =
+  private[graft] def dd3CtesFrom(src: String, candPred: String): String =
     s"""sh AS (
-       |  SELECT doc_id, $sqlShingles AS shingles FROM documents),
+       |  SELECT doc_id, $sqlShingles AS shingles FROM $src),
        | ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
        | sig AS (SELECT doc_id,
        |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
@@ -458,10 +528,12 @@ object Dedup {
        | cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM cappedb x JOIN cappedb y
-       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+       |    ON x.band = y.band AND x.bucket = y.bucket AND $candPred)""".stripMargin
+
+  private val dd3Ctes: String = dd3CtesFrom("documents", "x.doc_id < y.doc_id")
 
   /** dd3's verified-pair SELECT (no ORDER BY — dd5 wraps it as a CTE). */
-  private val dd3PairSelect: String =
+  private[graft] val dd3PairSelect: String =
     """SELECT doc_a, doc_b,
       |  round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE) /
       |    (len(sa.shingles) + len(sb.shingles)
@@ -528,6 +600,20 @@ object Dedup {
     "dd3_minhash_lsh" ->
       (s"WITH $dd3Ctes\n" +
         s"$dd3PairSelect\nORDER BY doc_a, doc_b"),
+    // dd7: the dd3 pipeline over the combined train/eval corpus with the
+    // candidate predicate restricted to cross-corpus pairs.
+    "dd7_near_contamination" ->
+      (s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
+          | """.stripMargin +
+        dd3CtesFrom("corpus", "x.doc_id < 1000000 AND y.doc_id >= 1000000") +
+        s",\n pairs AS ($dd3PairSelect)\n" +
+        """SELECT doc_a AS eval_doc_id, doc_b AS train_doc_id, shingle_jaccard
+          |FROM pairs
+          |ORDER BY eval_doc_id, train_doc_id""".stripMargin),
     // Canonical assignment: min doc_id over each connected component of the
     // dd3 edge set, computed as a recursive transitive closure (tractable
     // at oracle scale; the Spark side uses log-round label propagation).

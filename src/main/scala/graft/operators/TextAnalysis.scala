@@ -99,17 +99,22 @@ object TextAnalysis {
 
   /** Corpus vocabulary: the 50 most frequent word tokens with occurrence
     * and document frequencies — the vocabulary-building pass of a
-    * tokenizer-training pipeline. Scale shape: explode → hash aggregate
-    * with map-side partial combine (shuffle carries distinct tokens, not
-    * occurrences), then a TakeOrderedAndProject top-k; the doc-frequency
-    * count piggybacks on the same (token, doc_id)-level aggregate.
+    * tokenizer-training pipeline. Scale shape: explode → ONE
+    * `(token, doc_id)`-level hash aggregate (map-side partial combine, so
+    * the shuffle carries distinct pairs, not occurrences), from which BOTH
+    * counts derive — `n_occurrences` as the sum of per-doc counts, `n_docs`
+    * as the pair count — then a TakeOrderedAndProject top-k. A direct
+    * `count + countDistinct` would instead plan through Expand, duplicating
+    * every exploded token row before the shuffle; PlanSpec pins the
+    * Expand-free shape.
     */
   def vocabulary(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"), explode(tokensOrdered(col("text"))).as("token"))
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("c"))
       .groupBy("token")
-      .agg(count(lit(1)).as("n_occurrences"),
-        countDistinct(col("doc_id")).as("n_docs"))
+      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
@@ -180,13 +185,13 @@ object TextAnalysis {
     val stop = graft.functions.TextFunctions.EnStop.map("'" + _ + "'").mkString(",")
     s"CASE WHEN len($toks) = 0 THEN 0.0 ELSE CAST(len(list_filter($toks, x -> list_contains([$stop], x))) AS DOUBLE) / len($toks) END"
   }
-  private def sqlQuality(c: String) = {
+  private[graft] def sqlQuality(c: String) = {
     val en = graft.functions.TextFunctions.EnStop
     s"""round(${sqlAlpha(c)} * 0.4 + least(length($c) / 200.0, 1.0) * 0.3 +
        | least(${sqlHits(c, en)} / 4.0, 1.0) * 0.2 +
        | (1.0 - least(${sqlPunct(c)} * 5.0, 1.0)) * 0.1, 6)""".stripMargin
   }
-  private def sqlLangId(c: String) = {
+  private[graft] def sqlLangId(c: String) = {
     import graft.functions.TextFunctions._
     val (en, de, es, fr) =
       (sqlHits(c, EnStop), sqlHits(c, DeStop), sqlHits(c, EsStop), sqlHits(c, FrStop))

@@ -33,6 +33,19 @@ object Artifacts {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.json(path)
 
+  /** The map artifacts are driver-sized by contract, but a real pipeline
+    * checkpoints them NEXT TO the frame artifacts on cluster storage, so
+    * the byte I/O goes through the Hadoop `FileSystem` resolved from the
+    * active session's configuration — `file:`, `hdfs:` and `s3a:` paths
+    * all work; a bare local path keeps working via the default scheme.
+    */
+  private def fsFor(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    path.getFileSystem(conf)
+  }
+
   /** S4 for nested map artifacts. */
   def storeMap(m: Map[String, Map[String, String]], path: String): Unit = {
     val mapper = new ObjectMapper()
@@ -41,14 +54,21 @@ object Artifacts {
       val innerNode = node.putObject(k)
       inner.toSeq.sortBy(_._1).foreach { case (ik, iv) => innerNode.put(ik, iv) }
     }
-    mapper.writerWithDefaultPrettyPrinter().writeValue(new java.io.File(path), node)
+    val p = new org.apache.hadoop.fs.Path(path)
+    // FSDataOutputStream is both a DataOutput and an OutputStream; pin the
+    // OutputStream overload.
+    val out: java.io.OutputStream = fsFor(p).create(p, true)
+    try mapper.writerWithDefaultPrettyPrinter().writeValue(out, node)
+    finally out.close()
   }
 
   /** S5 for nested map artifacts (same shape as
     * `cache/translated-map.json`).
     */
   def loadMap(path: String): Map[String, Map[String, String]] = {
-    val root = new ObjectMapper().readTree(new java.io.File(path))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = fsFor(p).open(p)
+    val root = try new ObjectMapper().readTree(in) finally in.close()
     root.properties().asScala.map { e =>
       e.getKey -> e.getValue.properties().asScala
         .map(f => f.getKey -> f.getValue.asText()).toMap

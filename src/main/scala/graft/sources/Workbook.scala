@@ -42,24 +42,33 @@ trait WorkbookSource {
 /** Directory-of-tables workbook: every regular file (or partitioned
   * subdirectory of parquet/csv parts) under `path` is one table named by its
   * base name.
+  *
+  * The listing goes through the Hadoop `FileSystem` API resolved from the
+  * session's `hadoopConfiguration`, so the workbook directory can live on
+  * ANY storage the cluster reaches (`file:`, `hdfs:`, `s3a:`, ...) — a
+  * `java.io.File` listing would only ever see the driver's local disk,
+  * which contradicts the whole point of each sheet being a splittable
+  * distributed dataset.
   */
 object DirWorkbookSource extends WorkbookSource {
   override def load(spark: SparkSession, path: String): Map[String, DataFrame] = {
-    val dir = new java.io.File(path)
-    require(dir.isDirectory, s"Not a directory: $path")
-    val entries = dir.listFiles().toSeq.sortBy(_.getName).flatMap { f =>
-      val name = f.getName.replaceFirst("\\.[^.]+$", "")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.getFileStatus(p).isDirectory, s"Not a directory: $path")
+    val entries = fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { f =>
+      val name = f.getPath.getName.replaceFirst("\\.[^.]+$", "")
+      val child = f.getPath.toString
       // Subdirectories: try parquet parts first, then csv parts (a Spark
       // csv sink writes a directory too). Anything unreadable as a table
       // is skipped, not fatal — workbooks may carry stray files.
       val loaded =
         if (f.isDirectory)
-          scala.util.Try(spark.read.parquet(f.getPath))
+          scala.util.Try(spark.read.parquet(child))
             .orElse(scala.util.Try(
               spark.read.option("header", "true").option("inferSchema", "true")
-                .csv(f.getPath)))
+                .csv(child)))
             .toOption
-        else scala.util.Try(Loader.load(spark, f.getPath)).toOption
+        else scala.util.Try(Loader.load(spark, child)).toOption
       loaded.map(name -> _)
     }
     // Base-name collisions ("sales.csv" + "sales.json") keep the FIRST in

@@ -33,4 +33,13 @@ class ArtifactsSpec extends AnyFunSuite {
     val tr = graft.engine.DictionaryTranslator.fromJson(path)
     assert(tr.translateOne("Aral Autohof") == "Aral truck stop")
   }
+
+  test("map artifact I/O goes through the Hadoop FileSystem API (file: URI)") {
+    spark // force a session so the artifact resolves the session's Hadoop conf
+    val m = Map("col" -> Map("k" -> "v"))
+    val path = s"file:${Files.createTempDirectory("graft-art-fs")}/map.json"
+    Artifacts.storeMap(m, path)
+    assert(Artifacts.loadMap(path) == m)
+    assert(graft.engine.DictionaryTranslator.fromJson(path).translateOne("k") == "v")
+  }
 }

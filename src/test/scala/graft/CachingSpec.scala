@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Caching
+
+/** Scoped-cache lifecycle: the listener must leave the session after its
+  * consuming action, and — the round-4 leak — also when that action NEVER
+  * arrives (plan built, then abandoned), once enough unrelated actions
+  * have completed.
+  */
+class CachingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  /** Listener completion is async (listener-bus thread): poll. */
+  private def awaitOutstanding(n: Int, timeoutMs: Long = 20000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (Caching.outstanding != n && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    assert(Caching.outstanding == n,
+      s"outstanding=${Caching.outstanding}, expected $n")
+  }
+
+  test("a consumed action releases the cache and its listener") {
+    val baseline = Caching.outstanding
+    val cached = Caching.scopedPersist(
+      spark.range(1000).toDF("id").withColumn("x", col("id") * 2))
+    assert(Caching.outstanding == baseline + 1)
+    val derived = cached.filter(col("x") % 4 === 0)
+    assert(derived.count() == 500)
+    awaitOutstanding(baseline)
+    // storage released too (poll: unpersist is non-blocking)
+    val deadline = System.currentTimeMillis() + 20000
+    while (cached.storageLevel != StorageLevel.NONE &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(cached.storageLevel == StorageLevel.NONE)
+  }
+
+  test("an abandoned plan expires after unrelated actions instead of leaking") {
+    val baseline = Caching.outstanding
+    val abandoned = Caching.scopedPersist(
+      spark.range(500).toDF("id").withColumn("y", col("id") + 1))
+    assert(Caching.outstanding == baseline + 1)
+    // No action ever consumes `abandoned`; unrelated traffic must expire it.
+    (1 to Caching.MaxMissedActions + 1).foreach(_ => spark.range(2).count())
+    awaitOutstanding(baseline)
+    val deadline = System.currentTimeMillis() + 20000
+    while (abandoned.storageLevel != StorageLevel.NONE &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(abandoned.storageLevel == StorageLevel.NONE)
+  }
+}

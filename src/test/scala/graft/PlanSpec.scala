@@ -109,5 +109,19 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p.take(2000))
     // partial + final hash aggregates around each exchange (map-side combine)
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2000))
+    // both frequencies derive from ONE (token, doc_id) pre-aggregate: a
+    // count+countDistinct plan would insert Expand, duplicating every
+    // exploded token row before the shuffle
+    assert(!p.contains("Expand"), p.take(2000))
+  }
+
+  test("pipe1 composes on one documents scan: final plan reads no parquet") {
+    // The cleaned+scored corpus is checkpointed once; every downstream
+    // stage (label propagation, keep-list join, stratified sample) must
+    // consume those blocks. A parquet scan in the final plan means some
+    // stage silently re-read (and re-scored) the corpus.
+    val p = plan("pipe1_training_corpus")
+    assert(!p.contains("FileScan"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000)) // d4's map-side limit survives composition
   }
 }

@@ -50,4 +50,27 @@ class WorkbookSpec extends AnyFunSuite {
     assert(back.values.map(_.collect().map(_.getString(1)).toSeq).toSet ==
       Set(Seq("a"), Seq("b")))
   }
+
+  test("workbook listing goes through the Hadoop FileSystem API (file: URI)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-fs").toString
+    WorkbookSink.save(
+      Map("sales" -> Seq((1, "x"), (2, "y")).toDF("id", "v"),
+        "dims" -> Seq((7, "d")).toDF("id", "v")),
+      dir)
+    // The same directory addressed by a scheme-qualified URI: a
+    // java.io.File listing would reject "file:/...", the Hadoop path
+    // resolves it — which is what lets the workbook live on hdfs:/s3a:.
+    val back = DirWorkbookSource.load(spark, s"file:$dir")
+    assert(back.keySet == Set("sales", "dims"))
+    assert(back("sales").count() == 2)
+    assert(back("dims").collect().map(_.getString(1)).toSeq == Seq("d"))
+  }
+
+  test("non-directory workbook path fails loudly") {
+    val f = java.nio.file.Files.createTempFile("graft-wb", ".parquet")
+    intercept[IllegalArgumentException] {
+      DirWorkbookSource.load(spark, f.toString)
+    }
+  }
 }
