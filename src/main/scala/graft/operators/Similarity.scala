@@ -211,11 +211,77 @@ object Similarity {
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** IVF (inverted-file) ANN with DATA-DEPENDENT centroids — the FAISS
+    * IVFFlat search shape, complementing sim2's data-independent sign-LSH
+    * cells: K corpus vectors chosen by the md5 pseudo-permutation (D3's
+    * determinism convention) act as cell centroids; every vector joins the
+    * inverted list of its nearest centroid; a query probes its nprobe=2
+    * nearest cells and exact-reranks only those lists.
+    *
+    * Centroids are sampled medoids, not Lloyd-refined means, BY DESIGN:
+    * k-means refinement is a training-time concern that at 100 TB runs on
+    * a driver-side sample, and float mean accumulation is order-dependent
+    * across engines — pinning deterministic medoids keeps the entire
+    * SEARCH path (assignment argmax, inverted lists, probing, rerank)
+    * bit-for-bit oracle-checkable, which is the part that must be correct
+    * at scale. A refined centroid table drops into the same `(cid, sv)`
+    * seam.
+    *
+    * Scale shape: K is corpus-scaled but clamped (≤64 here, ~64 vectors
+    * per cell at the test sizes), so assignment is a broadcast
+    * nested-product of K skinny dot products per vector — linear in n —
+    * and the rank-1 filter compiles to a map-side WindowGroupLimit (the
+    * shuffle carries one row per vector, not n×K). The probe stage
+    * broadcasts the (tiny) probed-cell candidate ids against the corpus —
+    * the corpus itself never shuffles. At real scale the assignment table
+    * is precomputed once and bucketed by cell id; the per-query plan is
+    * identical.
+    */
+  def ivfAnn(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = t(spark, dir, "embeddings").count()
+    val k = math.max(4L, math.min(64L, (n + 63L) / 64L)).toInt
+    val e = withNorm(spark, dir)
+    val seedOrder = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    // TakeOrderedAndProject prefix, THEN an ordinal window over the K-row
+    // result — never a global single-partition window over the corpus.
+    val seeds = e.orderBy(seedOrder: _*).limit(k)
+      .withColumn("cid", row_number().over(Window.orderBy(seedOrder: _*)) - 1)
+      .select(col("cid"), col("embedding").as("sv"), col("nrm").as("sn"))
+    // (vec_id, cid, cs): rounded cosine of every vector to every centroid.
+    val scored = e.join(broadcast(seeds))
+      .select(col("vec_id"), col("cid"),
+        round(dot(col("embedding"), col("sv")) / (col("nrm") * col("sn")), 6).as("cs"))
+    val cells = scored.withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))))
+      .filter(col("rk") === 1).select(col("vec_id"), col("cid"))
+    // The query's nprobe=2 nearest cells (the vec_id=0 filter pushes below
+    // the centroid join — this subtree costs K dot products, not n×K).
+    val qcells = scored.filter(col("vec_id") === 0L)
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cs").desc, col("cid"))))
+      .filter(col("rk") <= 2).select(col("cid").as("pcid"))
+    // Candidate ids = the probed cells' inverted lists; broadcast them so
+    // the corpus-side rerank join never shuffles the corpus.
+    val candIds = cells.join(broadcast(qcells), col("cid") === col("pcid"))
+      .select(col("vec_id").as("cand_id"))
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    e.join(broadcast(candIds), col("vec_id") === col("cand_id"))
+      .filter(col("vec_id") =!= 0L)
+      .join(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ann_bucketed" -> annBucketed,
     "sim3_embedding_neardup" -> embeddingNearDup,
-    "sim4_batch_ann" -> batchAnn
+    "sim4_batch_ann" -> batchAnn,
+    "sim5_ivf_ann" -> ivfAnn
   )
 
   private val sqlCos =
@@ -272,6 +338,40 @@ object Similarity {
          |  FROM scored)
          |SELECT qid, vec_id, label, cos FROM rk WHERE r <= 3
          |ORDER BY qid, cos DESC, vec_id""".stripMargin,
+    "sim5_ivf_ann" ->
+      s"""WITH kprm AS (
+         |  SELECT greatest(4, least(64, (count(*) + 63) // 64)) AS k
+         |  FROM embeddings),
+         | n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         | sr AS (SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+         |  FROM n),
+         | seeds AS (SELECT rn - 1 AS cid, v AS sv FROM sr
+         |  WHERE rn <= (SELECT k FROM kprm)),
+         | scored AS (
+         |  SELECT a.vec_id, s.cid,
+         |    round(list_dot_product(a.v, s.sv) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(s.sv, s.sv))), 6) AS cs
+         |  FROM n a CROSS JOIN seeds s),
+         | cells AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk
+         |    FROM scored) WHERE rk = 1),
+         | qprobe AS (
+         |  SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rk
+         |    FROM scored WHERE vec_id = 0) WHERE rk <= 2)
+         |SELECT a.vec_id, a.label,
+         |  round(list_dot_product(a.v, q.v) /
+         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(q.v, q.v))), 6) AS cos
+         |FROM n a
+         |JOIN cells c ON a.vec_id = c.vec_id
+         |JOIN qprobe p ON c.cid = p.cid
+         |JOIN n q ON q.vec_id = 0
+         |WHERE a.vec_id <> 0
+         |ORDER BY cos DESC, a.vec_id
+         |LIMIT 5""".stripMargin,
     "sim3_embedding_neardup" ->
       s"""WITH $sqlBitsCte,
          | n AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings),

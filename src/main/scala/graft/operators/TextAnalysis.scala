@@ -118,6 +118,51 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
+  /** Bigram language-model surprise — the perplexity-style quality signal
+    * training pipelines use (CCNet/Gopher lineage): train add-one-smoothed
+    * bigram statistics on the corpus itself, then score every document by
+    * the average negative log-likelihood of its bigrams. High surprise =
+    * unusual token sequences (garbled text, boilerplate word-salad); low =
+    * fluent in-distribution text. Deterministic by construction — no
+    * external LM, the corpus is its own model.
+    *
+    * Scale shape: the model is VOCABULARY-sized, not corpus-sized — bigram
+    * counts (one explode + hash agg, map-side combine), prefix counts
+    * derived FROM the bigram table (vocab²-bounded, one tiny agg — a
+    * single source of truth, no drift), vocabulary size as a broadcast
+    * 1-row frame. Scoring is one corpus-side shuffle join (exploded
+    * bigrams against the model) + one per-doc aggregate. At 100 TB the
+    * model table is the thing you'd broadcast or count-min-sketch; the
+    * corpus never joins itself.
+    */
+  def lmSurprise(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.rawShingles
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
+    val bi = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(rawShingles(col("tk"))).as("bg"))
+    val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val vF = docs.select(explode(col("tk")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .join(c1, "w1")
+      .crossJoin(broadcast(vF))
+      .select(col("bg"),
+        (-log((col("c2") + lit(1)).cast("double") / (col("c1") + col("v")))).as("nll"))
+    val scored = bi.join(model, "bg")
+      .groupBy("doc_id")
+      .agg(round(avg(col("nll")), 4).as("avg_surprise"),
+        count(lit(1)).as("n_bigrams"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("avg_surprise"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -163,7 +208,8 @@ object TextAnalysis {
     "t4_quality_filter" -> qualityFilter,
     "t5_repetition" -> repetition,
     "t6_vocab_topk" -> vocabulary,
-    "t7_redact" -> redact
+    "t7_redact" -> redact,
+    "t8_lm_surprise" -> lmSurprise
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -278,6 +324,33 @@ object TextAnalysis {
          |    '$PhoneRe', '<PHONE>', 'g')) AS redacted_fp
          |FROM m
          |ORDER BY doc_id""".stripMargin,
+    "t8_lm_surprise" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+        |  FROM documents),
+        | bi AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(t)),
+        |      i -> list_element(t, i) || ' ' || list_element(t, i + 1))) AS bg
+        |  FROM tk WHERE len(t) >= 2),
+        | c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+        | c1 AS (
+        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        |  FROM c2 GROUP BY 1),
+        | v AS (
+        |  SELECT count(DISTINCT w) AS v
+        |  FROM (SELECT unnest(t) AS w FROM tk)),
+        | model AS (
+        |  SELECT bg, -ln((c2.c2 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v))) AS nll
+        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+        | agg AS (
+        |  SELECT doc_id, round(avg(nll), 4) AS avg_surprise, count(*) AS n_bigrams
+        |  FROM bi JOIN model USING (bg)
+        |  GROUP BY doc_id)
+        |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_surprise
+        |FROM tk LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,

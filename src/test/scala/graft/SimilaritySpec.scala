@@ -94,4 +94,19 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("cos") >= 0.4))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
   }
+
+  test("IVF ANN: results score identically to brute force, descending, no query echo") {
+    val brute = Similarity.cosineTopK(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cos")).toMap
+    val ivf = Similarity.ivfAnn(spark, sf).collect()
+    assert(ivf.length == 5)
+    assert(ivf.forall(_.getAs[Long]("vec_id") != 0L))
+    val cs = ivf.map(_.getAs[Double]("cos")).toSeq
+    assert(cs == cs.sorted.reverse, s"not descending: $cs")
+    // any IVF hit that the exact top-10 also found must carry the same score
+    ivf.foreach { r =>
+      brute.get(r.getAs[Long]("vec_id"))
+        .foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
 }

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+/** Semantic sanity for the LM-surprise signal (t8) beyond the oracle's
+  * bit-equality: the model must be a proper smoothed conditional (finite,
+  * positive surprise), short documents must degrade to nulls not crashes,
+  * and an in-distribution bigram must surprise less than a rare one.
+  */
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("lm surprise: positive finite scores; <2-token docs score null") {
+    val rows = TextAnalysis.lmSurprise(spark, sf).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_bigrams")
+      if (n == 0L) assert(r.isNullAt(r.fieldIndex("avg_surprise")))
+      else {
+        val s = r.getAs[Double]("avg_surprise")
+        assert(s > 0.0 && !s.isInfinite && !s.isNaN, s"doc ${r.get(0)}: $s")
+      }
+    }
+  }
+
+  test("lm surprise separates repetitive from unique-vocabulary documents") {
+    // A corpus where one doc repeats one bigram everywhere and one doc is
+    // all-singleton bigrams: the repeated doc must surprise strictly less.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the cat " * 30),
+      (2L, ('a' to 'z').map(c => s"$c${c}word").mkString(" ")),
+      (3L, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t8").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.lmSurprise(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        Option(r.getAs[java.lang.Double]("avg_surprise")).map(_.doubleValue))
+      .toMap
+    assert(out(1L).get < out(2L).get)
+  }
+}
