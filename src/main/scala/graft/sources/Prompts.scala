@@ -40,13 +40,21 @@ object Prompts {
     }
   }
 
-  /** Load a template from the filesystem (the reference's
-    * `open(config.PROMPT_*)` path).
+  /** Load a template from storage (the reference's `open(config.PROMPT_*)`
+    * path). Reads through the Hadoop `FileSystem` like the other sources,
+    * so prompt overrides can live next to the data (`file:`, `hdfs:`,
+    * `s3a:`); a bare local path keeps working via the default scheme.
     */
-  def load(path: String): PromptTemplate =
-    PromptTemplate(new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
-      StandardCharsets.UTF_8))
+  def load(path: String): PromptTemplate = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val in = p.getFileSystem(conf).open(p)
+    try PromptTemplate(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+    finally in.close()
+  }
 
   /** Shipped default templates: `graft/prompts/<name>.txt` on the
     * classpath (`text_column_classifier`, `detect_language`,

@@ -49,6 +49,32 @@ object Streams {
       graft.sources.Artifacts.store(batch, s"$path/batch=$id")
     }
 
+  /** Streaming corpus ingest — the streaming twin of the training-corpus
+    * pipeline's head (pipe1): score quality and language with the SAME
+    * expression trees the batch t4 filter uses, drop below-bar documents,
+    * and drop verbatim re-crawls by normalized content fingerprint within
+    * the watermark horizon. This is the shape of a continuous crawl
+    * ingestion: per-row scoring is stateless, and the only state is one
+    * fingerprint per surviving document inside the horizon, sharded by
+    * fingerprint across executors. (Near-dup dedup and canonical
+    * clustering stay batch compactions over the ingested corpus — their
+    * banded joins need the full corpus, not a stream.)
+    *
+    * Input schema: `(doc_id, ts, text)` with `ts` the crawl event time.
+    */
+  def corpusIngest(docs: DataFrame, minQuality: Double = 0.5): DataFrame = {
+    import graft.functions.EvalOnce.once
+    import graft.functions.TextFunctions.{fingerprint, langId, qualityScore}
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"),
+        once(qualityScore(col("text"))).as("quality"),
+        once(langId(col("text"))).as("lang_detected"),
+        fingerprint(col("text")).as("fp"))
+      .filter(col("quality") >= minQuality)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   /** Stream-stream interval join: clicks within the 10 minutes before a
     * purchase by the same user. Watermarks on BOTH sides plus the time
     * range bound the join state (clicks older than the watermark minus

@@ -115,6 +115,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Expand"), p.take(2000))
   }
 
+  test("sim5 cell assignment keeps the rank-1 filter map-side (WindowGroupLimit)") {
+    // the inverted-list build must not shuffle all n×K scored rows: the
+    // rk=1 filter has to compile to partial WindowGroupLimits so the
+    // exchange carries ~one row per vector
+    val p = plan("sim5_ivf_ann")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
   test("pipe1 composes on one documents scan: final plan reads no parquet") {
     // The cleaned+scored corpus is checkpointed once; every downstream
     // stage (label propagation, keep-list join, stratified sample) must

@@ -218,4 +218,36 @@ class StreamingSpec extends AnyFunSuite {
     val expected = t(spark, sf, "events").count()
     assert(n == expected)
   }
+
+  test("streaming corpus ingest: quality gate + cross-batch fingerprint dedup") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704103200000L // 2024-01-01T10:00:00Z
+    def ts(minute: Int) = new java.sql.Timestamp(base + minute * 60000L)
+    val good = "The quick brown fox jumps over the lazy dog and then the " +
+      "fox runs into the quiet forest where it finds food and water for the day."
+    val good2 = "A completely different sentence about the weather and the " +
+      "ocean with many common words that score well for the quality bar today."
+    val junk = "!!!! 12345 @@@@"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "text")
+    val q = Streams.corpusIngest(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ingest_out")
+      .start()
+    try {
+      // Batch 1: one fluent doc (passes), one junk doc (fails the bar).
+      input.addData((1L, ts(0), good), (2L, ts(1), junk))
+      q.processAllAvailable()
+      // Batch 2: a verbatim re-crawl of doc 1 (same fingerprint, inside
+      // the watermark horizon -> suppressed) and a genuinely new doc.
+      input.addData((3L, ts(2), good), (4L, ts(3), good2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("ingest_out").collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
+    assert(out.forall(_.getAs[Double]("quality") >= 0.5))
+    assert(out.forall(_.getAs[String]("lang_detected") == "en"))
+  }
 }
