@@ -57,9 +57,10 @@ object Bench {
     // Times rounded to ms — sub-ms digits are noise and bloat the line.
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
+    def queriesJson(render: Double => String): String =
+      results.toSeq.sortBy(_._1)
+        .map { case (k, v) => s"\"" + k + "\":" + render(v) }
+        .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failures = results.values.count(_ < 0)
     // Full-precision per-query detail first; the contract line LAST. The
@@ -68,11 +69,8 @@ object Bench {
     // final line in compact (ms-precision) form, ~1.9 KB for the whole
     // surface. BENCH_r04/r05 lost their '"metric":"total"' prefix exactly
     // because the one emitted line overflowed the tail window.
-    println(s"""{"detail":"per-query-full-precision","queries":${
-      results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-        .mkString("{", ",", "}")
-    }}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","failures":$failures}""")
+    println(s"""{"detail":"per-query-full-precision","queries":${queriesJson(_.toString)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${queriesJson(fmt)},"sf":"$sfDir","failures":$failures}""")
     spark.stop()
   }
 }

@@ -106,13 +106,16 @@ object Pipelines {
     * whole) → per-language stratified sample (d4).
     *
     * Scan discipline (the integration claim): `documents` is read from
-    * parquet EXACTLY ONCE. The cleaned+scored corpus is locally
-    * checkpointed — one materializing job — and every later consumer (the
-    * shingle pass feeding label propagation, the keep-list join, the
-    * final sample) reads those blocks; the FINAL action's plan contains
-    * zero parquet scans (PlanSpec-asserted). A scoped cache would not do
-    * here: the label-propagation rounds are separate actions, and the
-    * first would release the cache before the caller's own action runs.
+    * parquet exactly TWICE — once by the cleaning pass's fused validation
+    * aggregate (the P2 all-null and P7 all-or-nothing-cast decisions are
+    * data-dependent by definition, so no cleaner can skip that scan) and
+    * once to materialize the cleaned+scored corpus as a local checkpoint.
+    * Every later consumer (the shingle pass feeding label propagation,
+    * the keep-list join, the final sample) reads the checkpoint blocks;
+    * the FINAL action's plan contains zero parquet scans
+    * (PlanSpec-asserted). A scoped cache would not do here: the
+    * label-propagation rounds are separate actions, and the first would
+    * release the cache before the caller's own action runs.
     *
     * Output: the sampled corpus manifest `(doc_id, lang_detected,
     * quality)` — k=5 docs per detected language, md5-permutation order

@@ -70,13 +70,33 @@ object Dedup {
   private[graft] def shingled(spark: SparkSession, dir: String): DataFrame =
     shingledOf(t(spark, dir, "documents").select(col("doc_id"), col("text")))
 
+  /** The synthetic train-copy id shift the dd1/dd6/dd7 harness queries use
+    * to manufacture duplicate/contamination structure from the dup-free
+    * driver corpus. GUARDED: a corpus id at or above the shift would
+    * collide with the shifted range — merging two different documents'
+    * signatures, landing an "eval" doc on the train side of dd7's
+    * predicate — and silently corrupt results, so [[shiftGuardedId]]
+    * raises at evaluation time instead. The guard is the identity on any
+    * valid corpus, so the oracles need no twin. (Real cross-corpus
+    * operators would take two frames with independent id spaces; the
+    * shift exists only so ONE test corpus can play both roles.)
+    */
+  private[graft] val IdShift = 1000000L
+
+  private def shiftGuardedId: Column =
+    when(col("doc_id") >= IdShift,
+      raise_error(concat(
+        lit(s"id-shift harness requires doc_id < $IdShift, got: "),
+        col("doc_id").cast("string"))))
+      .otherwise(col("doc_id"))
+
   /** Exact dedup by content fingerprint: canonical = min doc_id per group.
     * Input is documents unioned with an id-shifted copy of itself so real
     * duplicate groups exist to collapse (the driver corpus is dup-free).
     */
   def exactDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
-    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val copies = docs.select((shiftGuardedId + IdShift).as("doc_id"), col("text"))
     docs.unionAll(copies)
       .groupBy(fingerprint(col("text")).as("fp"))
       .agg(min("doc_id").as("canonical_doc_id"), count(lit(1)).as("n_copies"))
@@ -240,13 +260,22 @@ object Dedup {
     * subsequent pair join uses — one extra in-bucket sort, no second
     * exchange. Shared by EVERY banded candidate join (dd2, dd3, dd4,
     * sim3) so the rule cannot drift between schemes.
+    *
+    * `sideCols` extends the cap partition for CROSS-corpus joins (dd7):
+    * capping a mixed bucket by global id order alone would keep only the
+    * side with the smaller ids (the eval side, whose ids sort below every
+    * shifted train id) and evict the other side entirely — zero cross
+    * pairs from exactly the hottest (most contamination-prone) buckets.
+    * Capping per (band, bucket, side) keeps up to HotBucketCap members of
+    * EACH side; a bucket's cross-pair contribution stays bounded at Cap².
     */
   private[graft] def capHotBuckets(
       df: DataFrame, bandCol: String, bucketCol: String,
-      idCol: String = "doc_id"): DataFrame =
+      idCol: String = "doc_id", sideCols: Seq[Column] = Nil): DataFrame =
     df.withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window
-          .partitionBy(bandCol, bucketCol).orderBy(idCol)))
+          .partitionBy(col(bandCol) +: col(bucketCol) +: sideCols: _*)
+          .orderBy(idCol)))
       .filter(col("rn") <= HotBucketCap).drop("rn")
 
   /** [[capHotBuckets]]'s DuckDB mirror, generated from ONE template for
@@ -257,12 +286,14 @@ object Dedup {
     */
   private[graft] def sqlCapCte(
       out: String, src: String, cols: Seq[String],
-      bandCol: String, bucketCol: String, idCol: String): String = {
+      bandCol: String, bucketCol: String, idCol: String,
+      sideCols: Seq[String] = Nil): String = {
     val cl = cols.mkString(", ")
+    val part = (Seq(bandCol, bucketCol) ++ sideCols).mkString(", ")
     s"""$out AS (
        |  SELECT $cl FROM (
        |    SELECT $cl,
-       |      row_number() OVER (PARTITION BY $bandCol, $bucketCol ORDER BY $idCol) AS rn
+       |      row_number() OVER (PARTITION BY $part ORDER BY $idCol) AS rn
        |    FROM $src)
        |  WHERE rn <= $HotBucketCap)""".stripMargin
   }
@@ -402,7 +433,7 @@ object Dedup {
     val evalSet = fps
       .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
       .select(col("doc_id").as("eval_doc_id"), col("fp"))
-    val trainSet = fps.select((col("doc_id") + 1000000L).as("train_doc_id"), col("fp"))
+    val trainSet = fps.select((shiftGuardedId + IdShift).as("train_doc_id"), col("fp"))
     trainSet.join(evalSet, "fp")
       .select(col("eval_doc_id"), col("train_doc_id"))
       .orderBy("eval_doc_id", "train_doc_id")
@@ -433,15 +464,21 @@ object Dedup {
     // filter/shift split: measured, the extra hashing of the eval quarter
     // is cheaper than the cache materialization barrier that the split
     // inserts before band bucketing (3.0 s vs 4.2 s at sf0.1).
-    val base = graft.engine.Caching.scopedPersist(shingled(spark, dir))
+    val base = graft.engine.Caching.scopedPersist(
+      shingled(spark, dir).select(shiftGuardedId.as("doc_id"), col("sh")))
     val evalSide = base.filter(
       substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
-    val trainSide = base.select((col("doc_id") + 1000000L).as("doc_id"), col("sh"))
+    val trainSide = base.select((col("doc_id") + IdShift).as("doc_id"), col("sh"))
     val corpus = evalSide.unionAll(trainSide)
-    val bb = capHotBuckets(bandBuckets(signatures(corpus)), "band", "bucket")
+    // Cap per (band, bucket, SIDE): a global id-order cap would keep only
+    // eval ids in a hot mixed bucket (they all sort below the shifted
+    // train ids) and produce zero cross pairs exactly where contamination
+    // concentrates — see capHotBuckets.
+    val bb = capHotBuckets(bandBuckets(signatures(corpus)), "band", "bucket",
+      sideCols = Seq(col("doc_id") >= IdShift))
     val cand = bb.alias("x").join(bb.alias("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < lit(1000000L) && col("y.doc_id") >= lit(1000000L))
+          col("x.doc_id") < lit(IdShift) && col("y.doc_id") >= lit(IdShift))
       .select(col("x.doc_id").as("eval_doc_id"), col("y.doc_id").as("train_doc_id"))
       .distinct()
     cand.join(corpus.alias("sa"), col("eval_doc_id") === col("sa.doc_id"))
@@ -513,7 +550,8 @@ object Dedup {
     * No inner line is margin-prefixed, so interpolating the stripped
     * fragment into a larger SQL string is safe.
     */
-  private[graft] def dd3CtesFrom(src: String, candPred: String): String =
+  private[graft] def dd3CtesFrom(
+      src: String, candPred: String, capSideCols: Seq[String] = Nil): String =
     s"""sh AS (
        |  SELECT doc_id, $sqlShingles AS shingles FROM $src),
        | ex AS (SELECT doc_id, md5(unnest(shingles)) AS h FROM sh),
@@ -528,7 +566,7 @@ object Dedup {
        |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
        |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
        |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
-       | ${sqlCapCte("cappedb", "bands", Seq("doc_id", "band", "bucket"), "band", "bucket", "doc_id")},
+       | ${sqlCapCte("cappedb", "bands", Seq("doc_id", "band", "bucket"), "band", "bucket", "doc_id", capSideCols)},
        | cand AS (
        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
        |  FROM cappedb x JOIN cappedb y
@@ -613,7 +651,8 @@ object Dedup {
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
           | """.stripMargin +
-        dd3CtesFrom("corpus", "x.doc_id < 1000000 AND y.doc_id >= 1000000") +
+        dd3CtesFrom("corpus", "x.doc_id < 1000000 AND y.doc_id >= 1000000",
+          capSideCols = Seq("doc_id >= 1000000")) +
         s",\n pairs AS ($dd3PairSelect)\n" +
         """SELECT doc_a AS eval_doc_id, doc_b AS train_doc_id, shingle_jaccard
           |FROM pairs

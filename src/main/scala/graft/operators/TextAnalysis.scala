@@ -114,7 +114,10 @@ object TextAnalysis {
       .groupBy("token", "doc_id")
       .agg(count(lit(1)).as("c"))
       .groupBy("token")
-      .agg(sum(col("c")).as("n_occurrences"), count(lit(1)).as("n_docs"))
+      // count(doc_id), not count(1): a NULL doc_id group must not count
+      // toward document frequency (countDistinct and the oracle's
+      // count(DISTINCT doc_id) both skip NULLs)
+      .agg(sum(col("c")).as("n_occurrences"), count(col("doc_id")).as("n_docs"))
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
@@ -137,6 +140,13 @@ object TextAnalysis {
     */
   def lmSurprise(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.rawShingles
+    // The tokenized frame feeds four plan subtrees and is deliberately NOT
+    // cached: measured at sf0.1, scoped-persisting docs+c2 made the query
+    // ~50% SLOWER (1.25 s -> 1.86 s) — the cache materialization barriers
+    // and in-memory-columnar round-trips cost more than re-running the
+    // fully-pipelined tokenize projection per subtree (same lesson as
+    // dd7's signature split; contrast dd2/dd3, where the REUSED side is a
+    // pairwise-join input, not a linear projection).
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
     val bi = docs.filter(size(col("tk")) >= 2)

@@ -39,7 +39,7 @@ object Artifacts {
     * active session's configuration — `file:`, `hdfs:` and `s3a:` paths
     * all work; a bare local path keeps working via the default scheme.
     */
-  private def fsFor(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
+  private[sources] def fsFor(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
     val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())

@@ -47,11 +47,7 @@ object Prompts {
     */
   def load(path: String): PromptTemplate = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val conf = org.apache.spark.sql.SparkSession.getActiveSession
-      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
-      .map(_.sparkContext.hadoopConfiguration)
-      .getOrElse(new org.apache.hadoop.conf.Configuration())
-    val in = p.getFileSystem(conf).open(p)
+    val in = Artifacts.fsFor(p).open(p)
     try PromptTemplate(new String(in.readAllBytes(), StandardCharsets.UTF_8))
     finally in.close()
   }

@@ -54,7 +54,13 @@ object DirWorkbookSource extends WorkbookSource {
   override def load(spark: SparkSession, path: String): Map[String, DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.getFileStatus(p).isDirectory, s"Not a directory: $path")
+    // Missing and non-directory paths share one error contract (the
+    // java.io.File era treated both as "not a directory").
+    val status = try fs.getFileStatus(p) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"Not a directory: $path")
+    }
+    require(status.isDirectory, s"Not a directory: $path")
     val entries = fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { f =>
       val name = f.getPath.getName.replaceFirst("\\.[^.]+$", "")
       val child = f.getPath.toString

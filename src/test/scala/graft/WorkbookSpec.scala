@@ -67,10 +67,13 @@ class WorkbookSpec extends AnyFunSuite {
     assert(back("dims").collect().map(_.getString(1)).toSeq == Seq("d"))
   }
 
-  test("non-directory workbook path fails loudly") {
+  test("non-directory and missing workbook paths fail loudly with one contract") {
     val f = java.nio.file.Files.createTempFile("graft-wb", ".parquet")
     intercept[IllegalArgumentException] {
       DirWorkbookSource.load(spark, f.toString)
+    }
+    intercept[IllegalArgumentException] {
+      DirWorkbookSource.load(spark, "/no/such/graft/workbook/dir")
     }
   }
 }
