@@ -119,4 +119,44 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.head.getAs[Long]("hamming") == 0L)
     assert(rows.head.getAs[Long]("n_pairs") == cap.toLong * (cap - 1) / 2)
   }
+
+  test("dd7 hot-bucket cap keeps BOTH corpus sides (cross pairs survive)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val cap = graft.operators.Dedup.HotBucketCap
+    // 300 identical documents: every band bucket is one hot bucket holding
+    // all eval ids AND all shifted train ids. A global id-order cap kept
+    // only the (low) eval ids and produced ZERO cross-corpus candidates —
+    // the exact recall hole the per-side cap closes. Expected pair count:
+    // min(|eval|, cap) capped eval members x cap capped train members,
+    // all at shingle jaccard 1.0.
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd7hot").toString
+    (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val nEval = spark.range(1, 301)
+      .filter(substring(md5(col("id").cast("string")), 1, 1) < "4")
+      .count().toInt
+    val rows = graft.operators.Dedup.nearContamination(spark, dir).collect()
+    assert(rows.length == math.min(nEval, cap) * cap, s"nEval=$nEval")
+    assert(rows.forall(_.getAs[Double]("shingle_jaccard") == 1.0))
+    assert(rows.forall(r => r.getAs[Long]("eval_doc_id") < 1000000L &&
+      r.getAs[Long]("train_doc_id") >= 1000000L))
+  }
+
+  test("clustersOf on a dup-free corpus assigns every doc to itself") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nodup").toString
+    Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "red orange yellow green blue indigo violet"),
+      (4L, "north south east west up down left right"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.dedupClusters(spark, dir).collect()
+    assert(rows.length == 4)
+    assert(rows.forall(r =>
+      r.getAs[Long]("doc_id") == r.getAs[Long]("canonical_doc_id")))
+  }
 }
