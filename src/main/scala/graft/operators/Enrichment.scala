@@ -192,7 +192,31 @@ object Enrichment {
       "lang", "doc_id", 5)
       .orderBy("lang", "doc_id")
 
+  /** Domain-mixture reweighting — the data-mixing pass of a training
+    * pipeline: per source, the sampling weight that would rebalance the
+    * corpus to a UNIFORM target mix (weight = target share / actual
+    * share, so weight > 1 upsamples under-represented domains). One hash
+    * aggregate (shuffle carries one row per source) plus a window over
+    * the source-count frame — at 100 TB the windowed frame is
+    * domain-count sized, never corpus sized. Shares and weights are
+    * ratios of exact integer aggregates, so both engines evaluate the
+    * identical IEEE expression tree.
+    */
+  def mixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val share = col("n_docs").cast("double") / sum(col("n_docs")).over(w)
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(share, 6).as("share"),
+        round((lit(1.0) / count(lit(1)).over(w)) / share, 6).as("weight"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d5_mixture_weights" -> mixtureWeights,
     "d4_stratified_sample" -> stratifiedSample,
     "e2_detect_distributed" -> detectLanguageDistributed,
     "e3_translate_dictionary" -> translateDictionaryQuery,
@@ -243,6 +267,13 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d5_mixture_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS share,
+        |  round((1.0 / count(*) OVER ()) / (n_docs::DOUBLE / sum(n_docs) OVER ()), 6) AS weight
+        |FROM c
+        |ORDER BY source NULLS FIRST""".stripMargin,
     "d4_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -173,6 +173,29 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  private val ChunkTokens = 128L
+
+  /** Context-window chunking — the pre-training step that splits every
+    * document into fixed-size token windows (the sequence boundaries a
+    * trainer packs into context windows): one row per 128-token chunk
+    * with its start offset and (tail-truncated) length. Scale shape: the
+    * explode emits one row per CHUNK, not per token — output is
+    * corpus-tokens/128 sized — and everything is arithmetic on the
+    * per-doc token count, no second tokenization pass. Token-free
+    * documents produce no chunks.
+    */
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"),
+        explode(sequence(lit(0L), col("n") - 1, lit(ChunkTokens))).as("start_token"))
+      .select(col("doc_id"),
+        (col("start_token") / ChunkTokens).cast("long").as("chunk_id"),
+        col("start_token"),
+        least(lit(ChunkTokens), col("n") - col("start_token")).as("n_tokens"))
+      .orderBy("doc_id", "chunk_id")
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -219,7 +242,8 @@ object TextAnalysis {
     "t5_repetition" -> repetition,
     "t6_vocab_topk" -> vocabulary,
     "t7_redact" -> redact,
-    "t8_lm_surprise" -> lmSurprise
+    "t8_lm_surprise" -> lmSurprise,
+    "t9_chunks" -> chunks
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -361,6 +385,18 @@ object TextAnalysis {
         |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_surprise
         |FROM tk LEFT JOIN agg USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "t9_chunks" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${sqlTokenCount("text")} AS n FROM documents),
+         | ch AS (
+         |  SELECT doc_id, n, unnest(range(0, n, 128)) AS start_token
+         |  FROM tk WHERE n > 0)
+         |SELECT doc_id,
+         |  CAST(start_token // 128 AS BIGINT) AS chunk_id,
+         |  CAST(start_token AS BIGINT) AS start_token,
+         |  CAST(least(128, n - start_token) AS BIGINT) AS n_tokens
+         |FROM ch
+         |ORDER BY doc_id, chunk_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,
