@@ -389,12 +389,12 @@ object TextAnalysis {
       s"""WITH tk AS (
          |  SELECT doc_id, ${sqlTokenCount("text")} AS n FROM documents),
          | ch AS (
-         |  SELECT doc_id, n, unnest(range(0, n, 128)) AS start_token
+         |  SELECT doc_id, n, unnest(range(0, n, $ChunkTokens)) AS start_token
          |  FROM tk WHERE n > 0)
          |SELECT doc_id,
-         |  CAST(start_token // 128 AS BIGINT) AS chunk_id,
+         |  CAST(start_token // $ChunkTokens AS BIGINT) AS chunk_id,
          |  CAST(start_token AS BIGINT) AS start_token,
-         |  CAST(least(128, n - start_token) AS BIGINT) AS n_tokens
+         |  CAST(least($ChunkTokens, n - start_token) AS BIGINT) AS n_tokens
          |FROM ch
          |ORDER BY doc_id, chunk_id""".stripMargin,
     "t2_quality_bands" ->

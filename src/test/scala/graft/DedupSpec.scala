@@ -101,8 +101,20 @@ class DedupSpec extends AnyFunSuite {
       "shingle frame still cached after the consuming action completed")
   }
 
-  test("simhash hot-bucket cap bounds a boilerplate corpus's band join") {
+  /** One shared degenerate corpus for both hot-bucket cap tests: 300
+    * byte-identical documents, so every doc lands in the SAME bucket of
+    * every band — the worst case the cap exists for. Lazily written once.
+    */
+  private lazy val boilerplateCorpusDir: String = {
     import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotbucket").toString
+    (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("simhash hot-bucket cap bounds a boilerplate corpus's band join") {
     val cap = graft.operators.Dedup.HotBucketCap
     // Degenerate corpus: 300 byte-identical documents — every doc lands in
     // the SAME (band, chunk) bucket of every band, the worst case the cap
@@ -110,18 +122,13 @@ class DedupSpec extends AnyFunSuite {
     // pairs; with the cap only the `cap` lowest doc_ids per bucket pair up,
     // and since all four bands cap to the SAME doc_id set, the distinct
     // pair count is exactly cap*(cap-1)/2 at hamming 0.
-    val dir = java.nio.file.Files.createTempDirectory("graft-hotbucket").toString
-    (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
-      .toDF("doc_id", "text")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = graft.operators.Dedup.simhash(spark, dir).collect()
+    val rows = graft.operators.Dedup.simhash(spark, boilerplateCorpusDir).collect()
     assert(rows.length == 1)
     assert(rows.head.getAs[Long]("hamming") == 0L)
     assert(rows.head.getAs[Long]("n_pairs") == cap.toLong * (cap - 1) / 2)
   }
 
   test("dd7 hot-bucket cap keeps BOTH corpus sides (cross pairs survive)") {
-    import spark.implicits._
     import org.apache.spark.sql.functions._
     val cap = graft.operators.Dedup.HotBucketCap
     // 300 identical documents: every band bucket is one hot bucket holding
@@ -130,14 +137,10 @@ class DedupSpec extends AnyFunSuite {
     // the exact recall hole the per-side cap closes. Expected pair count:
     // min(|eval|, cap) capped eval members x cap capped train members,
     // all at shingle jaccard 1.0.
-    val dir = java.nio.file.Files.createTempDirectory("graft-dd7hot").toString
-    (1L to 300L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
-      .toDF("doc_id", "text")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val nEval = spark.range(1, 301)
       .filter(substring(md5(col("id").cast("string")), 1, 1) < "4")
       .count().toInt
-    val rows = graft.operators.Dedup.nearContamination(spark, dir).collect()
+    val rows = graft.operators.Dedup.nearContamination(spark, boilerplateCorpusDir).collect()
     assert(rows.length == math.min(nEval, cap) * cap, s"nEval=$nEval")
     assert(rows.forall(_.getAs[Double]("shingle_jaccard") == 1.0))
     assert(rows.forall(r => r.getAs[Long]("eval_doc_id") < 1000000L &&

@@ -54,4 +54,25 @@ class EnrichSpec extends AnyFunSuite {
       .collect().map(_.getBoolean(0)).toSeq
     assert(viaExpr == vals.map(HeuristicLanguageDetector.isNonEnglish))
   }
+
+  test("d5 mixture weights upsample under-represented domains (direction pinned)") {
+    // The driver corpora are perfectly uniform across sources (every
+    // weight is exactly 1.0), so the oracle gate cannot distinguish
+    // weight = target/actual from its inversion; a skewed corpus pins the
+    // direction: rare sources must get weight > 1.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d5").toString
+    (Seq((1L, "a"), (2L, "b")) ++ (3L to 7L).map(i => (i, "c")))
+      .toDF("doc_id", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Enrichment.mixtureWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("share"), r.getAs[Double]("weight")))
+      .toMap
+    // shares 1/7, 1/7, 5/7; uniform target 1/3 -> weights 7/3, 7/3, 7/15
+    assert(rows("a") == ((1L, 0.142857, 2.333333)))
+    assert(rows("b") == ((1L, 0.142857, 2.333333)))
+    assert(rows("c") == ((5L, 0.714286, 0.466667)))
+  }
 }

@@ -43,4 +43,26 @@ class TextAnalysisSpec extends AnyFunSuite {
       .toMap
     assert(out(1L).get < out(2L).get)
   }
+
+  test("chunking splits long documents, truncates tails, and no empty tail at multiples") {
+    // The driver corpora max out below one chunk (every doc <= 100 tokens),
+    // so the multi-chunk path needs its own corpus: 300 tokens (3 chunks,
+    // tail 44), exactly 256 tokens (2 FULL chunks, no empty third), and a
+    // 1-token doc.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t9").toString
+    Seq(
+      (1L, Seq.fill(300)("tok").mkString(" ")),
+      (2L, Seq.fill(256)("tok").mkString(" ")),
+      (3L, "one"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.chunks(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_token"), r.getAs[Long]("n_tokens")))
+    assert(rows.toSeq == Seq(
+      (1L, 0L, 0L, 128L), (1L, 1L, 128L, 128L), (1L, 2L, 256L, 44L),
+      (2L, 0L, 0L, 128L), (2L, 1L, 128L, 128L),
+      (3L, 0L, 0L, 1L)))
+  }
 }
