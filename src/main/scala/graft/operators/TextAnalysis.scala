@@ -196,6 +196,46 @@ object TextAnalysis {
         least(lit(ChunkTokens), col("n") - col("start_token")).as("n_tokens"))
       .orderBy("doc_id", "chunk_id")
 
+  private val PackTokens = 512L
+  private val PackShards = 8L
+
+  /** Sequence packing — the concat-and-split manifest GPT-style
+    * pre-training actually consumes: within each shard, document token
+    * streams are concatenated in doc_id order and cut every 512 tokens;
+    * the output maps every document to the training sequence(s) it lands
+    * in, with its offset and token count inside each. Documents straddle
+    * cuts (the standard packing semantics) and long documents span
+    * multiple sequences.
+    *
+    * Scale shape: the running offset is a prefix sum WINDOWED PER SHARD
+    * (doc_id mod 8) — a sharded packing job, never a global single-
+    * partition ordered window over the corpus; sequence ids are
+    * shard-local (shard, seq_id) for the same reason. The explode emits
+    * one row per (doc, sequence) overlap — output is manifest-sized, and
+    * everything after tokenCount is integer arithmetic.
+    */
+  def packing(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pos = t(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+      .withColumn("shard", col("doc_id") % PackShards)
+      .withColumn("tok_end", sum(col("n")).over(w))
+      .withColumn("tok_start", col("tok_end") - col("n"))
+    val seqStart = col("seq_id") * PackTokens
+    pos.select(col("shard"), col("doc_id"), col("tok_start"), col("n"),
+        explode(sequence(
+          (col("tok_start") / PackTokens).cast("long"),
+          ((col("tok_end") - 1) / PackTokens).cast("long"))).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(seqStart, col("tok_start")) - seqStart).as("offset_in_seq"),
+        (least(seqStart + PackTokens, col("tok_start") + col("n")) -
+          greatest(seqStart, col("tok_start"))).as("n_tokens"))
+      .orderBy("shard", "seq_id", "doc_id")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -243,7 +283,8 @@ object TextAnalysis {
     "t6_vocab_topk" -> vocabulary,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
-    "t9_chunks" -> chunks
+    "t9_chunks" -> chunks,
+    "t10_packing" -> packing
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -397,6 +438,28 @@ object TextAnalysis {
          |  CAST(least($ChunkTokens, n - start_token) AS BIGINT) AS n_tokens
          |FROM ch
          |ORDER BY doc_id, chunk_id""".stripMargin,
+    "t10_packing" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${sqlTokenCount("text")} AS n, doc_id % $PackShards AS shard
+         |  FROM documents),
+         | p AS (
+         |  SELECT doc_id, n, shard,
+         |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+         |  FROM tk WHERE n > 0),
+         | ex AS (
+         |  SELECT shard, doc_id, tok_end - n AS tok_start, n, tok_end,
+         |    unnest(range((tok_end - n) // $PackTokens,
+         |      (tok_end - 1) // $PackTokens + 1)) AS seq_id
+         |  FROM p)
+         |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+         |  doc_id,
+         |  CAST(greatest(seq_id * $PackTokens, tok_start)
+         |    - seq_id * $PackTokens AS BIGINT) AS offset_in_seq,
+         |  CAST(least((seq_id + 1) * $PackTokens, tok_start + n)
+         |    - greatest(seq_id * $PackTokens, tok_start) AS BIGINT) AS n_tokens
+         |FROM ex
+         |ORDER BY shard, seq_id, doc_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,

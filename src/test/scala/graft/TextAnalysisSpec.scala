@@ -65,4 +65,27 @@ class TextAnalysisSpec extends AnyFunSuite {
       (2L, 0L, 0L, 128L), (2L, 1L, 128L, 128L),
       (3L, 0L, 0L, 1L)))
   }
+
+  test("packing: long docs span sequences, short docs pack after them") {
+    // The driver corpora have no doc over one 512-token sequence, so the
+    // multi-sequence span needs its own corpus. One shard (ids = 0 mod 8):
+    // 600 tokens spans seqs 0+1; 200 and 30 tokens pack behind it in seq 1.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t10").toString
+    Seq(
+      (8L, Seq.fill(600)("tok").mkString(" ")),
+      (16L, Seq.fill(200)("tok").mkString(" ")),
+      (24L, Seq.fill(30)("tok").mkString(" ")))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.packing(spark, dir).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("seq_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("offset_in_seq"),
+        r.getAs[Long]("n_tokens")))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 8L, 0L, 512L),
+      (0L, 1L, 8L, 0L, 88L),
+      (0L, 1L, 16L, 88L, 200L),
+      (0L, 1L, 24L, 288L, 30L)))
+  }
 }
