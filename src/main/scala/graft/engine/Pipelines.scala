@@ -133,9 +133,13 @@ object Pipelines {
         once(langId(col("text"))).as("lang_detected"))
       .filter(col("quality") >= 0.5)
       .localCheckpoint()
-    val labels = graft.operators.Dedup.clustersOf(
-      scored.select(col("doc_id"), col("text")))
-    val isEval = substring(md5(col("doc_id").cast("string")), 1, 1) < "4"
+    // Scoped-cached: the assignment is consumed by TWO subtrees of the
+    // final plan (the contamination carve and the keep-list join); without
+    // the cache each action would run clustersOf's final corpus-join twice.
+    val labels = graft.engine.Caching.scopedPersist(
+      graft.operators.Dedup.clustersOf(scored.select(col("doc_id"), col("text"))))
+    // ONE split definition shared with dd6/dd7 (Dedup.isEvalSplit).
+    val isEval = graft.operators.Dedup.isEvalSplit(col("doc_id"))
     // Components with at least one eval member are leaked wholesale: any
     // training doc near-duplicating eval data (or near-duplicating a doc
     // that does) trains on the benchmark.
@@ -177,7 +181,7 @@ object Pipelines {
           | """.stripMargin +
         Dedup.dd3CtesFrom("scored", "x.doc_id < y.doc_id") +
         s",\n pairs AS (${Dedup.dd3PairSelect}),\n" +
-        """ edges AS (
+        s""" edges AS (
           |  SELECT doc_a AS src, doc_b AS dst FROM pairs
           |  UNION ALL SELECT doc_b, doc_a FROM pairs),
           | reach(src, dst) AS (
@@ -191,11 +195,11 @@ object Pipelines {
           |  GROUP BY s.doc_id),
           | contaminated AS (
           |  SELECT DISTINCT canon FROM labels
-          |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'),
+          |  WHERE ${Dedup.sqlIsEvalSplit("doc_id")}),
           | kept AS (
           |  SELECT s.doc_id, s.lang_detected, s.quality
           |  FROM scored s JOIN labels l ON s.doc_id = l.doc_id
-          |  WHERE substr(md5(s.doc_id::VARCHAR), 1, 1) >= '4'
+          |  WHERE NOT ${Dedup.sqlIsEvalSplit("s.doc_id")}
           |    AND s.doc_id = l.canon
           |    AND l.canon NOT IN (SELECT canon FROM contaminated))
           |SELECT doc_id, lang_detected, quality FROM (

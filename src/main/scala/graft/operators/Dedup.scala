@@ -90,6 +90,19 @@ object Dedup {
         col("doc_id").cast("string"))))
       .otherwise(col("doc_id"))
 
+  /** The deterministic eval-split carve shared by dd6, dd7 and pipe1:
+    * documents whose md5(id) leads below '4' (~1/4 of the corpus) are the
+    * held-out benchmark. ONE definition per engine — a fraction or cast
+    * change in a single site would silently desynchronize the train/eval
+    * split between the contamination checks and the composed pipeline.
+    */
+  private[graft] def isEvalSplit(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 1) < "4"
+
+  /** [[isEvalSplit]]'s DuckDB twin. */
+  private[graft] def sqlIsEvalSplit(id: String): String =
+    s"substr(md5($id::VARCHAR), 1, 1) < '4'"
+
   /** Exact dedup by content fingerprint: canonical = min doc_id per group.
     * Input is documents unioned with an id-shifted copy of itself so real
     * duplicate groups exist to collapse (the driver corpus is dup-free).
@@ -431,7 +444,7 @@ object Dedup {
     val fps = t(spark, dir, "documents")
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
     val evalSet = fps
-      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+      .filter(isEvalSplit(col("doc_id")))
       .select(col("doc_id").as("eval_doc_id"), col("fp"))
     val trainSet = fps.select((shiftGuardedId + IdShift).as("train_doc_id"), col("fp"))
     trainSet.join(evalSet, "fp")
@@ -466,8 +479,7 @@ object Dedup {
     // inserts before band bucketing (3.0 s vs 4.2 s at sf0.1).
     val base = graft.engine.Caching.scopedPersist(
       shingled(spark, dir).select(shiftGuardedId.as("doc_id"), col("sh")))
-    val evalSide = base.filter(
-      substring(md5(col("doc_id").cast("string")), 1, 1) < "4")
+    val evalSide = base.filter(isEvalSplit(col("doc_id")))
     val trainSide = base.select((col("doc_id") + IdShift).as("doc_id"), col("sh"))
     val corpus = evalSide.unionAll(trainSide)
     // Cap per (band, bucket, SIDE): a global id-order cap would keep only
@@ -588,18 +600,20 @@ object Dedup {
       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // Concatenated, not s-interpolated: the fingerprint regex '\s+' must
+    // not pass through escape processing.
     "dd6_contamination" ->
-      """WITH fps AS (
+      ("""WITH fps AS (
         |  SELECT doc_id,
         |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         |  FROM documents),
         | ev AS (
         |  SELECT doc_id AS eval_doc_id, fp FROM fps
-        |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'),
+        |  WHERE """.stripMargin + sqlIsEvalSplit("doc_id") + """),
         | tr AS (SELECT doc_id + 1000000 AS train_doc_id, fp FROM fps)
         |SELECT eval_doc_id, train_doc_id
         |FROM tr JOIN ev USING (fp)
-        |ORDER BY eval_doc_id, train_doc_id""".stripMargin,
+        |ORDER BY eval_doc_id, train_doc_id""".stripMargin),
     "dd4_simhash" -> dd4Oracle,
     "dd1_exact_dedup" ->
       """SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
@@ -647,7 +661,7 @@ object Dedup {
     "dd7_near_contamination" ->
       (s"""WITH corpus AS (
           |  SELECT doc_id, text FROM documents
-          |  WHERE substr(md5(doc_id::VARCHAR), 1, 1) < '4'
+          |  WHERE ${sqlIsEvalSplit("doc_id")}
           |  UNION ALL
           |  SELECT doc_id + 1000000 AS doc_id, text FROM documents),
           | """.stripMargin +

@@ -152,11 +152,13 @@ object TextAnalysis {
     val bi = docs.filter(size(col("tk")) >= 2)
       .select(col("doc_id"), explode(rawShingles(col("tk"))).as("bg"))
     val c2 = bi.groupBy("bg").agg(count(lit(1)).as("c2"))
-    val c1 = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
-      .groupBy("w1").agg(sum(col("c2")).as("c1"))
+    // ONE prefix-extraction expression feeds both the marginal and the
+    // conditional join.
+    val c2w = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+    val c1 = c2w.groupBy("w1").agg(sum(col("c2")).as("c1"))
     val vF = docs.select(explode(col("tk")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val model = c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+    val model = c2w
       .join(c1, "w1")
       .crossJoin(broadcast(vF))
       .select(col("bg"),

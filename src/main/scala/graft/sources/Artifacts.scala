@@ -38,12 +38,27 @@ object Artifacts {
     * the byte I/O goes through the Hadoop `FileSystem` resolved from the
     * active session's configuration — `file:`, `hdfs:` and `s3a:` paths
     * all work; a bare local path keeps working via the default scheme.
+    *
+    * A PRIVATE (non-cached) FileSystem instance is used with client-side
+    * checksums off, then closed. Two reasons: the cached instance is
+    * shared JVM-wide (mutating its checksum flags would leak into Spark's
+    * own I/O), and the local ChecksumFileSystem otherwise writes hidden
+    * `.crc` side-files next to every artifact — an out-of-band rewrite of
+    * the JSON (the reference's Python pipeline regenerating its cache, a
+    * hand edit) then fails every later read with ChecksumException, a
+    * read that always succeeded before the Hadoop port.
     */
-  private[sources] def fsFor(path: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem = {
+  private[sources] def withFs[T](path: org.apache.hadoop.fs.Path)(
+      f: org.apache.hadoop.fs.FileSystem => T): T = {
     val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new org.apache.hadoop.conf.Configuration())
-    path.getFileSystem(conf)
+    val fs = org.apache.hadoop.fs.FileSystem.newInstance(path.toUri, conf)
+    try {
+      fs.setWriteChecksum(false)
+      fs.setVerifyChecksum(false)
+      f(fs)
+    } finally fs.close()
   }
 
   /** S4 for nested map artifacts. */
@@ -55,11 +70,13 @@ object Artifacts {
       inner.toSeq.sortBy(_._1).foreach { case (ik, iv) => innerNode.put(ik, iv) }
     }
     val p = new org.apache.hadoop.fs.Path(path)
-    // FSDataOutputStream is both a DataOutput and an OutputStream; pin the
-    // OutputStream overload.
-    val out: java.io.OutputStream = fsFor(p).create(p, true)
-    try mapper.writerWithDefaultPrettyPrinter().writeValue(out, node)
-    finally out.close()
+    withFs(p) { fs =>
+      // FSDataOutputStream is both a DataOutput and an OutputStream; pin
+      // the OutputStream overload.
+      val out: java.io.OutputStream = fs.create(p, true)
+      try mapper.writerWithDefaultPrettyPrinter().writeValue(out, node)
+      finally out.close()
+    }
   }
 
   /** S5 for nested map artifacts (same shape as
@@ -67,8 +84,10 @@ object Artifacts {
     */
   def loadMap(path: String): Map[String, Map[String, String]] = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = fsFor(p).open(p)
-    val root = try new ObjectMapper().readTree(in) finally in.close()
+    val root = withFs(p) { fs =>
+      val in = fs.open(p)
+      try new ObjectMapper().readTree(in) finally in.close()
+    }
     root.properties().asScala.map { e =>
       e.getKey -> e.getValue.properties().asScala
         .map(f => f.getKey -> f.getValue.asText()).toMap

@@ -47,9 +47,11 @@ object Prompts {
     */
   def load(path: String): PromptTemplate = {
     val p = new org.apache.hadoop.fs.Path(path)
-    val in = Artifacts.fsFor(p).open(p)
-    try PromptTemplate(new String(in.readAllBytes(), StandardCharsets.UTF_8))
-    finally in.close()
+    Artifacts.withFs(p) { fs =>
+      val in = fs.open(p)
+      try PromptTemplate(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+      finally in.close()
+    }
   }
 
   /** Shipped default templates: `graft/prompts/<name>.txt` on the

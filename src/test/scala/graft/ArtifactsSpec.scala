@@ -42,4 +42,20 @@ class ArtifactsSpec extends AnyFunSuite {
     assert(Artifacts.loadMap(path) == m)
     assert(graft.engine.DictionaryTranslator.fromJson(path).translateOne("k") == "v")
   }
+
+  test("map artifacts survive out-of-band rewrites (no checksum side-files)") {
+    spark
+    val dir = Files.createTempDirectory("graft-art-crc")
+    val path = dir.toString + "/map.json"
+    Artifacts.storeMap(Map("a" -> Map("k" -> "v")), path)
+    // the local ChecksumFileSystem must NOT leave a hidden .crc side-file:
+    // it would poison every read after an out-of-band rewrite
+    assert(!Files.exists(dir.resolve(".map.json.crc")),
+      "checksum side-file written next to the artifact")
+    // the reference's own pipeline regenerates its cache JSON in place;
+    // the reload must read the new bytes, not fail a stale checksum
+    Files.write(java.nio.file.Paths.get(path),
+      """{"b":{"x":"y"}}""".getBytes("UTF-8"))
+    assert(Artifacts.loadMap(path) == Map("b" -> Map("x" -> "y")))
+  }
 }

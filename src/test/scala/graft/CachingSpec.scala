@@ -23,8 +23,28 @@ class CachingSpec extends AnyFunSuite {
       s"outstanding=${Caching.outstanding}, expected $n")
   }
 
+  /** Expire every leftover listener from EARLIER suites before reading a
+    * baseline: their releases arrive asynchronously on the listener-bus
+    * thread and would otherwise race the point-in-time asserts below.
+    * After MaxMissedActions+1 completed actions every pre-existing
+    * listener has either matched or expired, and nothing can release
+    * between the returned baseline and the next action this test runs.
+    */
+  private def drainedBaseline(): Int = {
+    (1 to Caching.MaxMissedActions + 1).foreach(_ => spark.range(1).count())
+    val deadline = System.currentTimeMillis() + 20000
+    var prev = -1
+    var cur = Caching.outstanding
+    while ((prev != cur || cur > 0) && System.currentTimeMillis() < deadline) {
+      prev = cur
+      Thread.sleep(200)
+      cur = Caching.outstanding
+    }
+    cur
+  }
+
   test("a consumed action releases the cache and its listener") {
-    val baseline = Caching.outstanding
+    val baseline = drainedBaseline()
     val cached = Caching.scopedPersist(
       spark.range(1000).toDF("id").withColumn("x", col("id") * 2))
     assert(Caching.outstanding == baseline + 1)
@@ -39,7 +59,7 @@ class CachingSpec extends AnyFunSuite {
   }
 
   test("an abandoned plan expires after unrelated actions instead of leaking") {
-    val baseline = Caching.outstanding
+    val baseline = drainedBaseline()
     val abandoned = Caching.scopedPersist(
       spark.range(500).toDF("id").withColumn("y", col("id") + 1))
     assert(Caching.outstanding == baseline + 1)
