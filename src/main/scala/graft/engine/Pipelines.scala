@@ -120,18 +120,35 @@ object Pipelines {
     * Output: the sampled corpus manifest `(doc_id, lang_detected,
     * quality)` — k=5 docs per detected language, md5-permutation order
     * (D3's determinism convention), so the oracle checks exact membership.
+    *
+    * Cost budget (sf0.1, local[32], min-of-2 ≈ 5.0 s — measured stagewise
+    * with a warm-JVM probe): ~1.7 s clean + score + checkpoint
+    * (scan-bound, irreducible — the cleaning aggregate and the checkpoint
+    * write each need one pass), ~2.6–3.0 s canonical clustering over the
+    * full cleaned corpus (the dd5 budget: shingle/signature/band/verify +
+    * seeded label-propagation rounds), ~0.9 s contamination carve +
+    * keep-list joins + stratified sample. The round-7 seeding of label
+    * propagation (see [[graft.operators.Dedup.clustersOf]]) bought back
+    * the cost of widening clustering from the quality-filtered corpus to
+    * the full cleaned corpus; the remaining sum is the stages' inherent
+    * passes.
     */
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     import graft.functions.EvalOnce.once
     import graft.functions.TextFunctions.{langId, qualityScore}
 
     val cleaned = Preprocess.clean(graft.Tables.t(spark, dir, "documents")).df
+    // NO quality filter before clustering: the held-out benchmark is
+    // carved from the FULL cleaned corpus, so an eval document below the
+    // quality bar must still poison its near-dup component — a kept train
+    // doc that near-dups a low-quality eval doc is still a leak. (Round 6
+    // clustered the filtered corpus, which let exactly that case through.)
     val scored = cleaned
       .select(col("doc_id"), col("text"),
         once(qualityScore(col("text"))).as("quality"),
         once(langId(col("text"))).as("lang_detected"))
-      .filter(col("quality") >= 0.5)
       .localCheckpoint()
     // Scoped-cached: the assignment is consumed by TWO subtrees of the
     // final plan (the contamination carve and the keep-list join); without
@@ -145,18 +162,59 @@ object Pipelines {
     // that does) trains on the benchmark.
     val contaminated = labels.filter(isEval)
       .select(col("canonical_doc_id").as("bad")).distinct()
-    val kept = scored
+    // Quality/eval/leak filters AFTER clustering; the component
+    // representative is then the min doc_id among the SURVIVING members —
+    // a component whose global canonical was quality-filtered still keeps
+    // its best-id survivor (under canonical-only semantics it would vanish
+    // entirely). The rank-1 window compiles to map-side WindowGroupLimits
+    // on the component key, so the exchange carries ~one row per
+    // component, same shape as d4's stratified sample.
+    val eligible = scored
+      .filter(col("quality") >= 0.5 && !isEval)
       .join(labels.select(col("doc_id").as("lid"), col("canonical_doc_id")),
         col("doc_id") === col("lid"))
-      .filter(!isEval && col("doc_id") === col("canonical_doc_id"))
       .join(contaminated, col("canonical_doc_id") === col("bad"), "left_anti")
+    val kept = eligible
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("canonical_doc_id").orderBy("doc_id")))
+      .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang_detected"), col("quality"))
     Dictionary.sampleStratified(kept, "lang_detected", "doc_id", 5)
       .orderBy("lang_detected", "doc_id")
   }
 
+  /** pipe2 — the batch twin of [[graft.streaming.Streams.corpusIngest]]:
+    * score quality + language with the SAME expression trees, drop
+    * below-bar documents, keep ONE document per normalized content
+    * fingerprint. The streaming form's `dropDuplicatesWithinWatermark`
+    * keeps an arbitrary first arrival per fingerprint; the batch twin pins
+    * the deterministic equivalent (min doc_id wins) so the whole ingest
+    * head gets a DuckDB hash gate. Scale shape: one scan-side projection,
+    * then a rank-1 filter that compiles to map-side WindowGroupLimits on
+    * the fingerprint key — the dedup exchange carries ~one row per
+    * distinct fingerprint, not the corpus.
+    */
+  def ingestBatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.EvalOnce.once
+    import graft.functions.TextFunctions.{fingerprint, langId, qualityScore}
+    graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        once(qualityScore(col("text"))).as("quality"),
+        once(langId(col("text"))).as("lang_detected"),
+        fingerprint(col("text")).as("fp"))
+      .filter(col("quality") >= 0.5)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("fp").orderBy("doc_id")))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("quality"), col("lang_detected"), col("fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "pipe1_training_corpus" -> trainingCorpus
+    "pipe1_training_corpus" -> trainingCorpus,
+    "pipe2_ingest_batch" -> ingestBatch
   )
 
   /** pipe1's oracle chains the SAME shared fragments the stage oracles
@@ -169,15 +227,27 @@ object Pipelines {
     val ph = Preprocess.Placeholders.map("'" + _ + "'").mkString("(", ",", ")")
     val q = TextAnalysis.sqlQuality("text")
     val lang = TextAnalysis.sqlLangId("text")
-    Map("pipe1_training_corpus" ->
+    val fp = TextAnalysis.sqlFp("text")
+    Map(
+      "pipe2_ingest_batch" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, $q AS quality, $lang AS lang_detected, $fp AS fp
+           |  FROM documents
+           |  WHERE $q >= 0.5)
+           |SELECT doc_id, quality, lang_detected, fp FROM (
+           |  SELECT doc_id, quality, lang_detected, fp,
+           |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+           |  FROM scored)
+           |WHERE rk = 1
+           |ORDER BY doc_id""".stripMargin,
+      "pipe1_training_corpus" ->
       (s"""WITH RECURSIVE cleaned AS (
           |  SELECT DISTINCT doc_id,
           |    trim(CASE WHEN text IN $ph THEN NULL ELSE text END) AS text
           |  FROM documents),
           | scored AS (
           |  SELECT doc_id, text, $q AS quality, $lang AS lang_detected
-          |  FROM cleaned
-          |  WHERE $q >= 0.5),
+          |  FROM cleaned),
           | """.stripMargin +
         Dedup.dd3CtesFrom("scored", "x.doc_id < y.doc_id") +
         s",\n pairs AS (${Dedup.dd3PairSelect}),\n" +
@@ -196,12 +266,18 @@ object Pipelines {
           | contaminated AS (
           |  SELECT DISTINCT canon FROM labels
           |  WHERE ${Dedup.sqlIsEvalSplit("doc_id")}),
-          | kept AS (
-          |  SELECT s.doc_id, s.lang_detected, s.quality
+          | eligible AS (
+          |  SELECT s.doc_id, s.lang_detected, s.quality, l.canon
           |  FROM scored s JOIN labels l ON s.doc_id = l.doc_id
-          |  WHERE NOT ${Dedup.sqlIsEvalSplit("s.doc_id")}
-          |    AND s.doc_id = l.canon
-          |    AND l.canon NOT IN (SELECT canon FROM contaminated))
+          |  WHERE s.quality >= 0.5
+          |    AND NOT ${Dedup.sqlIsEvalSplit("s.doc_id")}
+          |    AND l.canon NOT IN (SELECT canon FROM contaminated)),
+          | kept AS (
+          |  SELECT doc_id, lang_detected, quality FROM (
+          |    SELECT doc_id, lang_detected, quality,
+          |      row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rk
+          |    FROM eligible)
+          |  WHERE rk = 1)
           |SELECT doc_id, lang_detected, quality FROM (
           |  SELECT doc_id, lang_detected, quality,
           |    row_number() OVER (PARTITION BY lang_detected

@@ -323,7 +323,7 @@ object TextAnalysis {
        | WHEN $de >= $es AND $de >= $fr THEN 'de'
        | WHEN $es >= $fr THEN 'es' ELSE 'fr' END""".stripMargin
   }
-  private def sqlFp(c: String) =
+  private[graft] def sqlFp(c: String) =
     s"md5(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'))"
 
   val oracle: Map[String, String] = Map(

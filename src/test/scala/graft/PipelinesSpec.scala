@@ -78,4 +78,56 @@ class PipelinesSpec extends AnyFunSuite {
   test("workbook sheet names truncate to 31 chars") {
     assert(graft.sources.WorkbookSink.sheetName("A" * 40).length == 31)
   }
+
+  // Three disjoint token vocabularies, none containing any stopword of any
+  // supported language: near-dup structure is then fully controlled (shared
+  // vocabulary = shingle-jaccard 1.0; disjoint = 0.0), and the digit pad
+  // tanks the quality score (alpha ratio) without adding a single token —
+  // the padded twin stays a verbatim near-dup of its clean partner.
+  private val wordsA = "zebra yonder quartz plasma vortex jumble kraken " +
+    "nimbus oracle pixel quasar rocket sphinx trellis umbra velvet walnut " +
+    "xylem ripple zephyr"
+  private val wordsB = "gargoyle harbor indigo jasper kelp lantern marble " +
+    "nectar onyx prism quiver russet saffron topaz damson wicker yarrow " +
+    "zinc cobalt drift"
+  private val wordsC = "anchor bridge copper dune ferret glacier hollow " +
+    "iris juniper krill lagoon meadow nutmeg osprey pebble quill reed " +
+    "summit tundra willow"
+
+  test("pipe1: a BELOW-BAR eval doc still poisons its component; a filtered " +
+      "canonical keeps its best surviving representative") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = Files.createTempDirectory("graft-pipe1").toString
+    val pad = "0" * 800
+    Seq(
+      (6L, wordsA + " " + pad), // EVAL side of the md5 carve, quality < 0.5
+      (7L, wordsA),             // train near-dup of 6 — leaked, must be dropped
+      (8L, wordsC),             // train, clean — control, must survive
+      (12L, wordsB + " " + pad), // train component canonical (min id), < bar
+      (13L, wordsB)              // train survivor — the kept representative
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // Fixture guards — the scenario only tests what it claims if the
+    // planted qualities straddle the 0.5 bar and doc 6 alone is on the
+    // eval side of the SHARED split definition (the driver corpus never
+    // exercises this combination, hence the synthetic).
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qs = docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(qs(6L) < 0.5 && qs(12L) < 0.5, qs)
+    assert(qs(7L) >= 0.5 && qs(8L) >= 0.5 && qs(13L) >= 0.5, qs)
+    val evalIds = docs
+      .filter(graft.operators.Dedup.isEvalSplit(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(evalIds == Set(6L), evalIds)
+    // Round-6 semantics (cluster on the quality-FILTERED corpus) would
+    // never see doc 6, keep leaked doc 7, and drop doc 13 (not its
+    // component's canonical). The widened pipeline must do the opposite.
+    val kept = Pipelines.trainingCorpus(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(8L, 13L), kept)
+  }
 }

@@ -124,6 +124,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(2500))
   }
 
+  test("t10 packing windows per shard — never a single-partition global window") {
+    // the prefix sum must partition by the shard key; an empty-partition
+    // window spec would funnel the whole corpus through one task
+    val p = plan("t10_packing")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("hashpartitioning\\(shard".r.findFirstIn(p).isDefined, p.take(2500))
+  }
+
+  test("t8 broadcasts the 1-row vocabulary; corpus joins the model on bg, never itself") {
+    val p = plan("t8_lm_surprise")
+    // vocabulary size arrives via a broadcast nested-loop of ONE row —
+    // never a CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    // corpus-side scoring is an equi-join on the bigram key (the model is
+    // vocab²-bounded; the corpus appears on exactly one side)
+    val equi = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[bg".r
+    assert(equi.findFirstIn(p).isDefined, p.take(2500))
+  }
+
+  test("dd7 caps hot buckets per (band, bucket, SIDE)") {
+    // a (band, bucket)-only cap would keep only the low-sorting eval ids
+    // in a hot mixed bucket and emit zero cross pairs exactly where
+    // contamination concentrates — the side predicate must be IN the
+    // window partition spec
+    val p = plan("dd7_near_contamination")
+    // the side predicate is projected into _w0 below the window; the spec
+    // must carry THREE partition keys and _w0 must be the >= IdShift test
+    val spec = "windowspecdefinition\\(band#\\d+, bucket#\\d+, _w0#\\d+".r
+    assert(spec.findFirstIn(p).isDefined, p.take(3000))
+    assert("\\(doc_id#\\d+L? >= 1000000\\) AS _w0".r.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("pipe2 fingerprint dedup keeps the rank-1 filter map-side (WindowGroupLimit)") {
+    val p = plan("pipe2_ingest_batch")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+  }
+
   test("pipe1 composes on one documents scan: final plan reads no parquet") {
     // The cleaned+scored corpus is checkpointed once; every downstream
     // stage (label propagation, keep-list join, stratified sample) must
