@@ -249,5 +249,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 4L))
     assert(out.forall(_.getAs[Double]("quality") >= 0.5))
     assert(out.forall(_.getAs[String]("lang_detected") == "en"))
+
+    // The BATCH twin (pipe2, oracle-gated) must agree with the streamed
+    // result on the same corpus: for in-order arrivals the stream's
+    // keep-first-arrival and the batch twin's keep-min-doc_id pick the
+    // same survivor per fingerprint — arrival order is the only intended
+    // divergence, and a batch table has none.
+    val dir = Files.createTempDirectory("graft-pipe2-twin").toString
+    Seq((1L, good), (2L, junk), (3L, good), (4L, good2))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val batch = graft.engine.Pipelines.ingestBatch(spark, dir).collect()
+    assert(batch.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 4L))
+    assert(batch.map(_.getAs[Long]("doc_id")).toSet ==
+      out.map(_.getAs[Long]("doc_id")).toSet)
   }
 }
