@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Pipelines
+import graft.operators.TextAnalysis
+
+/** Conservation-law checks over the real sf0.001 corpus. The DuckDB
+  * oracles compare one fixed result hash; these assert the INTERNAL
+  * consistency properties that must hold on any corpus — a formula edit
+  * that happened to keep the driver corpus's hash (the degenerate-gate
+  * failure mode) still has to balance these books.
+  */
+class InvariantSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tokenCounts = {
+    import graft.functions.TextFunctions.tokenCount
+    graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  test("t9 chunk manifests conserve tokens: per-doc chunk sum == token count") {
+    val sums = TextAnalysis.chunks(spark, sf)
+      .groupBy("doc_id").agg(sum("n_tokens").as("s"))
+    val bad = tokenCounts.join(sums, "doc_id")
+      .filter(col("s") =!= col("n")).count()
+    assert(bad == 0)
+    // and every tokenized doc produced at least one chunk
+    assert(tokenCounts.join(sums, Seq("doc_id"), "left_anti").count() == 0)
+  }
+
+  test("t10 packing manifests conserve tokens and fill every non-final sequence") {
+    val packed = TextAnalysis.packing(spark, sf)
+    val perDoc = packed.groupBy("doc_id").agg(sum("n_tokens").as("s"))
+    assert(tokenCounts.join(perDoc, "doc_id")
+      .filter(col("s") =!= col("n")).count() == 0)
+    // within a shard every sequence except the last must hold exactly
+    // PackTokens — a gap or overlap in the prefix-sum arithmetic shows up
+    // here even when the driver corpus's fixed hash happens to survive
+    val perSeq = packed.groupBy("shard", "seq_id").agg(sum("n_tokens").as("s"))
+    val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("mx"))
+    val bad = perSeq.join(lastSeq, "shard")
+      .filter(col("seq_id") < col("mx") && col("s") =!= 512L).count()
+    assert(bad == 0)
+  }
+
+  test("pipe2 emits at most one row per fingerprint, all above the bar") {
+    val out = Pipelines.ingestBatch(spark, sf)
+    assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+    assert(out.filter(col("quality") < 0.5).count() == 0)
+  }
+
+  test("pipe1 emits no eval-split ids and at most k per language") {
+    val out = Pipelines.trainingCorpus(spark, sf)
+    assert(out.filter(graft.operators.Dedup.isEvalSplit(col("doc_id"))).count() == 0)
+    assert(out.groupBy("lang_detected").count().filter(col("count") > 5).count() == 0)
+    assert(out.filter(col("quality") < 0.5).count() == 0)
+  }
+}
