@@ -530,6 +530,61 @@ object Dedup {
     graft.engine.Caching.scopedPersist(verified).orderBy("eval_doc_id", "train_doc_id")
   }
 
+  private[graft] val SpanTokens = 8
+  private[graft] val SpanHits = 3
+
+  /** dd8 — SPAN-level contamination: training documents that contain a
+    * verbatim quote of an eval document without being near-dups of it —
+    * the leakage mode both dd6 (whole-doc fingerprint) and dd7 (whole-doc
+    * Jaccard >= 0.7) miss, and the unit real decontamination passes
+    * operate at (the "50-token overlap" rule of the dedup-training-data
+    * literature). A document pair is flagged when it shares at least
+    * [[SpanHits]] distinct [[SpanTokens]]-consecutive-token windows; a
+    * shared run of L >= 8 tokens yields L-7 shared windows, so the
+    * threshold corresponds to one >= 10-token verbatim quote (or several
+    * 8-token ones).
+    *
+    * Split conventions follow dd6/dd7: eval = the md5-carved quarter,
+    * train = the id-shifted full copy (every eval doc is guaranteed its
+    * verbatim full-overlap hit; organic shared spans supply the partial
+    * quotes).
+    *
+    * Scale shape: tokenize once, one explode to DISTINCT window hashes
+    * (corpus-token-sized, the same cardinality t6's vocabulary explode
+    * handles), one equi-join on the window hash restricted to cross-side
+    * pairs, one count aggregate — never |train| x |eval|. Boilerplate
+    * windows shared by thousands of documents are capped per (window,
+    * SIDE) with the one [[capHotBuckets]] rule (constant band), so a hot
+    * window contributes at most Cap² pairs; the reported
+    * `n_shared_windows` counts cap-surviving windows, identically on both
+    * engines.
+    */
+  def spanContamination(spark: SparkSession, dir: String): DataFrame = {
+    val k = SpanTokens
+    val toks = t(spark, dir, "documents")
+      .select(shiftGuardedId.as("doc_id"), tokensOrdered(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+    // One md5 per window; array_distinct BEFORE the explode so repeated
+    // boilerplate inside one document counts once.
+    val wins = toks.select(col("doc_id"),
+      explode(array_distinct(transform(
+        sequence(lit(1), size(col("tk")) - (k - 1)),
+        i => md5(concat_ws(" ", slice(col("tk"), i, lit(k))))))).as("wh"))
+    val corpus = wins.filter(isEvalSplit(col("doc_id")))
+      .unionAll(wins.select((col("doc_id") + IdShift).as("doc_id"), col("wh")))
+    val capped = capHotBuckets(corpus.withColumn("b", lit(0)), "b", "wh",
+        sideCols = Seq(col("doc_id") >= IdShift))
+      .drop("b")
+    capped.alias("e").join(capped.alias("tr"),
+        col("e.wh") === col("tr.wh") &&
+          col("e.doc_id") < lit(IdShift) && col("tr.doc_id") >= lit(IdShift))
+      .groupBy(col("e.doc_id").as("eval_doc_id"),
+        col("tr.doc_id").as("train_doc_id"))
+      .agg(count(lit(1)).as("n_shared_windows"))
+      .filter(col("n_shared_windows") >= SpanHits)
+      .orderBy("eval_doc_id", "train_doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd1_exact_dedup" -> exactDedup,
     "dd2_jaccard_pairs" -> jaccardPairs,
@@ -537,7 +592,8 @@ object Dedup {
     "dd4_simhash" -> simhash,
     "dd5_dedup_clusters" -> dedupClusters,
     "dd6_contamination" -> contamination,
-    "dd7_near_contamination" -> nearContamination
+    "dd7_near_contamination" -> nearContamination,
+    "dd8_span_contamination" -> spanContamination
   )
 
   // Single-line on purpose: this fragment is interpolated into a larger
@@ -626,6 +682,31 @@ object Dedup {
       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // dd8: identical window construction (1-based k-token slices joined
+    // with ' ', md5'd, per-doc distinct) and the shared cap template with
+    // a constant band column.
+    "dd8_span_contamination" ->
+      (s"""WITH tk AS (
+          |  SELECT doc_id, $sqlToks AS t FROM documents),
+          | wins AS (
+          |  SELECT doc_id, unnest(list_distinct(list_transform(
+          |    range(1, len(t) - ${SpanTokens - 2}),
+          |    i -> md5(array_to_string(list_slice(t, i, i + ${SpanTokens - 1}), ' '))))) AS wh
+          |  FROM tk WHERE len(t) >= $SpanTokens),
+          | corpus AS (
+          |  SELECT doc_id, wh FROM wins WHERE ${sqlIsEvalSplit("doc_id")}
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, wh FROM wins),
+          | withb AS (SELECT doc_id, wh, 0 AS b FROM corpus),
+          | ${sqlCapCte("capped", "withb", Seq("doc_id", "wh"), "b", "wh", "doc_id",
+               sideCols = Seq("doc_id >= 1000000"))}
+          |SELECT e.doc_id AS eval_doc_id, tr.doc_id AS train_doc_id,
+          |  count(*) AS n_shared_windows
+          |FROM capped e JOIN capped tr
+          |  ON e.wh = tr.wh AND e.doc_id < 1000000 AND tr.doc_id >= 1000000
+          |GROUP BY 1, 2
+          |HAVING count(*) >= $SpanHits
+          |ORDER BY eval_doc_id, train_doc_id""".stripMargin),
     // Concatenated, not s-interpolated: the fingerprint regex '\s+' must
     // not pass through escape processing.
     "dd6_contamination" ->

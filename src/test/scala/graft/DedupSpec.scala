@@ -147,6 +147,30 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[Long]("train_doc_id") >= 1000000L))
   }
 
+  test("dd8 span contamination: a 10-token shared quote flags, a 9-token one does not") {
+    // 10 shared consecutive tokens = 3 shared 8-token windows (exactly the
+    // SpanHits bar); 9 shared tokens = 2 windows (below it). Fillers are
+    // disjoint across docs so no window crossing the quote boundary can
+    // coincidentally match. Doc 6 is the only eval-side id (md5 carve);
+    // its id-shifted self shares all 15 of its windows.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd8").toString
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    val fillA = "kilo lima mike november oscar papa quebec romeo sierra tango uniform victor"
+    val fillB = "whiskey xray yankee zulu apple banana cherry date elder fig grape honey"
+    val fillC = "iris jade kiwi lemon mango nectar olive peach quince raisin squash tomato melon"
+    Seq(
+      (6L, base + " " + fillA),
+      (7L, base + " " + fillB),
+      (8L, base.split(" ").take(9).mkString(" ") + " " + fillC))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Dedup.spanContamination(spark, dir).collect()
+      .map(r => (r.getAs[Long]("eval_doc_id"), r.getAs[Long]("train_doc_id"),
+        r.getAs[Long]("n_shared_windows")))
+    assert(rows.toSeq == Seq((6L, 1000006L, 15L), (6L, 1000007L, 3L)))
+  }
+
   test("clustersOf on a dup-free corpus assigns every doc to itself") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nodup").toString

@@ -162,6 +162,17 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
   }
 
+  test("dd8 caps hot windows per SIDE and joins on the window hash") {
+    val p = plan("dd8_span_contamination")
+    // same per-side cap contract as dd7: the side predicate must be a
+    // window partition key (projected into _w0), or hot mixed windows
+    // would evict one whole corpus side
+    assert("\\(doc_id#\\d+L? >= 1000000\\) AS _w0".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"), p.take(3000))
+    val equi = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[wh".r
+    assert(equi.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("pipe1 composes on one documents scan: final plan reads no parquet") {
     // The cleaned+scored corpus is checkpointed once; every downstream
     // stage (label propagation, keep-list join, stratified sample) must
