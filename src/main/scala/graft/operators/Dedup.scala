@@ -385,63 +385,74 @@ object Dedup {
     */
   private[graft] def clustersOf(docs: DataFrame): DataFrame = {
     val sh = graft.engine.Caching.scopedPersist(shingledOf(docs))
-    // Scoped-persist at THIS fan-out site (not inside verifiedPairsOf):
-    // the pair set feeds both directions of the adjacency union, so one
-    // materialization of the candidate+verify joins serves both subtrees.
-    val pairs = graft.engine.Caching.scopedPersist(
-      verifiedPairsOf(sh).select(col("doc_a"), col("doc_b")))
-    val adj = pairs.union(pairs.select(col("doc_b"), col("doc_a")))
+    componentsOf(docs.select(col("doc_id")),
+        verifiedPairsOf(sh).select(col("doc_a"), col("doc_b")))
+      .toDF("doc_id", "canonical_doc_id")
+  }
+
+  /** Generic min-label connected components over an undirected edge list —
+    * THE one label-propagation loop, shared by dd5/pipe1 (shingle near-dup
+    * graph over documents) and sim6 (embedding near-dup graph over
+    * vectors). `nodes` is a one-column id frame; `pairsIn` a two-column
+    * edge frame. Returns the unordered `(id, canon)` assignment under the
+    * input's id column name plus `canon` — callers rename.
+    *
+    * Algorithm: min-label propagation with pointer doubling, SEEDED at
+    * round 1's state — from all-self labels the first lower-then-halve
+    * round computes exactly label(v) = min(v, min neighbor id) (path
+    * halving is the identity on self-labels), so one aggregate over the
+    * edge frame replaces a full propagation round. Each subsequent round
+    * (a) lowers every node's label to the min over its neighbors' labels
+    * (one equi-join + aggregate), then (b) replaces every label by its
+    * label's label (one self-join — path halving), converging in
+    * O(log diameter) rounds. Each round is shuffle-bounded by |edges|;
+    * `localCheckpoint(eager = false)` folds block materialization into the
+    * round's ONE action (the convergence count). Propagation runs only
+    * over the ACTIVE subgraph (ids touching at least one edge) — untouched
+    * ids are self-canonical by definition and rejoin at the end.
+    */
+  private[graft] def componentsOf(nodes: DataFrame, pairsIn: DataFrame): DataFrame = {
+    val idName = nodes.columns.head
+    // Scoped-persist at THIS fan-out site: the pair set feeds both
+    // directions of the adjacency union, so one materialization of the
+    // (typically expensive) pair plan serves both subtrees.
+    val pairs = graft.engine.Caching.scopedPersist(pairsIn.toDF("pa", "pb"))
+    val adj = pairs.union(pairs.select(col("pb"), col("pa")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Propagate only over the ACTIVE subgraph (documents touching at least
-    // one edge) — on a near-dup graph that is a small fraction of the
-    // corpus, so the iterative rounds join |V(edges)|-sized frames, not
-    // corpus-sized ones. Untouched documents are self-canonical by
-    // definition and rejoin at the end.
-    //
-    // Labels are SEEDED at round 1's state: from all-self labels, the
-    // first lower-then-halve round computes exactly
-    // label(v) = min(v, min neighbor id) (path halving is the identity on
-    // self-labels), so one aggregate over the edge frame replaces a full
-    // propagation round (two joins + a checkpoint + a convergence count).
-    var labels = adj.groupBy(col("src").as("doc_id"))
+    var labels = adj.groupBy(col("src").as("nid"))
       .agg(min(col("dst")).as("m"))
-      .select(col("doc_id"), least(col("doc_id"), col("m")).as("canon"))
+      .select(col("nid"), least(col("nid"), col("m")).as("canon"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
-      val nbrMin = adj.join(labels, col("dst") === col("doc_id"))
+      val nbrMin = adj.join(labels, col("dst") === col("nid"))
         .groupBy(col("src")).agg(min(col("canon")).as("nbr"))
-      val lowered = labels.join(nbrMin, col("doc_id") === col("src"), "left")
-        .select(col("doc_id"), col("canon"),
+      val lowered = labels.join(nbrMin, col("nid") === col("src"), "left")
+        .select(col("nid"), col("canon"),
           least(col("canon"), coalesce(col("nbr"), col("canon"))).as("c1"))
-      // LAZY checkpoint: the convergence count below is the round's ONE
-      // action — it materializes the checkpoint blocks and counts in the
-      // same job (an eager checkpoint followed by a count would traverse
-      // the frame twice per round, doubling the driver's job count on the
-      // query that dominates the bench).
       val halved = lowered.alias("l")
-        .join(labels.select(col("doc_id").as("pid"), col("canon").as("pcanon")),
+        .join(labels.select(col("nid").as("pid"), col("canon").as("pcanon")),
           col("c1") === col("pid"))
-        .select(col("l.doc_id").as("doc_id"), col("l.canon").as("prev"),
+        .select(col("l.nid").as("nid"), col("l.canon").as("prev"),
           least(col("c1"), col("pcanon")).as("canon"))
         .localCheckpoint(eager = false)
       changed = halved.filter(col("canon") < col("prev")).count()
-      labels = halved.select(col("doc_id"), col("canon"))
+      labels = halved.select(col("nid"), col("canon"))
       rounds += 1
     }
     // Unconverged labels are WRONG labels (not component minima) — a
     // pathological component that outlives the round cap must fail loudly,
     // never return a plausible-looking misassignment.
     if (changed > 0) throw new IllegalStateException(
-      s"dedupClusters: label propagation did not converge in $rounds rounds")
+      s"componentsOf: label propagation did not converge in $rounds rounds")
     adj.unpersist()
-    docs.select(col("doc_id"))
-      .join(labels.select(col("doc_id").as("eid"), col("canon")),
-        col("doc_id") === col("eid"), "left")
-      .select(col("doc_id"),
-        coalesce(col("canon"), col("doc_id")).as("canonical_doc_id"))
+    nodes
+      .join(labels.select(col("nid"), col("canon")),
+        col(idName) === col("nid"), "left")
+      .select(col(idName),
+        coalesce(col("canon"), col(idName)).as("canon"))
   }
 
   /** Benchmark-contamination check — the train/eval overlap scan every

@@ -159,7 +159,15 @@ object Similarity {
     * windows); collisions are verified with the exact cosine and emitted
     * at >= 0.4. Work = corpus + candidate count, not n²/constant.
     */
-  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  def embeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    nearDupPairsOf(spark, dir).orderBy("vec_a", "vec_b")
+
+  /** The banded candidate + exact-cosine verification core of sim3,
+    * returned LAZY and unordered — sim3 sorts it for its gate, sim6 feeds
+    * it to the shared connected-components loop. Mirrors the
+    * verifiedPairsOf/minhashLsh split on the document side.
+    */
+  private[graft] def nearDupPairsOf(spark: SparkSession, dir: String): DataFrame = {
     val b = bitsFor(spark, dir)
     val e = withNorm(spark, dir)
     val bands = (0 until NumBands).map(j =>
@@ -180,8 +188,23 @@ object Similarity {
       .join(e.alias("b"), col("vec_b") === col("b.vec_id"))
       .select(col("vec_a"), col("vec_b"), round(cosPre("a", "b"), 6).as("cos"))
       .filter(col("cos") >= 0.4)
-      .orderBy("vec_a", "vec_b")
   }
+
+  /** sim6 — SEMANTIC dedup clusters (the SemDeDup shape): every vector
+    * mapped to the minimum vec_id of its connected component in the sim3
+    * embedding near-dup graph — the linear, trainer-consumable output
+    * (keep one representative per semantic cluster, drop the rest), as
+    * dd5 is to dd3 on the text side. Built by composition: sim3's banded
+    * pair core feeds the SAME label-propagation loop dd5 and pipe1 use
+    * ([[Dedup.componentsOf]]) — one clustering implementation, three
+    * graphs.
+    */
+  def semanticClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.componentsOf(
+        t(spark, dir, "embeddings").select(col("vec_id")),
+        nearDupPairsOf(spark, dir).select(col("vec_a"), col("vec_b")))
+      .toDF("vec_id", "canonical_vec_id")
+      .orderBy("vec_id")
 
   /** Batch multi-query ANN — the realistic production shape: every query
     * vector probes its own cell plus all Hamming-1 neighbors in ONE
@@ -281,7 +304,8 @@ object Similarity {
     "sim2_ann_bucketed" -> annBucketed,
     "sim3_embedding_neardup" -> embeddingNearDup,
     "sim4_batch_ann" -> batchAnn,
-    "sim5_ivf_ann" -> ivfAnn
+    "sim5_ivf_ann" -> ivfAnn,
+    "sim6_semantic_clusters" -> semanticClusters
   )
 
   private val sqlCos =
@@ -373,20 +397,47 @@ object Similarity {
          |ORDER BY cos DESC, a.vec_id
          |LIMIT 5""".stripMargin,
     "sim3_embedding_neardup" ->
-      s"""WITH $sqlBitsCte,
-         | n AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings),
-         | bb AS (
-         |  SELECT vec_id, band, ${sqlCell("band * 16")} AS bucket
-         |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(band)),
-         | ${Dedup.sqlCapCte("capped", "bb", Seq("vec_id", "band", "bucket"), "band", "bucket", "vec_id")},
-         | cand AS (
-         |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
-         |  FROM capped x JOIN capped y
-         |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)
-         |SELECT cand.vec_a, cand.vec_b, round($sqlCos, 6) AS cos
-         |FROM cand JOIN n a ON cand.vec_a = a.vec_id
-         |          JOIN n b ON cand.vec_b = b.vec_id
-         |WHERE round($sqlCos, 6) >= 0.4
-         |ORDER BY vec_a, vec_b""".stripMargin
+      (s"WITH $sim3Ctes\n" +
+        s"$sim3PairSelect\nORDER BY vec_a, vec_b"),
+    // sim6: the sim3 pair CTEs feed the same recursive transitive closure
+    // dd5's oracle uses (the Spark side shares the one componentsOf loop).
+    "sim6_semantic_clusters" ->
+      (s"WITH RECURSIVE $sim3Ctes,\n" +
+        s" pairs AS ($sim3PairSelect),\n" +
+        """ edges AS (
+          |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+          |  UNION ALL SELECT vec_b, vec_a FROM pairs),
+          | reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+          |SELECT n.vec_id,
+          |  CAST(least(coalesce(min(r.dst), n.vec_id), n.vec_id) AS BIGINT) AS canonical_vec_id
+          |FROM n LEFT JOIN reach r ON n.vec_id = r.src
+          |GROUP BY n.vec_id
+          |ORDER BY vec_id""".stripMargin)
   )
+
+  /** sim3's bits→cells→cap→candidate pipeline as a reusable CTE chain —
+    * shared by the sim3 and sim6 oracles so the two cannot drift (the
+    * same sharing discipline as dd3CtesFrom on the document side).
+    */
+  private def sim3Ctes: String =
+    s"""$sqlBitsCte,
+       | n AS (SELECT vec_id, embedding::DOUBLE[] AS v, embedding FROM embeddings),
+       | bb AS (
+       |  SELECT vec_id, band, ${sqlCell("band * 16")} AS bucket
+       |  FROM n CROSS JOIN (VALUES (0), (1), (2), (3)) AS bs(band)),
+       | ${Dedup.sqlCapCte("capped", "bb", Seq("vec_id", "band", "bucket"), "band", "bucket", "vec_id")},
+       | cand AS (
+       |  SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id)""".stripMargin
+
+  /** sim3's verified-pair SELECT (no ORDER BY — sim6 wraps it as a CTE). */
+  private def sim3PairSelect: String =
+    s"""SELECT cand.vec_a, cand.vec_b, round($sqlCos, 6) AS cos
+       |FROM cand JOIN n a ON cand.vec_a = a.vec_id
+       |          JOIN n b ON cand.vec_b = b.vec_id
+       |WHERE round($sqlCos, 6) >= 0.4""".stripMargin
 }

@@ -109,4 +109,20 @@ class SimilaritySpec extends AnyFunSuite {
         .foreach(c => assert(c == r.getAs[Double]("cos")))
     }
   }
+
+  test("semantic clusters are a fixpoint consistent with the sim3 edge set") {
+    // same contract dd5 pins against dd3: both endpoints of every near-dup
+    // pair share a canonical, canonicals point at themselves, and no
+    // canonical exceeds its member (min-label semantics).
+    val canon = graft.operators.Similarity.semanticClusters(spark, sf)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("canonical_vec_id"))
+      .toMap
+    assert(canon.forall { case (v, c) => c <= v })
+    assert(canon.forall { case (_, c) => canon(c) == c })
+    graft.operators.Similarity.embeddingNearDup(spark, sf).collect().foreach { r =>
+      val (a, b) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))
+      assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
+    }
+  }
 }
