@@ -238,6 +238,32 @@ object TextAnalysis {
       .orderBy("shard", "seq_id", "doc_id")
   }
 
+  /** t11 — BPE merge-pair counting: the frequency table of ADJACENT
+    * character pairs across all token occurrences, top-50 — exactly the
+    * statistic the first iteration of byte-pair-encoding tokenizer
+    * training maximizes over (subsequent iterations re-run the same count
+    * over re-segmented text; the counting plan is identical, so this pins
+    * the shape that matters). Complements t6 (word vocabulary) and the
+    * BPE-ish token COUNT in t1 with the merge-TRAINING statistic.
+    *
+    * Scale shape: one explode to tokens, one to character pairs
+    * (corpus-character-sized — the same cardinality class as t6's token
+    * explode), then a hash aggregate with map-side partial combine and a
+    * TakeOrderedAndProject top-k; the shuffle carries distinct pairs
+    * (bounded by 26² here), not occurrences.
+    */
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(tokensOrdered(col("text"))).as("token"))
+      .filter(length(col("token")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), length(col("token")) - 1),
+        i => col("token").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(50)
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -286,11 +312,14 @@ object TextAnalysis {
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
     "t9_chunks" -> chunks,
-    "t10_packing" -> packing
+    "t10_packing" -> packing,
+    "t11_bpe_merge_pairs" -> bpeMergePairs
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
   // TextFunctions exactly.
+  private val sqlTokens =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
   private def sqlTokenSet(c: String) =
     s"list_distinct(list_filter(regexp_split_to_array(lower($c), '[^a-z]+'), x -> x <> ''))"
   private def sqlHits(c: String, words: Seq[String]) =
@@ -462,6 +491,17 @@ object TextAnalysis {
          |    - greatest(seq_id * $PackTokens, tok_start) AS BIGINT) AS n_tokens
          |FROM ex
          |ORDER BY shard, seq_id, doc_id""".stripMargin,
+    "t11_bpe_merge_pairs" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($sqlTokens) AS token FROM documents),
+         | pairs AS (
+         |  SELECT unnest(list_transform(range(1, length(token)),
+         |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
+         |  FROM tok WHERE length(token) >= 2)
+         |SELECT pair, count(*) AS n_occurrences
+         |FROM pairs GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair
+         |LIMIT 50""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,

@@ -66,6 +66,20 @@ class TextAnalysisSpec extends AnyFunSuite {
       (3L, 0L, 0L, 1L)))
   }
 
+  test("bpe merge pairs count occurrences across tokens, overlaps included") {
+    // "aba" -> ab, ba; "abab" -> ab, ba, ab; "x" (1 char) contributes
+    // nothing: totals ab=3, ba=2 — overlapping pairs and repeats within
+    // one token must all count, the way BPE merge statistics do.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-t11").toString
+    Seq((1L, "aba abab x"))
+      .toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.bpeMergePairs(spark, dir).collect()
+      .map(r => (r.getAs[String]("pair"), r.getAs[Long]("n_occurrences")))
+    assert(rows.toSeq == Seq(("ab", 3L), ("ba", 2L)))
+  }
+
   test("packing: long docs span sequences, short docs pack after them") {
     // The driver corpora have no doc over one 512-token sequence, so the
     // multi-sequence span needs its own corpus. One shard (ids = 0 mod 8):
