@@ -215,8 +215,32 @@ object Enrichment {
       .orderBy("source")
   }
 
+  /** Temperature-damped mixture weights (T = 2) — the multilingual
+    * pre-training recipe (mT5/XLM-R lineage): domains are sampled
+    * proportionally to p^(1/T) instead of p, which upsamples small
+    * domains less aggressively than d5's uniform target. The PER-DOCUMENT
+    * sampling weight is p^(1/T - 1) = sqrt(N / n_d) — deliberately left
+    * UNNORMALIZED: every gated value is then a per-row function of exact
+    * integer aggregates (N and n_d), where a normalized share would
+    * require summing doubles across domains whose accumulation order no
+    * cross-engine contract fixes. Normalizing is one constant computed
+    * driver-side over the domain-count-sized frame at any scale.
+    */
+  def temperatureWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    t(spark, dir, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(sqrt(sum(col("n_docs")).over(w).cast("double") / col("n_docs")), 6)
+          .as("temp_weight"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_mixture_weights" -> mixtureWeights,
+    "d6_temperature_weights" -> temperatureWeights,
     "d4_stratified_sample" -> stratifiedSample,
     "e2_detect_distributed" -> detectLanguageDistributed,
     "e3_translate_dictionary" -> translateDictionaryQuery,
@@ -272,6 +296,12 @@ object Enrichment {
         |SELECT source, n_docs,
         |  round(n_docs::DOUBLE / sum(n_docs) OVER (), 6) AS share,
         |  round((1.0 / count(*) OVER ()) / (n_docs::DOUBLE / sum(n_docs) OVER ()), 6) AS weight
+        |FROM c
+        |ORDER BY source NULLS FIRST""".stripMargin,
+    "d6_temperature_weights" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+        |SELECT source, n_docs,
+        |  round(sqrt(sum(n_docs) OVER ()::DOUBLE / n_docs), 6) AS temp_weight
         |FROM c
         |ORDER BY source NULLS FIRST""".stripMargin,
     "d4_stratified_sample" ->

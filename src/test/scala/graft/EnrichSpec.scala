@@ -75,4 +75,26 @@ class EnrichSpec extends AnyFunSuite {
     assert(rows("b") == ((1L, 0.142857, 2.333333)))
     assert(rows("c") == ((5L, 0.714286, 0.466667)))
   }
+
+  test("d6 temperature weights damp the upsampling relative to d5 (direction pinned)") {
+    // Same skew-pinning rationale as d5 (the driver corpora are uniform):
+    // rare domains must be upsampled (weight > 1 relative to the majority
+    // domain's) but LESS aggressively than the uniform-target weight — at
+    // T=2, weight = sqrt(N/n): sqrt(7/1) vs d5's 7/3 for the rare domains.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-d6").toString
+    (Seq((1L, "a"), (2L, "b")) ++ (3L to 7L).map(i => (i, "c")))
+      .toDF("doc_id", "source")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.operators.Enrichment.temperatureWeights(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("temp_weight")))
+      .toMap
+    assert(rows("a") == ((1L, 2.645751)))   // sqrt(7)
+    assert(rows("b") == ((1L, 2.645751)))
+    assert(rows("c") == ((5L, 1.183216)))   // sqrt(7/5)
+    // damping: rare/majority ratio is sqrt(5) here vs d5's factor 5
+    assert(rows("a")._2 / rows("c")._2 < 2.333333 / 0.466667)
+  }
 }
