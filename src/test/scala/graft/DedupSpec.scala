@@ -171,6 +171,24 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((6L, 1000006L, 15L), (6L, 1000007L, 3L)))
   }
 
+  test("componentsOf converges on a long path graph (multi-round pointer doubling)") {
+    // The corpus near-dup graphs are mostly 2-3 node components, which the
+    // seeded first state already solves — this path of 100 nodes (diameter
+    // 99) forces genuine log-round doubling, and the two disjoint chains +
+    // isolated nodes check that labels never bleed across components.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val chainA = (1L until 100L).map(i => (i, i + 1))          // 1..100
+    val chainB = (200L until 250L).map(i => (i, i + 1))        // 200..250
+    val nodes = ((1L to 100L) ++ (200L to 250L) ++ Seq(999L)).toDF("id")
+    val pairs = (chainA ++ chainB).toDF("a", "b")
+    val canon = graft.operators.Dedup.componentsOf(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 100L).forall(canon(_) == 1L))
+    assert((200L to 250L).forall(canon(_) == 200L))
+    assert(canon(999L) == 999L)
+  }
+
   test("clustersOf on a dup-free corpus assigns every doc to itself") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nodup").toString
