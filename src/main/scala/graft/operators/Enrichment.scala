@@ -238,8 +238,40 @@ object Enrichment {
       .orderBy("source")
   }
 
+  /** d7 — deterministic WEIGHTED sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each document draws an exponential key
+    * `-ln(u) / w` with rate w = its token count, and the 20 smallest keys
+    * win — inclusion probability proportional to size, the length-weighted
+    * draw a token-budgeted training-data pipeline uses (sampling documents
+    * ∝ tokens ≈ sampling a uniformly random token's document). The uniform
+    * u derives from the md5 pseudo-permutation (D3's determinism
+    * convention): the first 8 hex digits of md5(doc_id) as a 32-bit
+    * integer, shifted by 0.5 so u is never 0 — both engines compute the
+    * IDENTICAL double, so the sampled prefix (not just the set) is
+    * oracle-checkable.
+    *
+    * Scale shape: one scan-side projection (token count + key arithmetic,
+    * no shuffle) into a TakeOrderedAndProject top-k — the exchange
+    * carries k rows per partition, never the corpus. A weighted sample of
+    * k docs from 100 TB is one pass.
+    */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    val key = -log(u) / col("n_tokens").cast("double")
+    t(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens"), round(key, 6).as("es_key"))
+      .orderBy(col("es_key").asc, col("doc_id"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_mixture_weights" -> mixtureWeights,
+    "d7_weighted_sample" -> weightedSample,
     "d6_temperature_weights" -> temperatureWeights,
     "d4_stratified_sample" -> stratifiedSample,
     "e2_detect_distributed" -> detectLanguageDistributed,
@@ -291,6 +323,20 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d7_weighted_sample" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.sqlTokenCount("text")} AS n_tokens
+         |  FROM documents),
+         | keyed AS (
+         |  SELECT doc_id, n_tokens,
+         |    round(-ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE + 0.5)
+         |        / 4294967296.0) / n_tokens::DOUBLE, 6) AS es_key
+         |  FROM tk WHERE n_tokens > 0)
+         |SELECT doc_id, n_tokens, es_key
+         |FROM keyed
+         |ORDER BY es_key, doc_id
+         |LIMIT 20""".stripMargin,
     "d5_mixture_weights" ->
       """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
         |SELECT source, n_docs,

@@ -54,10 +54,46 @@ object Events {
         col("n_events"), col("total_value"))
       .orderBy("user_id", "session_start_ms")
 
+  /** ev6 — ordered funnel analysis: how many users progress
+    * view → click → purchase, where each stage's event must come STRICTLY
+    * AFTER the user's earliest qualifying event of the previous stage (the
+    * standard product-analytics funnel, which a plain per-type count
+    * overstates — a purchase before the first view is not a conversion).
+    *
+    * Scale shape: each stage is one hash aggregate on user_id (partial
+    * combine map-side, shuffle carries one row per user) and each
+    * stage-to-stage dependency is an equi-join on user_id against the
+    * previous stage's user-count-sized frame — broadcastable at any
+    * events:users ratio, and AQE picks broadcast here. The events table is
+    * scanned once per stage with the event_type filter pushed to parquet;
+    * no window over the full event stream and no self-join of events
+    * against events.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("v_ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("v_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("c_ts"))
+      .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+    def stage(df: DataFrame, ord: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(ord).as("stage"), lit(name).as("funnel_step"), col("n_users"))
+    stage(v, 1, "view")
+      .unionAll(stage(c, 2, "click_after_view"))
+      .unionAll(stage(p, 3, "purchase_after_click"))
+      .orderBy("stage")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
-    "ev3_sessions" -> sessions
+    "ev3_sessions" -> sessions,
+    "ev6_funnel" -> funnel
   )
 
   val oracle: Map[String, String] = Map(
@@ -106,6 +142,31 @@ object Events {
         |  count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM grp
         |GROUP BY user_id, sid
-        |ORDER BY user_id, session_start_ms""".stripMargin
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+    "ev6_funnel" ->
+      """WITH e AS (
+        |  -- microsecond truncation first, same convention as ev3: both
+        |  -- engines compare the strictly-after condition on identical values
+        |  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (
+        |  SELECT e.user_id, min(e.ts) AS c_ts
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > v.v_ts
+        |  GROUP BY e.user_id),
+        | p AS (
+        |  SELECT e.user_id, min(e.ts) AS p_ts
+        |  FROM e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT 1 AS stage, 'view' AS funnel_step,
+        |  (SELECT count(*) FROM v) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+        |UNION ALL
+        |SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+        |ORDER BY stage""".stripMargin
   )
 }

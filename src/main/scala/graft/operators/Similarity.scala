@@ -299,7 +299,79 @@ object Similarity {
       .limit(5)
   }
 
+  private val PqM = 8    // subspaces (64 dims / 8)
+  private val PqDim = 8  // dimensions per subspace
+  private val PqK = 16   // codewords per subspace
+
+  /** sim7 — product-quantization ANN with asymmetric distance computation
+    * (the FAISS PQ/ADC search shape, complementing sim2's hashing and
+    * sim5's coarse partitioning with the third classical ANN scale path:
+    * MEMORY compression). Vectors are split into M=8 subspaces of 8 dims;
+    * each subspace has a K=16-codeword codebook (sampled-medoid
+    * subvectors, the sim5 determinism convention); a vector's code is its
+    * nearest codeword per subspace — 8 small ints instead of 64 floats, a
+    * 16× compression at real scale. A query precomputes the M×K table of
+    * squared distances to every codeword once, and each corpus vector's
+    * approximate distance is then M table lookups summed — no
+    * full-dimension arithmetic per candidate. Top-5 by approximate L2.
+    *
+    * Numeric portability: per-cell distances are quantized to MICRO-UNIT
+    * LONGS (`round(d² × 1e6)`) before any cross-subspace reduction, so the
+    * ADC sum is exact integer arithmetic — immune to the float-summation
+    * order differences that a double sum across 8 lookups could hit — and
+    * the emitted `approx_l2_e6` is integer end-to-end. Encode/probe ranks
+    * order by (distance, codeword) so both engines break ties identically.
+    *
+    * Scale shape: the codebook (M×K = 128 skinny rows) is BROADCAST to
+    * both the encode join and the query table join — the corpus never
+    * shuffles to be encoded, and the per-(vector, subspace) nearest-
+    * codeword rank compiles to map-side WindowGroupLimits (PlanSpec). At
+    * 100 TB the code table is precomputed once (8 bytes/vector) and the
+    * per-query cost is corpus-codes × 8 integer lookups; the raw float
+    * vectors are touched only at encode time.
+    */
+  def pqAdc(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, dir, "embeddings")
+    val seedOrder = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val seeds = e.orderBy(seedOrder: _*).limit(PqK)
+      .withColumn("cw", row_number().over(Window.orderBy(seedOrder: _*)) - 1)
+      .select(col("cw"), col("embedding").as("sv"))
+    def subspaces(v: Column, as: String): Column =
+      explode(array((0 until PqM).map(m =>
+        struct(lit(m).as("m"), slice(v, m * PqDim + 1, PqDim).as(as))): _*))
+    val codebook = seeds
+      .select(col("cw"), subspaces(col("sv"), "cv").as("s"))
+      .select(col("s.m").as("m"), col("cw"), col("s.cv").as("cv"))
+    val sub = e.select(col("vec_id"), subspaces(col("embedding"), "xv").as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.xv").as("xv"))
+    // Squared L2 via the dot identity (three fdot folds — identical
+    // evaluation order to the oracle's list_dot_product combination),
+    // quantized to micro-unit longs at the cell level.
+    def dmu(a: Column, b: Column): Column =
+      round((dot(a, a) - lit(2.0) * dot(a, b) + dot(b, b)) * lit(1e6))
+        .cast("long")
+    val dists = sub.join(broadcast(codebook), "m")
+      .select(col("vec_id"), col("m"), col("cw"),
+        dmu(col("xv"), col("cv")).as("d"))
+    val codes = dists
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id", "m").orderBy(col("d").asc, col("cw"))))
+      .filter(col("rk") === 1).select(col("vec_id"), col("m"), col("cw"))
+    val qtab = dists.filter(col("vec_id") === 0L)
+      .select(col("m").as("qm"), col("cw").as("qcw"), col("d").as("qd"))
+    val labels = e.select(col("vec_id").as("lid"), col("label"))
+    codes.filter(col("vec_id") =!= 0L)
+      .join(broadcast(qtab), col("m") === col("qm") && col("cw") === col("qcw"))
+      .groupBy("vec_id").agg(sum(col("qd")).as("approx_l2_e6"))
+      .join(labels, col("vec_id") === col("lid"))
+      .select(col("vec_id"), col("label"), col("approx_l2_e6"))
+      .orderBy(col("approx_l2_e6").asc, col("vec_id"))
+      .limit(5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim7_pq_adc" -> pqAdc,
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ann_bucketed" -> annBucketed,
     "sim3_embedding_neardup" -> embeddingNearDup,
@@ -320,6 +392,40 @@ object Similarity {
       "THEN (1::BIGINT << CAST(k - 1 AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "sim7_pq_adc" ->
+      s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+         | sr AS (SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+         |  FROM n),
+         | seeds AS (SELECT rn - 1 AS cw, v AS sv FROM sr WHERE rn <= $PqK),
+         | ms AS (SELECT CAST(unnest(range($PqM)) AS INTEGER) AS m),
+         | codebook AS (
+         |  SELECT m, cw, list_slice(sv, m * $PqDim + 1, m * $PqDim + $PqDim) AS cv
+         |  FROM seeds CROSS JOIN ms),
+         | sub AS (
+         |  SELECT vec_id, m, list_slice(v, m * $PqDim + 1, m * $PqDim + $PqDim) AS xv
+         |  FROM n CROSS JOIN ms),
+         | dists AS (
+         |  SELECT s.vec_id, s.m, c.cw,
+         |    CAST(round((list_dot_product(s.xv, s.xv)
+         |      - 2.0 * list_dot_product(s.xv, c.cv)
+         |      + list_dot_product(c.cv, c.cv)) * 1000000.0) AS BIGINT) AS d
+         |  FROM sub s JOIN codebook c ON s.m = c.m),
+         | codes AS (
+         |  SELECT vec_id, m, cw FROM (
+         |    SELECT vec_id, m, cw,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cw) AS rk
+         |    FROM dists) WHERE rk = 1),
+         | qtab AS (SELECT m, cw, d AS qd FROM dists WHERE vec_id = 0),
+         | approx AS (
+         |  SELECT c.vec_id, CAST(sum(q.qd) AS BIGINT) AS approx_l2_e6
+         |  FROM codes c JOIN qtab q ON c.m = q.m AND c.cw = q.cw
+         |  WHERE c.vec_id <> 0
+         |  GROUP BY c.vec_id)
+         |SELECT a.vec_id, n.label, a.approx_l2_e6
+         |FROM approx a JOIN n ON a.vec_id = n.vec_id
+         |ORDER BY a.approx_l2_e6, a.vec_id
+         |LIMIT 5""".stripMargin,
     "sim1_cosine_topk" ->
       s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
          |SELECT a.vec_id, a.label, round($sqlCos, 6) AS cos

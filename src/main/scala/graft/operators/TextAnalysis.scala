@@ -264,6 +264,43 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(50)
 
+  /** t12 — TF-IDF keyword extraction: the top-3 most distinctive terms per
+    * document (tf × ln(N/df)), the classic relevance statistic a corpus
+    * pipeline attaches for retrieval, topic labeling, or near-dup triage.
+    *
+    * Scale shape: everything derives from t6's `(token, doc_id)`-level
+    * hash aggregate (map-side partial combine — the shuffle carries
+    * distinct pairs, not occurrences). Document frequency is a second,
+    * vocabulary-sized aggregate OF that frame; the corpus-wide doc count
+    * is a broadcast 1-row frame (t8's convention); the idf join is
+    * pair-frame × vocabulary — the corpus text is never re-tokenized and
+    * never self-joined. The final top-3-per-doc rank compiles to map-side
+    * WindowGroupLimits (PlanSpec), so the last exchange carries ≤3 rows
+    * per document. Scoring: tf and df are exact integers and the tfidf
+    * product is ONE rounded double expression, identical in both engines;
+    * ranking is on the rounded value with a token tiebreak so both
+    * engines rank identically.
+    */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokensOrdered(col("text"))).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    // count(doc_id), not count(1): the NULL-doc_id group must not count
+    // toward document frequency (t6's convention).
+    val dfreq = pairs.groupBy("token").agg(count(col("doc_id")).as("df"))
+    val nF = pairs.agg(countDistinct(col("doc_id")).as("n"))
+    val scored = pairs.join(dfreq, "token").crossJoin(broadcast(nF))
+      .select(col("doc_id"), col("token"),
+        round(col("tf").cast("double") *
+          log(col("n").cast("double") / col("df")), 6).as("tfidf"))
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("tfidf").desc, col("token"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -313,7 +350,8 @@ object TextAnalysis {
     "t8_lm_surprise" -> lmSurprise,
     "t9_chunks" -> chunks,
     "t10_packing" -> packing,
-    "t11_bpe_merge_pairs" -> bpeMergePairs
+    "t11_bpe_merge_pairs" -> bpeMergePairs,
+    "t12_tfidf_keywords" -> tfidfKeywords
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -324,7 +362,7 @@ object TextAnalysis {
     s"list_distinct(list_filter(regexp_split_to_array(lower($c), '[^a-z]+'), x -> x <> ''))"
   private def sqlHits(c: String, words: Seq[String]) =
     s"len(list_intersect(${sqlTokenSet(c)}, [${words.map("'" + _ + "'").mkString(",")}]))"
-  private def sqlTokenCount(c: String) =
+  private[graft] def sqlTokenCount(c: String) =
     s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE CAST(length(regexp_split_to_array(trim($c), '\\s+')) AS BIGINT) END"
   private def sqlBpe(c: String) =
     s"CAST(len(regexp_extract_all($c, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
@@ -502,6 +540,25 @@ object TextAnalysis {
          |FROM pairs GROUP BY pair
          |ORDER BY n_occurrences DESC, pair
          |LIMIT 50""".stripMargin,
+    "t12_tfidf_keywords" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         | pairs AS (
+         |  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         | dfreq AS (
+         |  SELECT token, count(doc_id) AS df FROM pairs GROUP BY token),
+         | np AS (SELECT count(DISTINCT doc_id) AS n FROM pairs),
+         | scored AS (
+         |  SELECT doc_id, pairs.token,
+         |    round(tf::DOUBLE * ln((SELECT n FROM np)::DOUBLE / df), 6) AS tfidf
+         |  FROM pairs JOIN dfreq ON pairs.token = dfreq.token)
+         |SELECT doc_id, token, tfidf FROM (
+         |  SELECT doc_id, token, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, token) AS rk
+         |  FROM scored)
+         |WHERE rk <= 3
+         |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,

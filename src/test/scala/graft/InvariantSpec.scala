@@ -60,4 +60,43 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.groupBy("lang_detected").count().filter(col("count") > 5).count() == 0)
     assert(out.filter(col("quality") < 0.5).count() == 0)
   }
+
+  test("ev6 funnel stages are monotonically non-increasing") {
+    // each stage conditions on reaching the previous one, so user counts
+    // can only shrink down the funnel — an inverted count means a stage
+    // lost its strictly-after dependency
+    val rows = graft.operators.Events.funnel(spark, sf)
+      .orderBy("stage").select("n_users").collect().map(_.getLong(0))
+    assert(rows.length == 3)
+    assert(rows.sliding(2).forall(p => p(0) >= p(1)), rows.mkString(","))
+  }
+
+  test("t12 emits at most 3 keywords per doc, each a token of that doc") {
+    import graft.functions.TextFunctions.tokensOrdered
+    val kw = TextAnalysis.tfidfKeywords(spark, sf)
+    assert(kw.groupBy("doc_id").count().filter(col("count") > 3).count() == 0)
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("d2"), tokensOrdered(col("text")).as("tk"))
+    val foreign = kw.join(docs, col("doc_id") === col("d2"))
+      .filter(!array_contains(col("tk"), col("token"))).count()
+    assert(foreign == 0)
+  }
+
+  test("d7 weighted sample: zero-token docs never sampled, keys positive") {
+    val out = graft.operators.Enrichment.weightedSample(spark, sf)
+    assert(out.filter(col("n_tokens") <= 0).count() == 0)
+    assert(out.filter(col("es_key") <= 0.0).count() == 0)
+    assert(out.count() == 20)
+  }
+
+  test("sim7 PQ codes: every vector gets exactly one codeword per subspace") {
+    // run the full query (top-5 gate) plus the structural property the
+    // fixed hash cannot see: the approximate distance of the query vector
+    // to itself through its own codes would be 0 only if codes are
+    // self-consistent; here we assert output size and non-negative
+    // distances (an ADC sum can only be >= 0 when every cell is >= 0)
+    val out = graft.operators.Similarity.pqAdc(spark, sf)
+    assert(out.count() == 5)
+    assert(out.filter(col("approx_l2_e6") < 0L).count() == 0)
+  }
 }

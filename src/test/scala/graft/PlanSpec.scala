@@ -173,6 +173,32 @@ class PlanSpec extends AnyFunSuite {
     assert(equi.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("t12 keeps the top-3-per-doc rank map-side and broadcasts the doc count") {
+    val p = plan("t12_tfidf_keywords")
+    // the per-doc rank<=3 filter must become partial WindowGroupLimits so
+    // the final exchange carries <=3 rows per document, not the pair frame
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+    // the corpus-wide doc count is a broadcast 1-row frame (t8 convention)
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("sim7 broadcasts the codebook and keeps the encode rank-1 map-side") {
+    val p = plan("sim7_pq_adc")
+    // encode join: corpus subvectors x 128-row codebook must broadcast the
+    // codebook — the corpus never shuffles to be encoded
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    // nearest-codeword rank-1 per (vec_id, m) compiles to map-side
+    // WindowGroupLimits (the exchange carries one row per vector-subspace)
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("d7 weighted sample compiles to TakeOrderedAndProject, not a global sort") {
+    val p = plan("d7_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
   test("pipe1 composes on one documents scan: final plan reads no parquet") {
     // The cleaned+scored corpus is checkpointed once; every downstream
     // stage (label propagation, keep-list join, stratified sample) must
