@@ -269,8 +269,75 @@ object Enrichment {
       .limit(20)
   }
 
+  /** d8 — per-domain quality pruning: keep the top half of each source
+    * domain by quality score (the DCLM/FineWeb-style "keep the best X%
+    * per shard" curation step — a GLOBAL quality bar would instead let
+    * one clean domain crowd out every other). Rank is per-domain over
+    * (quality desc, doc_id) — the doc_id tiebreak makes the kept PREFIX
+    * unique, so the oracle checks exact membership. The per-domain keep
+    * count ceil(n_d/2) arrives by broadcast join from a domain-sized
+    * count aggregate.
+    *
+    * Scale shape: exact per-domain quantiles need a per-domain sort —
+    * one shuffle partitioned by source, sort within domain (the honest
+    * cost of exact rank pruning; domains are the natural shards). The
+    * variable keep bound rules out WindowGroupLimit (literal-k only), so
+    * at 100 TB the cheaper variant swaps the rank for a per-domain
+    * `approx_percentile(quality, 0.5)` threshold join — same shape as
+    * `counts`, no sort — trading exactness for one aggregate; the exact
+    * form is what an oracle can gate.
+    */
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.qualityScore
+    val scored = t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), qualityScore(col("text")).as("quality"))
+    val counts = scored.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id")))
+        .cast("long"))
+      .join(broadcast(counts), "source")
+      .filter(col("rk") <= floor((col("n_docs") + lit(1)) / lit(2)).cast("long"))
+      .select(col("source"), col("doc_id"), col("quality"), col("rk"))
+      .orderBy("source", "rk")
+  }
+
+  /** d9 — per-domain token-budget fill: walk each domain in the md5
+    * pseudo-permutation order (D3's determinism convention) and keep
+    * documents until the domain's token budget is spent — how a mixture
+    * spec ("200 B tokens of web, 50 B of code") is actually materialized
+    * from an over-sized corpus. A document is kept iff the tokens BEFORE
+    * it are under budget (t10's straddle convention: the budget-crossing
+    * document is kept, so every domain with any documents fills its
+    * budget; nothing after it survives).
+    *
+    * Scale shape: one projection (token count + md5 key), then a
+    * per-domain running sum — t10's sharded-prefix-sum shape, windows
+    * partitioned by domain, never a global ordered window. The output
+    * carries the running offset, so downstream sharding can split the
+    * kept stream without re-scanning.
+    */
+  def tokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokenCount
+    val budget = 500L
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), tokenCount(col("text")).as("n_tokens"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .filter(col("tokens_before") < budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("tokens_before"))
+      .orderBy("source", "tokens_before", "doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_mixture_weights" -> mixtureWeights,
+    "d8_quality_prune" -> qualityPrune,
+    "d9_token_budget" -> tokenBudget,
     "d7_weighted_sample" -> weightedSample,
     "d6_temperature_weights" -> temperatureWeights,
     "d4_stratified_sample" -> stratifiedSample,
@@ -358,6 +425,33 @@ object Enrichment {
         |  FROM documents)
         |WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+    "d8_quality_prune" ->
+      s"""WITH s AS (
+         |  SELECT source, doc_id, ${TextAnalysis.sqlQuality("text")} AS quality
+         |  FROM documents),
+         | r AS (
+         |  SELECT source, doc_id, quality,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY quality DESC, doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n_docs
+         |  FROM s)
+         |SELECT source, doc_id, quality, rk
+         |FROM r WHERE rk <= (n_docs + 1) // 2
+         |ORDER BY source, rk""".stripMargin,
+    "d9_token_budget" ->
+      s"""WITH tk AS (
+         |  SELECT source, doc_id, ${TextAnalysis.sqlTokenCount("text")} AS n_tokens
+         |  FROM documents),
+         | p AS (
+         |  SELECT source, doc_id, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(doc_id::VARCHAR), doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |      AS tokens_before
+         |  FROM tk WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens, tokens_before
+         |FROM p WHERE tokens_before < 500
+         |ORDER BY source, tokens_before, doc_id""".stripMargin,
     "e2_detect_distributed" -> e2Oracle,
     "d1_distinct_dictionary" ->
       s"""SELECT column_name, value FROM (

@@ -89,11 +89,35 @@ object Events {
       .orderBy("stage")
   }
 
+  /** ev7 — latest-wins state compaction: the newest event per user (max
+    * ts, event_id as the total-order tiebreak) — the CDC/upsert snapshot
+    * every incremental pipeline maintains (compact an append-only change
+    * log into current state; Delta/Hudi merge semantics in plain Spark).
+    *
+    * Scale shape: the rank-1 filter compiles to WindowGroupLimit, so each
+    * map task forwards ONE row per user it sees — the exchange carries
+    * O(users x partitions) pre-deduped rows, never the event log. No
+    * self-join against max(ts) (two scans + a shuffle join) and no
+    * driver-side state; PlanSpec pins the map-side limit.
+    */
+  def latestState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    t(spark, dir, "events")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), unix_millis(col("ts")).as("last_ts_ms"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
-    "ev6_funnel" -> funnel
+    "ev6_funnel" -> funnel,
+    "ev7_latest_state" -> latestState
   )
 
   val oracle: Map[String, String] = Map(
@@ -167,6 +191,19 @@ object Events {
         |SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
         |UNION ALL
         |SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
-        |ORDER BY stage""".stripMargin
+        |ORDER BY stage""".stripMargin,
+    "ev7_latest_state" ->
+      """WITH e AS (
+        |  -- microsecond truncation first, the ev3/ev6 convention: both
+        |  -- engines rank on identical timestamp values
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, epoch_ms(ts) AS last_ts_ms,
+        |  event_type AS last_event_type, value AS last_value
+        |FROM e WHERE rn = 1
+        |ORDER BY user_id""".stripMargin
   )
 }

@@ -341,6 +341,67 @@ object Relational {
       .agg(r2(sum($"l_extendedprice") / 7.0).as("avg_yearly"))
   }
 
+  /** TPC-H Q6-style forecast-revenue: the pure scan-filter-aggregate probe
+    * — every predicate pushes to the parquet scan (PushedFilters on
+    * l_shipdate/l_discount/l_quantity), zero joins, one partial-then-final
+    * aggregate of a single double. The canonical "is the scan path fast"
+    * benchmark query.
+    */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01") &&
+        $"l_discount" >= 0.04 && $"l_discount" <= 0.06 && $"l_quantity" < 24)
+      .agg(r2(sum($"l_extendedprice" * $"l_discount")).as("revenue"))
+  }
+
+  /** TPC-H Q18-style large-volume customers: orders whose total quantity
+    * exceeds a threshold, with their customer. The per-order quantity
+    * aggregate runs FIRST (one hash aggregate on l_orderkey, map-side
+    * combine), the >threshold filter shrinks it to the few large orders,
+    * and only then do orders and customer join — both joins are then
+    * small-side broadcastable under AQE. The naive shape (join first,
+    * aggregate the joined width) would shuffle customer columns through
+    * the lineitem-sized exchange.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val qty = t(spark, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(r2(sum($"l_quantity")).as("total_qty"))
+      .filter($"total_qty" > 250.0)
+    qty.join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .select($"c_custkey", $"c_name", $"o_orderkey",
+        // o_orderdate reads as TIMESTAMP_NTZ (ms parquet); the UTC-session
+        // cast makes unix_millis applicable and matches the oracle's
+        // epoch_ms of the naive value
+        unix_millis($"o_orderdate".cast("timestamp")).as("o_orderdate_ms"),
+        $"o_totalprice", $"total_qty")
+      .orderBy($"total_qty".desc, $"o_orderkey")
+  }
+
+  /** TPC-H Q19-style disjunctive predicate join: revenue from three
+    * brand/size/quantity bands OR-ed together. The p_partkey equi-join
+    * stays an equi-join (broadcast of the 2k-row part dim) with the
+    * disjunction as a post-join filter — Catalyst additionally derives
+    * the OR-of-ANDs' common constraints for scan pruning. The
+    * anti-pattern is a theta-join carrying the whole disjunction into
+    * the join condition, which blocks broadcast-hash planning.
+    */
+  def q19BrandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 20)) ||
+      ($"p_brand" === "Brand#13" && $"p_size".between(10, 30) && $"l_quantity".between(10, 30)) ||
+      ($"p_brand" === "Brand#23" && $"p_size".between(20, 50) && $"l_quantity".between(20, 50))
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").select($"p_partkey", $"p_brand", $"p_size")),
+        $"l_partkey" === $"p_partkey")
+      .filter(bands)
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   /** LIKE-pattern filter with aggregation (string predicate pushdown). */
   def q13NamePattern(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -428,6 +489,9 @@ object Relational {
     "q14_promo_share" -> q14PromoShare,
     "q17_small_quantity" -> q17SmallQuantity,
     "q13_name_pattern" -> q13NamePattern,
+    "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
     "q3_shipping_priority" -> q3ShippingPriority,
     "q5_region_revenue" -> q5RegionRevenue,
@@ -505,6 +569,35 @@ object Relational {
         |FROM lineitem l, (SELECT l_partkey AS ak, avg(l_quantity) AS aq
         |                  FROM lineitem GROUP BY l_partkey) a
         |WHERE l.l_partkey = a.ak AND l.l_quantity < 0.5 * a.aq""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.04 AND 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q18_large_orders" ->
+      """WITH q AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING round(sum(l_quantity), 2) > 250.0)
+        |SELECT c_custkey, c_name, o_orderkey,
+        |  epoch_ms(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_ms,
+        |  o_totalprice, total_qty
+        |FROM q
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_qty DESC, o_orderkey""".stripMargin,
+    "q19_brand_revenue" ->
+      """SELECT round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q13_name_pattern" ->
       """SELECT p_type, count(*) AS n_parts,
         |  round(avg(p_retailprice), 2) AS avg_price

@@ -301,6 +301,44 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("tfidf").desc, col("token"))
   }
 
+  /** t13 — top-bigram repetition (the Gopher repetition rule family, in
+    * deterministic token form): the share of a document's bigrams taken by
+    * its single most frequent bigram. t5 catches documents whose TOKENS
+    * repeat; this catches documents whose SEQUENCES repeat (looped
+    * boilerplate like "click here click here…" has near-zero t5 distinct
+    * deficit per unique word but a dominant bigram) — the complementary
+    * repetition signal quality filters threshold on.
+    *
+    * Scale shape: explode to (doc_id, bigram), ONE hash aggregate with
+    * map-side combine (the shuffle carries distinct per-doc bigrams, not
+    * occurrences), then the per-doc top-1 compiles to map-side
+    * WindowGroupLimits (PlanSpec) — the final exchange carries one row
+    * per document. Ties break lexicographically so the winner is unique;
+    * the share is one rounded double of two exact integers.
+    */
+  def topBigram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.rawShingles
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
+    val counts = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), (size(col("tk")) - 1).cast("long").as("n_bigrams"),
+        explode(rawShingles(col("tk"))).as("bg"))
+      .groupBy("doc_id", "n_bigrams", "bg")
+      .agg(count(lit(1)).as("c"))
+    val top = counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("c").desc, col("bg"))))
+      .filter(col("rk") === 1)
+    docs.select(col("doc_id"))
+      .join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bg").as("top_bigram"),
+        coalesce(col("c"), lit(0L)).as("n_occurrences"),
+        coalesce(round(col("c").cast("double") / col("n_bigrams"), 6), lit(0.0))
+          .as("bigram_share"))
+      .orderBy("doc_id")
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -351,7 +389,8 @@ object TextAnalysis {
     "t9_chunks" -> chunks,
     "t10_packing" -> packing,
     "t11_bpe_merge_pairs" -> bpeMergePairs,
-    "t12_tfidf_keywords" -> tfidfKeywords
+    "t12_tfidf_keywords" -> tfidfKeywords,
+    "t13_top_bigram" -> topBigram
   )
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
@@ -559,6 +598,29 @@ object TextAnalysis {
          |  FROM scored)
          |WHERE rk <= 3
          |ORDER BY doc_id, tfidf DESC, token""".stripMargin,
+    "t13_top_bigram" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlTokens AS t FROM documents),
+         | bi AS (
+         |  SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS n_bigrams,
+         |    unnest(list_transform(range(1, len(t)),
+         |      i -> list_element(t, i) || ' ' || list_element(t, i + 1))) AS bg
+         |  FROM tk WHERE len(t) >= 2),
+         | c AS (
+         |  SELECT doc_id, n_bigrams, bg, count(*) AS c
+         |  FROM bi GROUP BY doc_id, n_bigrams, bg),
+         | top AS (
+         |  SELECT doc_id, n_bigrams, bg, c FROM (
+         |    SELECT doc_id, n_bigrams, bg, c,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY c DESC, bg) AS rk
+         |    FROM c)
+         |  WHERE rk = 1)
+         |SELECT tk.doc_id, top.bg AS top_bigram,
+         |  coalesce(top.c, 0) AS n_occurrences,
+         |  coalesce(round(top.c::DOUBLE / top.n_bigrams, 6), 0.0) AS bigram_share
+         |FROM tk LEFT JOIN top USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
     "t2_quality_bands" ->
       s"""SELECT ${sqlLangId("text")} AS lang_detected,
          |  CAST(floor(${sqlQuality("text")} * 10) AS BIGINT) AS quality_decile,

@@ -99,4 +99,65 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.count() == 5)
     assert(out.filter(col("approx_l2_e6") < 0L).count() == 0)
   }
+
+  test("d8 keeps exactly ceil(n/2) per domain, ranks contiguous from 1") {
+    val kept = graft.operators.Enrichment.qualityPrune(spark, sf)
+    val perDomain = kept.groupBy("source")
+      .agg(count(lit(1)).as("k"), max("rk").as("mx"), min("rk").as("mn"))
+    // contiguous 1..k ranks — a dropped middle rank means the window and
+    // the keep filter disagree on ordering
+    assert(perDomain.filter(col("mx") =!= col("k") || col("mn") =!= 1L).count() == 0)
+    val counts = graft.Tables.t(spark, sf, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    assert(perDomain.join(counts, "source")
+      .filter(col("k") =!= ceil(col("n") / 2.0).cast("long")).count() == 0)
+  }
+
+  test("d9 budget fill: offsets are exact prefix sums and the budget binds") {
+    val kept = graft.operators.Enrichment.tokenBudget(spark, sf)
+    // every kept doc starts under budget
+    assert(kept.filter(col("tokens_before") >= 500L).count() == 0)
+    // tokens_before is the running sum of the kept docs before it (the
+    // kept set is a PREFIX of the md5 walk, so the books must balance
+    // within the output alone)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("tokens_before", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bad = kept
+      .withColumn("recomputed", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .filter(col("recomputed") =!= col("tokens_before")).count()
+    assert(bad == 0)
+    // the budget binds: each domain either spends >= 500 tokens or kept
+    // every tokenized doc it has
+    val spent = kept.groupBy("source")
+      .agg(sum("n_tokens").as("total"), count(lit(1)).as("k"))
+    val avail = tokenCounts
+      .join(graft.Tables.t(spark, sf, "documents").select("doc_id", "source"), "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    assert(spent.join(avail, "source")
+      .filter(col("total") < 500L && col("k") =!= col("n")).count() == 0)
+  }
+
+  test("ev7 emits one row per user at that user's max timestamp") {
+    val out = graft.operators.Events.latestState(spark, sf)
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    val mx = graft.Tables.t(spark, sf, "events")
+      .groupBy(col("user_id").as("u")).agg(max(unix_millis(col("ts"))).as("m"))
+    assert(out.join(mx, col("user_id") === col("u"))
+      .filter(col("last_ts_ms") =!= col("m")).count() == 0)
+  }
+
+  test("t13 top bigram is a real bigram of its doc with a feasible share") {
+    import graft.functions.TextFunctions.{tokensOrdered, rawShingles}
+    val out = TextAnalysis.topBigram(spark, sf)
+    assert(out.filter(col("bigram_share") < 0.0 || col("bigram_share") > 1.0).count() == 0)
+    val docs = graft.Tables.t(spark, sf, "documents")
+      .select(col("doc_id").as("d2"), rawShingles(tokensOrdered(col("text"))).as("bgs"))
+    val foreign = out.filter(col("top_bigram").isNotNull)
+      .join(docs, col("doc_id") === col("d2"))
+      .filter(!array_contains(col("bgs"), col("top_bigram"))).count()
+    assert(foreign == 0)
+    // docs with >= 2 tokens must surface a winner with >= 1 occurrence
+    assert(out.filter(col("top_bigram").isNotNull && col("n_occurrences") < 1L).count() == 0)
+  }
 }

@@ -208,4 +208,61 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"), p.take(3000))
     assert(p.contains("WindowGroupLimit"), p.take(3000)) // d4's map-side limit survives composition
   }
+
+  test("ev7 latest-state keeps the rank-1 filter map-side (WindowGroupLimit)") {
+    // the compaction must pre-dedup per map task — the exchange carries
+    // one row per (user, partition), never the event log
+    val p = plan("ev7_latest_state")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+  }
+
+  test("t13 top-bigram keeps the per-doc top-1 rank map-side (WindowGroupLimit)") {
+    val p = plan("t13_top_bigram")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+  }
+
+  test("d9 token budget windows per domain — never a single-partition global window") {
+    // t10's contract: the running sum partitions by source; an empty
+    // partition spec funnels the corpus through one task
+    val p = plan("d9_token_budget")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined, p.take(2500))
+  }
+
+  test("d8 quality prune windows per domain and broadcasts the domain counts") {
+    val p = plan("d8_quality_prune")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("hashpartitioning\\(source".r.findFirstIn(p).isDefined, p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("q6 pushes every predicate to the parquet scan") {
+    val p = plan("q6_forecast_revenue")
+    // the PushedFilters list prints truncated, so pin the (stable) prefix
+    // and read the complete predicates off the Filter node instead
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), " +
+      "IsNotNull(l_quantity), GreaterThanOrEqual"), p.take(2500))
+    assert("l_quantity#\\d+ < 24\\.0".r.findFirstIn(p).isDefined, p.take(2500))
+    // 4 of 11 lineitem columns read
+    assert(!p.contains("l_orderkey") && !p.contains("l_tax"),
+      "scan should prune unused columns")
+  }
+
+  test("q18 aggregates lineitem BEFORE joining orders and customer") {
+    // the per-order quantity aggregate must sit under the joins, so the
+    // exchanges after it carry the few large orders, not raw lineitem
+    val df = SparkEntry.queries("q18_large_orders")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(1500))
+    // under AQE the filtered aggregate is small → both joins go broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
+
+  test("q19 keeps the part join an equi-join with a broadcast dimension") {
+    val p = plan("q19_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2500))
+  }
 }
