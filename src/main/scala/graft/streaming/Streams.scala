@@ -75,6 +75,25 @@ object Streams {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming latest-state view — the streaming twin of
+    * `Events.latestState` (ev7, oracle-gated): one row per user carrying
+    * that user's newest event, re-emitted whenever it changes (update
+    * mode). This is the continuously-maintained CDC snapshot (a Delta/Hudi
+    * merge view in plain Structured Streaming). Unlike the dedup twins,
+    * the state comparison is on EVENT time (ts, event_id), not arrival
+    * order, so out-of-order arrivals converge to the same snapshot the
+    * batch query computes — no watermark is needed because snapshot state
+    * is one row per user (user-count-bounded, sharded by key), never
+    * evicted by design.
+    */
+  def latestState(events: Dataset[LEvent]): Dataset[LatestRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(LatestStateUpdate.update)
+  }
+
   /** Stream-stream interval join: clicks within the 10 minutes before a
     * purchase by the same user. Watermarks on BOTH sides plus the time
     * range bound the join state (clicks older than the watermark minus
@@ -96,6 +115,31 @@ object Streams {
       .select(col("user_id"), col("purchase_id"), col("click_id"),
         unix_millis(col("ts")).as("purchase_ts_ms"),
         unix_millis(col("cts")).as("click_ts_ms"))
+  }
+}
+
+/** Typed full event for the latest-state view. */
+final case class LEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    event_type: String, value: Double)
+
+/** One user's snapshot row — ev7's exact output shape. */
+final case class LatestRow(
+    user_id: Long, last_ts_ms: Long, last_event_type: String, last_value: Double)
+
+private[streaming] object LatestStateUpdate {
+  /** Keep the max-(ts, event_id) event per user across batches — the same
+    * total order ev7's rank-1 window uses, so batch and stream agree on
+    * any arrival order.
+    */
+  def update(
+      userId: Long,
+      events: Iterator[LEvent],
+      state: GroupState[LEvent]): LatestRow = {
+    val best = (events ++ state.getOption.iterator)
+      .maxBy(e => (e.ts.getTime, e.event_id))
+    state.update(best)
+    LatestRow(userId, best.ts.getTime, best.event_type, best.value)
   }
 }
 

@@ -263,4 +263,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(_.getAs[Long]("doc_id")).toSet ==
       out.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("streaming latest-state converges to the ev7 batch snapshot, even out of order") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.LEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704103200000L // 2024-01-01T10:00:00Z
+    def ev(user: Long, id: Long, minute: Int, tpe: String, v: Double) =
+      LEvent(user, id, new java.sql.Timestamp(base + minute * 60000L), tpe, v)
+    val input = MemoryStream[LEvent]
+    val q = Streams.latestState(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_out")
+      .start()
+    try {
+      input.addData(ev(1, 10, 5, "view", 1.0), ev(2, 11, 1, "click", 2.0))
+      q.processAllAvailable()
+      // Batch 2 delivers user 1's OLDER event late — the snapshot must
+      // not regress (state compares event time, not arrival order) —
+      // and user 2's genuinely newer purchase, which must replace it.
+      input.addData(ev(1, 9, 2, "view", 9.0), ev(2, 12, 7, "purchase", 3.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits a user's current snapshot each batch that
+    // touches it; event time only moves forward, so max(last_ts_ms) per
+    // user IS the final state
+    val fin = spark.table("latest_out").groupBy("user_id")
+      .agg(max("last_ts_ms").as("last_ts_ms")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_ts_ms")).toMap
+    assert(fin == Map(1L -> (base + 5 * 60000L), 2L -> (base + 7 * 60000L)))
+
+    // The BATCH twin (ev7, oracle-gated) on the same four events must
+    // produce exactly that snapshot.
+    val dir = Files.createTempDirectory("graft-ev7-twin").toString
+    Seq(ev(1, 10, 5, "view", 1.0), ev(2, 11, 1, "click", 2.0),
+        ev(1, 9, 2, "view", 9.0), ev(2, 12, 7, "purchase", 3.0))
+      // Tables.t decodes events.ts from nanosecond longs (the driver
+      // parquet's TIMESTAMP(NANOS) shape) — write the twin fixture the
+      // same way
+      .toDF().select(col("event_id"), (unix_micros(col("ts")) * 1000).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .write.parquet(s"$dir/events.parquet")
+    val batch = Events.latestState(spark, dir).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_ts_ms")).toMap
+    assert(batch == fin)
+  }
 }
