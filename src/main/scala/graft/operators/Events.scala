@@ -112,7 +112,44 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ev8 — CDC MERGE classification: apply a change batch (the events
+    * after a split instant) onto a base snapshot (the users seen before
+    * it) and emit each affected key's merged row tagged `insert` (key new
+    * to the snapshot) or `update` (key existed) — the observable half of
+    * a Delta/Hudi MERGE INTO, as a deterministic batch operator. The
+    * driver corpus has no genuinely new users in any suffix window
+    * (every user is active all month), so the e2/t7 injection convention
+    * applies: users ≡ 0 (mod 7) are treated as new arrivals — their
+    * pre-split history is excluded from the base snapshot.
+    *
+    * Scale shape: the delta side is ev7's map-side rank-1 compaction of
+    * the post-split slice (the split predicate pushes to the scan); the
+    * base side is one DISTINCT hash aggregate of user ids (map-side
+    * combine, user-count-sized output) — never the full pre-split log.
+    * The classify join is user-count x user-count; AQE broadcasts the
+    * base side. No event-log self-join at any point.
+    */
+  def mergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = "2024-01-16 00:00:00"
+    val ev = t(spark, dir, "events")
+    val delta = ev.filter(col("ts") >= lit(split))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+    val base = ev.filter(col("ts") < lit(split) && col("user_id") % 7 =!= 0)
+      .select(col("user_id").as("base_user")).distinct()
+    delta.join(base, col("user_id") === col("base_user"), "left")
+      .select(col("user_id"), unix_millis(col("ts")).as("last_ts_ms"),
+        col("event_type").as("last_event_type"), col("value").as("last_value"),
+        when(col("base_user").isNull, lit("insert")).otherwise(lit("update"))
+          .as("change"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev8_merge_upsert" -> mergeUpsert,
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
@@ -204,6 +241,25 @@ object Events {
         |SELECT user_id, epoch_ms(ts) AS last_ts_ms,
         |  event_type AS last_event_type, value AS last_value
         |FROM e WHERE rn = 1
-        |ORDER BY user_id""".stripMargin
+        |ORDER BY user_id""".stripMargin,
+    "ev8_merge_upsert" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value
+        |  FROM events),
+        | delta AS (
+        |  SELECT user_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        | base AS (
+        |  SELECT DISTINCT user_id AS base_user FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id % 7 <> 0)
+        |SELECT d.user_id, epoch_ms(d.ts) AS last_ts_ms,
+        |  d.event_type AS last_event_type, d.value AS last_value,
+        |  CASE WHEN base_user IS NULL THEN 'insert' ELSE 'update' END AS change
+        |FROM (SELECT * FROM delta WHERE rn = 1) d
+        |LEFT JOIN base ON d.user_id = base_user
+        |ORDER BY d.user_id""".stripMargin
   )
 }

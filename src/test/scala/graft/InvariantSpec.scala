@@ -147,6 +147,21 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("last_ts_ms") =!= col("m")).count() == 0)
   }
 
+  test("ev8 classifies exactly the simulated new arrivals as inserts") {
+    val out = graft.operators.Events.mergeUpsert(spark, sf)
+    // one merged row per delta user
+    assert(out.groupBy("user_id").count().filter(col("count") > 1).count() == 0)
+    // inserts are precisely the users whose base history was carved out
+    // (every driver user is active on both sides of the split)
+    assert(out.filter(col("change") === "insert" && col("user_id") % 7 =!= 0)
+      .count() == 0)
+    assert(out.filter(col("change") === "update" && col("user_id") % 7 === 0)
+      .count() == 0)
+    // both branches are exercised on the driver corpus
+    assert(out.filter(col("change") === "insert").count() > 0)
+    assert(out.filter(col("change") === "update").count() > 0)
+  }
+
   test("t13 top bigram is a real bigram of its doc with a feasible share") {
     import graft.functions.TextFunctions.{tokensOrdered, rawShingles}
     val out = TextAnalysis.topBigram(spark, sf)

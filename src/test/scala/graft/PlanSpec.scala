@@ -259,6 +259,15 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
   }
 
+  test("ev8 merge compacts the delta map-side and broadcasts the base key set") {
+    val df = SparkEntry.queries("ev8_merge_upsert")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(1500))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("q19 keeps the part join an equi-join with a broadcast dimension") {
     val p = plan("q19_brand_revenue")
     assert(p.contains("BroadcastHashJoin"), p.take(2500))
