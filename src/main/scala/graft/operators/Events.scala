@@ -148,8 +148,33 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ev9 — cohort retention: users grouped by their first active day
+    * (cohort), counted on each later active day as an offset from the
+    * cohort day — the product-analytics retention triangle.
+    *
+    * Scale shape: the event log collapses FIRST to one row per
+    * (user, active day) — a hash aggregate with map-side combine, the only
+    * pass over the raw log. Cohort assignment is a second aggregate of
+    * that user×day frame (min day per user, user-count-sized) joined back
+    * on user_id — AQE broadcasts it at any realistic events:users ratio.
+    * The retention matrix itself is days² rows. No window over the event
+    * stream, no self-join of events.
+    */
+  def retention(spark: SparkSession, dir: String): DataFrame = {
+    val act = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val cohort = act.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    act.join(cohort, "user_id")
+      .groupBy(unix_millis(col("cohort_day")).as("cohort_day_ms"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_day_ms", "day_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev8_merge_upsert" -> mergeUpsert,
+    "ev9_retention" -> retention,
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
@@ -242,6 +267,18 @@ object Events {
         |  event_type AS last_event_type, value AS last_value
         |FROM e WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "ev9_retention" ->
+      """WITH act AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        | cohort AS (
+        |  SELECT user_id, min(day) AS cohort_day FROM act GROUP BY user_id)
+        |SELECT epoch_ms(c.cohort_day) AS cohort_day_ms,
+        |  CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+        |  count(*) AS n_users
+        |FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2
+        |ORDER BY cohort_day_ms, day_offset""".stripMargin,
     "ev8_merge_upsert" ->
       """WITH e AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -402,6 +402,159 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  /** TPC-H Q7-style volume shipping between two nations: the nation dim
+    * joins BOTH fact sides under different roles (supplier nation,
+    * customer nation). The nation filter is pushed into each dimension
+    * subtree BEFORE the fact joins — supplier and customer shrink to the
+    * two nations' members and broadcast, so lineitem rows from all other
+    * nations drop at the (broadcast) join instead of surviving to a
+    * post-join disjunction over the full fact table; only the
+    * cross-direction pair predicate remains post-join, over two tiny
+    * string columns.
+    */
+  def q7VolumeShipping(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val nations = Seq("NATION_7", "NATION_12")
+    val nat = t(spark, dir, "nation").filter($"n_name".isin(nations: _*))
+    val supp = t(spark, dir, "supplier")
+      .join(broadcast(nat.select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"snk")
+      .select($"s_suppkey", $"supp_nation")
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(nat.select($"n_nationkey".as("cnk"), $"n_name".as("cust_nation"))),
+        $"c_nationkey" === $"cnk")
+      .select($"c_custkey", $"cust_nation")
+    t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1998-01-01"))
+      .join(t(spark, dir, "orders").select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .filter($"supp_nation" =!= $"cust_nation")
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").cast("long").as("l_year"))
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  /** TPC-H Q8-style market share: of the AMERICA-region customers' ECONOMY
+    * part revenue, the share supplied by one nation, per order year — a
+    * conditional-sum ratio over a 5-way join where every dimension side
+    * (part filter, region-filtered customer ids, nation-labeled
+    * suppliers) broadcasts and only lineitem↔orders shuffles.
+    */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val amerCust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t(spark, dir, "region").filter($"r_name" === "AMERICA")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"c_custkey")
+    val suppNation = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")
+          .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))),
+        $"s_nationkey" === $"snk")
+      .select($"s_suppkey", $"supp_nation")
+    val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter($"p_type" === "ECONOMY")
+        .select($"p_partkey")), $"l_partkey" === $"p_partkey")
+      .join(t(spark, dir, "orders")
+          .filter($"o_orderdate" >= lit("1996-01-01") && $"o_orderdate" < lit("1998-01-01")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(amerCust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+      .groupBy(year($"o_orderdate").cast("long").as("o_year"))
+      .agg(round(
+        sum(when($"supp_nation" === "NATION_5", rev).otherwise(lit(0.0))) / sum(rev), 6)
+        .as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  /** TPC-H Q9-style product-type profit by supplier nation and year.
+    * The testdata has no partsupp, so unit cost is proxied by the part's
+    * retail price (2-decimal × integral quantity keeps every term exactly
+    * 2-decimal, preserving the module's rounding-safety convention).
+    */
+  def q9ProductProfit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profit = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      $"p_retailprice" * $"l_quantity"
+    t(spark, dir, "lineitem")
+      .join(broadcast(t(spark, dir, "part").filter($"p_name".like("%bolt%"))
+        .select($"p_partkey", $"p_retailprice")), $"l_partkey" === $"p_partkey")
+      .join(broadcast(t(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")),
+        $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"l_shipdate").cast("long").as("l_year"))
+      .agg(r2(sum(profit)).as("profit"))
+      .orderBy($"nation", $"l_year".desc)
+  }
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, then
+    * the supplier(s) achieving the maximum — the aggregate-vs-its-own-max
+    * shape. The max is a 1-row aggregate broadcast back against the
+    * per-supplier frame (never a global sort), and ties all surface (TPC-H
+    * semantics). Comparison happens on the 2-rounded revenue so both
+    * engines pick identical winners.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val revPerSupp = t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1996-04-01"))
+      .groupBy($"l_suppkey")
+      .agg(r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount"))).as("total_revenue"))
+    val mx = revPerSupp.agg(max($"total_revenue").as("max_revenue"))
+    revPerSupp.join(broadcast(mx), $"total_revenue" === $"max_revenue")
+      .join(broadcast(t(spark, dir, "supplier").select($"s_suppkey", $"s_name")),
+        $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
+  }
+
+  /** TPC-H Q16-style supplier relationship counts: distinct suppliers able
+    * to supply each retained (brand, type, size) combination — the
+    * count-distinct-over-join shape. The part filter broadcasts into
+    * lineitem (the supplier-part bridge here — no partsupp in the
+    * testdata); suppliers with negative balance are excluded via a
+    * broadcast anti join (the complaints-exclusion analog). The distinct
+    * aggregate shuffles once on the grouping keys with partial distinct
+    * map-side.
+    */
+  def q16SupplierCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sizes = Seq(1, 5, 10, 15, 20, 25, 30, 35)
+    val parts = t(spark, dir, "part")
+      .filter($"p_brand" =!= "Brand#5" && $"p_size".isin(sizes: _*))
+      .select($"p_partkey", $"p_brand", $"p_type", $"p_size")
+    val badSupp = t(spark, dir, "supplier").filter($"s_acctbal" < 0)
+      .select($"s_suppkey".as("bad_suppkey"))
+    t(spark, dir, "lineitem").select($"l_partkey", $"l_suppkey")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(badSupp), $"l_suppkey" === $"bad_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(count_distinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+  }
+
+  /** TPC-H Q22-style idle rich customers: customers above the global
+    * average positive balance with no orders at all, summarized per market
+    * segment — scalar aggregate subquery (1-row broadcast) + anti join.
+    */
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val avgBal = t(spark, dir, "customer").filter($"c_acctbal" > 0.0)
+      .agg(avg($"c_acctbal").as("avg_bal"))
+    t(spark, dir, "customer")
+      .join(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(t(spark, dir, "orders").select($"o_custkey"),
+        $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_custs"), r2(sum($"c_acctbal")).as("total_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
   /** LIKE-pattern filter with aggregation (string predicate pushdown). */
   def q13NamePattern(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -490,6 +643,12 @@ object Relational {
     "q17_small_quantity" -> q17SmallQuantity,
     "q13_name_pattern" -> q13NamePattern,
     "q6_forecast_revenue" -> q6ForecastRevenue,
+    "q7_volume_shipping" -> q7VolumeShipping,
+    "q8_market_share" -> q8MarketShare,
+    "q9_product_profit" -> q9ProductProfit,
+    "q15_top_supplier" -> q15TopSupplier,
+    "q16_supplier_counts" -> q16SupplierCounts,
+    "q22_idle_balance" -> q22IdleBalance,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -576,6 +735,83 @@ object Relational {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.04 AND 0.06
         |  AND l_quantity < 24""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_7', 'NATION_12')
+        |  AND n2.n_name IN ('NATION_7', 'NATION_12')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN n1.n_name = 'NATION_5'
+        |      THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1.0 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%bolt%'
+        |GROUP BY 1, 2
+        |ORDER BY nation, l_year DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q22_idle_balance" ->
+      """SELECT c_mktsegment, count(*) AS n_custs,
+        |  round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q18_large_orders" ->
       """WITH q AS (
         |  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty

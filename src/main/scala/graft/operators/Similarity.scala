@@ -370,7 +370,72 @@ object Similarity {
       .limit(5)
   }
 
+  /** sim8 — one Lloyd (k-means) refinement round over sim5's sampled-medoid
+    * seeds: assign every vector to its nearest seed, recompute each
+    * cluster's mean centroid, reassign against the refined centroids, and
+    * emit both assignments per vector — the embedding-clustering step a
+    * corpus curation pipeline runs before per-cluster sampling/dedup
+    * (and the training half sim5 deliberately pins to medoids; this is
+    * that refinement, made oracle-checkable).
+    *
+    * Numeric portability: every coordinate is quantized ONCE to micro-unit
+    * longs (`round(x × 1e6)`), so distances (sum of squared integer
+    * diffs) and the mean update (integer sum, exact-double floor division
+    * — |sum| ≤ 5·10⁸ ≪ 2⁵³) are exact integer arithmetic end-to-end:
+    * no float-summation order can diverge between engines.
+    *
+    * Scale shape: both assignment passes keep vectors in ARRAY form — the
+    * K-row centroid table is broadcast, each corpus row scores K
+    * zip_with/aggregate integer folds, and the rank-1 filter compiles to a
+    * map-side WindowGroupLimit (the shuffle carries one row per vector,
+    * as sim5). Only the mean update explodes to (vector, dim) long format,
+    * and its hash aggregate combines map-side down to K×64 rows before the
+    * exchange. The corpus never self-joins; one Lloyd round is one extra
+    * scan-shaped pass, and further rounds would iterate the same two
+    * stages.
+    */
+  def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = t(spark, dir, "embeddings").count()
+    val k = math.max(4L, math.min(64L, (n + 63L) / 64L)).toInt
+    val e6 = t(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * lit(1e6)).cast("long")).as("v6"))
+    val seedOrder = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    val seeds = e6.orderBy(seedOrder: _*).limit(k)
+      .withColumn("cid", (row_number().over(Window.orderBy(seedOrder: _*)) - 1)
+        .cast("long"))
+      .select(col("cid"), col("v6").as("c6"))
+    // Exact integer squared L2 between two micro-unit long arrays.
+    def dist2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
+        lit(0L), (acc, v) => acc + v)
+    def assign(centroids: DataFrame, as: String): DataFrame =
+      e6.join(broadcast(centroids))
+        .select(col("vec_id"), col("cid"), dist2(col("v6"), col("c6")).as("d2"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("cid").as(as))
+    val a0 = assign(seeds, "cid_seed")
+    // Mean update in (cluster, dim) long format: integer sums, exact-double
+    // floor division, reassembled into dim-ordered centroid arrays.
+    val c1 = e6.join(a0, "vec_id")
+      .select(col("cid_seed").as("cid"), posexplode(col("v6")).as(Seq("d", "x")))
+      .groupBy("cid", "d")
+      .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("c"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
+        s => s.getField("c")).as("c6"))
+    val a1 = assign(c1, "cid_refined")
+    a0.join(a1, "vec_id")
+      .select(col("vec_id"), col("cid_seed"), col("cid_refined"))
+      .orderBy("vec_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim8_kmeans" -> kmeansRefine,
     "sim7_pq_adc" -> pqAdc,
     "sim1_cosine_topk" -> cosineTopK,
     "sim2_ann_bucketed" -> annBucketed,
@@ -392,6 +457,51 @@ object Similarity {
       "THEN (1::BIGINT << CAST(k - 1 AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "sim8_kmeans" ->
+      """WITH kprm AS (
+        |  SELECT greatest(4, least(64, (count(*) + 63) // 64)) AS k
+        |  FROM embeddings),
+        | e6 AS (SELECT vec_id,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v6
+        |  FROM embeddings),
+        | sr AS (SELECT vec_id, v6,
+        |    row_number() OVER (ORDER BY md5(vec_id::VARCHAR), vec_id) AS rn
+        |  FROM e6),
+        | seeds AS (SELECT CAST(rn - 1 AS BIGINT) AS cid, v6 AS c6 FROM sr
+        |  WHERE rn <= (SELECT k FROM kprm)),
+        | d0 AS (
+        |  SELECT e.vec_id, s.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (list_element(e.v6, CAST(i AS INTEGER))
+        |            - list_element(s.c6, CAST(i AS INTEGER))) ^ 2)) AS d2
+        |  FROM e6 e CROSS JOIN seeds s),
+        | a0 AS (SELECT vec_id, cid AS cid_seed FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |    FROM d0) WHERE rk = 1),
+        | ex AS (
+        |  SELECT a0.cid_seed AS cid, d,
+        |    list_element(e.v6, CAST(d + 1 AS INTEGER)) AS x
+        |  FROM e6 e JOIN a0 ON e.vec_id = a0.vec_id
+        |  CROSS JOIN (SELECT unnest(range(64)) AS d) dims),
+        | c1d AS (
+        |  SELECT cid, d, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS c
+        |  FROM ex GROUP BY cid, d),
+        | c1 AS (SELECT cid, list(c ORDER BY d) AS c6 FROM c1d GROUP BY cid),
+        | d1 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> (list_element(e.v6, CAST(i AS INTEGER))
+        |            - list_element(c.c6, CAST(i AS INTEGER))) ^ 2)) AS d2
+        |  FROM e6 e CROSS JOIN c1 c),
+        | a1 AS (SELECT vec_id, cid AS cid_refined FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+        |    FROM d1) WHERE rk = 1)
+        |SELECT a0.vec_id, a0.cid_seed, a1.cid_refined
+        |FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id
+        |ORDER BY a0.vec_id""".stripMargin,
     "sim7_pq_adc" ->
       s"""WITH n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
          | sr AS (SELECT vec_id, v,
