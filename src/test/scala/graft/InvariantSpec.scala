@@ -175,4 +175,38 @@ class InvariantSpec extends AnyFunSuite {
     // docs with >= 2 tokens must surface a winner with >= 1 occurrence
     assert(out.filter(col("top_bigram").isNotNull && col("n_occurrences") < 1L).count() == 0)
   }
+
+  test("ev9 retention: offset-0 counts cover every user, later offsets never exceed") {
+    val out = graft.operators.Events.retention(spark, sf)
+    val day0 = out.filter(col("day_offset") === 0L)
+      .select(col("cohort_day_ms"), col("n_users").as("cohort_size"))
+    // every cohort has a day-0 row and no later day outgrows the cohort
+    assert(out.join(day0, "cohort_day_ms")
+      .filter(col("n_users") > col("cohort_size")).count() == 0)
+    assert(out.select(col("cohort_day_ms")).distinct().count() == day0.count())
+    val users = graft.Tables.t(spark, sf, "events")
+      .select(col("user_id")).distinct().count()
+    assert(day0.agg(sum("cohort_size")).head().getLong(0) == users)
+  }
+
+  test("sim8 assigns every vector exactly once per round, clusters stay in range") {
+    val out = graft.operators.Similarity.kmeansRefine(spark, sf)
+    val n = graft.Tables.t(spark, sf, "embeddings").count()
+    assert(out.count() == n)
+    assert(out.select("vec_id").distinct().count() == n)
+    val k = math.max(4L, math.min(64L, (n + 63L) / 64L))
+    assert(out.filter(col("cid_seed") < 0L || col("cid_seed") >= k ||
+      col("cid_refined") < 0L || col("cid_refined") >= k).count() == 0)
+  }
+
+  test("q15 winners carry exactly the global maximum quarterly revenue") {
+    val out = graft.operators.Relational.q15TopSupplier(spark, sf)
+    val revs = graft.Tables.t(spark, sf, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1996-04-01"))
+      .groupBy("l_suppkey")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("r"))
+    val mx = revs.agg(max("r")).head().getDouble(0)
+    assert(out.count() >= 1)
+    assert(out.filter(col("total_revenue") =!= mx).count() == 0)
+  }
 }

@@ -274,4 +274,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(2500))
   }
+
+  test("q7 broadcasts both nation-filtered dimension roles into the fact join") {
+    // supplier and customer each shrink to the two nations' members before
+    // touching lineitem/orders: 4 broadcast joins (2 dims × 2 role joins),
+    // and the only remaining disjunction is the tiny post-join pair filter
+    val p = plan("q7_volume_shipping")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("q8 keeps every dimension side broadcast; only lineitem-orders shuffles") {
+    val p = plan("q8_market_share")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q16 excludes flagged suppliers via a broadcast anti join") {
+    val p = plan("q16_supplier_counts")
+    assert(p.contains("LeftAnti"), p.take(2500))
+    assert(p.contains("BroadcastHashJoin"), p.take(2500))
+  }
+
+  test("q15 joins the per-supplier aggregate against its own broadcast max") {
+    val df = SparkEntry.queries("q15_top_supplier")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(1500))
+    // the 1-row max and the supplier dim both broadcast back onto the
+    // per-supplier revenue frame — no global sort anywhere
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("ev9 compacts events to user-days before any join") {
+    val df = SparkEntry.queries("ev9_retention")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(1500))
+    // the cohort frame is user-count-sized → AQE broadcasts the join back
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // no window function over the raw event stream
+    assert(!p.contains("WindowGroupLimit") && !p.contains("RunningWindow"),
+      p.take(3000))
+  }
+
+  test("sim8 keeps both assignment rank-1 filters map-side (WindowGroupLimit)") {
+    // two Lloyd assignment passes, each a partial+final WindowGroupLimit
+    // pair: the exchange carries one row per vector per pass, never the
+    // n×K scored frame
+    val p = plan("sim8_kmeans")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p.take(3500))
+    assert(!p.contains("CartesianProduct"), p.take(3500))
+  }
 }
