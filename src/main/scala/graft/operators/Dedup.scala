@@ -512,25 +512,8 @@ object Dedup {
     val evalSide = base.filter(isEvalSplit(col("doc_id")))
     val trainSide = base.select((col("doc_id") + IdShift).as("doc_id"), col("sh"))
     val corpus = evalSide.unionAll(trainSide)
-    // Cap per (band, bucket, SIDE): a global id-order cap would keep only
-    // eval ids in a hot mixed bucket (they all sort below the shifted
-    // train ids) and produce zero cross pairs exactly where contamination
-    // concentrates — see capHotBuckets.
-    val bb = capHotBuckets(bandBuckets(signatures(corpus)), "band", "bucket",
-      sideCols = Seq(col("doc_id") >= IdShift))
-    val cand = bb.alias("x").join(bb.alias("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < lit(IdShift) && col("y.doc_id") >= lit(IdShift))
-      .select(col("x.doc_id").as("eval_doc_id"), col("y.doc_id").as("train_doc_id"))
-      .distinct()
-    val verified = cand.join(corpus.alias("sa"), col("eval_doc_id") === col("sa.doc_id"))
-      .join(corpus.alias("sb"), col("train_doc_id") === col("sb.doc_id"))
-      .select(col("eval_doc_id"), col("train_doc_id"),
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("i"),
-        (size(col("sa.sh")) + size(col("sb.sh"))).as("su"))
-      .select(col("eval_doc_id"), col("train_doc_id"),
-        round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
-      .filter(col("shingle_jaccard") >= 0.7)
+    val verified = crossVerifiedPairs(corpus)
+      .toDF("eval_doc_id", "train_doc_id", "shingle_jaccard")
     // Persist-before-sort, same measured decision as dd3 (minhashLsh):
     // single-shot at sf0.1/local[32], ~3.4 s with this persist vs
     // 4.3–5.1 s without. The cache boundary lets the verify joins finalize
@@ -539,6 +522,88 @@ object Dedup {
     // benefit — its verify side joins narrow hashed-token arrays, not
     // shingle strings — so it stays unpersisted.)
     graft.engine.Caching.scopedPersist(verified).orderBy("eval_doc_id", "train_doc_id")
+  }
+
+  /** The cross-corpus banded candidate + verification core shared by dd7
+    * and dd9: over a combined `(doc_id, sh)` shingle frame whose two sides
+    * are separated at [[IdShift]] (low side < shift <= high side), emit
+    * the verified cross pairs `(lo_id, hi_id, shingle_jaccard >= 0.7)`.
+    * Caps per (band, bucket, SIDE) — a global id-order cap would evict the
+    * entire high side from hot mixed buckets (all low ids sort first) and
+    * produce zero cross pairs exactly where duplication concentrates.
+    */
+  private[graft] def crossVerifiedPairs(corpus: DataFrame): DataFrame = {
+    val bb = capHotBuckets(bandBuckets(signatures(corpus)), "band", "bucket",
+      sideCols = Seq(col("doc_id") >= IdShift))
+    val cand = bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < lit(IdShift) && col("y.doc_id") >= lit(IdShift))
+      .select(col("x.doc_id").as("lo_id"), col("y.doc_id").as("hi_id"))
+      .distinct()
+    cand.join(corpus.alias("sa"), col("lo_id") === col("sa.doc_id"))
+      .join(corpus.alias("sb"), col("hi_id") === col("sb.doc_id"))
+      .select(col("lo_id"), col("hi_id"),
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).as("i"),
+        (size(col("sa.sh")) + size(col("sb.sh"))).as("su"))
+      .select(col("lo_id"), col("hi_id"),
+        round(col("i").cast("double") / (col("su") - col("i")), 4).as("shingle_jaccard"))
+      .filter(col("shingle_jaccard") >= 0.7)
+  }
+
+  /** dd9 — INCREMENTAL ingest dedup: the admission decision a streaming
+    * corpus service makes per incoming document against the corpus it has
+    * already indexed — `exact` (verbatim fingerprint hit), `near`
+    * (shingle-Jaccard >= 0.7 hit), or `unique`, with the matched index
+    * document's id. dd1–dd8 answer batch questions (pair listings,
+    * clusters, contamination reports); this is the per-NEW-DOC verdict
+    * frame an ingestion pipeline consumes, and the output every incoming
+    * doc appears in exactly once.
+    *
+    * Harness split (same conventions as dd6/dd7): the incoming batch is
+    * the md5-carved quarter; the index is the id-shifted REMAINDER of the
+    * corpus plus a planted verbatim copy of half the batch (second md5 hex
+    * digit < '8') — so all three verdicts occur organically: planted
+    * copies land `exact`, the corpus's organic near-dups land `near`, the
+    * rest `unique`. Match ids are reported in the index's ORIGINAL id
+    * space (shift removed), -1 for unique.
+    *
+    * Scale shape: the exact layer is one fingerprint equi-join (batch-hit
+    * sized). The near layer is [[crossVerifiedPairs]] — at production
+    * scale the index side's signatures and band buckets are PRECOMPUTED
+    * and bucketed on (band, bucket), so an incoming batch only hashes
+    * itself and probes matching buckets (the equi-join shape is already
+    * exactly that); nothing in the plan touches |batch| × |index|. Both
+    * layers aggregate min() per batch doc before the final
+    * batch-frame-sized left joins.
+    */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .select(shiftGuardedId.as("doc_id"), col("text"))
+    val batch = docs.filter(isEvalSplit(col("doc_id")))
+    val planted = batch
+      .filter(substring(md5(col("doc_id").cast("string")), 2, 1) < "8")
+    val index = docs.filter(!isEvalSplit(col("doc_id"))).unionAll(planted)
+      .select((col("doc_id") + IdShift).as("doc_id"), col("text"))
+    val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(index.select(col("doc_id").as("ix_id"), fingerprint(col("text")).as("fp")),
+        "fp")
+      .groupBy("doc_id").agg(min("ix_id").as("exact_id"))
+    // Shingle the combined corpus once (the dd7-measured union decision);
+    // short docs (< 2 tokens) have no shingles and can only match exactly.
+    val sh = graft.engine.Caching.scopedPersist(
+      shingledOf(batch.unionAll(index)))
+    val near = crossVerifiedPairs(sh)
+      .groupBy(col("lo_id").as("doc_id")).agg(min("hi_id").as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("verdict"),
+        (coalesce(col("exact_id"), col("near_id"), lit(IdShift - 1)) - IdShift)
+          .as("match_doc_id"))
+      .orderBy("doc_id")
   }
 
   private[graft] val SpanTokens = 8
@@ -604,7 +669,8 @@ object Dedup {
     "dd5_dedup_clusters" -> dedupClusters,
     "dd6_contamination" -> contamination,
     "dd7_near_contamination" -> nearContamination,
-    "dd8_span_contamination" -> spanContamination
+    "dd8_span_contamination" -> spanContamination,
+    "dd9_incremental" -> incrementalDedup
   )
 
   // Single-line on purpose: this fragment is interpolated into a larger
@@ -789,6 +855,42 @@ object Dedup {
         """SELECT doc_a AS eval_doc_id, doc_b AS train_doc_id, shingle_jaccard
           |FROM pairs
           |ORDER BY eval_doc_id, train_doc_id""".stripMargin),
+    // dd9: the dd3 CTE chain over the batch∪index corpus (batch = the
+    // md5-carved quarter; index = the shifted remainder + planted verbatim
+    // copies of half the batch), aggregated to one verdict row per batch
+    // doc. The exact layer shares dd6's fingerprint expression.
+    "dd9_incremental" ->
+      (s"""WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  WHERE ${sqlIsEvalSplit("doc_id")}
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          |  WHERE NOT ${sqlIsEvalSplit("doc_id")}
+          |     OR substr(md5(doc_id::VARCHAR), 2, 1) < '8'),
+          | """.stripMargin +
+        dd3CtesFrom("corpus", "x.doc_id < 1000000 AND y.doc_id >= 1000000",
+          capSideCols = Seq("doc_id >= 1000000")) +
+        s",\n pairs AS ($dd3PairSelect),\n" +
+        """ near AS (
+          |  SELECT doc_a AS doc_id, min(doc_b) AS near_id FROM pairs GROUP BY 1),
+          | fps AS (
+          |  SELECT doc_id,
+          |    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM corpus),
+          | exhit AS (
+          |  SELECT b.doc_id, min(ix.doc_id) AS exact_id
+          |  FROM fps b JOIN fps ix ON b.fp = ix.fp
+          |  WHERE b.doc_id < 1000000 AND ix.doc_id >= 1000000
+          |  GROUP BY 1)
+          |SELECT b.doc_id,
+          |  CASE WHEN e.exact_id IS NOT NULL THEN 'exact'
+          |       WHEN n.near_id IS NOT NULL THEN 'near'
+          |       ELSE 'unique' END AS verdict,
+          |  coalesce(e.exact_id, n.near_id, 999999) - 1000000 AS match_doc_id
+          |FROM (SELECT doc_id FROM corpus WHERE doc_id < 1000000) b
+          |LEFT JOIN exhit e ON b.doc_id = e.doc_id
+          |LEFT JOIN near n ON b.doc_id = n.doc_id
+          |ORDER BY b.doc_id""".stripMargin),
     // Canonical assignment: min doc_id over each connected component of the
     // dd3 edge set, computed as a recursive transitive closure (tractable
     // at oracle scale; the Spark side uses log-round label propagation).

@@ -199,6 +199,25 @@ class InvariantSpec extends AnyFunSuite {
       col("cid_refined") < 0L || col("cid_refined") >= k).count() == 0)
   }
 
+  test("dd9 emits exactly one verdict per batch doc, ids consistent with verdicts") {
+    import graft.operators.Dedup
+    val out = Dedup.incrementalDedup(spark, sf)
+    val batchN = graft.Tables.t(spark, sf, "documents")
+      .filter(Dedup.isEvalSplit(col("doc_id"))).count()
+    assert(out.count() == batchN)
+    assert(out.select("doc_id").distinct().count() == batchN)
+    // verdict/match agreement: matched verdicts carry a real index id,
+    // unique carries the -1 sentinel
+    assert(out.filter(col("verdict") === "unique" && col("match_doc_id") =!= -1L)
+      .count() == 0)
+    assert(out.filter(col("verdict") =!= "unique" && col("match_doc_id") < 0L)
+      .count() == 0)
+    // the harness plants all three outcomes — a split/shift edit that
+    // collapses a branch must fail here, not just drift the oracle hash
+    assert(out.filter(col("verdict") === "exact").count() > 0)
+    assert(out.filter(col("verdict") === "unique").count() > 0)
+  }
+
   test("q15 winners carry exactly the global maximum quarterly revenue") {
     val out = graft.operators.Relational.q15TopSupplier(spark, sf)
     val revs = graft.Tables.t(spark, sf, "lineitem")

@@ -320,6 +320,19 @@ class PlanSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("dd9 caps hot buckets per side and joins candidates on (band, bucket)") {
+    val p = plan("dd9_incremental")
+    // same per-side cap contract as dd7: the side predicate must be a
+    // window partition key (projected into _w0), or a hot mixed bucket
+    // would evict the whole index side and hide planted duplicates
+    val spec = "windowspecdefinition\\(band#\\d+, bucket#\\d+, _w0#\\d+".r
+    assert(spec.findFirstIn(p).isDefined, p.take(3000))
+    assert("\\(doc_id#\\d+L? >= 1000000\\) AS _w0".r.findFirstIn(p).isDefined, p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    val equiJoin = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
+    assert(equiJoin.findFirstIn(p).isDefined, p.take(3000))
+  }
+
   test("sim8 keeps both assignment rank-1 filters map-side (WindowGroupLimit)") {
     // two Lloyd assignment passes, each a partial+final WindowGroupLimit
     // pair: the exchange carries one row per vector per pass, never the
