@@ -133,6 +133,64 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Time-range window frames + the rank-distribution family: per-user
+    * 10-minute trailing sums (RANGE frame over epoch-ms — each row's frame
+    * is defined by time distance, not row count) plus percent_rank and
+    * ntile quartiles over a total per-user value order. One shuffle on the
+    * partition key serves all three window specs.
+    */
+  def w3RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms")
+      .rangeBetween(-600000L, 0L)
+    val byValue = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+    t(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"), $"value")
+      .select($"user_id", $"event_id", $"ts_ms", $"value",
+        r2(sum($"value").over(byTime)).as("value_10m"),
+        r6(percent_rank().over(byValue)).as("value_pct_rank"),
+        ntile(4).over(byValue).cast("long").as("value_quartile"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  /** Single-pass column profiling — the first-class form of the statistics
+    * the cleaning pass (P2/P7) computes internally: per column, row/null/
+    * exact-distinct counts and min/max, emitted long-format (numeric and
+    * string extrema in separate typed columns). ONE aggregate scan
+    * produces every statistic; the per-column rows come from exploding the
+    * 1-row result, so no second pass and no per-column jobs. The exact
+    * count_distinct is the oracle-checkable choice; at 100 TB the same
+    * plan runs with approx_count_distinct (HLL, one pass, no Expand) —
+    * SketchSpec pins that estimator's accuracy separately.
+    */
+  def prof1ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val src = t(spark, dir, "customer")
+    val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+    val strCols = Seq("c_name", "c_mktsegment")
+    val aggs = (numCols ++ strCols).flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"), count_distinct(col(c)).as(s"nd_$c")) ++
+        (if (numCols.contains(c))
+          Seq(round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
+            round(max(col(c)).cast("double"), 2).as(s"mx_$c"))
+        else Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    } :+ count(lit(1)).as("n_rows")
+    val one = src.agg(aggs.head, aggs.tail: _*)
+    val rows = (numCols ++ strCols).map { c =>
+      val num = numCols.contains(c)
+      struct(lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        col(s"nd_$c").as("n_distinct"),
+        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
+        (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("column_name")
+  }
+
   /** Set operations: customers with both urgent and low-priority orders
     * (INTERSECT), with urgent only (EXCEPT), and all with either (UNION
     * distinct), tagged and unioned.
@@ -657,6 +715,8 @@ object Relational {
     "q10_returned_top" -> q10ReturnedTop,
     "w1_top_orders_per_customer" -> w1TopOrdersPerCustomer,
     "w2_running_totals" -> w2RunningTotals,
+    "w3_range_frame" -> w3RangeFrame,
+    "prof1_column_profile" -> prof1ColumnProfile,
     "set1_priority_customers" -> set1PriorityCustomers,
     "topk_parts_by_quantity" -> topkPartsByQuantity,
     "g1_rollup_acctbal" -> g1RollupAcctbal,
@@ -903,6 +963,47 @@ object Relational {
         |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
+    "w3_range_frame" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, value,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN 600000 PRECEDING AND CURRENT ROW), 2) AS value_10m,
+        |  round(percent_rank() OVER (PARTITION BY user_id
+        |    ORDER BY value, event_id), 6) AS value_pct_rank,
+        |  CAST(ntile(4) OVER (PARTITION BY user_id
+        |    ORDER BY value, event_id) AS BIGINT) AS value_quartile
+        |FROM e
+        |ORDER BY user_id, event_id""".stripMargin,
+    "prof1_column_profile" ->
+      """WITH s AS (SELECT * FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+        |    count(*) - count(c_custkey) AS n_nulls,
+        |    count(DISTINCT c_custkey) AS n_distinct,
+        |    round(CAST(min(c_custkey) AS DOUBLE), 2) AS min_num,
+        |    round(CAST(max(c_custkey) AS DOUBLE), 2) AS max_num,
+        |    NULL AS min_str, NULL AS max_str FROM s
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        |    count(DISTINCT c_nationkey),
+        |    round(CAST(min(c_nationkey) AS DOUBLE), 2),
+        |    round(CAST(max(c_nationkey) AS DOUBLE), 2), NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+        |    count(DISTINCT c_acctbal),
+        |    round(CAST(min(c_acctbal) AS DOUBLE), 2),
+        |    round(CAST(max(c_acctbal) AS DOUBLE), 2), NULL, NULL FROM s
+        |  UNION ALL
+        |  SELECT 'c_name', count(*), count(*) - count(c_name),
+        |    count(DISTINCT c_name), NULL, NULL,
+        |    min(c_name), max(c_name) FROM s
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+        |    count(DISTINCT c_mktsegment), NULL, NULL,
+        |    min(c_mktsegment), max(c_mktsegment) FROM s)
+        |ORDER BY column_name""".stripMargin,
     "set1_priority_customers" ->
       """SELECT * FROM (
         |  SELECT 'both' AS tag, o_custkey FROM (

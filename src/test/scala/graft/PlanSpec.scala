@@ -333,6 +333,24 @@ class PlanSpec extends AnyFunSuite {
     assert(equiJoin.findFirstIn(p).isDefined, p.take(3000))
   }
 
+  test("w3 shares one user_id exchange across all three window specs") {
+    // range-frame sum, percent_rank and ntile partition identically — one
+    // hash exchange on user_id must serve all of them (different orderings
+    // re-sort within partitions, they must not re-shuffle)
+    val p = plan("w3_range_frame")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2500))
+  }
+
+  test("prof1 profiles every column in one parquet scan") {
+    // all row/null/distinct/extrema statistics fold into a single
+    // aggregate pass; per-column output rows come from exploding the
+    // 1-row result — a per-column job loop would show extra scans
+    val p = plan("prof1_column_profile")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+  }
+
   test("sim8 keeps both assignment rank-1 filters map-side (WindowGroupLimit)") {
     // two Lloyd assignment passes, each a partial+final WindowGroupLimit
     // pair: the exchange carries one row per vector per pass, never the
