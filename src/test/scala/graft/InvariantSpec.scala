@@ -218,6 +218,65 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("verdict") === "unique").count() > 0)
   }
 
+  test("ev9 retention on a staggered synthetic stream yields the exact triangle") {
+    // The driver corpus puts almost every user in the day-1 cohort, so the
+    // fixed oracle hash barely exercises multi-cohort offsets — build a
+    // stream with two cohorts and gaps and check the full matrix.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev9").toString
+    Seq(
+      (1L, "2024-03-01 01:00:00"), (1L, "2024-03-01 02:00:00"), // same-day dup
+      (1L, "2024-03-02 01:00:00"), (1L, "2024-03-05 01:00:00"),
+      (2L, "2024-03-01 03:00:00"), (2L, "2024-03-03 01:00:00"),
+      (3L, "2024-03-02 02:00:00"), (3L, "2024-03-03 02:00:00"))
+      .toDF("user_id", "ts_s")
+      // the driver stores events.ts as parquet TIMESTAMP(NANOS), which
+      // Tables.t reads through the nanos-as-long hatch — mimic that format
+      .select(col("user_id"),
+        (unix_millis(to_timestamp(col("ts_s"))) * 1000000L).as("ts"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Events.retention(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val d1 = 1709251200000L // 2024-03-01 UTC
+    val d2 = 1709337600000L // 2024-03-02 UTC
+    assert(out == Seq(
+      (d1, 0L, 2L), (d1, 1L, 1L), (d1, 2L, 1L), (d1, 4L, 1L),
+      (d2, 0L, 1L), (d2, 1L, 1L)))
+  }
+
+  test("sim8 refined assignment is the exact argmin against the updated means") {
+    // Recompute the mean update from sim8's own seed assignment with the
+    // identical micro-unit integer rules, then require every vector's
+    // refined cluster to be the (distance, cid)-lexicographic argmin over
+    // those means — the Lloyd step itself, not just a fixed oracle hash.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sim8").toString
+    val vecs = for (c <- 0 until 4; j <- 0 until 10) yield {
+      val v = Array.tabulate(8)(i => if (i == c) 10.0f * (c + 1) else 0.1f * j)
+      ((c * 10 + j).toLong, v.toSeq)
+    }
+    vecs.toDF("vec_id", "embedding")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.operators.Similarity.kmeansRefine(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 40)
+    val v6 = vecs.toMap.map { case (id, v) =>
+      id -> v.map(x => math.round(x.toDouble * 1e6)).toArray
+    }
+    val means = out.groupBy(_._2).map { case (cid, members) =>
+      val arrs = members.map(m => v6(m._1))
+      cid -> Array.tabulate(8)(i =>
+        math.floor(arrs.map(_(i)).sum.toDouble / arrs.length).toLong)
+    }
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, c) => (x - c) * (x - c) }.sum
+    out.foreach { case (id, _, cidRefined) =>
+      val best = means.toSeq.map { case (cid, m) => (d2(v6(id), m), cid) }.min
+      assert(cidRefined == best._2,
+        s"vec $id: refined $cidRefined but argmin is ${best._2}")
+    }
+  }
+
   test("q15 winners carry exactly the global maximum quarterly revenue") {
     val out = graft.operators.Relational.q15TopSupplier(spark, sf)
     val revs = graft.Tables.t(spark, sf, "lineitem")
