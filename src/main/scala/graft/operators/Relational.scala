@@ -601,8 +601,12 @@ object Relational {
     */
   def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // threshold rounded per the module convention (Tables.r6): the filter
+    // then compares 2-decimal balances against an identical 6-decimal
+    // constant on both engines, instead of an unrounded double aggregate
+    // whose partition-order summation error could flip a boundary customer
     val avgBal = t(spark, dir, "customer").filter($"c_acctbal" > 0.0)
-      .agg(avg($"c_acctbal").as("avg_bal"))
+      .agg(r6(avg($"c_acctbal")).as("avg_bal"))
     t(spark, dir, "customer")
       .join(broadcast(avgBal))
       .filter($"c_acctbal" > $"avg_bal")
@@ -868,7 +872,7 @@ object Relational {
       """SELECT c_mktsegment, count(*) AS n_custs,
         |  round(sum(c_acctbal), 2) AS total_bal
         |FROM customer
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0.0)
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,

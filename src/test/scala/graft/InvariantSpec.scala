@@ -215,6 +215,7 @@ class InvariantSpec extends AnyFunSuite {
     // the harness plants all three outcomes — a split/shift edit that
     // collapses a branch must fail here, not just drift the oracle hash
     assert(out.filter(col("verdict") === "exact").count() > 0)
+    assert(out.filter(col("verdict") === "near").count() > 0)
     assert(out.filter(col("verdict") === "unique").count() > 0)
   }
 
