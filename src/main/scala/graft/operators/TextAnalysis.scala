@@ -121,6 +121,37 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("token"))
       .limit(50)
 
+  /** t14 — Zipf rank-frequency fit: the least-squares slope and Pearson
+    * correlation of ln(frequency) against ln(rank) over the corpus
+    * vocabulary — the distributional-health diagnostic corpus teams run
+    * (natural text tracks slope ≈ −1; template/boilerplate corpora and
+    * synthetic spam bend the curve). Also exercises the SQL regression-
+    * aggregate family (regr_slope, corr) the rest of the surface lacks.
+    *
+    * Scale shape: one corpus-token explode into a hash aggregate with
+    * map-side combine (t6's shape) produces the VOCABULARY-sized frequency
+    * frame; the ranking window and the regression aggregate then run over
+    * that vocab frame, never the corpus. The ln() inputs differ across
+    * engines by at most 1 ulp (libm vs java.lang.Math), ~1e-16 relative —
+    * absorbed by the 6-decimal rounding like s1's price_ln.
+    */
+  def zipf(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val freqs = t(spark, dir, "documents")
+      .select(explode(tokensOrdered(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // vocab-sized frame: the empty-partition window is over types, not
+    // tokens (d5's documented convention for count-frame windows)
+    val ranked = freqs.withColumn("rank",
+      row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+    ranked
+      .agg(
+        round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
+        round(corr(log(col("freq")), log(col("rank"))), 6).as("zipf_corr"),
+        count(lit(1)).as("n_types"),
+        sum(col("freq")).as("n_tokens"))
+  }
+
   /** Bigram language-model surprise — the perplexity-style quality signal
     * training pipelines use (CCNet/Gopher lineage): train add-one-smoothed
     * bigram statistics on the corpus itself, then score every document by
@@ -384,6 +415,7 @@ object TextAnalysis {
     "t4_quality_filter" -> qualityFilter,
     "t5_repetition" -> repetition,
     "t6_vocab_topk" -> vocabulary,
+    "t14_zipf" -> zipf,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
     "t9_chunks" -> chunks,
@@ -478,6 +510,21 @@ object TextAnalysis {
         |    ELSE 1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END, 6) AS repetition
         |FROM tk
         |ORDER BY doc_id""".stripMargin,
+    "t14_zipf" ->
+      """WITH tok AS (
+        |  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |    x -> x <> '')) AS token
+        |  FROM documents),
+        | freqs AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+        | ranked AS (
+        |  SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank
+        |  FROM freqs)
+        |SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+        |  round(corr(ln(freq), ln(rank)), 6) AS zipf_corr,
+        |  count(*) AS n_types,
+        |  CAST(sum(freq) AS BIGINT) AS n_tokens
+        |FROM ranked""".stripMargin,
     "t6_vocab_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,
