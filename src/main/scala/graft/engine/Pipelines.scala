@@ -121,7 +121,9 @@ object Pipelines {
     * quality)` — k=5 docs per detected language, md5-permutation order
     * (D3's determinism convention), so the oracle checks exact membership.
     *
-    * Cost budget (sf0.1, local[32], min-of-2 ≈ 5.0 s — measured stagewise
+    * Cost budget (sf0.1, local[32], warm min-of-N ≈ 5-6.5 s depending on
+    * the box — run-to-run variance is high because the label-propagation
+    * rounds are separate small actions; measured stagewise
     * with a warm-JVM probe): ~1.7 s clean + score + checkpoint
     * (scan-bound, irreducible — the cleaning aggregate and the checkpoint
     * write each need one pass), ~2.6–3.0 s canonical clustering over the

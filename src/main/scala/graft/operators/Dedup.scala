@@ -577,6 +577,11 @@ object Dedup {
     * batch-frame-sized left joins.
     */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    // NOT persisted — A/B-measured like dd2: caching this base frame for
+    // the fingerprint sides and the shingle union showed no warm-run
+    // benefit at sf0.1 (~2.4-2.6 s either way; the banded candidate join
+    // dominates and re-scanning the small parquet is cheaper than the
+    // materialization barrier).
     val docs = t(spark, dir, "documents")
       .select(shiftGuardedId.as("doc_id"), col("text"))
     val batch = docs.filter(isEvalSplit(col("doc_id")))

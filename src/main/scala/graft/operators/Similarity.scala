@@ -398,10 +398,17 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val n = t(spark, dir, "embeddings").count()
     val k = math.max(4L, math.min(64L, (n + 63L) / 64L)).toInt
-    val e6 = t(spark, dir, "embeddings")
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * lit(1e6)).cast("long")).as("v6"))
+    // Scoped-persist the quantized frame: FOUR subtrees of the one final
+    // plan consume it (the seed prefix, both assignment passes, the mean
+    // update) — without the cache each re-scans parquet and re-quantizes.
+    // Measured at sf0.1/local[32], warm: ~2.2-2.4 s vs ~2.5-2.7 s (the
+    // explode/assign arithmetic dominates; the cache trims the redundant
+    // scan+quantize work, ~12%).
+    val e6 = graft.engine.Caching.scopedPersist(
+      t(spark, dir, "embeddings")
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * lit(1e6)).cast("long")).as("v6")))
     val seedOrder = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
     val seeds = e6.orderBy(seedOrder: _*).limit(k)
       .withColumn("cid", (row_number().over(Window.orderBy(seedOrder: _*)) - 1)
