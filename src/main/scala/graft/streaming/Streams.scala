@@ -36,6 +36,21 @@ object Streams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-static enrichment join — the stateless dimension attach every
+    * streaming pipeline runs ahead of its aggregations (user tier, device
+    * class, nation): each event joins the STATIC dimension frame as it
+    * arrives. No state store and no watermark is involved — Spark re-plans
+    * the static subtree every micro-batch, so at real scale (a parquet/
+    * Delta dimension snapshot) a dimension refresh is picked up at the
+    * next batch boundary without restarting the query; the broadcast hint
+    * keeps the per-batch join a map-side hash join, never a shuffle of the
+    * stream. Left join: an event with no dimension row must flow through
+    * (null-enriched), not silently drop from the pipeline.
+    */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "user_id")
+      : DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming → S4 artifact sink via `foreachBatch`: every micro-batch
     * checkpoints as a JSON artifact under `path/batch=<id>` through the
     * SAME [[graft.sources.Artifacts]] writer the batch pipelines use — the

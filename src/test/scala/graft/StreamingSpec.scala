@@ -50,6 +50,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.map(_.toString).toSeq == batch.map(_.toString).toSeq)
   }
 
+  test("stream-static enrichment join == batch left join, and is stateless") {
+    import spark.implicits._
+    // the dimension covers only part of the key space so the left-join
+    // null-enrichment path is exercised, not just the happy path
+    val dim = t(spark, sf, "events").select(col("user_id")).distinct()
+      .filter(col("user_id") % 2 === 0)
+      .withColumn("tier", when(col("user_id") % 4 === 0, "gold").otherwise("basic"))
+    val q = Streams.enrichWithDim(eventStream, dim)
+      .select(col("event_id"), col("user_id"), col("tier"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out")
+      .start()
+    try { q.processAllAvailable() } finally {
+      // stateless contract: no state store operator may appear — a join
+      // that silently became stream-stream would hold unbounded state
+      val progress = q.recentProgress.filter(_.numInputRows > 0)
+      assert(progress.nonEmpty)
+      assert(progress.forall(_.stateOperators.isEmpty),
+        progress.map(_.stateOperators.mkString(",")).mkString(";"))
+      q.stop()
+    }
+    val streamed = spark.table("enrich_out").collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("tier"))).toSet
+    val batch = Streams.enrichWithDim(t(spark, sf, "events"), dim)
+      .select(col("event_id"), col("user_id"), col("tier")).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
+        r.getAs[String]("tier"))).toSet
+    assert(batch.nonEmpty && streamed == batch,
+      s"streamed ${streamed.size} vs batch ${batch.size}")
+    // both enrichment outcomes occur
+    assert(streamed.exists(_._3 == null) && streamed.exists(_._3 != null))
+  }
+
   test("stateful sessionization: single batch closes all but each user's open tail") {
     import spark.implicits._
     // Single file -> single micro-batch -> the in-batch fold sees each
