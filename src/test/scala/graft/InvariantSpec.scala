@@ -278,6 +278,31 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("prof1 counts nulls and distincts exactly on a corpus that has them") {
+    // the driver's customer table is null-free, so the oracle hash never
+    // exercises prof1's null-counting path — plant nulls and check exact rows
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-prof1").toString
+    Seq[(java.lang.Long, String, java.lang.Long, java.lang.Double, String)](
+      (1L, "alice", 1L, 10.50, "BUILDING"),
+      (2L, null, 1L, null, "BUILDING"),
+      (3L, "carol", 2L, 10.50, null),
+      (4L, null, null, -3.25, "MACHINERY"))
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val out = graft.operators.Relational.prof1ColumnProfile(spark, dir)
+      .collect().map(r => r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_nulls"), r.getAs[Long]("n_distinct"))).toMap
+    assert(out("c_custkey") == (0L, 4L))
+    assert(out("c_name") == (2L, 2L))
+    assert(out("c_nationkey") == (1L, 2L))
+    assert(out("c_acctbal") == (1L, 2L)) // two distinct non-null values
+    assert(out("c_mktsegment") == (1L, 2L))
+    val row = graft.operators.Relational.prof1ColumnProfile(spark, dir)
+      .filter(col("column_name") === "c_acctbal").head()
+    assert(row.getAs[Double]("min_num") == -3.25 && row.getAs[Double]("max_num") == 10.50)
+  }
+
   test("q15 winners carry exactly the global maximum quarterly revenue") {
     val out = graft.operators.Relational.q15TopSupplier(spark, sf)
     val revs = graft.Tables.t(spark, sf, "lineitem")
