@@ -189,6 +189,36 @@ class DedupSpec extends AnyFunSuite {
     assert(canon(999L) == 999L)
   }
 
+  test("componentsOf matches brute-force union-find on pseudo-random graphs") {
+    // the path/chain stress test covers diameter; seeded random graphs
+    // cover the other topologies (cycles, stars, merged blobs, self-loop
+    // duplicates) against an independent union-find implementation
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 30 + rnd.nextInt(40)
+      val ids = (1L to n.toLong)
+      val edges = (1 to 2 * n).map(_ =>
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(e => e._1 != e._2)
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        // union-by-min keeps every component's root at its minimum id —
+        // exactly componentsOf's canonical convention
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      val canon = graft.operators.Dedup.componentsOf(
+          ids.toDF("id"), edges.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(canon == expected, s"n=$n, ${edges.length} edges")
+    }
+  }
+
   test("clustersOf on a dup-free corpus assigns every doc to itself") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nodup").toString
