@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -295,6 +295,52 @@ object TextAnalysis {
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(50)
 
+  /** t15 — one full BPE training STEP: take t11's winning merge pair,
+    * apply it to the corpus (greedy left-to-right, non-overlapping — both
+    * engines' `replace` contract), and recount adjacent UNIT pairs over
+    * the re-segmented tokens — the statistic iteration 2 of tokenizer
+    * training maximizes. Pair labels join units with '+' ("th+e"), so a
+    * merged unit is distinguishable from its characters.
+    *
+    * Segmentation trick: tokens are pure [a-z]+ (tokensOrdered strips all
+    * else), so the merged unit is encoded by replacing the pair with the
+    * sentinel '0' — impossible in the token alphabet — and pair labels
+    * decode the sentinel back. No array-of-units state, no fold: the
+    * re-segmentation is ONE string replace per token.
+    *
+    * Scale shape: t11's explode/aggregate twice (once to elect the merge,
+    * once to recount), with the 1-row winner broadcast into the second
+    * pass; the token frame is tokenized once and scoped-persisted for its
+    * two consumers. Further iterations repeat the same plan with k
+    * sentinels. The recount shuffle carries distinct labels (≤27²), not
+    * occurrences.
+    */
+  def bpeStep(spark: SparkSession, dir: String): DataFrame = {
+    val toks = graft.engine.Caching.scopedPersist(
+      t(spark, dir, "documents")
+        .select(explode(tokensOrdered(col("text"))).as("token"))
+        .filter(length(col("token")) >= 2))
+    val top = toks
+      .select(explode(transform(
+        sequence(lit(1), length(col("token")) - 1),
+        i => col("token").substr(i, lit(2)))).as("mp"))
+      .groupBy("mp").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("mp")).limit(1)
+      .select(col("mp"))
+    val merged = toks.join(broadcast(top))
+      .select(expr("replace(token, mp, '0')").as("mt"), col("mp"))
+      .filter(length(col("mt")) >= 2)
+    def unit(c: Column): Column = when(c === "0", col("mp")).otherwise(c)
+    merged
+      .select(explode(transform(
+        sequence(lit(1), length(col("mt")) - 1),
+        i => concat(unit(col("mt").substr(i, lit(1))), lit("+"),
+          unit(col("mt").substr(i + lit(1), lit(1)))))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair"))
+      .limit(50)
+  }
+
   /** t12 — TF-IDF keyword extraction: the top-3 most distinctive terms per
     * document (tf × ln(N/df)), the classic relevance statistic a corpus
     * pipeline attaches for retrieval, topic labeling, or near-dup triage.
@@ -416,6 +462,7 @@ object TextAnalysis {
     "t5_repetition" -> repetition,
     "t6_vocab_topk" -> vocabulary,
     "t14_zipf" -> zipf,
+    "t15_bpe_step" -> bpeStep,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
     "t9_chunks" -> chunks,
@@ -624,6 +671,36 @@ object TextAnalysis {
          |  FROM tok WHERE length(token) >= 2)
          |SELECT pair, count(*) AS n_occurrences
          |FROM pairs GROUP BY pair
+         |ORDER BY n_occurrences DESC, pair
+         |LIMIT 50""".stripMargin,
+    // t15: t11's election CTEs, then ONE string replace per token (greedy
+    // left-to-right in both engines) with the '0' sentinel decoded back in
+    // the pair labels.
+    "t15_bpe_step" ->
+      s"""WITH tok AS (
+         |  SELECT unnest($sqlTokens) AS token FROM documents),
+         | pairs1 AS (
+         |  SELECT unnest(list_transform(range(1, length(token)),
+         |    i -> substr(token, CAST(i AS INTEGER), 2))) AS mp
+         |  FROM tok WHERE length(token) >= 2),
+         | top AS (
+         |  SELECT mp FROM (
+         |    SELECT mp, count(*) AS n FROM pairs1 GROUP BY mp)
+         |  ORDER BY n DESC, mp LIMIT 1),
+         | m AS (
+         |  SELECT replace(token, mp, '0') AS mt, mp
+         |  FROM tok CROSS JOIN top
+         |  WHERE length(token) >= 2),
+         | p2 AS (
+         |  SELECT unnest(list_transform(range(1, length(mt)),
+         |    i -> (CASE WHEN substr(mt, CAST(i AS INTEGER), 1) = '0'
+         |            THEN mp ELSE substr(mt, CAST(i AS INTEGER), 1) END)
+         |      || '+' ||
+         |      (CASE WHEN substr(mt, CAST(i + 1 AS INTEGER), 1) = '0'
+         |         THEN mp ELSE substr(mt, CAST(i + 1 AS INTEGER), 1) END))) AS pair
+         |  FROM m WHERE length(mt) >= 2)
+         |SELECT pair, count(*) AS n_occurrences
+         |FROM p2 GROUP BY pair
          |ORDER BY n_occurrences DESC, pair
          |LIMIT 50""".stripMargin,
     "t12_tfidf_keywords" ->
