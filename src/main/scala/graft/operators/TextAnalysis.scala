@@ -283,15 +283,27 @@ object TextAnalysis {
     * TakeOrderedAndProject top-k; the shuffle carries distinct pairs
     * (bounded by 26² here), not occurrences.
     */
-  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+  /** The (>= 2-char) token stream and its adjacent character-pair counts —
+    * ONE definition shared by t11 (the top-50 listing) and t15 (the merge
+    * election), so the tokenization, length filter, and tie-break that
+    * decide which pair "wins" cannot drift between electing a merge and
+    * applying it.
+    */
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(explode(tokensOrdered(col("text"))).as("token"))
       .filter(length(col("token")) >= 2)
+
+  private def pairCounts(toks: DataFrame): DataFrame =
+    toks
       .select(explode(transform(
         sequence(lit(1), length(col("token")) - 1),
         i => col("token").substr(i, lit(2)))).as("pair"))
       .groupBy("pair")
       .agg(count(lit(1)).as("n_occurrences"))
+
+  def bpeMergePairs(spark: SparkSession, dir: String): DataFrame =
+    pairCounts(tokenStream(spark, dir))
       .orderBy(col("n_occurrences").desc, col("pair"))
       .limit(50)
 
@@ -316,17 +328,10 @@ object TextAnalysis {
     * occurrences.
     */
   def bpeStep(spark: SparkSession, dir: String): DataFrame = {
-    val toks = graft.engine.Caching.scopedPersist(
-      t(spark, dir, "documents")
-        .select(explode(tokensOrdered(col("text"))).as("token"))
-        .filter(length(col("token")) >= 2))
-    val top = toks
-      .select(explode(transform(
-        sequence(lit(1), length(col("token")) - 1),
-        i => col("token").substr(i, lit(2)))).as("mp"))
-      .groupBy("mp").agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("mp")).limit(1)
-      .select(col("mp"))
+    val toks = graft.engine.Caching.scopedPersist(tokenStream(spark, dir))
+    val top = pairCounts(toks)
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(1)
+      .select(col("pair").as("mp"))
     val merged = toks.join(broadcast(top))
       .select(expr("replace(token, mp, '0')").as("mt"), col("mp"))
       .filter(length(col("mt")) >= 2)
@@ -511,6 +516,17 @@ object TextAnalysis {
   private[graft] def sqlFp(c: String) =
     s"md5(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'))"
 
+  /** [[tokenStream]]+[[pairCounts]]'s DuckDB twin — the tok/pairs CTE
+    * chain shared by the t11 and t15 oracles.
+    */
+  private def sqlBpePairCtes: String =
+    s"""tok AS (
+       |  SELECT unnest($sqlTokens) AS token FROM documents),
+       | pairs AS (
+       |  SELECT unnest(list_transform(range(1, length(token)),
+       |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
+       |  FROM tok WHERE length(token) >= 2)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "t1_text_profile" ->
       s"""SELECT doc_id,
@@ -663,30 +679,21 @@ object TextAnalysis {
          |FROM ex
          |ORDER BY shard, seq_id, doc_id""".stripMargin,
     "t11_bpe_merge_pairs" ->
-      s"""WITH tok AS (
-         |  SELECT unnest($sqlTokens) AS token FROM documents),
-         | pairs AS (
-         |  SELECT unnest(list_transform(range(1, length(token)),
-         |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
-         |  FROM tok WHERE length(token) >= 2)
+      s"""WITH $sqlBpePairCtes
          |SELECT pair, count(*) AS n_occurrences
          |FROM pairs GROUP BY pair
          |ORDER BY n_occurrences DESC, pair
          |LIMIT 50""".stripMargin,
-    // t15: t11's election CTEs, then ONE string replace per token (greedy
-    // left-to-right in both engines) with the '0' sentinel decoded back in
-    // the pair labels.
+    // t15: the SAME election CTEs as t11 (shared fragment — the winning
+    // pair cannot drift between the two oracles), then ONE string replace
+    // per token (greedy left-to-right in both engines) with the '0'
+    // sentinel decoded back in the pair labels.
     "t15_bpe_step" ->
-      s"""WITH tok AS (
-         |  SELECT unnest($sqlTokens) AS token FROM documents),
-         | pairs1 AS (
-         |  SELECT unnest(list_transform(range(1, length(token)),
-         |    i -> substr(token, CAST(i AS INTEGER), 2))) AS mp
-         |  FROM tok WHERE length(token) >= 2),
+      s"""WITH $sqlBpePairCtes,
          | top AS (
-         |  SELECT mp FROM (
-         |    SELECT mp, count(*) AS n FROM pairs1 GROUP BY mp)
-         |  ORDER BY n DESC, mp LIMIT 1),
+         |  SELECT pair AS mp FROM (
+         |    SELECT pair, count(*) AS n FROM pairs GROUP BY pair)
+         |  ORDER BY n DESC, pair LIMIT 1),
          | m AS (
          |  SELECT replace(token, mp, '0') AS mt, mp
          |  FROM tok CROSS JOIN top

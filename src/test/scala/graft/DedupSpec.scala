@@ -199,8 +199,10 @@ class DedupSpec extends AnyFunSuite {
     for (_ <- 1 to 3) {
       val n = 30 + rnd.nextInt(40)
       val ids = (1L to n.toLong)
+      // self-loops deliberately NOT filtered: componentsOf must treat an
+      // (a, a) edge as a no-op, same as union-find's union(a, a)
       val edges = (1 to 2 * n).map(_ =>
-        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n))).filter(e => e._1 != e._2)
+        (1L + rnd.nextInt(n), 1L + rnd.nextInt(n)))
       val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
       def find(x: Long): Long =
         if (parent(x) == x) x

@@ -62,15 +62,14 @@ class StreamingSpec extends AnyFunSuite {
       .writeStream.outputMode("append")
       .format("memory").queryName("enrich_out")
       .start()
-    try { q.processAllAvailable() } finally {
-      // stateless contract: no state store operator may appear — a join
-      // that silently became stream-stream would hold unbounded state
-      val progress = q.recentProgress.filter(_.numInputRows > 0)
-      assert(progress.nonEmpty)
-      assert(progress.forall(_.stateOperators.isEmpty),
-        progress.map(_.stateOperators.mkString(",")).mkString(";"))
-      q.stop()
-    }
+    val progress =
+      try { q.processAllAvailable(); q.recentProgress.filter(_.numInputRows > 0) }
+      finally q.stop()
+    // stateless contract: no state store operator may appear — a join
+    // that silently became stream-stream would hold unbounded state
+    assert(progress.nonEmpty)
+    assert(progress.forall(_.stateOperators.isEmpty),
+      progress.map(_.stateOperators.mkString(",")).mkString(";"))
     val streamed = spark.table("enrich_out").collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
         r.getAs[String]("tier"))).toSet
