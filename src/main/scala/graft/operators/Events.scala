@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{t, r2}
+import graft.Tables.{t, r2, r6}
 
 /** Windowed aggregation over the `events` stream table, batch mode
   * (north-star extension, SURVEY.md §2.5 "Streaming"). These are the
@@ -172,9 +172,44 @@ object Events {
       .orderBy("cohort_day_ms", "day_offset")
   }
 
+  /** ev10 — trailing-window anomaly detection: events whose value deviates
+    * more than 2 standard deviations from the same user's trailing-7-day
+    * statistics (a RANGE frame over epoch-ms, w3's time-frame machinery) —
+    * the streaming-monitor shape run batch-side, and the one consumer of
+    * the variance/stddev aggregate family on the surface. Seven days, not
+    * an hour: the corpus averages ~2 events per user-day, so an hourly
+    * frame never reaches a usable sample (measured max 3 rows) while the
+    * weekly frame holds ~15-30.
+    *
+    * Determinism: the mean and stddev are ROUNDED (r6) before the
+    * deviation comparison, so both engines compare identical doubles —
+    * the raw window aggregates could differ in the last bits from
+    * summation order. Windows with fewer than 10 events or zero
+    * spread are excluded (thin-sample "anomalies" are noise, and sd=0
+    * windows would flag every repeat).
+    */
+  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
+      .rangeBetween(-604800000L, 0L)
+    t(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+        r6(avg(col("value")).over(w)).as("mean_7d"),
+        r6(stddev_samp(col("value")).over(w)).as("sd_7d"),
+        count(lit(1)).over(w).as("n_7d"))
+      .filter(col("n_7d") >= 10 && col("sd_7d") > 0.0 &&
+        abs(col("value") - col("mean_7d")) > lit(2.0) * col("sd_7d"))
+      .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),
+        col("mean_7d"), col("sd_7d"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev8_merge_upsert" -> mergeUpsert,
     "ev9_retention" -> retention,
+    "ev10_anomaly" -> anomalies,
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
@@ -267,6 +302,22 @@ object Events {
         |  event_type AS last_event_type, value AS last_value
         |FROM e WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "ev10_anomaly" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+        |  FROM events),
+        | s AS (
+        |  SELECT user_id, event_id, ts_ms, value,
+        |    round(avg(value) OVER w, 6) AS mean_7d,
+        |    round(stddev_samp(value) OVER w, 6) AS sd_7d,
+        |    count(*) OVER w AS n_7d
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ms
+        |    RANGE BETWEEN 604800000 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id, ts_ms, value, mean_7d, sd_7d
+        |FROM s
+        |WHERE n_7d >= 10 AND sd_7d > 0 AND abs(value - mean_7d) > 2 * sd_7d
+        |ORDER BY event_id""".stripMargin,
     "ev9_retention" ->
       """WITH act AS (
         |  SELECT DISTINCT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
