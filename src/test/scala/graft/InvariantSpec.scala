@@ -303,6 +303,23 @@ class InvariantSpec extends AnyFunSuite {
     assert(row.getAs[Double]("min_num") == -3.25 && row.getAs[Double]("max_num") == 10.50)
   }
 
+  test("ev10 flags exactly a planted spike, and nothing in flat history") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev10").toString
+    // 11 flat values then one 10x spike, all inside one trailing week:
+    // pre-spike windows have sd=0 (excluded), the spike's own window must
+    // flag, and the flat tail afterwards must stay below 2 rounded sigmas
+    val rows = (1 to 11).map(i => (i.toLong, f"2024-03-01 ${7 + i}%02d:00:00", 10.0)) :+
+      (12L, "2024-03-01 19:30:00", 100.0) :+
+      (13L, "2024-03-01 20:00:00", 10.0)
+    rows.toDF("event_id", "ts_s", "value")
+      .select(col("event_id"), lit(1L).as("user_id"),
+        (unix_millis(to_timestamp(col("ts_s"))) * 1000000L).as("ts"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Events.anomalies(spark, dir).collect()
+    assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(12L))
+  }
+
   test("q15 winners carry exactly the global maximum quarterly revenue") {
     val out = graft.operators.Relational.q15TopSupplier(spark, sf)
     val revs = graft.Tables.t(spark, sf, "lineitem")

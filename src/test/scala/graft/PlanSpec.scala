@@ -343,6 +343,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("ev10 anomaly windows partition by user — no single-partition exchange") {
+    val p = plan("ev10_anomaly")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2500))
+  }
+
   test("prof1 profiles every column in one parquet scan") {
     // all row/null/distinct/extrema statistics fold into a single
     // aggregate pass; per-column output rows come from exploding the
