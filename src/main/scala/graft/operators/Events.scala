@@ -182,9 +182,11 @@ object Events {
     * weekly frame holds ~15-30.
     *
     * Determinism: the mean and stddev are ROUNDED (r6) before the
-    * deviation comparison, so both engines compare identical doubles —
-    * the raw window aggregates could differ in the last bits from
-    * summation order. Windows with fewer than 10 events or zero
+    * deviation comparison — the raw window aggregates could differ in the
+    * last bits from summation order, and rounding collapses that to the
+    * repo-wide rounded-threshold convention (dd2/dd3's jaccard filters,
+    * q22's balance threshold; exact ties at the rounding grain remain the
+    * accepted residual risk). Windows with fewer than 10 events or zero
     * spread are excluded (thin-sample "anomalies" are noise, and sd=0
     * windows would flag every repeat).
     */
