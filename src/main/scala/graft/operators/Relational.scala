@@ -694,8 +694,33 @@ object Relational {
     spark.sql(SharedRevenueSql)
   }
 
+  /** Correlated scalar subqueries in the SELECT list, shared VERBATIM with
+    * the oracle like sql1 — the shape that exercises Catalyst's subquery
+    * DECORRELATION: the per-row subqueries must rewrite to aggregate-then-
+    * join (PlanSpec asserts no per-row subquery survives into the physical
+    * plan), because a literal per-row execution is the O(rows × table)
+    * anti-pattern that cannot run at scale. count(*) over an empty
+    * correlation is 0 on both engines; the avg is null for uncovered keys
+    * and both engines emit it as a null cell.
+    */
+  private[operators] val SharedScalarSubquerySql: String =
+    """SELECT n_name,
+      |  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
+      |    AS n_suppliers,
+      |  (SELECT round(avg(c_acctbal), 2) FROM customer
+      |   WHERE c_nationkey = n_nationkey) AS avg_cust_bal
+      |FROM nation
+      |ORDER BY n_name""".stripMargin
+
+  def sql2CorrelatedScalar(spark: SparkSession, dir: String): DataFrame = {
+    Seq("nation", "supplier", "customer")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(SharedScalarSubquerySql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql1_revenue_by_nation" -> sql1RevenueByNation,
+    "sql2_correlated_scalar" -> sql2CorrelatedScalar,
     "p1_pivot_segments" -> p1PivotSegments,
     "a1_array_functions" -> a1ArrayFunctions,
     "pct1_percentiles" -> pct1Percentiles,
@@ -734,6 +759,7 @@ object Relational {
 
   val oracle: Map[String, String] = Map(
     "sql1_revenue_by_nation" -> SharedRevenueSql,
+    "sql2_correlated_scalar" -> SharedScalarSubquerySql,
     "p1_pivot_segments" ->
       """SELECT n_name,
         |  round(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN c_acctbal END), 2) AS "AUTOMOBILE",

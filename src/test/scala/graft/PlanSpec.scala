@@ -343,6 +343,17 @@ class PlanSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("sql2 decorrelates the scalar subqueries into aggregate-then-join") {
+    // a per-row subquery execution surviving into the physical plan is the
+    // O(rows x table) shape that cannot run at scale — Catalyst must have
+    // rewritten both SELECT-list subqueries to aggregates joined back
+    val p = plan("sql2_correlated_scalar")
+    assert(!p.contains("ScalarSubquery"), p.take(2500))
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
+      .findAllIn(p).size >= 2, p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
   test("ev10 anomaly windows partition by user — no single-partition exchange") {
     val p = plan("ev10_anomaly")
     assert(!p.contains("SinglePartition"), p.take(2500))
