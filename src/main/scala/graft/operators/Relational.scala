@@ -700,15 +700,27 @@ object Relational {
     * join (PlanSpec asserts no per-row subquery survives into the physical
     * plan), because a literal per-row execution is the O(rows × table)
     * anti-pattern that cannot run at scale. count(*) over an empty
-    * correlation is 0 on both engines; the avg is null for uncovered keys
-    * and both engines emit it as a null cell.
+    * correlation is 0 on both engines; the average is null for uncovered
+    * keys and both engines emit it as a null cell.
+    *
+    * The average is computed in CENTS as exact integer arithmetic (the
+    * sim7/sim8 micro-unit convention, in SQL): `round(avg(double), 2)`
+    * FAILED the sf0.001 gate — an average of 2-decimal values lands on
+    * the .xx5 boundary whenever the group count divides the cent sum that
+    * way (with n=2, half the time), and Spark's BigDecimal HALF_UP and
+    * DuckDB's `std::round(x*100)/100` resolve that boundary differently.
+    * Per-value `round(x*100)` is unambiguous (inputs are within 1e-10 of
+    * integers), the integer sum is exact, and both engines then round the
+    * IDENTICAL quotient double with the same half-away-from-zero rule.
     */
   private[operators] val SharedScalarSubquerySql: String =
     """SELECT n_name,
       |  (SELECT count(*) FROM supplier WHERE s_nationkey = n_nationkey)
       |    AS n_suppliers,
-      |  (SELECT round(avg(c_acctbal), 2) FROM customer
-      |   WHERE c_nationkey = n_nationkey) AS avg_cust_bal
+      |  (SELECT CAST(round(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+      |                     / count(*)) AS BIGINT)
+      |   FROM customer
+      |   WHERE c_nationkey = n_nationkey) AS avg_cust_bal_cents
       |FROM nation
       |ORDER BY n_name""".stripMargin
 
