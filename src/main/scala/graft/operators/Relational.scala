@@ -624,7 +624,11 @@ object Relational {
       .filter($"p_name".like("%blue%") || $"p_name".like("%red%"))
       .groupBy($"p_type")
       .agg(count(lit(1)).as("n_parts"),
-        r2(avg($"p_retailprice")).as("avg_price"))
+        // r6, not r2: averages of 2-decimal values land ON the .xx5
+        // boundary often enough that engines' differing half-up
+        // resolutions diverge (sql2's measured failure); 6 decimals moves
+        // the boundary to the 7th place, the module's average convention
+        r6(avg($"p_retailprice")).as("avg_price"))
       .orderBy($"p_type")
   }
 
@@ -938,7 +942,7 @@ object Relational {
         |       AND l_quantity BETWEEN 20 AND 50)""".stripMargin,
     "q13_name_pattern" ->
       """SELECT p_type, count(*) AS n_parts,
-        |  round(avg(p_retailprice), 2) AS avg_price
+        |  round(avg(p_retailprice), 6) AS avg_price
         |FROM part
         |WHERE p_name LIKE '%blue%' OR p_name LIKE '%red%'
         |GROUP BY p_type
