@@ -208,10 +208,45 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** ev11 — resampling with gap fill: each user's activity regularized
+    * onto the corpus's full daily calendar grid, missing days forward-
+    * filled from the last observed day (0 before the first observation) —
+    * the time-series regularization every downstream model/report needs
+    * from an irregular event stream.
+    *
+    * Scale shape: the daily aggregate collapses the event log first (hash
+    * aggregate, map-side combine — the only pass over raw events); the
+    * calendar span is a broadcast 1-row aggregate sequence-exploded per
+    * user, so the grid is |users| × |days| rows, never event-sized; the
+    * forward fill is one `last(_, ignoreNulls)` window per user over the
+    * grid. Rounding precedes the fill, so propagated values are the
+    * already-rounded cells.
+    */
+  def resample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+    val daily = e.groupBy("user_id", "day").agg(r2(sum(col("value"))).as("day_value"))
+    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = e.select(col("user_id")).distinct()
+      .join(broadcast(span))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), unix_millis(col("day")).as("day_ms"),
+        col("day_value"),
+        coalesce(last(col("day_value"), ignoreNulls = true).over(w), lit(0.0))
+          .as("filled_value"))
+      .orderBy("user_id", "day_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev8_merge_upsert" -> mergeUpsert,
     "ev9_retention" -> retention,
     "ev10_anomaly" -> anomalies,
+    "ev11_resample" -> resample,
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
@@ -304,6 +339,27 @@ object Events {
         |  event_type AS last_event_type, value AS last_value
         |FROM e WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+    "ev11_resample" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, value
+        |  FROM events),
+        | daily AS (
+        |  SELECT user_id, day, round(sum(value), 2) AS day_value
+        |  FROM e GROUP BY 1, 2),
+        | span AS (SELECT min(day) AS d0, max(day) AS d1 FROM e),
+        | grid AS (
+        |  SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM e) CROSS JOIN span),
+        | j AS (
+        |  SELECT g.user_id, g.day, d.day_value
+        |  FROM grid g LEFT JOIN daily d
+        |    ON g.user_id = d.user_id AND g.day = d.day)
+        |SELECT user_id, epoch_ms(day) AS day_ms, day_value,
+        |  coalesce(last_value(day_value IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS filled_value
+        |FROM j
+        |ORDER BY user_id, day_ms""".stripMargin,
     "ev10_anomaly" ->
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value

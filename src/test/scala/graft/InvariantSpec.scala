@@ -320,6 +320,30 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.map(_.getAs[Long]("event_id")).toSeq == Seq(12L))
   }
 
+  test("ev11 resample grid covers the span and forward-fills exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev11").toString
+    // A active on days 1 and 4, B on day 2 only; span = days 1..4 → a
+    // leading gap (B day 1 → 0.0), interior gaps (carry last), and both
+    // users on the full grid
+    Seq((1L, "2024-03-01 10:00:00", 5.0), (1L, "2024-03-04 10:00:00", 7.0),
+        (2L, "2024-03-02 10:00:00", 3.0))
+      .toDF("user_id", "ts_s", "value")
+      .select(col("user_id"),
+        (unix_millis(to_timestamp(col("ts_s"))) * 1000000L).as("ts"), col("value"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.operators.Events.resample(spark, dir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("day_ms"),
+        Option(r.getAs[java.lang.Double]("day_value")).map(_.toDouble),
+        r.getAs[Double]("filled_value"))).toSeq
+    val d = (1 to 4).map(i => 1709251200000L + (i - 1) * 86400000L)
+    assert(out == Seq(
+      (1L, d(0), Some(5.0), 5.0), (1L, d(1), None, 5.0),
+      (1L, d(2), None, 5.0), (1L, d(3), Some(7.0), 7.0),
+      (2L, d(0), None, 0.0), (2L, d(1), Some(3.0), 3.0),
+      (2L, d(2), None, 3.0), (2L, d(3), None, 3.0)))
+  }
+
   test("q15 winners carry exactly the global maximum quarterly revenue") {
     val out = graft.operators.Relational.q15TopSupplier(spark, sf)
     val revs = graft.Tables.t(spark, sf, "lineitem")
