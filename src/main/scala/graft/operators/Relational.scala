@@ -209,6 +209,27 @@ object Relational {
     both.unionAll(onlyU).unionAll(either).orderBy($"tag", $"o_custkey")
   }
 
+  /** Multiset (ALL) set operations — the bag-semantics counterpart of
+    * set1: per customer, urgent-order slots surviving INTERSECT ALL with
+    * low-priority slots (min of the two multiplicities) and EXCEPT ALL
+    * (the multiplicity difference), aggregated to (tag, custkey, n) so
+    * the multiset cardinalities are what the gate checks. Both compile to
+    * Catalyst's count-based multiset rewrites — one shuffle per side on
+    * the value, never a row-by-row pairing.
+    */
+  def set2MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ord = t(spark, dir, "orders")
+    val urgent = ord.filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val low = ord.filter($"o_orderpriority" === "5-LOW").select($"o_custkey")
+    def counted(df: DataFrame, tag: String): DataFrame =
+      df.groupBy($"o_custkey").agg(count(lit(1)).as("n"))
+        .select(lit(tag).as("tag"), $"o_custkey", $"n")
+    counted(urgent.intersectAll(low), "both_all")
+      .unionAll(counted(urgent.exceptAll(low), "urgent_surplus"))
+      .orderBy($"tag", $"o_custkey")
+  }
+
   /** Top-k with a broadcast dimension join: 15 best-selling parts.
     * Aggregation runs on the fact side keys first; the sort is
     * TakeOrderedAndProject, never a full global sort.
@@ -763,6 +784,7 @@ object Relational {
     "w3_range_frame" -> w3RangeFrame,
     "prof1_column_profile" -> prof1ColumnProfile,
     "set1_priority_customers" -> set1PriorityCustomers,
+    "set2_multiset_ops" -> set2MultisetOps,
     "topk_parts_by_quantity" -> topkPartsByQuantity,
     "g1_rollup_acctbal" -> g1RollupAcctbal,
     "g2_grouping_sets_orders" -> g2GroupingSetsOrders,
@@ -1065,6 +1087,20 @@ object Relational {
         |  SELECT 'either', o_custkey FROM (
         |    SELECT DISTINCT o_custkey FROM orders
         |    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')))
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "set2_multiset_ops" ->
+      """SELECT * FROM (
+        |  SELECT 'both_all' AS tag, o_custkey, count(*) AS n FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    INTERSECT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |  GROUP BY o_custkey
+        |  UNION ALL
+        |  SELECT 'urgent_surplus', o_custkey, count(*) FROM (
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |    EXCEPT ALL
+        |    SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |  GROUP BY o_custkey)
         |ORDER BY tag, o_custkey""".stripMargin,
     "topk_parts_by_quantity" ->
       """SELECT p_name, l_partkey, round(sum(l_quantity), 2) AS total_qty
