@@ -215,20 +215,23 @@ object Events {
     * from an irregular event stream.
     *
     * Scale shape: the daily aggregate collapses the event log first (hash
-    * aggregate, map-side combine — the only pass over raw events); the
-    * calendar span is a broadcast 1-row aggregate sequence-exploded per
-    * user, so the grid is |users| × |days| rows, never event-sized; the
-    * forward fill is one `last(_, ignoreNulls)` window per user over the
-    * grid. Rounding precedes the fill, so propagated values are the
-    * already-rounded cells.
+    * aggregate, map-side combine) and is scoped-persisted — its THREE
+    * consumers (the span aggregate, the distinct user list, the grid
+    * join) all read the users×days cache, so the raw event log is scanned
+    * exactly once. The calendar span is a broadcast 1-row aggregate
+    * sequence-exploded per user (the grid is |users| × |days| rows, never
+    * event-sized); the forward fill is one `last(_, ignoreNulls)` window
+    * per user over the grid. Rounding precedes the fill, so propagated
+    * values are the already-rounded cells.
     */
   def resample(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val e = t(spark, dir, "events")
-      .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
-    val daily = e.groupBy("user_id", "day").agg(r2(sum(col("value"))).as("day_value"))
-    val span = e.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-    val grid = e.select(col("user_id")).distinct()
+    val daily = graft.engine.Caching.scopedPersist(
+      t(spark, dir, "events")
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"), col("value"))
+        .groupBy("user_id", "day").agg(r2(sum(col("value"))).as("day_value")))
+    val span = daily.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = daily.select(col("user_id")).distinct()
       .join(broadcast(span))
       .select(col("user_id"),
         explode(sequence(col("d0"), col("d1"), expr("interval 1 day"))).as("day"))

@@ -348,10 +348,31 @@ class PlanSpec extends AnyFunSuite {
     // O(rows x table) shape that cannot run at scale — Catalyst must have
     // rewritten both SELECT-list subqueries to aggregates joined back
     val p = plan("sql2_correlated_scalar")
-    assert(!p.contains("ScalarSubquery"), p.take(2500))
+    // Spark renders a surviving scalar subquery as 'scalar-subquery#N'
+    // (expression form) or a 'Subquery' exec node — the camel-case class
+    // name never appears in plan strings, so matching it would be vacuous
+    assert(!p.contains("scalar-subquery") && !p.contains("Subquery"),
+      p.take(2500))
     assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)".r
       .findAllIn(p).size >= 2, p.take(2500))
     assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("ev11 grid and fill consume the cached daily frame, not the event log") {
+    // the span aggregate and the distinct-user subtree must read the
+    // users×days cache (InMemoryTableScan), not re-derive from the raw
+    // event log. Asserted on an EXECUTED plan: a plan-only audit is the
+    // "abandoned plan" case the scoped-cache expiry exists for, so in a
+    // shared session the cache can be released between construction and
+    // stringification — during a real action it is alive by contract.
+    val df = SparkEntry.queries("ev11_resample")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p.take(1500))
+    // (no SinglePartition assert here: the 1-row span aggregate's global
+    // exchange is legitimate — the WINDOW partitions by user_id)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    assert("windowspecdefinition\\(user_id".r.findFirstIn(p).isDefined, p.take(3000))
   }
 
   test("ev10 anomaly windows partition by user — no single-partition exchange") {
