@@ -1,26 +1,30 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Multimodal column plumbing (north-star extension): image/audio/video
-  * payloads as opaque `binary` columns with typed metadata, processed by
-  * per-partition batch operators.
+/** Multimodal column operators (north-star extension): image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, decoded by
+  * REAL pure-JVM codecs ([[MediaCodecs]]: PNM rasters, RIFF/WAVE audio)
+  * inside `mapPartitions` batch stages — the Scala analogue of Python's
+  * `mapInPandas` batch shape, with per-partition setup (codec contexts)
+  * amortized across rows.
   *
-  * The Spark-side contract is the real deliverable here — schema shape,
-  * partition-level batching, operator signatures — while the actual codec
-  * work is STUBBED behind [[Multimodal.Decoder]] with a deterministic fake
-  * (media libraries are unavailable in this environment, and a real
-  * decoder drops into the same seam). This mirrors how a production
-  * pipeline hosts decode/feature-extract/resize/frame-sample stages: a
-  * `mapPartitions` over an iterator of payload batches, so per-partition
-  * setup (codec contexts, model weights) amortizes across rows — the Scala
-  * analogue of Python's `mapInPandas` batch shape.
+  * The test fixture is planted binary media built row-by-row from the
+  * driver's `documents` table: each document's ASCII-sanitized text bytes
+  * become the pixel/sample payload of a genuine PPM image, WAV file, or
+  * concatenated-PPM frame stream (headers and all), constructed with
+  * Spark string/binary expressions. Because the payload construction is
+  * deterministic arithmetic over the text column, a SQL oracle can
+  * recompute every decoded statistic — so the DECODER ITSELF is under the
+  * correctness gate: a mis-parsed header width, an off-by-one raster
+  * offset, or a mis-walked RIFF chunk shifts the decoded byte stream and
+  * breaks the hash.
   *
-  * Scale notes: payloads never shuffle (all stages are map-only
-  * projections/partitions); metadata-only plans (schema, counts, byte
-  * sizes) prune the binary column away entirely at the parquet scan.
+  * Scale notes: payloads never shuffle (decode stages are map-only);
+  * metadata-only plans (mm1) prune the binary column at the scan;
+  * decoded outputs carry per-row statistics, never sample arrays.
   */
 object Multimodal {
 
@@ -28,72 +32,148 @@ object Multimodal {
   val MediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image | audio | video
-    StructField("format", StringType, nullable = false), // png | wav | mp4 ...
+    StructField("format", StringType, nullable = false), // ppm | wav | ppms ...
     StructField("payload", BinaryType, nullable = true),
     StructField("width", IntegerType, nullable = true),
     StructField("height", IntegerType, nullable = true),
     StructField("duration_ms", LongType, nullable = true)))
 
-  /** Decoded frame/sample features: fixed-width vector + shape metadata. */
+  /** Decoded features: payload/decoded byte counts + fixed-width vector. */
   final case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Long,
+      media_id: Long, kind: String, n_bytes: Long, n_decoded: Long,
       feature: Array[Float], feature_dim: Int)
 
-  /** The codec seam. Implementations must be deterministic per payload. */
-  trait Decoder extends Serializable {
-    /** Decode one payload into a fixed-width feature vector. */
-    def decode(kind: String, format: String, payload: Array[Byte]): Array[Float]
-    def featureDim: Int
-  }
-
-  /** Deterministic fake standing in for a real image/audio decoder:
-    * features are byte-histogram COUNTS of the payload (stable across runs
-    * and machines; a real codec — javacv, a JNI libav binding — replaces
-    * this object only). Counts are exact integers (a float is exact up to
-    * 2^24), so any normalization happens in double at the aggregation —
-    * which is what makes the mm2 gate SQL-replicable: a float32
-    * frequency-histogram's accumulation order is engine-dependent, integer
-    * counts are not.
+  /** The codec seam. Implementations must be deterministic per payload.
+    * `decodeSamples` returns the raw sample/pixel bytes with ALL container
+    * framing (headers, chunk lists, padding) stripped; the feature vector
+    * is a histogram over those samples. Counts are exact integers (a
+    * float is exact up to 2^24), so any normalization happens in double at
+    * the aggregation — which is what keeps the mm2 gate SQL-replicable:
+    * integer counts have no accumulation-order sensitivity.
     */
-  final class StubDecoder(val featureDim: Int = 8) extends Decoder {
-    override def decode(kind: String, format: String, payload: Array[Byte]): Array[Float] = {
+  trait Decoder extends Serializable {
+    def featureDim: Int
+    /** Decode one payload into raw sample bytes (container stripped). */
+    def decodeSamples(kind: String, format: String, payload: Array[Byte]): Array[Byte]
+    /** Modulo-bucket byte histogram — the fixed-width feature vector. */
+    final def histogram(samples: Array[Byte]): Array[Float] = {
       val f = new Array[Float](featureDim)
-      if (payload != null && payload.nonEmpty) {
-        var i = 0
-        while (i < payload.length) {
-          f(math.floorMod(payload(i).toInt, featureDim)) += 1.0f
-          i += 1
-        }
+      var i = 0
+      while (i < samples.length) {
+        f(math.floorMod(samples(i).toInt, featureDim)) += 1.0f
+        i += 1
       }
       f
     }
+    final def decode(kind: String, format: String, payload: Array[Byte]): Array[Float] =
+      histogram(decodeSamples(kind, format, payload))
   }
 
-  /** Build a deterministic synthetic media table from the driver's
-    * documents table (payload = utf-8 text bytes posing as media) — the
-    * plumbing fixture used by queries and tests.
+  /** The real decoder: dispatches on declared format to the
+    * [[MediaCodecs]] parsers. `ppm`/`pgm` = one PNM raster; `wav` = RIFF
+    * walk to the PCM data chunk; `ppms` = concatenated PNM frame stream
+    * (frames' rasters concatenated in order). Unknown formats fail loudly
+    * — a silent empty decode would vanish rows from the gate.
+    */
+  final class MediaDecoder(val featureDim: Int = 8) extends Decoder {
+    override def decodeSamples(
+        kind: String, format: String, payload: Array[Byte]): Array[Byte] = {
+      if (payload == null || payload.isEmpty) return Array.emptyByteArray
+      format match {
+        case "ppm" | "pgm" => MediaCodecs.Pnm.parse(payload).pixels
+        case "wav" => MediaCodecs.Wav.parse(payload).data
+        case "ppms" =>
+          val frames = MediaCodecs.Pnm.parseAll(payload)
+          val out = new Array[Byte](frames.iterator.map(_.pixels.length).sum)
+          var off = 0
+          frames.foreach { f =>
+            System.arraycopy(f.pixels, 0, out, off, f.pixels.length)
+            off += f.pixels.length
+          }
+          out
+        case other =>
+          throw new IllegalArgumentException(s"no codec for format '$other'")
+      }
+    }
+  }
+
+  private def chrC(n: Column): Column = call_function("chr", n)
+
+  /** 4-byte little-endian integer as a codepoint-per-byte string (encoded
+    * to real bytes by the final ISO-8859-1 `encode`, which maps codepoints
+    * 0-255 to single bytes exactly).
+    */
+  private def le32(n: Column): Column =
+    concat((0 to 3).map(i =>
+      chrC(shiftright(n.cast("long"), 8 * i).bitwiseAND(lit(255L)))): _*)
+
+  /** Little-endian integer as a codepoint-per-byte Scala string constant
+    * (for the header fields that don't depend on the payload).
+    */
+  private def leBytes(v: Long, n: Int): String =
+    (0 until n).map(i => ((v >> (8 * i)) & 0xff).toChar).mkString
+
+  /** Constant `fmt ` chunk (size word + 16-byte body): PCM (1), mono (1),
+    * 8000 Hz, byte rate 8000, block align 1, 8 bits/sample — all
+    * little-endian; each codepoint < 256 becomes one latin-1 byte at the
+    * final encode.
+    */
+  private val WavFmtConst =
+    leBytes(16, 4) + leBytes(1, 2) + leBytes(1, 2) + leBytes(8000, 4) +
+      leBytes(8000, 4) + leBytes(1, 2) + leBytes(8, 2)
+
+  /** Canonical 44-byte RIFF/WAVE header for an 8-bit mono 8 kHz PCM
+    * payload of `nb` bytes.
+    */
+  private def wavHeader(nb: Column): Column = concat(
+    lit("RIFF"), le32(nb + lit(36L)), lit("WAVEfmt "),
+    lit(WavFmtConst), lit("data"), le32(nb))
+
+  /** Build the planted media table from the driver's documents: REAL
+    * binary payloads whose sample bytes are the document's ASCII-sanitized
+    * text (one byte per char by construction; the driver corpus is pure
+    * ASCII anyway — the strip pins the invariant, and makes every decoded
+    * statistic recomputable from the text column by any SQL engine).
+    *
+    *   - image (doc_id%3=0): P6 PPM, width 4+doc_id%13, height
+    *     nb div (3*width) — multi-digit dims exercise real header parsing;
+    *   - audio (doc_id%3=1): WAV, 8-bit mono 8 kHz, nb PCM samples;
+    *   - video (doc_id%3=2): nb div 192 concatenated 16x4 P6 frames.
+    *
+    * Metadata columns agree with the embedded binary headers (asserted in
+    * MultimodalSpec), so metadata-only plans (mm1) answer without decoding.
     */
   def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
     val d = graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(col("text"), "[^\\x20-\\x7E]", "").as("st"))
+      .withColumn("nb", length(col("st")).cast("long"))
+      .withColumn("w", (col("doc_id") % 13 + 4).cast("int"))
+      .withColumn("h", expr("cast(nb div (3 * w) as int)"))
+      .withColumn("frames", expr("nb div 192"))
+    val m = col("doc_id") % 3
+    val imageStr = concat(
+      format_string("P6\n%d %d\n255\n", col("w"), col("h")),
+      expr("substring(st, 1, 3 * w * h)"))
+    val audioStr = concat(wavHeader(col("nb")), col("st"))
+    val videoStr = when(col("frames") > 0,
+      expr("array_join(transform(sequence(0L, frames - 1), " +
+        "i -> concat('P6\\n16 4\\n255\\n', substring(st, cast(i * 192 + 1 as int), 192))), '')"))
+      .otherwise(lit(""))
     d.select(
       col("doc_id").as("media_id"),
-      element_at(typedlit(Seq("image", "audio", "video")),
-        (col("doc_id") % 3).cast("int") + 1).as("kind"),
-      element_at(typedlit(Seq("png", "wav", "mp4")),
-        (col("doc_id") % 3).cast("int") + 1).as("format"),
-      // Payload bytes are the ASCII-sanitized text (one byte per char by
-      // construction), so byte-level stub features are recomputable from
-      // the text column by any SQL engine — the driver corpus is pure
-      // ASCII anyway (verified), the strip just pins the invariant.
-      encode(regexp_replace(col("text"), "[^\\x20-\\x7E]", ""), "UTF-8").as("payload"),
-      when(col("doc_id") % 3 === 0, (col("n_chars") % 1920).cast("int")).as("width"),
-      when(col("doc_id") % 3 === 0, (col("n_chars") % 1080).cast("int")).as("height"),
-      when(col("doc_id") % 3 =!= 0, col("n_chars") * 10).as("duration_ms"))
+      element_at(typedlit(Seq("image", "audio", "video")), m.cast("int") + 1).as("kind"),
+      element_at(typedlit(Seq("ppm", "wav", "ppms")), m.cast("int") + 1).as("format"),
+      encode(when(m === 0, imageStr).when(m === 1, audioStr).otherwise(videoStr),
+        "ISO-8859-1").as("payload"),
+      when(m === 0, col("w")).when(m === 2, lit(16)).as("width"),
+      when(m === 0, col("h")).when(m === 2, lit(4)).as("height"),
+      when(m === 1, expr("nb div 8"))
+        .when(m === 2, col("frames") * 40L).as("duration_ms"))
   }
 
-  /** Feature extraction: mapPartitions batch over payloads — decoder
-    * instantiated once per partition, payload column pruned from the
-    * output.
+  /** Feature extraction: mapPartitions batch over payloads — decode once
+    * per row, payload column pruned from the output.
     */
   def extractFeatures(media: DataFrame, decoder: Decoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -103,11 +183,13 @@ object Multimodal {
       // per-partition setup happens here (codec contexts etc.)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
+        val samples = decoder.decodeSamples(
+          r.getAs[String]("kind"), r.getAs[String]("format"), payload)
         MediaFeatures(
           r.getAs[Long]("media_id"), r.getAs[String]("kind"),
           if (payload == null) 0L else payload.length.toLong,
-          decoder.decode(r.getAs[String]("kind"), r.getAs[String]("format"), payload),
-          decoder.featureDim)
+          samples.length.toLong,
+          decoder.histogram(samples), decoder.featureDim)
       }
     }
   }
@@ -121,107 +203,192 @@ object Multimodal {
         sum(coalesce(col("duration_ms"), lit(0L))).as("total_duration_ms"))
       .orderBy("kind", "format")
 
-  /** Oracle query: metadata profile over the synthetic media table. */
+  /** Oracle query: metadata profile over the planted media table. */
   def mediaProfile(spark: SparkSession, dir: String): DataFrame =
     metadataProfile(syntheticMedia(spark, dir))
 
-  /** Oracle query: feature extraction through the stub decoder, aggregated
-    * per kind. Feature-0 counts sum exactly (integers), and the normalized
-    * share is ONE double division per output row at the very end — the
-    * order-insensitive arithmetic that lets DuckDB recompute the
-    * byte-histogram semantics bit-for-bit.
+  /** Oracle query: full decode through the real codecs, aggregated per
+    * kind. `decoded_bytes` counts ONLY raster/PCM sample bytes —
+    * `total_bytes - decoded_bytes` is exactly the container framing, so
+    * the gate pins both the decoded stream and where every header byte
+    * ends. Bucket-0 counts sum exactly (integers); the one double
+    * division per output row happens at the very end.
     */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    extractFeatures(syntheticMedia(spark, dir), new StubDecoder(8))
+    extractFeatures(syntheticMedia(spark, dir), new MediaDecoder(8))
       .groupBy($"kind")
       .agg(count(lit(1)).as("n"),
         sum(element_at($"feature", 1).cast("long")).as("f0_total"),
+        sum($"n_decoded").as("decoded_bytes"),
         sum($"n_bytes").as("total_bytes"))
-      .select($"kind", $"n", $"f0_total", $"total_bytes",
-        round($"f0_total".cast("double") / $"total_bytes", 6).as("f0_share"))
+      .select($"kind", $"n", $"f0_total", $"decoded_bytes", $"total_bytes",
+        round($"f0_total".cast("double") / $"decoded_bytes", 6).as("f0_share"))
       .orderBy($"kind")
   }
 
-  /** Fixed-size frame window for [[frameSample]]. A real video pipeline
-    * samples keyframes via the codec; the stub samples fixed-width byte
-    * windows — the PLUMBING under test is the 1→N generator shape.
-    */
-  val FrameBytes = 256
+  /** One parsed frame row for [[frameSample]]. */
+  final case class FrameRow(
+      media_id: Long, frame_idx: Long, frame_w: Int, frame_h: Int,
+      frame_bytes: Long, frame_fp: String)
 
-  /** Frame sampling: each video payload explodes into ceil(n/256)-many
-    * fixed-width byte windows — the canonical one-row-to-many-frames stage
-    * of a video pipeline, map-only (explode, no shuffle), with the payload
-    * pruned from the output in favor of per-frame size + fingerprint.
-    * Because the synthetic payload is ASCII text bytes, DuckDB recomputes
-    * the identical frames (and md5 fingerprints) from character substrings,
-    * making the generator fully oracle-checked.
+  /** Per-image stats row for [[imageStats]]. */
+  final case class ImageStatsRow(
+      media_id: Long, width: Int, height: Int, channels: Int,
+      maxval: Int, n_sample_bytes: Long, sum_bytes: Long)
+
+  /** Frame sampling: each video payload is a REAL concatenated-PNM
+    * stream; the codec walks frame headers to find each raster, emitting
+    * one row per frame with its parsed dimensions and an md5 fingerprint
+    * of the PIXEL bytes only — the canonical one-row-to-many-frames stage
+    * of a video pipeline, map-only (no shuffle), payload pruned from the
+    * output. A misaligned parse shifts every fingerprint, so the DuckDB
+    * windows over the text column gate the frame walker exactly.
     */
   def frameSample(spark: SparkSession, dir: String): DataFrame = {
-    val v = syntheticMedia(spark, dir)
+    import spark.implicits._
+    syntheticMedia(spark, dir)
       .filter(col("kind") === "video")
-      .select(col("media_id"), col("payload"), length(col("payload")).cast("long").as("nb"))
-      .filter(col("nb") > 0)
-    v.select(col("media_id"), col("payload"),
-        explode(sequence(lit(0L), expr(s"(nb - 1) div $FrameBytes"))).as("frame_idx"))
-      .select(col("media_id"), col("frame_idx"),
-        expr(s"substring(payload, cast(frame_idx * $FrameBytes + 1 as int), $FrameBytes)").as("frame"))
-      .select(col("media_id"), col("frame_idx"),
-        length(col("frame")).cast("long").as("frame_bytes"),
-        md5(col("frame")).as("frame_fp"))
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.flatMap { case (id, payload) =>
+          MediaCodecs.Pnm.parseAll(payload).iterator.zipWithIndex.map {
+            case (img, i) =>
+              val hex = md.digest(img.pixels).map(b => f"$b%02x").mkString
+              FrameRow(id, i.toLong, img.width, img.height,
+                img.pixels.length.toLong, hex)
+          }
+        }
+      }
+      .toDF()
       .orderBy("media_id", "frame_idx")
+  }
+
+  /** Image statistics from REAL header parsing: width/height/maxval come
+    * out of the PPM header bytes (not metadata columns), the mean sample
+    * value from the raster — the decode-and-profile stage of an image
+    * pipeline. The oracle recomputes the dims arithmetically, so a parser
+    * that misreads a multi-digit width fails the gate.
+    */
+  def imageStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, dir)
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = MediaCodecs.Pnm.parse(payload)
+          var s = 0L
+          var i = 0
+          while (i < img.pixels.length) { s += (img.pixels(i) & 0xff); i += 1 }
+          ImageStatsRow(id, img.width, img.height, img.channels, img.maxVal,
+            img.pixels.length.toLong, s)
+        }
+      }
+      .select(col("media_id"), col("width"), col("height"), col("channels"),
+        col("maxval"), col("n_sample_bytes"),
+        when(col("n_sample_bytes") > 0,
+          round(col("sum_bytes").cast("double") / col("n_sample_bytes"), 6))
+          .as("mean_byte"))
+      .orderBy("media_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_profile" -> mediaProfile,
     "mm2_media_features" -> mediaFeatures,
-    "mm3_frame_sample" -> frameSample
+    "mm3_frame_sample" -> frameSample,
+    "mm4_image_stats" -> imageStats
   )
 
   val oracle: Map[String, String] = Map(
+    // Durations derive from the planted payload sizes: nb samples at
+    // 8 kHz = nb/8 ms of audio; nb div 192 frames at 25 fps = 40 ms each.
     "mm1_media_profile" ->
-      """SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    length(regexp_replace(text, '[^\x20-\x7E]', '', 'g')) AS nb
+        |  FROM documents)
+        |SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav' ELSE 'ppms' END AS format,
         |  count(*) AS n,
-        |  CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN n_chars * 10 ELSE 0 END) AS BIGINT) AS total_duration_ms
-        |FROM documents
+        |  CAST(sum(CASE doc_id % 3 WHEN 1 THEN nb // 8
+        |           WHEN 2 THEN (nb // 192) * 40 ELSE 0 END) AS BIGINT) AS total_duration_ms
+        |FROM s
         |GROUP BY 1, 2
         |ORDER BY kind, format""".stripMargin,
-    // The stub decoder's byte-histogram counts, recomputed from the text
-    // column: the ASCII-sanitized payload has one byte per character, so
-    // feature bucket 0 = count of characters with codepoint % 8 = 0.
+    // The real decoders' byte streams, recomputed from the text column:
+    // decoded bytes are the format's sample region (full pixel rows for
+    // P6, the whole PCM payload for WAV, whole 192-byte frames for the
+    // stream); header bytes are the PPM header ("P6\n<w> <h>\n255\n" =
+    // 9 + digits(w) + digits(h)), the canonical 44-byte WAV header, or 12
+    // bytes per stream frame.
     "mm2_media_features" ->
       """WITH s AS (
         |  SELECT doc_id,
         |    CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
         |  FROM documents),
+        | d AS (
+        |  SELECT doc_id, kind, st,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 3 * (4 + doc_id % 13) * (length(st) // (3 * (4 + doc_id % 13)))
+        |      WHEN 1 THEN length(st)
+        |      ELSE 192 * (length(st) // 192) END AS dec,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 9 + length(CAST(4 + doc_id % 13 AS VARCHAR))
+        |                    + length(CAST(length(st) // (3 * (4 + doc_id % 13)) AS VARCHAR))
+        |      WHEN 1 THEN 44
+        |      ELSE 12 * (length(st) // 192) END AS hdr
+        |  FROM s),
         | h AS (
-        |  SELECT doc_id, kind, length(st) AS nb,
-        |    len(list_filter(range(1, length(st) + 1), i -> ord(st[i]) % 8 = 0)) AS f0
-        |  FROM s)
+        |  SELECT kind, dec, dec + hdr AS total,
+        |    len(list_filter(range(1, dec + 1), i -> ord(st[i]) % 8 = 0)) AS f0
+        |  FROM d)
         |SELECT kind, count(*) AS n, CAST(sum(f0) AS BIGINT) AS f0_total,
-        |  CAST(sum(nb) AS BIGINT) AS total_bytes,
-        |  round(CAST(sum(f0) AS DOUBLE) / sum(nb), 6) AS f0_share
+        |  CAST(sum(dec) AS BIGINT) AS decoded_bytes,
+        |  CAST(sum(total) AS BIGINT) AS total_bytes,
+        |  round(CAST(sum(f0) AS DOUBLE) / sum(dec), 6) AS f0_share
         |FROM h
         |GROUP BY kind
         |ORDER BY kind""".stripMargin,
-    // Frames recomputed from the text column: the ASCII-sanitized payload
-    // is one byte per character, so a byte window == a character substring
-    // and the md5 fingerprints agree byte-for-byte.
+    // Frames recomputed from the text column: frame i's raster is chars
+    // [i*192+1, i*192+192], and the md5 fingerprints agree byte-for-byte
+    // because the payload is one byte per character.
     "mm3_frame_sample" ->
       """WITH s AS (
         |  SELECT doc_id AS media_id,
         |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
         |  FROM documents WHERE doc_id % 3 = 2),
-        | f AS (SELECT media_id, st, length(st) AS nb FROM s WHERE length(st) > 0),
-        | fr AS (SELECT media_id, st,
-        |   unnest(range(0, (nb - 1) // 256 + 1)) AS frame_idx FROM f)
-        |SELECT media_id, frame_idx,
-        |  CAST(length(substr(st, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS BIGINT) AS frame_bytes,
-        |  md5(substr(st, CAST(frame_idx * 256 + 1 AS BIGINT), 256)) AS frame_fp
+        | f AS (SELECT media_id, st, length(st) // 192 AS frames
+        |       FROM s WHERE length(st) >= 192),
+        | fr AS (SELECT media_id, st, unnest(range(0, frames)) AS frame_idx FROM f)
+        |SELECT media_id, frame_idx, 16 AS frame_w, 4 AS frame_h,
+        |  CAST(192 AS BIGINT) AS frame_bytes,
+        |  md5(substr(st, CAST(frame_idx * 192 + 1 AS BIGINT), 192)) AS frame_fp
         |FROM fr
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // Dims recomputed arithmetically (width 4+doc_id%13, height
+    // nb div 3w); the Spark side reads them out of the binary header.
+    "mm4_image_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |    CAST(length(st) // (3 * (4 + doc_id % 13)) AS INTEGER) AS height, st
+        |  FROM s)
+        |SELECT media_id, width, height, 3 AS channels, 255 AS maxval,
+        |  CAST(3 * width * height AS BIGINT) AS n_sample_bytes,
+        |  CASE WHEN height = 0 THEN NULL ELSE
+        |    round(CAST(list_aggregate(list_transform(range(1, 3 * width * height + 1),
+        |      i -> ord(st[i])), 'sum') AS DOUBLE) / (3 * width * height), 6)
+        |  END AS mean_byte
+        |FROM d
+        |ORDER BY media_id""".stripMargin
   )
 }

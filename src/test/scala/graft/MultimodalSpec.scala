@@ -2,36 +2,187 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Multimodal
-import graft.operators.Multimodal.StubDecoder
+import graft.operators.{MediaCodecs, Multimodal}
+import graft.operators.MediaCodecs.{Pnm, Wav}
+import graft.operators.Multimodal.MediaDecoder
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
-  test("stub decoder is deterministic, integer-exact counts") {
-    val d = new StubDecoder(8)
-    val payload = "hello multimodal world".getBytes("UTF-8")
-    val a = d.decode("image", "png", payload)
-    val b = d.decode("image", "png", payload)
-    assert(a.toSeq == b.toSeq)
-    assert(a.sum == payload.length.toFloat) // histogram of counts, not freqs
-    assert(a.forall(v => v == math.rint(v))) // every bucket an exact integer
-    // 'h'=104 and 'p'=112 are = 0 mod 8: bucket 0 counts them
-    assert(a(0) == payload.count(c => math.floorMod(c.toInt, 8) == 0).toFloat)
-    assert(d.decode("audio", "wav", Array.emptyByteArray).forall(_ == 0f))
-    assert(d.decode("audio", "wav", null).forall(_ == 0f))
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  // ---- PNM codec -----------------------------------------------------
+
+  test("P6 parser: header with comment, pixels byte-for-byte") {
+    val pixels = (0 until 12).map(_.toByte).toArray
+    val img = Pnm.parse(ascii("P6\n# planted comment\n2 2\n255\n") ++ pixels)
+    assert(img.magic == "P6")
+    assert(img.width == 2 && img.height == 2)
+    assert(img.maxVal == 255 && img.channels == 3)
+    assert(img.pixels.toSeq == pixels.toSeq) // exact raster recovery
+  }
+
+  test("P5 parser: grayscale, space-separated header, maxval < 255") {
+    val img = Pnm.parse(ascii("P5 3 1 17\n") ++ Array[Byte](5, 9, 13))
+    assert(img.magic == "P5" && img.channels == 1)
+    assert(img.width == 3 && img.height == 1 && img.maxVal == 17)
+    assert(img.pixels.toSeq == Seq[Byte](5, 9, 13))
+  }
+
+  test("PNM parser rejects malformed payloads loudly") {
+    // bad magic
+    intercept[IllegalArgumentException](Pnm.parse(ascii("P7\n1 1\n255\n") ++ Array[Byte](1)))
+    // truncated raster: 2x2 RGB needs 12 bytes, give 5
+    intercept[IllegalArgumentException](
+      Pnm.parse(ascii("P6\n2 2\n255\n") ++ Array[Byte](1, 2, 3, 4, 5)))
+    // 2-byte-sample maxval unsupported, must not be misread as 1-byte
+    intercept[IllegalArgumentException](
+      Pnm.parse(ascii("P6\n1 1\n65535\n") ++ Array.fill[Byte](6)(0)))
+    // trailing garbage after a single-image parse
+    intercept[IllegalArgumentException](
+      Pnm.parse(ascii("P6\n1 1\n255\n") ++ Array[Byte](1, 2, 3, 4)))
+    // truncated header
+    intercept[IllegalArgumentException](Pnm.parse(ascii("P6\n2 ")))
+  }
+
+  test("parseAll walks concatenated frames and zero-length payloads") {
+    val f0 = ascii("P6\n1 2\n255\n") ++ Array[Byte](1, 2, 3, 4, 5, 6)
+    val f1 = ascii("P6\n2 1\n255\n") ++ Array[Byte](7, 8, 9, 10, 11, 12)
+    val frames = Pnm.parseAll(f0 ++ f1)
+    assert(frames.length == 2)
+    assert(frames(0).pixels.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6))
+    assert(frames(1).width == 2 && frames(1).height == 1)
+    assert(frames(1).pixels.toSeq == Seq[Byte](7, 8, 9, 10, 11, 12))
+    assert(Pnm.parseAll(Array.emptyByteArray).isEmpty)
+    assert(Pnm.parseAll(null).isEmpty)
+  }
+
+  // ---- WAV codec -----------------------------------------------------
+
+  /** Hand-build a RIFF/WAVE payload with java.nio (independent of the
+    * operator's own header builder): optional unknown odd-sized chunk
+    * before fmt/data to exercise chunk skipping + pad-byte handling.
+    */
+  private def wavBytes(data: Array[Byte], oddChunk: Boolean): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(512)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(ascii("RIFF")).putInt(0).put(ascii("WAVE")) // size patched below
+    if (oddChunk) { // 3-byte unknown chunk -> 1 pad byte per RIFF rule
+      bb.put(ascii("junk")).putInt(3).put(Array[Byte](1, 2, 3)).put(0.toByte)
+    }
+    bb.put(ascii("fmt ")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    bb.put(ascii("data")).putInt(data.length).put(data)
+    if (data.length % 2 == 1) bb.put(0.toByte)
+    val out = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val size = out.length - 8
+    out(4) = (size & 0xff).toByte
+    out(5) = ((size >> 8) & 0xff).toByte
+    out(6) = ((size >> 16) & 0xff).toByte
+    out(7) = ((size >> 24) & 0xff).toByte
+    out
+  }
+
+  test("WAV parser: chunk walk, unknown odd chunk skipped, data exact") {
+    val data = Array[Byte](10, 20, 30, 40, 50)
+    val w = Wav.parse(wavBytes(data, oddChunk = true))
+    assert(w.audioFormat == 1 && w.channels == 1)
+    assert(w.sampleRate == 8000 && w.bitsPerSample == 8)
+    assert(w.data.toSeq == data.toSeq)
+    assert(w.nSamples == 5L)
+    assert(w.durationMs == 5000L / 8000L)
+  }
+
+  test("WAV parser rejects malformed payloads loudly") {
+    intercept[IllegalArgumentException](Wav.parse(ascii("RIFX    WAVE")))
+    intercept[IllegalArgumentException](Wav.parse(ascii("RIF")))
+    // fmt present but no data chunk
+    val noData = wavBytes(Array.emptyByteArray, oddChunk = false)
+      .dropRight(8) // strip the empty data chunk header
+    intercept[IllegalArgumentException](Wav.parse(noData))
+  }
+
+  // ---- MediaDecoder --------------------------------------------------
+
+  test("decoder histograms SAMPLE bytes only — container excluded") {
+    val d = new MediaDecoder(8)
+    // 'P' = 80 and '6' = 54 would pollute buckets 0 and 6 if the header
+    // leaked into the histogram; pixels are six bytes all = 8 -> bucket 0
+    val img = ascii("P6\n2 1\n255\n") ++ Array.fill[Byte](6)(8)
+    val f = d.decode("image", "ppm", img)
+    assert(f(0) == 6.0f && f.sum == 6.0f)
+    // WAV: data bytes 1,1,2 -> bucket1=2, bucket2=1; header excluded
+    val fw = d.decode("audio", "wav", wavBytes(Array[Byte](1, 1, 2), oddChunk = false))
+    assert(fw(1) == 2.0f && fw(2) == 1.0f && fw.sum == 3.0f)
+    assert(d.decodeSamples("video", "ppms", Array.emptyByteArray).isEmpty)
+    assert(d.decodeSamples("video", "ppms", null).isEmpty)
+    intercept[IllegalArgumentException](d.decodeSamples("image", "gif", Array[Byte](1)))
+  }
+
+  // ---- planted media table round-trips -------------------------------
+
+  test("planted image payloads are real PPMs agreeing with metadata") {
+    val rows = Multimodal.syntheticMedia(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("kind") === "image")
+      .select("media_id", "payload", "width", "height").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val img = Pnm.parse(r.getAs[Array[Byte]]("payload"))
+      assert(img.width == r.getAs[Int]("width"), s"media ${r.get(0)}")
+      assert(img.height == r.getAs[Int]("height"), s"media ${r.get(0)}")
+      assert(img.channels == 3 && img.maxVal == 255)
+      assert(img.pixels.length == 3 * img.width * img.height)
+    }
+  }
+
+  test("planted audio payloads are real WAVs agreeing with metadata") {
+    val rows = Multimodal.syntheticMedia(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("kind") === "audio")
+      .select("media_id", "payload", "duration_ms").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val payload = r.getAs[Array[Byte]]("payload")
+      val w = Wav.parse(payload)
+      assert(w.audioFormat == 1 && w.channels == 1 && w.sampleRate == 8000)
+      assert(w.bitsPerSample == 8)
+      assert(payload.length == 44 + w.data.length) // canonical header
+      assert(w.durationMs == r.getAs[Long]("duration_ms"))
+      // PCM samples are the ASCII text bytes: all printable
+      assert(w.data.forall(b => b >= 0x20 && b <= 0x7e))
+    }
+  }
+
+  test("planted video payloads are concatenated 16x4 P6 frames") {
+    val rows = Multimodal.syntheticMedia(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("kind") === "video")
+      .select("media_id", "payload", "duration_ms").collect()
+    assert(rows.nonEmpty)
+    var sawFrames = false
+    rows.foreach { r =>
+      val frames = Pnm.parseAll(r.getAs[Array[Byte]]("payload"))
+      assert(frames.length * 40L == r.getAs[Long]("duration_ms"))
+      frames.foreach { f =>
+        assert(f.width == 16 && f.height == 4 && f.channels == 3)
+      }
+      sawFrames |= frames.nonEmpty
+    }
+    assert(sawFrames)
   }
 
   test("feature extraction preserves ids, drops payload, fixed dim") {
     val media = Multimodal.syntheticMedia(spark, sf)
-    val feats = Multimodal.extractFeatures(media, new StubDecoder(8))
+    val feats = Multimodal.extractFeatures(media, new MediaDecoder(8))
     assert(!feats.columns.contains("payload"))
     val rows = feats.collect()
     assert(rows.length == media.count())
     assert(rows.forall(_.feature.length == 8))
     assert(rows.forall(_.feature_dim == 8))
-    assert(rows.forall(r => r.n_bytes > 0))
+    // container framing is strictly positive for image/audio payloads
+    assert(rows.forall(r => r.n_bytes >= r.n_decoded))
+    assert(rows.filter(r => r.kind != "video").forall(r => r.n_bytes > r.n_decoded))
+    // histogram mass equals the decoded byte count exactly
+    assert(rows.forall(r => r.feature.sum.toLong == r.n_decoded))
   }
 
   test("media schema: payload binary, typed metadata") {
@@ -40,6 +191,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(types("payload") == "binary")
     assert(types("media_id") == "long")
     assert(types("duration_ms") == "long")
+    assert(types("width") == "integer" && types("height") == "integer")
   }
 
   test("metadata profile never reads the payload column") {
@@ -47,5 +199,16 @@ class MultimodalSpec extends AnyFunSuite {
     val scan = prof.queryExecution.executedPlan.toString
     assert(!scan.contains("payload"), scan.take(1500))
     assert(prof.collect().nonEmpty)
+  }
+
+  test("imageStats reads dims out of the binary header") {
+    val stats = Multimodal.imageStats(spark, sf).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { r =>
+      val w = r.getAs[Int]("width")
+      assert(w >= 4 && w <= 16) // 4 + doc_id % 13
+      assert(r.getAs[Int]("channels") == 3 && r.getAs[Int]("maxval") == 255)
+      assert(r.getAs[Long]("n_sample_bytes") == 3L * w * r.getAs[Int]("height"))
+    }
   }
 }
