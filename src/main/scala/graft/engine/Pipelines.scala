@@ -137,6 +137,20 @@ object Pipelines {
     */
   def trainingCorpus(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
+    val kept = curatedSurvivors(spark, dir)
+      .select(col("doc_id"), col("lang_detected"), col("quality"))
+    Dictionary.sampleStratified(kept, "lang_detected", "doc_id", 5)
+      .orderBy("lang_detected", "doc_id")
+  }
+
+  /** The shared pipe1/pipe3 core: clean → score → cluster → decontaminate
+    * → best-surviving-representative, returning the surviving corpus
+    * `(doc_id, text, lang_detected, quality)` — everything up to (but not
+    * including) pipe1's stratified sample / pipe3's packing, on the
+    * one-checkpoint scan discipline documented above.
+    */
+  private def curatedSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     import graft.functions.EvalOnce.once
     import graft.functions.TextFunctions.{langId, qualityScore}
@@ -176,13 +190,33 @@ object Pipelines {
       .join(labels.select(col("doc_id").as("lid"), col("canonical_doc_id")),
         col("doc_id") === col("lid"))
       .join(contaminated, col("canonical_doc_id") === col("bad"), "left_anti")
-    val kept = eligible
+    // text rides along (it was already in the eligible exchange before the
+    // round-8 refactor): pipe1 drops it before sampling, pipe3 tokenizes it
+    eligible
       .withColumn("rk", row_number().over(
         Window.partitionBy("canonical_doc_id").orderBy("doc_id")))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), col("lang_detected"), col("quality"))
-    Dictionary.sampleStratified(kept, "lang_detected", "doc_id", 5)
-      .orderBy("lang_detected", "doc_id")
+      .select(col("doc_id"), col("text"), col("lang_detected"), col("quality"))
+  }
+
+  /** pipe3 — the trainer-facing composition: pipe1's cleaned/deduped/
+    * decontaminated SURVIVORS (not the sample — the full curated corpus)
+    * fed into t10's sequence-packing, emitting the `(shard, seq_id,
+    * doc_id, offset_in_seq, n_tokens)` manifest a pre-training job
+    * actually consumes. Both halves are the SAME machinery their
+    * standalone gates pin ([[curatedSurvivors]] /
+    * [[graft.operators.TextAnalysis.packManifest]]); the composition adds
+    * zero new operators, only the contract that they compose on one
+    * checkpointed scan (PlanSpec: the final plan reads no parquet) and
+    * conserve tokens (InvariantSpec: per-doc manifest sums equal the
+    * survivor's token count).
+    */
+  def packedCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokenCount
+    graft.operators.TextAnalysis.packManifest(
+      curatedSurvivors(spark, dir)
+        .select(col("doc_id"), tokenCount(col("text")).as("n")))
   }
 
   /** pipe2 — the batch twin of [[graft.streaming.Streams.corpusIngest]]:
@@ -216,7 +250,8 @@ object Pipelines {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe1_training_corpus" -> trainingCorpus,
-    "pipe2_ingest_batch" -> ingestBatch
+    "pipe2_ingest_batch" -> ingestBatch,
+    "pipe3_packed_corpus" -> packedCorpus
   )
 
   /** pipe1's oracle chains the SAME shared fragments the stage oracles
@@ -243,49 +278,67 @@ object Pipelines {
            |WHERE rk = 1
            |ORDER BY doc_id""".stripMargin,
       "pipe1_training_corpus" ->
-      (s"""WITH RECURSIVE cleaned AS (
-          |  SELECT DISTINCT doc_id,
-          |    trim(CASE WHEN text IN $ph THEN NULL ELSE text END) AS text
-          |  FROM documents),
-          | scored AS (
-          |  SELECT doc_id, text, $q AS quality, $lang AS lang_detected
-          |  FROM cleaned),
-          | """.stripMargin +
-        Dedup.dd3CtesFrom("scored", "x.doc_id < y.doc_id") +
-        s",\n pairs AS (${Dedup.dd3PairSelect}),\n" +
-        s""" edges AS (
-          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-          | reach(src, dst) AS (
-          |  SELECT src, dst FROM edges
-          |  UNION
-          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-          | labels AS (
-          |  SELECT s.doc_id,
-          |    CAST(least(coalesce(min(r.dst), s.doc_id), s.doc_id) AS BIGINT) AS canon
-          |  FROM scored s LEFT JOIN reach r ON s.doc_id = r.src
-          |  GROUP BY s.doc_id),
-          | contaminated AS (
-          |  SELECT DISTINCT canon FROM labels
-          |  WHERE ${Dedup.sqlIsEvalSplit("doc_id")}),
-          | eligible AS (
-          |  SELECT s.doc_id, s.lang_detected, s.quality, l.canon
-          |  FROM scored s JOIN labels l ON s.doc_id = l.doc_id
-          |  WHERE s.quality >= 0.5
-          |    AND NOT ${Dedup.sqlIsEvalSplit("s.doc_id")}
-          |    AND l.canon NOT IN (SELECT canon FROM contaminated)),
-          | kept AS (
-          |  SELECT doc_id, lang_detected, quality FROM (
-          |    SELECT doc_id, lang_detected, quality,
-          |      row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rk
-          |    FROM eligible)
-          |  WHERE rk = 1)
-          |SELECT doc_id, lang_detected, quality FROM (
-          |  SELECT doc_id, lang_detected, quality,
-          |    row_number() OVER (PARTITION BY lang_detected
-          |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
-          |  FROM kept)
-          |WHERE rn <= 5
-          |ORDER BY lang_detected, doc_id""".stripMargin))
+        (s"WITH RECURSIVE ${keptCtes(ph, q, lang)}\n" +
+          """SELECT doc_id, lang_detected, quality FROM (
+            |  SELECT doc_id, lang_detected, quality,
+            |    row_number() OVER (PARTITION BY lang_detected
+            |      ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+            |  FROM kept)
+            |WHERE rn <= 5
+            |ORDER BY lang_detected, doc_id""".stripMargin),
+      "pipe3_packed_corpus" ->
+        (s"WITH RECURSIVE ${keptCtes(ph, q, lang)},\n" +
+          s""" tk AS (
+             |  SELECT doc_id, ${TextAnalysis.sqlTokenCount("text")} AS n,
+             |    doc_id % ${TextAnalysis.PackShards} AS shard
+             |  FROM kept),
+             |""".stripMargin +
+          TextAnalysis.sqlPackTail("tk")))
+  }
+
+  /** The shared oracle CTE chain through `kept` — the SQL twin of
+    * [[curatedSurvivors]], consumed by both pipe1 (sample tail) and pipe3
+    * (packing tail) so the composed pipelines cannot drift from each
+    * other or from their stage oracles.
+    */
+  private def keptCtes(ph: String, q: String, lang: String): String = {
+    import graft.operators.Dedup
+    s"""cleaned AS (
+       |  SELECT DISTINCT doc_id,
+       |    trim(CASE WHEN text IN $ph THEN NULL ELSE text END) AS text
+       |  FROM documents),
+       | scored AS (
+       |  SELECT doc_id, text, $q AS quality, $lang AS lang_detected
+       |  FROM cleaned),
+       | """.stripMargin +
+      Dedup.dd3CtesFrom("scored", "x.doc_id < y.doc_id") +
+      s",\n pairs AS (${Dedup.dd3PairSelect}),\n" +
+      s""" edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       | reach(src, dst) AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       | labels AS (
+       |  SELECT s.doc_id,
+       |    CAST(least(coalesce(min(r.dst), s.doc_id), s.doc_id) AS BIGINT) AS canon
+       |  FROM scored s LEFT JOIN reach r ON s.doc_id = r.src
+       |  GROUP BY s.doc_id),
+       | contaminated AS (
+       |  SELECT DISTINCT canon FROM labels
+       |  WHERE ${Dedup.sqlIsEvalSplit("doc_id")}),
+       | eligible AS (
+       |  SELECT s.doc_id, s.text, s.lang_detected, s.quality, l.canon
+       |  FROM scored s JOIN labels l ON s.doc_id = l.doc_id
+       |  WHERE s.quality >= 0.5
+       |    AND NOT ${Dedup.sqlIsEvalSplit("s.doc_id")}
+       |    AND l.canon NOT IN (SELECT canon FROM contaminated)),
+       | kept AS (
+       |  SELECT doc_id, text, lang_detected, quality FROM (
+       |    SELECT doc_id, text, lang_detected, quality,
+       |      row_number() OVER (PARTITION BY canon ORDER BY doc_id) AS rk
+       |    FROM eligible)
+       |  WHERE rk = 1)""".stripMargin
   }
 }

@@ -229,8 +229,8 @@ object TextAnalysis {
         least(lit(ChunkTokens), col("n") - col("start_token")).as("n_tokens"))
       .orderBy("doc_id", "chunk_id")
 
-  private val PackTokens = 512L
-  private val PackShards = 8L
+  private[graft] val PackTokens = 512L
+  private[graft] val PackShards = 8L
 
   /** Sequence packing — the concat-and-split manifest GPT-style
     * pre-training actually consumes: within each shard, document token
@@ -247,12 +247,20 @@ object TextAnalysis {
     * one row per (doc, sequence) overlap — output is manifest-sized, and
     * everything after tokenCount is integer arithmetic.
     */
-  def packing(spark: SparkSession, dir: String): DataFrame = {
+  def packing(spark: SparkSession, dir: String): DataFrame =
+    packManifest(t(spark, dir, "documents")
+      .select(col("doc_id"), tokenCount(col("text")).as("n")))
+
+  /** The packing core over any `(doc_id, n)` token-count frame — shared
+    * by t10 (whole corpus) and pipe3 (the curated survivor corpus), so
+    * the manifest the composed pipeline emits is pinned to the same
+    * machinery the standalone operator gates.
+    */
+  private[graft] def packManifest(tk: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val pos = t(spark, dir, "documents")
-      .select(col("doc_id"), tokenCount(col("text")).as("n"))
+    val pos = tk
       .filter(col("n") > 0)
       .withColumn("shard", col("doc_id") % PackShards)
       .withColumn("tok_end", sum(col("n")).over(w))
@@ -485,6 +493,30 @@ object TextAnalysis {
     s"list_distinct(list_filter(regexp_split_to_array(lower($c), '[^a-z]+'), x -> x <> ''))"
   private def sqlHits(c: String, words: Seq[String]) =
     s"len(list_intersect(${sqlTokenSet(c)}, [${words.map("'" + _ + "'").mkString(",")}]))"
+  /** The packing oracle tail over a CTE exposing (doc_id, n, shard) —
+    * shared by t10 and pipe3 exactly like [[packManifest]] on the Spark
+    * side.
+    */
+  private[graft] def sqlPackTail(tk: String): String =
+    s""" pck AS (
+       |  SELECT doc_id, n, shard,
+       |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+       |  FROM $tk WHERE n > 0),
+       | pex AS (
+       |  SELECT shard, doc_id, tok_end - n AS tok_start, n, tok_end,
+       |    unnest(range((tok_end - n) // $PackTokens,
+       |      (tok_end - 1) // $PackTokens + 1)) AS seq_id
+       |  FROM pck)
+       |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
+       |  doc_id,
+       |  CAST(greatest(seq_id * $PackTokens, tok_start)
+       |    - seq_id * $PackTokens AS BIGINT) AS offset_in_seq,
+       |  CAST(least((seq_id + 1) * $PackTokens, tok_start + n)
+       |    - greatest(seq_id * $PackTokens, tok_start) AS BIGINT) AS n_tokens
+       |FROM pex
+       |ORDER BY shard, seq_id, doc_id""".stripMargin
+
   private[graft] def sqlTokenCount(c: String) =
     s"CASE WHEN length(trim($c)) = 0 THEN 0 ELSE CAST(length(regexp_split_to_array(trim($c), '\\s+')) AS BIGINT) END"
   private def sqlBpe(c: String) =
@@ -657,27 +689,10 @@ object TextAnalysis {
          |FROM ch
          |ORDER BY doc_id, chunk_id""".stripMargin,
     "t10_packing" ->
-      s"""WITH tk AS (
+      (s"""WITH tk AS (
          |  SELECT doc_id, ${sqlTokenCount("text")} AS n, doc_id % $PackShards AS shard
          |  FROM documents),
-         | p AS (
-         |  SELECT doc_id, n, shard,
-         |    CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
-         |  FROM tk WHERE n > 0),
-         | ex AS (
-         |  SELECT shard, doc_id, tok_end - n AS tok_start, n, tok_end,
-         |    unnest(range((tok_end - n) // $PackTokens,
-         |      (tok_end - 1) // $PackTokens + 1)) AS seq_id
-         |  FROM p)
-         |SELECT CAST(shard AS BIGINT) AS shard, CAST(seq_id AS BIGINT) AS seq_id,
-         |  doc_id,
-         |  CAST(greatest(seq_id * $PackTokens, tok_start)
-         |    - seq_id * $PackTokens AS BIGINT) AS offset_in_seq,
-         |  CAST(least((seq_id + 1) * $PackTokens, tok_start + n)
-         |    - greatest(seq_id * $PackTokens, tok_start) AS BIGINT) AS n_tokens
-         |FROM ex
-         |ORDER BY shard, seq_id, doc_id""".stripMargin,
+         |""".stripMargin + sqlPackTail("tk")),
     "t11_bpe_merge_pairs" ->
       s"""WITH $sqlBpePairCtes
          |SELECT pair, count(*) AS n_occurrences

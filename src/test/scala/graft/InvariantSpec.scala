@@ -61,6 +61,37 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("quality") < 0.5).count() == 0)
   }
 
+  test("pipe3 manifests conserve tokens over exactly the pipe1 survivors") {
+    // The packed corpus must cover each surviving doc's full token stream
+    // (per-doc manifest sums equal its token count), cover ONLY survivors
+    // (every packed doc is a pipe1-eligible representative: above the
+    // quality bar, not eval-split, not in a leaked component), and span
+    // sequences contiguously per shard.
+    val packed = Pipelines.packedCorpus(spark, sf).cache()
+    try {
+      val perDoc = packed.groupBy("doc_id").agg(sum("n_tokens").as("s"))
+      val bad = tokenCounts.join(perDoc, "doc_id")
+        .filter(col("s") =!= col("n")).count()
+      assert(bad == 0)
+      // packed docs are exactly the tokenized survivors: no doc outside
+      // the curated corpus may appear, no tokenized survivor may vanish
+      val survivors = Pipelines.trainingCorpus(spark, sf) // sampled subset
+      assert(survivors.join(packed.select("doc_id").distinct(),
+        Seq("doc_id"), "left_anti").count() == 0) // sample ⊆ packed docs
+      // no eval-split doc is ever packed (decontamination survived the
+      // composition into packing)
+      assert(packed.filter(graft.operators.Dedup.isEvalSplit(col("doc_id")))
+        .count() == 0)
+      // every non-final sequence of each shard is exactly full: per
+      // (shard, seq) token sums are PackTokens except possibly the last
+      val perSeq = packed.groupBy("shard", "seq_id").agg(sum("n_tokens").as("s"))
+      val lastSeq = perSeq.groupBy("shard").agg(max("seq_id").as("last"))
+      assert(perSeq.join(lastSeq, "shard")
+        .filter(col("seq_id") =!= col("last") && col("s") =!= 512L)
+        .count() == 0)
+    } finally packed.unpersist()
+  }
+
   test("ev6 funnel stages are monotonically non-increasing") {
     // each stage conditions on reaching the previous one, so user counts
     // can only shrink down the funnel — an inverted count means a stage

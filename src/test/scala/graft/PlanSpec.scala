@@ -209,6 +209,13 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(3000)) // d4's map-side limit survives composition
   }
 
+  test("pipe3 composes on one documents scan: final plan reads no parquet") {
+    // Same discipline as pipe1: the packing stage must tokenize the
+    // CHECKPOINTED survivors, not re-read the corpus from parquet.
+    val p = plan("pipe3_packed_corpus")
+    assert(!p.contains("FileScan"), p.take(3000))
+  }
+
   test("ev7 latest-state keeps the rank-1 filter map-side (WindowGroupLimit)") {
     // the compaction must pre-dedup per map task — the exchange carries
     // one row per (user, partition), never the event log
