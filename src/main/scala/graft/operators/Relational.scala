@@ -163,13 +163,31 @@ object Relational {
     * plan runs with approx_count_distinct (HLL, one pass, no Expand) —
     * SketchSpec pins that estimator's accuracy separately.
     */
-  def prof1ColumnProfile(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val src = t(spark, dir, "customer")
-    val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
-    val strCols = Seq("c_name", "c_mktsegment")
+  def prof1ColumnProfile(spark: SparkSession, dir: String): DataFrame =
+    columnProfile(t(spark, dir, "customer"),
+      Seq("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_name", "c_mktsegment"), exact = true)
+
+  /** The 100 TB scale path of prof1: the SAME single-scan long-format
+    * profile with `approx_count_distinct` (HLL++, relative error `rsd`)
+    * in place of exact `count_distinct`. Exact distinct plans through
+    * Expand — each input row is replicated once per profiled column ahead
+    * of the exchange — while the sketch is one ordinary hash aggregate
+    * with map-side partial sketches, so the scan-side data volume does
+    * not multiply with profile width. Not oracle-gated (sketch estimates
+    * are engine-specific); SketchSpec bounds the estimator's error on
+    * known cardinalities and asserts the Expand-free plan.
+    */
+  def profileApprox(src: DataFrame, numCols: Seq[String], strCols: Seq[String],
+      rsd: Double = 0.02): DataFrame =
+    columnProfile(src, numCols, strCols, exact = false, rsd)
+
+  private def columnProfile(src: DataFrame, numCols: Seq[String],
+      strCols: Seq[String], exact: Boolean, rsd: Double = 0.02): DataFrame = {
     val aggs = (numCols ++ strCols).flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"), count_distinct(col(c)).as(s"nd_$c")) ++
+      Seq(count(col(c)).as(s"cnt_$c"),
+        (if (exact) count_distinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"nd_$c")) ++
         (if (numCols.contains(c))
           Seq(round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
             round(max(col(c)).cast("double"), 2).as(s"mx_$c"))
@@ -620,18 +638,26 @@ object Relational {
     * average positive balance with no orders at all, summarized per market
     * segment — scalar aggregate subquery (1-row broadcast) + anti join.
     */
-  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+  def q22IdleBalance(spark: SparkSession, dir: String): DataFrame =
+    q22Core(t(spark, dir, "customer"), t(spark, dir, "orders"))
+
+  /** q22's logic over explicit frames — at the driver's gated scale
+    * factors every above-average customer happens to have orders (the
+    * oracle match is real but the output empty), so InvariantSpec drives
+    * this core with a planted corpus that exercises both verdict paths.
+    */
+  private[graft] def q22Core(customer: DataFrame, orders: DataFrame): DataFrame = {
+    import customer.sparkSession.implicits._
     // threshold rounded per the module convention (Tables.r6): the filter
     // then compares 2-decimal balances against an identical 6-decimal
     // constant on both engines, instead of an unrounded double aggregate
     // whose partition-order summation error could flip a boundary customer
-    val avgBal = t(spark, dir, "customer").filter($"c_acctbal" > 0.0)
+    val avgBal = customer.filter($"c_acctbal" > 0.0)
       .agg(r6(avg($"c_acctbal")).as("avg_bal"))
-    t(spark, dir, "customer")
+    customer
       .join(broadcast(avgBal))
       .filter($"c_acctbal" > $"avg_bal")
-      .join(t(spark, dir, "orders").select($"o_custkey"),
+      .join(orders.select($"o_custkey"),
         $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_custs"), r2(sum($"c_acctbal")).as("total_bal"))

@@ -24,6 +24,36 @@ class SketchSpec extends AnyFunSuite {
       s"approx=$approx exact=$exact")
   }
 
+  test("profileApprox bounds distinct error and plans without Expand") {
+    import spark.implicits._
+    // known cardinalities: k has exactly 137 distincts, id 20000, s 500
+    val src = spark.range(20000)
+      .select(col("id"), (col("id") % 137).as("k"),
+        concat(lit("v"), col("id") % 500).as("s"),
+        when(col("id") % 10 === 0, lit(null).cast("double"))
+          .otherwise(col("id").cast("double") / 7).as("d"))
+    val prof = graft.operators.Relational.profileApprox(
+      src, Seq("id", "k", "d"), Seq("s"))
+    val rows = prof.collect().map(r =>
+      r.getAs[String]("column_name") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("n_nulls"))).toMap
+    val expected = Map("id" -> 20000L, "k" -> 137L, "s" -> 500L, "d" -> 18000L)
+    expected.foreach { case (c, exact) =>
+      val got = rows(c)._1
+      assert(math.abs(got - exact).toDouble / exact < 0.05,
+        s"$c: approx=$got exact=$exact")
+    }
+    // null accounting stays exact — only the distinct count is sketched
+    assert(rows("d")._2 == 2000L)
+    // the scale claim: ONE aggregate scan, no Expand row multiplication
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(2000))
+    // ...which the exact profile (prof1's shape) necessarily pays
+    val exactPlan = graft.operators.Relational
+      .prof1ColumnProfile(spark, sf).queryExecution.executedPlan.toString
+    assert(exactPlan.contains("Expand"), exactPlan.take(2000))
+  }
+
   test("percentile_approx tracks the exact median of extended price") {
     val l = Tables.t(spark, sf, "lineitem")
     val exact = l.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0)(0)
