@@ -479,7 +479,7 @@ object Similarity {
         |  WHERE rn <= (SELECT k FROM kprm)),
         | d0 AS (
         |  SELECT e.vec_id, s.cid,
-        |    list_sum(list_transform(range(1, 65),
+        |    list_sum(list_transform(range(1, len(e.v6) + 1),
         |      i -> (list_element(e.v6, CAST(i AS INTEGER))
         |            - list_element(s.c6, CAST(i AS INTEGER))) ^ 2)) AS d2
         |  FROM e6 e CROSS JOIN seeds s),
@@ -491,14 +491,15 @@ object Similarity {
         |  SELECT a0.cid_seed AS cid, d,
         |    list_element(e.v6, CAST(d + 1 AS INTEGER)) AS x
         |  FROM e6 e JOIN a0 ON e.vec_id = a0.vec_id
-        |  CROSS JOIN (SELECT unnest(range(64)) AS d) dims),
+        |  CROSS JOIN (SELECT unnest(range(
+        |    (SELECT len(v6) FROM e6 LIMIT 1))) AS d) dims),
         | c1d AS (
         |  SELECT cid, d, CAST(floor(sum(x)::DOUBLE / count(*)) AS BIGINT) AS c
         |  FROM ex GROUP BY cid, d),
         | c1 AS (SELECT cid, list(c ORDER BY d) AS c6 FROM c1d GROUP BY cid),
         | d1 AS (
         |  SELECT e.vec_id, c.cid,
-        |    list_sum(list_transform(range(1, 65),
+        |    list_sum(list_transform(range(1, len(e.v6) + 1),
         |      i -> (list_element(e.v6, CAST(i AS INTEGER))
         |            - list_element(c.c6, CAST(i AS INTEGER))) ^ 2)) AS d2
         |  FROM e6 e CROSS JOIN c1 c),

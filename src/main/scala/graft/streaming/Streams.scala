@@ -43,13 +43,19 @@ object Streams {
     * the static subtree every micro-batch, so at real scale (a parquet/
     * Delta dimension snapshot) a dimension refresh is picked up at the
     * next batch boundary without restarting the query; the broadcast hint
-    * keeps the per-batch join a map-side hash join, never a shuffle of the
-    * stream. Left join: an event with no dimension row must flow through
-    * (null-enriched), not silently drop from the pipeline.
+    * (default on) keeps the per-batch join a map-side hash join, never a
+    * shuffle of the stream — PRECONDITION: the dimension snapshot fits
+    * the broadcast budget (driver + executor memory), which holds for
+    * user/device/nation-class dims but NOT for an arbitrary large table.
+    * Pass `broadcastDim = false` for such dimensions to let Spark pick
+    * its own strategy for the per-batch join instead of forcing a
+    * broadcast build that would OOM. Left join: an event with no
+    * dimension row must flow through (null-enriched), not silently drop
+    * from the pipeline.
     */
-  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "user_id")
-      : DataFrame =
-    events.join(broadcast(dim), Seq(key), "left")
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "user_id",
+      broadcastDim: Boolean = true): DataFrame =
+    events.join(if (broadcastDim) broadcast(dim) else dim, Seq(key), "left")
 
   /** Streaming → S4 artifact sink via `foreachBatch`: every micro-batch
     * checkpoints as a JSON artifact under `path/batch=<id>` through the

@@ -92,6 +92,31 @@ class InvariantSpec extends AnyFunSuite {
     } finally packed.unpersist()
   }
 
+  test("q22 counts exactly the above-average no-order customers (planted)") {
+    // At the gated scale factors every above-average customer has orders,
+    // so the oracle match is vacuous; this corpus exercises every verdict
+    // path. Positive balances {25, 50, 100, 162.5, 200, 300, 300} average
+    // exactly 162.5, so: the negative balance must not drag the average
+    // (else 100 would clear it), the comparison must be strictly greater
+    // (162.5 sits exactly on it), and the anti join must drop the
+    // above-average customer WITH orders (200).
+    import spark.implicits._
+    val customer = Seq(
+      (1L, 300.0, "BUILDING"),   // above avg, no orders -> counted
+      (2L, 200.0, "BUILDING"),   // above avg, HAS orders -> dropped
+      (3L, 100.0, "AUTOMOBILE"), // below avg
+      (4L, 50.0, "AUTOMOBILE"),  // below avg, has orders
+      (5L, -500.0, "FURNITURE"), // negative: excluded from the average
+      (6L, 300.0, "MACHINERY"),  // above avg, no orders -> counted
+      (7L, 162.5, "HOUSEHOLD"),  // exactly average: strict > excludes
+      (8L, 25.0, "FURNITURE")    // below avg
+    ).toDF("c_custkey", "c_acctbal", "c_mktsegment")
+    val orders = Seq((101L, 2L), (102L, 4L)).toDF("o_orderkey", "o_custkey")
+    val got = graft.operators.Relational.q22Core(customer, orders)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("BUILDING", 1L, 300.0), ("MACHINERY", 1L, 300.0)), got)
+  }
+
   test("ev6 funnel stages are monotonically non-increasing") {
     // each stage conditions on reaching the previous one, so user counts
     // can only shrink down the funnel — an inverted count means a stage

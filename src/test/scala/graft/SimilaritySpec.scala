@@ -9,6 +9,19 @@ class SimilaritySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("embeddings are 64-dim at every checked scale factor (drift guard)") {
+    // sim7's PQ subspace slicing (8 x 8 dims) and the sign-LSH bit budget
+    // assume 64-dim vectors on BOTH engines; sim8's oracle now derives its
+    // dimension from the data, but a testdata dimensionality change must
+    // fail HERE loudly rather than silently desynchronize the rest.
+    import org.apache.spark.sql.functions._
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01").foreach { d =>
+      val dims = Tables.t(spark, d, "embeddings")
+        .select(size(col("embedding")).as("n")).distinct().collect()
+      assert(dims.map(_.getInt(0)).toSeq == Seq(64), s"$d: ${dims.mkString(",")}")
+    }
+  }
+
   test("native FloatDotProduct is bit-identical to the builtin fold on real vectors") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet(s"$sf/embeddings.parquet").limit(200)
