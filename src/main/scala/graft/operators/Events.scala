@@ -190,11 +190,18 @@ object Events {
     * spread are excluded (thin-sample "anomalies" are noise, and sd=0
     * windows would flag every repeat).
     */
-  def anomalies(spark: SparkSession, dir: String): DataFrame = {
+  def anomalies(spark: SparkSession, dir: String): DataFrame =
+    anomaliesCore(t(spark, dir, "events"))
+
+  /** ev10's logic over an explicit `(user_id, event_id, ts, value)` frame
+    * — the form [[graft.streaming.AnomalyMonitor]]'s stream/batch
+    * agreement spec drives with synthetic histories.
+    */
+  private[graft] def anomaliesCore(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"))
       .rangeBetween(-604800000L, 0L)
-    t(spark, dir, "events")
+    events
       .select(col("user_id"), col("event_id"),
         unix_millis(col("ts")).as("ts_ms"), col("value"))
       .select(col("user_id"), col("event_id"), col("ts_ms"), col("value"),

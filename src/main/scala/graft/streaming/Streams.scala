@@ -164,6 +164,108 @@ private[streaming] object LatestStateUpdate {
   }
 }
 
+/** Typed full event for the anomaly monitor. */
+final case class MEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** One flagged anomaly — ev10's exact output row shape. */
+final case class MAnomaly(
+    user_id: Long, event_id: Long, ts_ms: Long, value: Double,
+    mean_7d: Double, sd_7d: Double)
+
+/** One buffered observation inside the trailing horizon. */
+final case class MPoint(ts_ms: Long, event_id: Long, value: Double)
+
+/** Per-user trailing-window buffer carried between micro-batches,
+  * ascending (ts_ms, event_id).
+  */
+final case class MonitorState(points: List[MPoint])
+
+/** The streaming form of ev10's trailing-window anomaly detector
+  * ([[graft.operators.Events.anomalies]]) — the monitor shape that query
+  * actually deploys as: a `flatMapGroupsWithState` keeping, per user, the
+  * observations inside the trailing 7-day horizon, flagging each arriving
+  * event whose value deviates more than 2 (rounded) standard deviations
+  * from its own trailing window.
+  *
+  * Agreement contract (StreamingSpec): for in-order arrivals — any
+  * micro-batch slicing — the emitted rows equal the batch RANGE-frame
+  * query on the same events, including same-timestamp groups (processed
+  * together exactly like a RANGE frame sees them) and the same r6
+  * rounding convention before the deviation comparison. Cross-batch
+  * OUT-OF-ORDER events are dropped as late data (the batch frame would
+  * retroactively restructure already-emitted windows — the same class of
+  * row a watermarked stateful operator sheds; [[Sessionize]]'s
+  * convention).
+  *
+  * State scale: one bounded buffer per active user (events inside 7
+  * days), sharded by user across executors — the same per-key state
+  * budget the batch window holds in memory per partition.
+  */
+object AnomalyMonitor {
+
+  val WindowMs: Long = 604800000L // 7 days, = ev10's RANGE frame
+  val MinSamples: Int = 10
+
+  def anomalies(events: Dataset[MEvent]): Dataset[MAnomaly] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  /** Spark `round(_, 6)` twin: HALF_UP at the 6th decimal. */
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  private[streaming] def update(
+      userId: Long,
+      events: Iterator[MEvent],
+      state: GroupState[MonitorState]): Iterator[MAnomaly] = {
+    var buf = state.getOption.map(_.points).getOrElse(Nil)
+    val floorMs = buf.lastOption.map(_.ts_ms).getOrElse(Long.MinValue)
+    val out = Seq.newBuilder[MAnomaly]
+    // drop cross-batch regressions (ts strictly before the buffered tail);
+    // equal timestamps still process — their own frame stays exact
+    val sorted = events.toArray
+      .filter(_.ts.getTime >= floorMs)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    var i = 0
+    while (i < sorted.length) {
+      val ms = sorted(i).ts.getTime
+      var j = i
+      while (j < sorted.length && sorted(j).ts.getTime == ms) j += 1
+      // a RANGE frame includes ALL rows at the current timestamp: admit
+      // the whole same-ts group before scoring any of its members
+      buf = buf.dropWhile(_.ts_ms < ms - WindowMs) :::
+        sorted.slice(i, j).map(e => MPoint(ms, e.event_id, e.value)).toList
+      val n = buf.size
+      if (n >= MinSamples) {
+        val meanRaw = buf.iterator.map(_.value).sum / n
+        val sdRaw = math.sqrt(
+          buf.iterator.map(p => (p.value - meanRaw) * (p.value - meanRaw)).sum
+            / (n - 1))
+        val mean6 = r6(meanRaw)
+        val sd6 = r6(sdRaw)
+        if (sd6 > 0.0) {
+          var k = i
+          while (k < j) {
+            val e = sorted(k)
+            if (math.abs(e.value - mean6) > 2.0 * sd6)
+              out += MAnomaly(userId, e.event_id, ms, e.value, mean6, sd6)
+            k += 1
+          }
+        }
+      }
+      i = j
+    }
+    state.update(MonitorState(buf))
+    out.result().iterator
+  }
+}
+
 /** Typed event for stateful processing. */
 final case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

@@ -8,7 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.Tables.t
 import graft.operators.Events
-import graft.streaming.{SEvent, Sessionize, Streams}
+import graft.streaming.{AnomalyMonitor, MAnomaly, MEvent, SEvent, Sessionize, Streams}
 
 /** Streaming semantics pinned against their batch twins on sf0.001:
   * the same declarative plan runs as a stream (memory sink,
@@ -181,6 +181,46 @@ class StreamingSpec extends AnyFunSuite {
     // Exact accounting: 8 input events = 5 emitted + 2 in open session D
     // + exactly 1 dropped late event.
     assert(emitted.toSeq.map(_._4).sum == 8L - 2L - 1L)
+  }
+
+  test("streaming anomaly monitor == batch ev10 across a micro-batch boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(id: Long, user: Long, hours: Long, v: Double) =
+      MEvent(user, id, new java.sql.Timestamp(base + hours * 3600000L), v)
+    // user 1: flat jittered history, a spike once n >= 10, a calm tail,
+    // then a SAME-TIMESTAMP pair (spike + calm) — the RANGE-frame tie case
+    val u1 = (1L to 11L).map(i => ev(i, 1, i, 10.0 + (i % 3) * 0.3)) ++
+      Seq(ev(12, 1, 12, 50.0), ev(13, 1, 13, 10.3),
+        ev(14, 1, 14, 50.0), ev(15, 1, 14, 10.1))
+    // user 2: 12-hourly history long enough that the 7-day window evicts
+    // its head before the planted negative spike arrives
+    val u2 = (1L to 20L).map(i => ev(100 + i, 2, i * 12, 5.0 + (i % 4) * 0.2)) :+
+      ev(130, 2, 252, -40.0)
+    val all = u1 ++ u2
+
+    val want = graft.operators.Events.anomaliesCore(all.toDF())
+      .as[MAnomaly].collect().toSet
+    assert(want.exists(_.event_id == 12L), want) // spike across the boundary
+    assert(want.exists(_.event_id == 14L), want) // tied-timestamp spike
+    assert(want.exists(_.event_id == 130L), want) // post-eviction spike
+
+    val input = MemoryStream[MEvent]
+    val q = AnomalyMonitor.anomalies(input.toDS())
+      .writeStream.format("memory").queryName("anomon")
+      .outputMode("append").start()
+    try {
+      // boundary splits user 1 mid-history (spike's window spans state
+      // carried from batch 1) and user 2 pre-eviction
+      input.addData(u1.take(9) ++ u2.take(10))
+      q.processAllAvailable()
+      input.addData(u1.drop(9) ++ u2.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("anomon").as[MAnomaly].collect().toSet
+    assert(got == want, s"stream=$got batch=$want")
   }
 
   test("streaming artifact sink checkpoints each micro-batch as reloadable JSON") {
