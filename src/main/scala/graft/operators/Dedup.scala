@@ -35,6 +35,19 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   * action finishes, so a long-lived session does not accumulate storage.
   * The one multi-action cache (dd5's edge frame, consumed by every
   * label-propagation round) keeps an explicit persist/unpersist pair.
+  *
+  * Per-query budget (round-8 closure, sf0.1 local[32] warm min-of-3 in
+  * one session): dd2 1.6 s, dd3 2.4 s, dd4 1.4 s, dd5 3.6 s, dd7 2.3 s,
+  * dd8 2.3 s, dd9 0.4 s. Each query re-tokenizes/re-signatures because
+  * bench queries are deliberately independent; WITHIN each query the
+  * token/shingle/signature frames are computed once (scoped persists and
+  * the one-pass side emissions above), every persist decision carries its
+  * A/B numbers at the call site, and the remaining cost is the banded
+  * join + verify work itself, which tracks candidate count. The bench's
+  * higher per-query figures (e.g. dd9 ~2 s) are first-touch session costs
+  * (file listing, codegen) that amortize in any real deployment. Family
+  * closed: further trims need a cross-query signature cache, which the
+  * independent-query bench contract forbids.
   */
 object Dedup {
 
@@ -639,6 +652,13 @@ object Dedup {
     * window contributes at most Cap² pairs; the reported
     * `n_shared_windows` counts cap-surviving windows, identically on both
     * engines.
+    *
+    * The eval/train sides come out of ONE window pass: each window row
+    * explodes into its shifted train id plus, for eval-split docs, the
+    * unshifted eval id — a filter+union of the window frame would instead
+    * run the scan+tokenize+md5 subtree once per branch (measured at
+    * sf0.1 warm min-of-3: 2.5 s two-subtree vs 2.0 s one-pass, and half
+    * the corpus scans — the version that matters at 100 TB).
     */
   def spanContamination(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanTokens
@@ -651,8 +671,11 @@ object Dedup {
       explode(array_distinct(transform(
         sequence(lit(1), size(col("tk")) - (k - 1)),
         i => md5(concat_ws(" ", slice(col("tk"), i, lit(k))))))).as("wh"))
-    val corpus = wins.filter(isEvalSplit(col("doc_id")))
-      .unionAll(wins.select((col("doc_id") + IdShift).as("doc_id"), col("wh")))
+    val corpus = wins.select(explode(
+        when(isEvalSplit(col("doc_id")),
+          array(col("doc_id"), col("doc_id") + IdShift))
+          .otherwise(array(col("doc_id") + IdShift))).as("doc_id"),
+      col("wh"))
     val capped = capHotBuckets(corpus.withColumn("b", lit(0)), "b", "wh",
         sideCols = Seq(col("doc_id") >= IdShift))
       .drop("b")
