@@ -153,6 +153,30 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Value-navigation window family — the remaining analytic surface
+    * (cume_dist, first_value, last_value over a running frame, nth_value,
+    * lead): each user's event stream annotated with its distribution
+    * position and frame-edge values. All five functions ride the SAME
+    * (user_id)-keyed exchange as one Window operator stack (PlanSpec pins
+    * a single shuffle), so completing the function family costs no
+    * additional data movement.
+    */
+  def w4ValueNavigation(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byValue = Window.partitionBy($"user_id").orderBy($"value", $"event_id")
+    t(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"), $"value")
+      .select($"user_id", $"event_id", $"ts_ms", $"value",
+        first($"value").over(running).as("first_value"),
+        last($"value").over(running).as("running_last"),
+        nth_value($"value", 2).over(running).as("second_value"),
+        lead($"value", 1).over(byTime).as("next_value"),
+        r6(cume_dist().over(byValue)).as("value_cume_dist"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Single-pass column profiling — the first-class form of the statistics
     * the cleaning pass (P2/P7) computes internally: per column, row/null/
     * exact-distinct counts and min/max, emitted long-format (numeric and
@@ -664,6 +688,36 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
+  /** TPC-H Q21-style dual correlated existentials: suppliers who were the
+    * SOLE supplier of a multi-line order — the oracle states it as
+    * EXISTS (another line of the same order) AND NOT EXISTS (a line from
+    * a different supplier), the classic double-correlated self-reference
+    * on the fact table.
+    *
+    * Spark-first form: both existentials collapse into ONE per-order
+    * aggregate (distinct-linenumber count + distinct-supplier count +
+    * the supplier; the synthetic data repeats line numbers, so
+    * "multi-line" means >= 2 DISTINCT line numbers on both engines) —
+    * the fact table is scanned once and never self-joined; a literal
+    * EXISTS/NOT-EXISTS translation would plan two extra corpus-sized
+    * semi/anti joins on l_orderkey (PlanSpec pins the single scan). The
+    * per-order frame then broadcast-joins the supplier dimension.
+    */
+  def q21SoleSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val perOrder = t(spark, dir, "lineitem")
+      .groupBy($"l_orderkey")
+      .agg(count_distinct($"l_linenumber").as("n_lines"),
+        count_distinct($"l_suppkey").as("n_supp"),
+        min($"l_suppkey").as("the_supp"))
+      .filter($"n_lines" > 1 && $"n_supp" === 1)
+    perOrder
+      .join(broadcast(t(spark, dir, "supplier")), $"the_supp" === $"s_suppkey")
+      .groupBy($"s_name")
+      .agg(count_distinct($"l_orderkey").as("n_sole_orders"))
+      .orderBy($"n_sole_orders".desc, $"s_name")
+  }
+
   /** LIKE-pattern filter with aggregation (string predicate pushdown). */
   def q13NamePattern(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -798,6 +852,7 @@ object Relational {
     "q9_product_profit" -> q9ProductProfit,
     "q15_top_supplier" -> q15TopSupplier,
     "q16_supplier_counts" -> q16SupplierCounts,
+    "q21_sole_supplier" -> q21SoleSupplier,
     "q22_idle_balance" -> q22IdleBalance,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
@@ -808,6 +863,7 @@ object Relational {
     "w1_top_orders_per_customer" -> w1TopOrdersPerCustomer,
     "w2_running_totals" -> w2RunningTotals,
     "w3_range_frame" -> w3RangeFrame,
+    "w4_value_navigation" -> w4ValueNavigation,
     "prof1_column_profile" -> prof1ColumnProfile,
     "set1_priority_customers" -> set1PriorityCustomers,
     "set2_multiset_ops" -> set2MultisetOps,
@@ -958,6 +1014,20 @@ object Relational {
         |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
         |GROUP BY 1, 2, 3
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q21_sole_supplier" ->
+      """SELECT s_name, count(DISTINCT l1.l_orderkey) AS n_sole_orders
+        |FROM supplier
+        |JOIN lineitem l1 ON l1.l_suppkey = s_suppkey
+        |WHERE EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_linenumber <> l1.l_linenumber)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY s_name
+        |ORDER BY n_sole_orders DESC, s_name""".stripMargin,
     "q22_idle_balance" ->
       """SELECT c_mktsegment, count(*) AS n_custs,
         |  round(sum(c_acctbal), 2) AS total_bal
@@ -1056,6 +1126,23 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
         |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |FROM events
+        |ORDER BY user_id, event_id""".stripMargin,
+    "w4_value_navigation" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, value,
+        |  first_value(value) OVER wt AS first_value,
+        |  last_value(value) OVER wt AS running_last,
+        |  nth_value(value, 2) OVER wt AS second_value,
+        |  lead(value, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |    AS next_value,
+        |  round(cume_dist() OVER (PARTITION BY user_id ORDER BY value, event_id), 6)
+        |    AS value_cume_dist
+        |FROM e
+        |WINDOW wt AS (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, event_id""".stripMargin,
     "w3_range_frame" ->
       """WITH e AS (

@@ -209,6 +209,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("WindowGroupLimit"), p.take(3000)) // d4's map-side limit survives composition
   }
 
+  test("q21 collapses both existentials into one fact scan, no self-join") {
+    // the EXISTS/NOT-EXISTS pair must become ONE per-order aggregate:
+    // exactly one lineitem scan, supplier broadcast, no semi/anti join
+    // back onto the fact table
+    val p = plan("q21_sole_supplier")
+    assert("FileScan parquet".r.findAllIn(p).size <= 2, p.take(3000))
+    assert("lineitem".r.findAllIn(p).size <= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("pipe3 composes on one documents scan: final plan reads no parquet") {
     // Same discipline as pipe1: the packing stage must tokenize the
     // CHECKPOINTED survivors, not re-read the corpus from parquet.
@@ -338,6 +349,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
     val equiJoin = "(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[band".r
     assert(equiJoin.findFirstIn(p).isDefined, p.take(3000))
+  }
+
+  test("w4 shares one user_id exchange across all five window functions") {
+    // first/last/nth over the running frame, lead, and cume_dist all
+    // partition on user_id — one hash exchange serves the whole family
+    val p = plan("w4_value_navigation")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2500))
   }
 
   test("w3 shares one user_id exchange across all three window specs") {
