@@ -54,6 +54,43 @@ class SketchSpec extends AnyFunSuite {
     assert(exactPlan.contains("Expand"), exactPlan.take(2000))
   }
 
+  test("bloom prefilter: no false negatives, sized FPR, join-equivalent") {
+    import graft.functions.Sketches
+    // index = keys 0..9999; incoming = 5000..14999 -> 5000 true members,
+    // 5000 true non-members with exactly known identities
+    val index = spark.range(10000)
+      .select(concat(lit("k"), col("id")).as("key"))
+    val incoming = spark.range(5000, 15000)
+      .select(concat(lit("k"), col("id")).as("key"))
+    val kept = Sketches.bloomPrefilter(incoming, index, "key",
+      expectedItems = 10000, fpp = 0.03).cache()
+    try {
+      // every true member survives (bloom has NO false negatives)
+      assert(kept.join(index, "key").count() == 5000)
+      // false-positive rate on the 5000 true non-members stays near fpp
+      val fp = kept.count() - 5000
+      assert(fp >= 0 && fp < 500, s"false positives: $fp / 5000")
+      // the authoritative join result is unchanged by the prefilter
+      val direct = incoming.join(index, "key").count()
+      assert(kept.join(index, "key").count() == direct)
+    } finally kept.unpersist()
+  }
+
+  test("count-min sketch never undercounts and stays within eps * N") {
+    import graft.functions.Sketches
+    // 20000 rows over 100 keys -> every key's exact count is 200
+    val df = spark.range(20000)
+      .select(concat(lit("w"), col("id") % 100).as("tok"))
+    val cms = Sketches.countMinSketchOf(df, "tok",
+      eps = 0.001, confidence = 0.99, seed = 42)
+    (0 until 100).foreach { k =>
+      val est = cms.estimateCount(s"w$k")
+      assert(est >= 200L, s"w$k undercounted: $est")
+      assert(est <= 200L + 20L, s"w$k over eps*N: $est") // eps * N = 20
+    }
+    assert(cms.totalCount() == 20000L)
+  }
+
   test("percentile_approx tracks the exact median of extended price") {
     val l = Tables.t(spark, sf, "lineitem")
     val exact = l.stat.approxQuantile("l_extendedprice", Array(0.5), 0.0)(0)
