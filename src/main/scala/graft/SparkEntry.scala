@@ -25,10 +25,12 @@ object SparkEntry {
       operators.Similarity.queries ++
       operators.Events.queries ++
       operators.Multimodal.queries ++
+      operators.Quality.queries ++
       operators.AsOf.queries ++
       operators.TypedAgg.queries ++
       engine.Skew.queries ++
-      engine.Pipelines.queries
+      engine.Pipelines.queries ++
+      sources.Lake.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
@@ -42,8 +44,10 @@ object SparkEntry {
       operators.Similarity.oracle ++
       operators.Events.oracle ++
       operators.Multimodal.oracle ++
+      operators.Quality.oracle ++
       operators.AsOf.oracle ++
       operators.TypedAgg.oracle ++
       engine.Skew.oracle ++
-      engine.Pipelines.oracle
+      engine.Pipelines.oracle ++
+      sources.Lake.oracle
 }

@@ -252,11 +252,47 @@ object Events {
       .orderBy("user_id", "day_ms")
   }
 
+  /** ev12 — SCD2 history build: each user's value stream compressed to
+    * CHANGE rows with validity intervals — the slowly-changing-dimension
+    * type-2 table a warehouse maintains from a CDC/event feed. A row
+    * opens at its event's time and closes when the next DIFFERENT value
+    * arrives (null = currently valid); consecutive repeats of the same
+    * value collapse into the earlier row's interval.
+    *
+    * Scale shape: change detection (lag) and interval close (lead) are
+    * two window passes over the SAME user_id key with a filter between —
+    * the filter preserves the hash partitioning, so both ride ONE
+    * exchange (PlanSpec-pinned). No self-join, no state: the history
+    * rebuilds idempotently from the log, and the same plan windowed by
+    * (user_id, day) shards arbitrarily at 100 TB.
+    */
+  def scd2History(spark: SparkSession, dir: String): DataFrame =
+    scd2Core(t(spark, dir, "events"))
+
+  /** ev12 over an explicit `(user_id, event_id, ts, value)` frame — the
+    * driver corpus has no consecutive repeats (continuous doubles), so
+    * InvariantSpec drives the collapse path with a planted stream.
+    */
+  private[graft] def scd2Core(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ms"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ts_ms"), col("value"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .filter(col("prev_value").isNull || col("value") =!= col("prev_value"))
+      .select(col("user_id"), col("event_id"),
+        col("ts_ms").as("valid_from_ms"), col("value"),
+        lead(col("ts_ms"), 1).over(w).as("valid_to_ms"))
+      .orderBy("user_id", "valid_from_ms", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev8_merge_upsert" -> mergeUpsert,
     "ev9_retention" -> retention,
     "ev10_anomaly" -> anomalies,
     "ev11_resample" -> resample,
+    "ev12_scd2_history" -> scd2History,
     "ev1_tumbling_window" -> tumbling,
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
@@ -265,6 +301,23 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev12_scd2_history" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+        |  FROM events),
+        | ch AS (
+        |  SELECT user_id, event_id, ts_ms, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS pv
+        |  FROM e),
+        | f AS (
+        |  SELECT user_id, event_id, ts_ms, value FROM ch
+        |  WHERE pv IS NULL OR value <> pv)
+        |SELECT user_id, event_id, ts_ms AS valid_from_ms, value,
+        |  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id)
+        |    AS valid_to_ms
+        |FROM f
+        |ORDER BY user_id, valid_from_ms, event_id""".stripMargin,
     "ev1_tumbling_window" ->
       """SELECT epoch_ms(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS window_start_ms,
         |  event_type, count(*) AS n, round(sum(value), 2) AS total_value

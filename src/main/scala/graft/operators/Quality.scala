@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Declarative data-quality constraint checking — the dbt-test /
+  * expectations layer every production pipeline runs before publishing a
+  * table (north-star data-engineering surface; the reference's only
+  * validation is P2's null-column drop). One report row per constraint
+  * with its violation count, so a scheduler gates downstream jobs on
+  * `max(n_violations) == 0`.
+  *
+  * Constraint classes covered: primary-key uniqueness (hash aggregate on
+  * the key, map-side combine), referential integrity (anti join against
+  * the referenced key set — broadcast when the dimension is small, plain
+  * shuffle join otherwise; never a driver-side collect), domain/range
+  * predicates and null checks (scan-local filters, pushed to parquet).
+  * Each check aggregates to ONE row before the union, so the report
+  * plan's exchanges carry single-row frames regardless of table size.
+  */
+object Quality {
+
+  private def one(name: String, violations: DataFrame): DataFrame =
+    violations.agg(count(lit(1)).as("n_violations"))
+      .select(lit(name).as("constraint"), col("n_violations"))
+
+  /** dq1 — the constraint report over the TPC-H-ish core tables. The
+    * driver corpus is clean (every count 0 — the healthy-pipeline
+    * baseline the gate pins); QualitySpec plants one violation of each
+    * class through [[constraintReport]] to exercise every counting path.
+    */
+  def dq1ConstraintReport(spark: SparkSession, dir: String): DataFrame =
+    constraintReport(t(spark, dir, "customer"), t(spark, dir, "orders"),
+      t(spark, dir, "lineitem"), t(spark, dir, "events"))
+
+  private[graft] def constraintReport(
+      cust: DataFrame, ord: DataFrame, li: DataFrame, ev: DataFrame): DataFrame = {
+
+    val pkDupes = cust.groupBy(col("c_custkey"))
+      .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    val orphanOrders = ord.select(col("o_custkey"))
+      .join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+    val orphanLines = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+    val badQty = li.filter(col("l_quantity") <= 0)
+    val badDiscount = li.filter(
+      col("l_discount") < 0 || col("l_discount") > 1)
+    val nullDates = ord.filter(col("o_orderdate").isNull)
+    val badValues = ev.filter(col("value").isNull || isnan(col("value")))
+
+    one("customer_pk_unique", pkDupes)
+      .unionAll(one("events_value_is_number", badValues))
+      .unionAll(one("lineitem_discount_in_unit_range", badDiscount))
+      .unionAll(one("lineitem_fk_orders", orphanLines))
+      .unionAll(one("lineitem_quantity_positive", badQty))
+      .unionAll(one("orders_date_not_null", nullDates))
+      .unionAll(one("orders_fk_customer", orphanOrders))
+      .orderBy("constraint")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq1_constraint_report" -> dq1ConstraintReport
+  )
+
+  val oracle: Map[String, String] = Map(
+    "dq1_constraint_report" ->
+      """SELECT * FROM (
+        |  SELECT 'customer_pk_unique' AS "constraint",
+        |    (SELECT count(*) FROM (SELECT c_custkey FROM customer
+        |      GROUP BY c_custkey HAVING count(*) > 1)) AS n_violations
+        |  UNION ALL
+        |  SELECT 'events_value_is_number',
+        |    (SELECT count(*) FROM events WHERE value IS NULL OR isnan(value))
+        |  UNION ALL
+        |  SELECT 'lineitem_discount_in_unit_range',
+        |    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_orders',
+        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
+        |      (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem_quantity_positive',
+        |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
+        |  UNION ALL
+        |  SELECT 'orders_date_not_null',
+        |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer',
+        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
+        |      (SELECT c_custkey FROM customer)))
+        |ORDER BY "constraint"""".stripMargin
+  )
+}

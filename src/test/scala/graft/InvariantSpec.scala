@@ -117,6 +117,29 @@ class InvariantSpec extends AnyFunSuite {
     assert(got == Seq(("BUILDING", 1L, 300.0), ("MACHINERY", 1L, 300.0)), got)
   }
 
+  test("ev12 collapses planted repeats and keeps intervals contiguous") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: A A B B A  -> 3 change rows (A@0, B@2, A@4)
+    // user 2: X          -> 1 open row
+    val events = Seq(
+      (1L, 1L, ts(0), 5.0), (1L, 2L, ts(1), 5.0), (1L, 3L, ts(2), 7.0),
+      (1L, 4L, ts(3), 7.0), (1L, 5L, ts(4), 5.0),
+      (2L, 6L, ts(0), 9.0)
+    ).toDF("user_id", "event_id", "ts", "value")
+    val h = graft.operators.Events.scd2Core(events).collect()
+    val u1 = h.filter(_.getLong(0) == 1L)
+    assert(u1.map(_.getLong(1)).toSeq == Seq(1L, 3L, 5L)) // repeats collapsed
+    assert(u1.map(_.getDouble(3)).toSeq == Seq(5.0, 7.0, 5.0)) // A->B->A kept
+    // intervals are contiguous: each row closes exactly where the next opens
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) == b.getLong(2), s"gap between $a and $b")
+    }
+    // exactly one currently-valid (open) row per user
+    assert(h.count(_.isNullAt(4)) == 2)
+    assert(h.filter(_.getLong(0) == 2L).map(_.getDouble(3)).toSeq == Seq(9.0))
+  }
+
   test("ev6 funnel stages are monotonically non-increasing") {
     // each stage conditions on reaching the previous one, so user counts
     // can only shrink down the funnel — an inverted count means a stage

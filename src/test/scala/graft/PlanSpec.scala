@@ -360,6 +360,15 @@ class PlanSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("ev12 change-detect and interval-close ride one user_id exchange") {
+    // lag, the change filter, and lead all partition on user_id; the
+    // filter preserves hash partitioning so no second shuffle appears
+    val p = plan("ev12_scd2_history")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2500))
+  }
+
   test("w3 shares one user_id exchange across all three window specs") {
     // range-frame sum, percent_rank and ntile partition identically — one
     // hash exchange on user_id must serve all of them (different orderings

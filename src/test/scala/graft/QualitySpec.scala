@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Quality
+
+/** The dq1 gate sees only the clean driver corpus (all counts zero), so
+  * every violation-counting path is exercised here against a planted
+  * corpus carrying exactly one violation of each constraint class.
+  */
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("constraint report counts exactly the planted violations") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val cust = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c"))
+      .toDF("c_custkey", "c_name") // duplicate key 2
+    val ord = Seq(
+      (10L, 1L, Some(java.sql.Date.valueOf("2024-01-01"))),
+      (11L, 99L, Some(java.sql.Date.valueOf("2024-01-02"))), // orphan cust
+      (12L, 3L, None: Option[java.sql.Date])                 // null date
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Seq(
+      (10L, 1L, 5.0, 0.05),
+      (77L, 2L, 3.0, 0.10),  // orphan order
+      (11L, 3L, -1.0, 0.00), // non-positive quantity
+      (12L, 4L, 2.0, 1.50)   // discount out of unit range
+    ).toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    val ev = Seq(
+      (1L, ts(0), 1.0), (2L, ts(1), Double.NaN) // NaN value
+    ).toDF("event_id", "ts", "value")
+
+    val got = Quality.constraintReport(cust, ord, li, ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "customer_pk_unique" -> 1L,       // key 2 (one duplicated key)
+      "events_value_is_number" -> 1L,
+      "lineitem_discount_in_unit_range" -> 1L,
+      "lineitem_fk_orders" -> 1L,
+      "lineitem_quantity_positive" -> 1L,
+      "orders_date_not_null" -> 1L,
+      "orders_fk_customer" -> 1L), got)
+  }
+
+  test("dq1 on the driver corpus is the all-clean baseline") {
+    val rows = Quality.dq1ConstraintReport(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 7)
+    assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
+  }
+}
