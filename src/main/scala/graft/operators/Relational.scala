@@ -233,6 +233,56 @@ object Relational {
       .orderBy("column_name")
   }
 
+  /** prof2 — equi-depth histogram of events.value: 8 buckets of (near-)
+    * equal row count with each bucket's exact population and value range —
+    * the distribution statistic an optimizer's selectivity estimates and
+    * a profiler's skew report are built from (prof1 gives extrema only).
+    *
+    * Exact form (the gate): a global ntile sorts once on a single
+    * partition — fine at profile time on a sampled/aggregated frame,
+    * deliberately NOT the 100 TB path. Bucket aggregates are
+    * tie-insensitive: ntile depends only on sorted position, and any
+    * permutation of equal values leaves each bucket's (n, lo, hi)
+    * unchanged, so the unqualified ORDER BY is deterministic here.
+    * [[equiDepthApprox]] is the scale path (no global sort).
+    */
+  def prof2EquiDepthHistogram(spark: SparkSession, dir: String): DataFrame =
+    equiDepthExact(t(spark, dir, "events"), "value", 8)
+
+  private[graft] def equiDepthExact(src: DataFrame, c: String, nb: Int): DataFrame =
+    src.select(col(c).as("v")).filter(col("v").isNotNull)
+      .select(ntile(nb).over(Window.orderBy(col("v"))).cast("long").as("bucket"),
+        col("v"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bucket")
+
+  /** The 100 TB form of prof2: boundaries from one `approx_percentile`
+    * aggregate (KLL-style mergeable sketch, map-side partials), then a
+    * scan-local bucket assignment against the broadcast 1-row boundary
+    * frame. The corpus itself never globally sorts — the only
+    * single-partition stage merges per-partition boundary sketches into
+    * ONE row (SketchSpec asserts no Window operator in the plan and
+    * bounds the per-bucket count error against [[equiDepthExact]]).
+    * Bucket of v = 1 + #boundaries at or below v, so buckets partition
+    * the domain exactly even when the sketch's boundary values are
+    * approximate.
+    */
+  private[graft] def equiDepthApprox(src: DataFrame, c: String, nb: Int): DataFrame = {
+    val vals = src.select(col(c).as("v")).filter(col("v").isNotNull)
+    val cuts = vals.agg(approx_percentile(col("v"),
+      array((1 until nb).map(i => lit(i.toDouble / nb)): _*), lit(10000))
+      .as("cuts"))
+    vals.join(broadcast(cuts))
+      .select(col("v"),
+        aggregate(col("cuts"), lit(1L),
+          (acc, cut) => acc + when(col("v") >= cut, 1L).otherwise(0L))
+          .as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bucket")
+  }
+
   /** Set operations: customers with both urgent and low-priority orders
     * (INTERSECT), with urgent only (EXCEPT), and all with either (UNION
     * distinct), tagged and unioned.
@@ -865,6 +915,7 @@ object Relational {
     "w3_range_frame" -> w3RangeFrame,
     "w4_value_navigation" -> w4ValueNavigation,
     "prof1_column_profile" -> prof1ColumnProfile,
+    "prof2_equidepth_histogram" -> prof2EquiDepthHistogram,
     "set1_priority_customers" -> set1PriorityCustomers,
     "set2_multiset_ops" -> set2MultisetOps,
     "topk_parts_by_quantity" -> topkPartsByQuantity,
@@ -1157,6 +1208,14 @@ object Relational {
         |    ORDER BY value, event_id) AS BIGINT) AS value_quartile
         |FROM e
         |ORDER BY user_id, event_id""".stripMargin,
+    "prof2_equidepth_histogram" ->
+      """SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
+        |FROM (
+        |  SELECT CAST(ntile(8) OVER (ORDER BY value) AS BIGINT) AS bucket,
+        |    value AS v
+        |  FROM events WHERE value IS NOT NULL)
+        |GROUP BY bucket
+        |ORDER BY bucket""".stripMargin,
     "prof1_column_profile" ->
       """WITH s AS (SELECT * FROM customer)
         |SELECT * FROM (

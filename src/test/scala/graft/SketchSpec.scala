@@ -13,6 +13,26 @@ class SketchSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.01"
 
+  test("equiDepthApprox tracks exact bucket depths without a global sort") {
+    val ev = Tables.t(spark, sf, "events")
+    val exact = graft.operators.Relational.equiDepthExact(ev, "value", 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.Relational.equiDepthApprox(ev, "value", 8)
+    val got = approx.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 8L).toSet, got)
+    val total = exact.values.sum
+    // sketch boundaries shift bucket edges slightly; depths stay near n/8
+    (1L to 8L).foreach { b =>
+      assert(math.abs(got(b) - exact(b)).toDouble / (total / 8) < 0.10,
+        s"bucket $b: approx=${got(b)} exact=${exact(b)}")
+    }
+    // the corpus is never globally sorted: boundary sketch + scan-local
+    // assignment means NO Window operator anywhere in the physical plan
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact on order keys") {
     val l = Tables.t(spark, sf, "lineitem")
     val exact = l.select(countDistinct(col("l_orderkey")).as("n"))
