@@ -173,13 +173,7 @@ object Dedup {
     // One md5 per distinct token; the 8 "permutations" are its disjoint
     // 4-hex-char windows — the SAME signatures() aggregate dd3 uses on
     // shingles, so the two schemes cannot drift.
-    val sig = signatures(toks.select(col("doc_id"), col("tks").as("sh")))
-    val bb = capHotBuckets(bandBuckets(sig), "band", "bucket")
-    val cand = bb.alias("x").join(bb.alias("y"),
-        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+    val cand = unigramBandCandidates(toks)
     // Size-ratio prefilter: jaccard <= min/max set sizes, so candidates
     // below the threshold on sizes alone never pay for an intersection.
     // The bound uses the ROUND-ADJUSTED threshold (0.59995): the final
@@ -198,6 +192,81 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         round(col("i").cast("double") / (col("su") - col("i")), 4).as("jaccard"))
       .filter(col("jaccard") >= 0.6)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Candidate (doc_a < doc_b) pairs from the unigram MinHash band route —
+    * the shared front half of dd2 and dd10, which differ only in their
+    * verifier (token-set Jaccard vs character edit distance). Input is the
+    * tokenized frame `(doc_id, tks)`; bands/caps are dd2's documented
+    * scheme (4 bands x 2 of 8 windows, [[HotBucketCap]]).
+    */
+  private def unigramBandCandidates(toks: DataFrame): DataFrame = {
+    val sig = signatures(toks.select(col("doc_id"), col("tks").as("sh")))
+    val bb = capHotBuckets(bandBuckets(sig), "band", "bucket")
+    bb.alias("x").join(bb.alias("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** dd10 — edit-distance verified near-dup pairs: the dd2 candidate route
+    * re-verified at the CHARACTER level. Token-set Jaccard (dd2) is blind
+    * to within-token edits and char-level noise that happens to preserve
+    * the token multiset; normalized Levenshtein similarity
+    * `1 - lev/max(len)` is the record-linkage-standard complement. The
+    * corpus is bimodal under it (template near-dups >= 0.99 vs unrelated
+    * < 0.5 at sf0.01), so the 0.8 threshold is both non-vacuous and far
+    * from the mass on either side.
+    *
+    * Scale: Levenshtein is O(len_a * len_b) per pair — the expensive
+    * verifier — so it runs ONLY on band-routed, hot-capped candidates that
+    * ALSO survive a length-ratio prefilter (lev >= |len_a - len_b|, hence
+    * sim <= 1 - |diff|/max: pairs failing on lengths alone never pay for
+    * the DP matrix; the round-adjusted 0.79995 bound cannot drop a kept
+    * pair, so the oracle needs no guard) — and even then through the
+    * BANDED `levenshtein(l, r, threshold)` form, whose per-pair threshold
+    * provably returns the exact distance for every pair the 0.8 filter
+    * can keep (see the inline derivation).
+    */
+  def editDistancePairs(spark: SparkSession, dir: String): DataFrame =
+    editDistanceCore(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** dd10 over an explicit `(doc_id, text)` frame — DedupSpec drives the
+    * character-level paths (typo'd copies, token-preserving noise) on a
+    * planted corpus the template-generated driver data cannot cover.
+    */
+  private[graft] def editDistanceCore(docs: DataFrame): DataFrame = {
+    // tokenize once, single consumer (the signature stream) — no persist
+    val cand = unigramBandCandidates(
+      docs.select(col("doc_id"), tokenSet(col("text")).as("tks")))
+    val texts = docs.select(col("doc_id"), col("text"),
+      length(col("text")).as("len"))
+    val ml = greatest(col("a.len"), col("b.len"))
+    // Any pair the final filter keeps has d <= 0.20005 * ml (round(sim,4)
+    // >= 0.8  <=>  d <= 0.20005 * ml), so banding the DP at that per-pair
+    // threshold is exact for every keepable pair: the O(len * threshold)
+    // early-exit algorithm replaces the O(len^2) full matrix, returning
+    // -1 (dropped below — it would fake sim > 1 in the ratio) only for
+    // pairs the threshold proves are below the bar anyway. The oracle
+    // needs no threshold: DuckDB's two-arg form computes the same d for
+    // every surviving pair. EvalOnce pins the DP in its projection —
+    // without it the pushed filter would run the matrix twice per pair.
+    val thr = ceil(lit(0.20005) * ml).cast("int")
+    cand.join(texts.alias("a"), col("doc_a") === col("a.doc_id"))
+      .join(texts.alias("b"), col("doc_b") === col("b.doc_id"))
+      .filter(lit(1.0) - abs(col("a.len") - col("b.len")).cast("double") /
+        ml >= 0.79995)
+      .select(col("doc_a"), col("doc_b"), ml.as("ml"),
+        graft.functions.EvalOnce.once(
+          call_function("levenshtein", col("a.text"), col("b.text"), thr))
+          .as("d"))
+      .filter(col("d") >= 0)
+      .select(col("doc_a"), col("doc_b"),
+        round(lit(1.0) - col("d").cast("double") / col("ml"), 4).as("edit_sim"))
+      .filter(col("edit_sim") >= 0.8)
       .orderBy("doc_a", "doc_b")
   }
 
@@ -698,12 +767,41 @@ object Dedup {
     "dd6_contamination" -> contamination,
     "dd7_near_contamination" -> nearContamination,
     "dd8_span_contamination" -> spanContamination,
-    "dd9_incremental" -> incrementalDedup
+    "dd9_incremental" -> incrementalDedup,
+    "dd10_edit_distance" -> editDistancePairs
   )
 
   // Single-line on purpose: this fragment is interpolated into a larger
   // string whose .stripMargin would otherwise eat the first '|' of any
   // line-leading '||' concat operator.
+  /** The unigram MinHash band candidate pipeline (tokens → 8-window
+    * signature → 4 banded buckets → hot-cap → colliding id-ordered pairs)
+    * as a reusable CTE chain — the oracle twin of
+    * [[unigramBandCandidates]], shared by dd2 and dd10 so the two
+    * verifiers run over provably identical candidates. Exposes CTEs
+    * `toks(doc_id, tks)` and `cand(doc_a, doc_b)`.
+    */
+  private lazy val unigramCandCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, list_distinct($sqlToks) AS tks FROM documents),
+       | ex AS (SELECT doc_id, md5(unnest(tks)) AS h FROM toks),
+       | sig AS (SELECT doc_id,
+       |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
+       |   min(substr(h, 9, 4)) s2, min(substr(h, 13, 4)) s3,
+       |   min(substr(h, 17, 4)) s4, min(substr(h, 21, 4)) s5,
+       |   min(substr(h, 25, 4)) s6, min(substr(h, 29, 4)) s7
+       |  FROM ex GROUP BY doc_id),
+       | bands AS (
+       |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
+       |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
+       |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
+       |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
+       | ${sqlCapCte("capped", "bands", Seq("doc_id", "band", "bucket"), "band", "bucket", "doc_id")},
+       | cand AS (
+       |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |  FROM capped x JOIN capped y
+       |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)""".stripMargin
+
   private val sqlToks =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
 
@@ -835,35 +933,30 @@ object Dedup {
         |GROUP BY 1
         |ORDER BY canonical_doc_id""".stripMargin,
     "dd2_jaccard_pairs" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id, list_distinct($sqlToks) AS tks FROM documents),
+      s"""WITH $unigramCandCtes,
         | p AS (
         |  SELECT doc_id, list_distinct(list_transform(tks,
         |      x -> ('0x' || substr(md5(x), 1, 15))::BIGINT)) AS ts
-        |  FROM toks),
-        | ex AS (SELECT doc_id, md5(unnest(tks)) AS h FROM toks),
-        | sig AS (SELECT doc_id,
-        |   min(substr(h, 1, 4)) s0, min(substr(h, 5, 4)) s1,
-        |   min(substr(h, 9, 4)) s2, min(substr(h, 13, 4)) s3,
-        |   min(substr(h, 17, 4)) s4, min(substr(h, 21, 4)) s5,
-        |   min(substr(h, 25, 4)) s6, min(substr(h, 29, 4)) s7
-        |  FROM ex GROUP BY doc_id),
-        | bands AS (
-        |  SELECT doc_id, 0 AS band, md5(s0||'|'||s1) AS bucket FROM sig UNION ALL
-        |  SELECT doc_id, 1, md5(s2||'|'||s3) FROM sig UNION ALL
-        |  SELECT doc_id, 2, md5(s4||'|'||s5) FROM sig UNION ALL
-        |  SELECT doc_id, 3, md5(s6||'|'||s7) FROM sig),
-        | ${sqlCapCte("capped", "bands", Seq("doc_id", "band", "bucket"), "band", "bucket", "doc_id")},
-        | cand AS (
-        |  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-        |  FROM capped x JOIN capped y
-        |    ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id)
+        |  FROM toks)
         |SELECT doc_a, doc_b,
         |  round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) AS jaccard
         |FROM cand JOIN p a ON doc_a = a.doc_id JOIN p b ON doc_b = b.doc_id
         |WHERE round(CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE) /
         |    (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))), 4) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // dd10: the SHARED candidate CTEs with the verifier swapped to
+    // normalized Levenshtein; no length guard here — it is a Spark-side
+    // cost prefilter that provably drops no kept pair.
+    "dd10_edit_distance" ->
+      s"""WITH $unigramCandCtes
+        |SELECT doc_a, doc_b,
+        |  round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |    greatest(length(a.text), length(b.text)), 4) AS edit_sim
+        |FROM cand JOIN documents a ON doc_a = a.doc_id
+        |  JOIN documents b ON doc_b = b.doc_id
+        |WHERE round(1.0 - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |    greatest(length(a.text), length(b.text)), 4) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dd3_minhash_lsh" ->
       (s"WITH $dd3Ctes\n" +

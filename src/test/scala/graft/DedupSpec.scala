@@ -26,6 +26,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("jaccard") >= 0.6))
   }
 
+  test("edit-distance pairs catch typo'd copies and respect the threshold") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("quick", "qiuck")),          // one transposition
+      (3L, base.replace("river", "rivrr")),          // one substitution
+      (4L, "completely different text about spark shuffles and partitions"),
+      (5L, base.split(" ").reverse.mkString(" "))    // same tokens, reordered
+    ).toDF("doc_id", "text")
+    val rows = graft.operators.Dedup.editDistanceCore(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // typo'd copies pair with the original at high char similarity
+    assert(rows.exists { case (a, b, s) => a == 1L && b == 2L && s > 0.95 })
+    assert(rows.exists { case (a, b, s) => a == 1L && b == 3L && s > 0.95 })
+    // the unrelated doc never pairs; thresholds and ordering hold
+    assert(rows.forall { case (a, b, s) => a < b && s >= 0.8 && a != 4L && b != 4L })
+    // doc 5 shares doc 1's full TOKEN SET (identical minhash signature →
+    // always a candidate) but reordering destroys char-level similarity:
+    // the edit verifier rejects what a token-set verifier cannot see
+    assert(!rows.exists { case (a, b, _) => a == 1L && b == 5L })
+  }
+
   test("minhash LSH candidates verify against true shingle jaccard") {
     val rows = graft.operators.Dedup.minhashLsh(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("shingle_jaccard") >= 0.7))
