@@ -467,7 +467,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t16 — BM25 retrieval ranking: the top-10 documents for a fixed query
+    * under Okapi BM25 (k1=1.2, b=0.75, the Robertson +1 idf), the scoring
+    * function behind Lucene/Elasticsearch relevance and the standard
+    * lexical leg of corpus search — t12 scores a document's OWN terms;
+    * this ranks documents AGAINST a query.
+    *
+    * Scale shape: the query-term filter lands immediately after the
+    * explode, so the (doc, term) aggregate's shuffle carries only rows
+    * matching the |Q|=3 query terms — a |matching docs| x |Q| frame, not
+    * the corpus. Document length rides the exploded rows (no doc-sized
+    * length join); document frequency is a |Q|-row aggregate OF the tf
+    * frame, broadcast back; corpus-wide N and avgdl are a broadcast 1-row
+    * frame (t8's convention). The final top-10 is one
+    * TakeOrderedAndProject — nothing doc-sized ever sorts globally. At
+    * 100 TB the tf frame is the posting-list slice for Q, which is
+    * exactly what an inverted index would serve; the plan IS the
+    * index-less equivalent with one scan.
+    *
+    * Determinism: tf/df/dl are exact integers, avgdl is an exact-integer
+    * sum divided once; the score is ONE rounded double expression ranked
+    * with a doc_id tiebreak — both engines rank identically.
+    */
+  def bm25Rank(spark: SparkSession, dir: String): DataFrame =
+    bm25Core(t(spark, dir, "documents"), Seq("spark", "join", "window"))
+
+  /** t16 over an explicit `(doc_id, text)` frame and query — the ranking
+    * axioms (tf monotonicity, length normalization, idf rarity) are
+    * spec-driven on planted corpora; the gate pins the driver corpus.
+    */
+  private[graft] def bm25Core(src: DataFrame, query: Seq[String]): DataFrame = {
+    import graft.functions.TextFunctions.tokensOrdered
+    val k1 = 1.2
+    val b = 0.75
+    val docs = src
+      .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
+    val lens = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
+      col("tk"))
+    val stats = lens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    val tfs = lens
+      .select(col("doc_id"), col("dl"), explode(col("tk")).as("token"))
+      .filter(col("token").isin(query: _*))
+      .groupBy("doc_id", "dl", "token")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tfs.groupBy("token").agg(count(col("doc_id")).as("df"))
+    val contrib =
+      log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+        (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    tfs.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(contrib), 6).as("bm25"),
+        count(lit(1)).as("n_terms_matched"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bm25_rank" -> bm25Rank,
     "t1_text_profile" -> profile,
     "t2_quality_bands" -> qualityBands,
     "t3_fingerprints" -> fingerprints,
@@ -725,6 +782,27 @@ object TextAnalysis {
          |FROM p2 GROUP BY pair
          |ORDER BY n_occurrences DESC, pair
          |LIMIT 50""".stripMargin,
+    "t16_bm25_rank" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlTokens AS t FROM documents),
+         | lens AS (
+         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM tk),
+         | stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+         | tfs AS (
+         |  SELECT doc_id, dl, token, count(*) AS tf FROM (
+         |    SELECT doc_id, dl, unnest(t) AS token FROM lens)
+         |  WHERE token IN ('spark', 'join', 'window')
+         |  GROUP BY doc_id, dl, token),
+         | dfreq AS (SELECT token, count(doc_id) AS df FROM tfs GROUP BY token)
+         |SELECT doc_id,
+         |  round(sum(
+         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+         |  count(*) AS n_terms_matched
+         |FROM tfs JOIN dfreq USING (token) CROSS JOIN stats
+         |GROUP BY doc_id
+         |ORDER BY bm25 DESC, doc_id
+         |LIMIT 10""".stripMargin,
     "t12_tfidf_keywords" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),

@@ -369,6 +369,15 @@ class PlanSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("t16 ranks via TakeOrderedAndProject with broadcast stats joins") {
+    // the top-10 must be a bounded selection (never a global sort) and
+    // the df / corpus-stats sides must broadcast, not shuffle
+    val p = plan("t16_bm25_rank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 1, p.take(2000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 1, p.take(2000))
+  }
+
   test("w3 shares one user_id exchange across all three window specs") {
     // range-frame sum, percent_rank and ntile partition identically — one
     // hash exchange on user_id must serve all of them (different orderings

@@ -13,6 +13,30 @@ class TextAnalysisSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   private val sf = "/root/testdata/sf0.001"
 
+  test("bm25 honors tf monotonicity, length normalization, and idf rarity") {
+    import spark.implicits._
+    val pad = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"spark spark spark $pad"),   // tf=3
+      (2L, s"spark spark filler $pad"),  // tf=2, same length
+      (3L, s"spark $pad " + Seq.fill(40)("pad").mkString(" ")), // tf=1, long
+      (4L, s"spark $pad"),               // tf=1, short
+      (5L, s"join $pad two"),            // rare term (df=1), same dl as 4
+      (6L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis
+      .bm25Core(docs, Seq("spark", "join")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // more occurrences of the same term in same-length docs scores higher
+    assert(got(1L) > got(2L) && got(2L) > got(4L))
+    // same tf in a LONGER doc scores lower (b-normalization)
+    assert(got(4L) > got(3L))
+    // the df=1 term outscores the df=4 term at equal tf and length
+    assert(got(5L) > got(4L))
+    // docs with no query terms never appear
+    assert(!got.contains(6L) && got.values.forall(_ > 0))
+  }
+
   test("lm surprise: positive finite scores; <2-token docs score null") {
     val rows = TextAnalysis.lmSurprise(spark, sf).collect()
     assert(rows.length == 500)
