@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.{r2, t}
@@ -22,6 +22,11 @@ object Lake {
 
   private def lakeDir(name: String): String =
     new java.io.File(sys.props("user.dir"), s"target/lake/$name").getAbsolutePath
+
+  /** Spec access to the layout root (comparison layouts live beside the
+    * library-written ones).
+    */
+  private[graft] def lakeDirForTest(name: String): String = lakeDir(name)
 
   /** Write events partitioned by event_type, read back ONE partition, and
     * summarize it. The read's filter must resolve at planning time
@@ -64,11 +69,116 @@ object Lake {
     out
   }
 
+  /** Bits per dimension of the z-value: 16 bits x 2 dims = 32-bit keys,
+    * plenty of layout resolution (65 536 cells per axis) while keeping
+    * every intermediate long exact in both engines.
+    */
+  private val ZBits = 16
+
+  /** Morton/Z-order interleave of two [0, 2^16) cell indices: bit i of
+    * `a` lands at position 2i, bit i of `b` at 2i+1. Built as a static
+    * sum of 32 codegen-friendly mask-and-scale terms (Spark's shift
+    * functions take only literal distances; multiplying the extracted
+    * bit by the literal 2^position is the same operation and folds into
+    * whole-stage codegen).
+    */
+  private[graft] def zInterleave(a: Column, b: Column): Column =
+    (0 until ZBits).map { i =>
+      when(a.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L << (2 * i))).otherwise(0L) +
+        when(b.bitwiseAND(lit(1L << i)) =!= 0L, lit(1L << (2 * i + 1))).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** [[zInterleave]]'s DuckDB twin, generated from the same loop so the
+    * two bit layouts cannot drift.
+    */
+  private def sqlZInterleave(a: String, b: String): String =
+    (0 until ZBits).map { i =>
+      s"(CASE WHEN ($a & ${1L << i}) != 0 THEN ${1L << (2 * i)} ELSE 0 END + " +
+        s"CASE WHEN ($b & ${1L << i}) != 0 THEN ${1L << (2 * i + 1)} ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Scale a value into its [0, 2^16) cell index by min/max position —
+    * exact-integer after the floor, identical in both engines (the one
+    * double product is the same IEEE expression).
+    */
+  private def zCell(v: Column, mn: Column, mx: Column): Column =
+    when(mx === mn, 0L).otherwise(
+      floor((v.cast("double") - mn) / (mx - mn) * lit((1 << ZBits) - 1))
+        .cast("long"))
+
+  /** lake2 — the z-order clustering key: each event's Morton code over
+    * the (user_id, value) plane. Sorting a 100 TB table by this ONE key
+    * makes parquet row-group min/max ranges tight on BOTH dimensions at
+    * once, so 2-D range predicates skip most of the file — the classic
+    * lake-layout optimization for multi-column point/range lookup
+    * (LakeSpec proves the skipping against real parquet footers; this
+    * gate pins the key itself bit-for-bit). Corpus-wide min/max come
+    * from one broadcast 1-row aggregate; the interleave is scan-local.
+    */
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val stats = ev.agg(
+      min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+      min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+    ev.join(broadcast(stats))
+      .select(col("event_id"),
+        zInterleave(
+          zCell(col("user_id"), col("mnu"), col("mxu")),
+          zCell(col("value"), col("mnv"), col("mxv"))).as("zvalue"))
+      .orderBy("event_id")
+  }
+
+  /** Write `df` clustered by the z-order of (user_id, value) — the layout
+    * side of [[zorderKeys]]: range-partition then sort by the Morton code
+    * so every output file and row group covers a compact rectangle of the
+    * 2-D space. `rowGroupBytes` is exposed for LakeSpec to force many
+    * small row groups on tiny test data; production leaves the default.
+    */
+  private[graft] def writeZOrdered(df: DataFrame, name: String,
+      rowGroupBytes: Long = 128L * 1024 * 1024): String = {
+    val out = lakeDir(name)
+    val ev = df.select(col("*"))
+    val stats = ev.agg(
+      min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
+      min(col("value")).as("mnv"), max(col("value")).as("mxv"))
+    ev.join(broadcast(stats))
+      .withColumn("z", zInterleave(
+        zCell(col("user_id"), col("mnu"), col("mxu")),
+        zCell(col("value"), col("mnv"), col("mxv"))))
+      .drop("mnu", "mxu", "mnv", "mxv")
+      .repartitionByRange(1, col("z"))
+      .sortWithinPartitions("z")
+      .drop("z")
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes)
+      .parquet(out)
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "lake1_partitioned_roundtrip" -> partitionedRoundtrip
+    "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
+    "lake2_zorder_keys" -> zorderKeys
   )
 
+  private def sqlZCell(v: String, mn: String, mx: String): String =
+    s"CASE WHEN $mx = $mn THEN 0 ELSE " +
+      s"CAST(floor((CAST($v AS DOUBLE) - $mn) / ($mx - $mn) * ${(1 << ZBits) - 1}) AS BIGINT) END"
+
   val oracle: Map[String, String] = Map(
+    "lake2_zorder_keys" ->
+      s"""WITH stats AS (
+        |  SELECT min(user_id) AS mnu, max(user_id) AS mxu,
+        |    min(value) AS mnv, max(value) AS mxv
+        |  FROM events),
+        | cells AS (
+        |  SELECT event_id,
+        |    ${sqlZCell("user_id", "mnu", "mxu")} AS ca,
+        |    ${sqlZCell("value", "mnv", "mxv")} AS cb
+        |  FROM events CROSS JOIN stats)
+        |SELECT event_id, ${sqlZInterleave("ca", "cb")} AS zvalue
+        |FROM cells
+        |ORDER BY event_id""".stripMargin,
     "lake1_partitioned_roundtrip" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,

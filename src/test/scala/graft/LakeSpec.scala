@@ -30,6 +30,63 @@ class LakeSpec extends AnyFunSuite {
     assert(rows == direct && rows > 0)
   }
 
+  test("z-order layout skips more row groups than linear sort on 2-D ranges") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.col
+    // 10k rows + tiny row groups => enough groups for stats to matter
+    val ev = Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "value")
+    val zDir = Lake.writeZOrdered(ev, "events_z", rowGroupBytes = 8192)
+    val linDir = Lake.lakeDirForTest("events_linear")
+    ev.repartitionByRange(1, col("user_id")).sortWithinPartitions("user_id")
+      .write.mode("overwrite").option("parquet.block.size", 8192L)
+      .parquet(linDir)
+
+    // per row group: (user_id min/max, value min/max) from parquet footers
+    def groups(dir: String): Seq[(Long, Long, Double, Double)] = {
+      val conf = new org.apache.hadoop.conf.Configuration()
+      new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).toSeq.flatMap { f =>
+          val rd = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf))
+          try rd.getFooter.getBlocks.asScala.toSeq.map { b =>
+            val byName = b.getColumns.asScala
+              .map(c => c.getPath.toDotString -> c.getStatistics).toMap
+            (byName("user_id").genericGetMin.asInstanceOf[Long],
+              byName("user_id").genericGetMax.asInstanceOf[Long],
+              byName("value").genericGetMin.asInstanceOf[Double],
+              byName("value").genericGetMax.asInstanceOf[Double])
+          } finally rd.close()
+        }
+    }
+    val zg = groups(zDir)
+    val lg = groups(linDir)
+    assert(zg.size >= 8 && lg.size >= 8, s"z=${zg.size} lin=${lg.size}")
+
+    // a moderately selective square: middle ~25% of each dimension
+    val (us, vs) = (ev.selectExpr("min(user_id)", "max(user_id)",
+      "min(value)", "max(value)").collect()(0) match {
+      case r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getDouble(3)))
+    })
+    val (u1, u2) = (us._1 + (us._2 - us._1) * 3 / 8, us._1 + (us._2 - us._1) * 5 / 8)
+    val (v1, v2) = (vs._1 + (vs._2 - vs._1) * 0.375, vs._1 + (vs._2 - vs._1) * 0.625)
+    def hits(gs: Seq[(Long, Long, Double, Double)]): Int =
+      gs.count { case (umn, umx, vmn, vmx) =>
+        umx >= u1 && umn <= u2 && vmx >= v1 && vmn <= v2 }
+
+    // the linear layout prunes on user_id only; z prunes on BOTH — with
+    // comparable group counts it must overlap strictly fewer groups
+    assert(hits(zg) < hits(lg),
+      s"z=${hits(zg)}/${zg.size} linear=${hits(lg)}/${lg.size}")
+    // and the data survives the layout intact
+    assert(spark.read.parquet(zDir)
+      .filter(col("user_id").between(u1, u2) && col("value").between(v1, v2))
+      .count() ==
+      ev.filter(col("user_id").between(u1, u2) && col("value").between(v1, v2))
+        .count())
+  }
+
   test("compacted write honors the output file budget exactly") {
     val out = Lake.compactedWrite(
       Tables.t(spark, sf, "events").select("event_id", "user_id", "value"),
