@@ -523,8 +523,33 @@ object TextAnalysis {
       .limit(10)
   }
 
+  /** t17 — inverted-index materialization: the (term → posting list)
+    * table a search/retrieval pipeline builds once and serves forever —
+    * the precomputed form of the posting slice t16 derives per query.
+    *
+    * Postings are SHARDED by doc_id range (100 docs per shard at test scale): a
+    * web-scale term's posting list is far larger than any sane single
+    * row, so the physical layout keys on (token, shard) — bounded rows,
+    * parallel build, parallel merge at read time; a term lookup is a
+    * (token)-prefix range scan. The build is ONE hash aggregate over the
+    * distinct (doc, term) pairs (map-side combine; `sort_array` makes the
+    * collected list canonical — collect_list order is otherwise
+    * partition-dependent), plus a WindowGroupLimit-free broadcast of
+    * nothing: no second pass, no skew (shards bound the hot terms).
+    */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenSet
+    t(spark, dir, "documents")
+      .select(col("doc_id"), explode(tokenSet(col("text"))).as("token"))
+      .groupBy(col("token"), floor(col("doc_id") / 100).cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("postings"))
+      .orderBy("token", "shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_bm25_rank" -> bm25Rank,
+    "t17_inverted_index" -> invertedIndex,
     "t1_text_profile" -> profile,
     "t2_quality_bands" -> qualityBands,
     "t3_fingerprints" -> fingerprints,
@@ -782,6 +807,15 @@ object TextAnalysis {
          |FROM p2 GROUP BY pair
          |ORDER BY n_occurrences DESC, pair
          |LIMIT 50""".stripMargin,
+    "t17_inverted_index" ->
+      s"""SELECT token, shard, count(*) AS n_docs,
+         |  list(doc_id ORDER BY doc_id) AS postings
+         |FROM (
+         |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS shard,
+         |    unnest(list_distinct($sqlTokens)) AS token
+         |  FROM documents)
+         |GROUP BY token, shard
+         |ORDER BY token, shard""".stripMargin,
     "t16_bm25_rank" ->
       s"""WITH tk AS (
          |  SELECT doc_id, $sqlTokens AS t FROM documents),
