@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Events.queries ++
       operators.Multimodal.queries ++
       operators.Quality.queries ++
+      operators.Graph.queries ++
       operators.AsOf.queries ++
       operators.TypedAgg.queries ++
       engine.Skew.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       operators.Events.oracle ++
       operators.Multimodal.oracle ++
       operators.Quality.oracle ++
+      operators.Graph.oracle ++
       operators.AsOf.oracle ++
       operators.TypedAgg.oracle ++
       engine.Skew.oracle ++

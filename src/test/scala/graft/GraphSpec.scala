@@ -1,0 +1,40 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** PageRank centrality axioms on a planted near-dup graph (the oracle
+  * pins exact values at sf0.01; here the STRUCTURE is controlled): a hub
+  * document with four near-variants must outrank its leaves, structurally
+  * identical leaves must tie exactly, and isolated documents must sit at
+  * the (1-d) floor.
+  */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("pagerank: hub > leaves (tied) > isolated at the 0.15 floor") {
+    import spark.implicits._
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+      .split(" ")
+    // variants touch positions >= 2 apart: each shares >= 0.8 bigram
+    // jaccard with the hub but < 0.7 with any sibling -> a pure star
+    def variant(pos: Int, w: String) = base.updated(pos, w).mkString(" ")
+    val docs = Seq(
+      (1L, base.mkString(" ")),
+      (2L, variant(2, "uniform")), (3L, variant(5, "victor")),
+      (4L, variant(8, "whiskey")), (5L, variant(11, "xray")),
+      (6L, "completely unrelated words about nothing in particular here"),
+      (7L, "another disjoint set of terms sharing no shingles at all")
+    ).toDF("doc_id", "text")
+    val r = graft.operators.Graph.pagerankCore(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(r.size == 7)
+    val leaves = Seq(2L, 3L, 4L, 5L).map(r)
+    assert(leaves.distinct.size == 1, s"leaves should tie: $leaves")
+    assert(r(1L) > leaves.head, s"hub ${r(1L)} vs leaf ${leaves.head}")
+    assert(r(6L) == 0.15 && r(7L) == 0.15, s"isolated at floor: $r")
+    assert(leaves.head > 0.15)
+    // without dangling redistribution total mass can only leak
+    assert(r.values.sum <= 7.000001, r.values.sum)
+  }
+}
