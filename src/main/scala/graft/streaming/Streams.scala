@@ -354,3 +354,69 @@ object Sessionize {
     }
   }
 }
+
+/** One CLOSED validity interval — ev12's output shape for the rows whose
+  * `valid_to_ms` is known (a stream can only finalize closed intervals;
+  * each user's open row lives in state until the next change closes it).
+  */
+final case class ScdChange(
+    user_id: Long, event_id: Long, valid_from_ms: Long, value: Double,
+    valid_to_ms: Long)
+
+/** The open SCD2 row carried between micro-batches. */
+final case class ScdState(event_id: Long, valid_from_ms: Long, value: Double)
+
+/** The streaming form of ev12's SCD2 history build
+  * ([[graft.operators.Events.scd2History]]) — the CDC shape that query
+  * deploys as: per user, `flatMapGroupsWithState` carries the currently
+  * open interval; an arriving event with a DIFFERENT value closes it
+  * (emitting the finished row) and opens a new one, while repeats of the
+  * current value collapse into the open interval, exactly the batch
+  * lag-filter-lead semantics.
+  *
+  * Agreement contract (StreamingSpec): for in-order arrivals — any
+  * micro-batch slicing — the emitted rows equal the batch query's CLOSED
+  * rows (`valid_to_ms IS NOT NULL`) on the same events; each user's open
+  * tail row is exactly the retained state. Cross-batch out-of-order
+  * events are dropped as late data ([[Sessionize]]'s convention — a
+  * retroactive change would rewrite already-emitted history).
+  *
+  * State scale: ONE small row per active user (the open interval),
+  * sharded by key — the minimal CDC state, never evicted by design (a
+  * dimension's current value has no horizon).
+  */
+object Scd2Stream {
+
+  def changes(events: Dataset[MEvent]): Dataset[ScdChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private[streaming] def update(
+      userId: Long,
+      events: Iterator[MEvent],
+      state: GroupState[ScdState]): Iterator[ScdChange] = {
+    var open = state.getOption
+    val out = Seq.newBuilder[ScdChange]
+    val floor = open.map(_.valid_from_ms).getOrElse(Long.MinValue)
+    val sorted = events.toArray
+      .filter(_.ts.getTime >= floor)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    for (e <- sorted) {
+      val ms = e.ts.getTime
+      open match {
+        case None =>
+          open = Some(ScdState(e.event_id, ms, e.value))
+        case Some(o) if e.value == o.value => // repeat: interval absorbs it
+        case Some(o) =>
+          out += ScdChange(userId, o.event_id, o.valid_from_ms, o.value, ms)
+          open = Some(ScdState(e.event_id, ms, e.value))
+      }
+    }
+    open.foreach(state.update)
+    out.result().iterator
+  }
+}

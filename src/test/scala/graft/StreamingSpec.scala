@@ -337,6 +337,43 @@ class StreamingSpec extends AnyFunSuite {
       out.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("streaming SCD2 emits exactly the batch ev12 closed rows across a boundary") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{MEvent, ScdChange, Scd2Stream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704103200000L
+    def ts(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    // user 1: A A B B A — repeats must collapse even when the boundary
+    // splits an open run (events 3 and 4 carry the same value across it);
+    // user 2: a single never-closed row
+    val events = Seq(
+      MEvent(1L, 1L, ts(0), 5.0), MEvent(1L, 2L, ts(1), 5.0),
+      MEvent(1L, 3L, ts(2), 7.0), MEvent(1L, 4L, ts(3), 7.0),
+      MEvent(1L, 5L, ts(4), 5.0), MEvent(2L, 6L, ts(0), 9.0))
+
+    val batch = graft.operators.Events.scd2Core(
+      events.toDF().select(col("user_id"), col("event_id"), col("ts"),
+        col("value"))).collect()
+    val wantClosed = batch.filter(!_.isNullAt(4)).map(r =>
+      ScdChange(r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSet
+    assert(wantClosed.map(_.event_id) == Set(1L, 3L))
+
+    val input = MemoryStream[MEvent]
+    val q = Scd2Stream.changes(input.toDS())
+      .writeStream.format("memory").queryName("scd2_out")
+      .outputMode("append").start()
+    try {
+      input.addData(events.take(4)) // boundary inside the 7.0 run
+      q.processAllAvailable()
+      input.addData(events.drop(4))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("scd2_out").as[ScdChange].collect().toSet
+    assert(got == wantClosed, s"stream=$got batch=$wantClosed")
+  }
+
   test("streaming latest-state converges to the ev7 batch snapshot, even out of order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
