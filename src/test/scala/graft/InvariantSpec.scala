@@ -117,6 +117,23 @@ class InvariantSpec extends AnyFunSuite {
     assert(got == Seq(("BUILDING", 1L, 300.0), ("MACHINERY", 1L, 300.0)), got)
   }
 
+  test("prof2 buckets partition the domain with near-equal depths") {
+    val rows = graft.operators.Relational
+      .equiDepthExact(Tables.t(spark, sf, "events"), "value", 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == (1L to 8L))
+    val total = rows.map(_._2).sum
+    // ntile spreads the remainder over leading buckets: depths differ by
+    // at most 1 and boundaries are non-overlapping and ordered
+    assert(rows.map(_._2).max - rows.map(_._2).min <= 1)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a._4 <= b._3, s"bucket overlap: $a then $b")
+    }
+    assert(total == Tables.t(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull).count())
+  }
+
   test("ev12 collapses planted repeats and keeps intervals contiguous") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -369,6 +369,13 @@ class PlanSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("dd10 evaluates the levenshtein DP exactly once, banded") {
+    // EvalOnce must hold the DP in its projection: a pushed filter would
+    // inline the expression and run the matrix twice per candidate pair
+    val p = plan("dd10_edit_distance")
+    assert("levenshtein".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("t16 ranks via TakeOrderedAndProject with broadcast stats joins") {
     // the top-10 must be a bounded selection (never a global sort) and
     // the df / corpus-stats sides must broadcast, not shuffle
