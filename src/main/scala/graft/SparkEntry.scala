@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.Quality.queries ++
       operators.Graph.queries ++
+      operators.Stats.queries ++
       operators.AsOf.queries ++
       operators.TypedAgg.queries ++
       engine.Skew.queries ++
@@ -47,6 +48,7 @@ object SparkEntry {
       operators.Multimodal.oracle ++
       operators.Quality.oracle ++
       operators.Graph.oracle ++
+      operators.Stats.oracle ++
       operators.AsOf.oracle ++
       operators.TypedAgg.oracle ++
       engine.Skew.oracle ++

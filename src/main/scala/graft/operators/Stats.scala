@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.{r6, t}
+
+/** Experiment / monitoring statistics — the A/B-readout and
+  * distribution-drift layer an analytics engine serves on top of its
+  * aggregates (north-star scope: the reference has no statistics at all;
+  * its nearest neighbor is P2's null counting). Both operators are single
+  * scans into ordinary hash aggregates — the statistical formulas ride on
+  * exact integer counts and conditional aggregates, so the oracle checks
+  * them bit-for-bit at 6 decimals.
+  */
+object Stats {
+
+  /** The deterministic 50/50 unit split every experiment readout needs:
+    * first md5 hex digit of the user id — stable, engine-portable, and
+    * independent of arrival order (the same convention as
+    * [[Dedup.isEvalSplit]]'s 25% carve, at '8' for half).
+    */
+  private def inGroupA(id: org.apache.spark.sql.Column) =
+    substring(md5(id.cast("string")), 1, 1) < "8"
+
+  /** ab1 — Welch's t readout per event_type between the two hashed user
+    * arms: arm sizes, arm means, and the t statistic
+    * `(mean_a - mean_b) / sqrt(s2_a/n_a + s2_b/n_b)` (unequal-variance
+    * form — the default for real experiments). ONE scan, ONE hash
+    * aggregate keyed on event_type: the arms are conditional aggregates
+    * (`when(arm, value)` — count/avg/var_samp all skip the other arm's
+    * nulls), so no self-join, no second pass, and map-side partials do
+    * the heavy lifting at 100 TB. The t statistic divides
+    * last-ulp-stable aggregates of O(100) magnitudes, far inside the
+    * 6-decimal rounding grid.
+    */
+  def abTest(spark: SparkSession, dir: String): DataFrame =
+    abTestCore(t(spark, dir, "events"))
+
+  /** ab1 over an explicit `(user_id, event_type, value)` frame — the
+    * readout axioms (sign, swap antisymmetry, effect-size monotonicity)
+    * are StatsSpec-driven on planted arms.
+    */
+  private[graft] def abTestCore(ev: DataFrame): DataFrame = {
+    val a = inGroupA(col("user_id"))
+    val va = when(a, col("value"))
+    val vb = when(!a, col("value"))
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(va).as("n_a"), count(vb).as("n_b"),
+        r6(avg(va)).as("mean_a"), r6(avg(vb)).as("mean_b"),
+        r6((avg(va) - avg(vb)) /
+          sqrt(var_samp(va) / count(va) + var_samp(vb) / count(vb)))
+          .as("t_stat"))
+      .orderBy("event_type")
+  }
+
+  private val RefWindowMs = 604800000L // the first 7 corpus days
+
+  /** drift1 — Population Stability Index of events.value, current period
+    * against the first-week reference slice: the ML-ops drift monitor
+    * that decides "has this feature's distribution moved since the model
+    * shipped". Buckets are the EXACT deciles of the reference slice (its
+    * ntile-bucket maxima become 9 cut values); both slices then bucket by
+    * `1 + #cuts strictly below v` — the same cut-array assignment as
+    * prof2's scale path, so approximate-sketch cuts drop in unchanged at
+    * 100 TB. Emits one row per bucket with both shares and the PSI
+    * contribution `(p - q) * ln(p / q)` (counts Laplace-smoothed
+    * +0.5/+5.0 so an emptied bucket scores finite); the scalar PSI is
+    * their 10-term sum. Shares and contributions derive from exact
+    * integer counts — engine-portable at 6 decimals.
+    *
+    * Scale: the reference-decile window sorts only the REFERENCE slice
+    * (profile-sized by construction); the corpus pass is scan-local
+    * bucket assignment against the broadcast 9-cut array plus one hash
+    * aggregate. The corpus never globally sorts.
+    */
+  def psiDrift(spark: SparkSession, dir: String): DataFrame =
+    psiDriftCore(
+      t(spark, dir, "events").select(unix_millis(col("ts")).as("ts_ms"),
+        col("value")))
+
+  /** drift1 over an explicit `(ts_ms, value)` frame — StatsSpec plants an
+    * identical-distribution pair (near-zero PSI) and a shifted one (PSI
+    * far from zero).
+    */
+  private[graft] def psiDriftCore(src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = src.filter(col("value").isNotNull)
+    val t0 = ev.agg(min(col("ts_ms")).as("t0"))
+    val tagged = ev.crossJoin(broadcast(t0))
+      .select(col("value").as("v"),
+        (col("ts_ms") < col("t0") + RefWindowMs).as("in_ref"))
+    val cuts = tagged.filter(col("in_ref"))
+      .select(ntile(10).over(Window.orderBy(col("v"))).as("b"), col("v"))
+      .groupBy(col("b")).agg(max(col("v")).as("cut"))
+      .filter(col("b") <= 9)
+      .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    val counts = tagged.crossJoin(broadcast(cuts))
+      .select(col("in_ref"),
+        aggregate(col("cuts"), lit(1L),
+          (acc, c) => acc + when(col("v") > c, 1L).otherwise(0L)).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(when(col("in_ref"), 1)).as("n_ref"),
+        count(when(!col("in_ref"), 1)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    val p = (col("n_ref") + 0.5) / (col("tr") + 5.0)
+    val q = (col("n_cur") + 0.5) / (col("tc") + 5.0)
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        r6(p).as("p_ref"), r6(q).as("p_cur"),
+        r6((p - q) * log(p / q)).as("psi_term"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab1_welch_readout" -> abTest,
+    "drift1_psi" -> psiDrift
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ab1_welch_readout" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a
+        |  FROM events)
+        |SELECT event_type,
+        |  count(CASE WHEN a THEN value END) AS n_a,
+        |  count(CASE WHEN NOT a THEN value END) AS n_b,
+        |  round(avg(CASE WHEN a THEN value END), 6) AS mean_a,
+        |  round(avg(CASE WHEN NOT a THEN value END), 6) AS mean_b,
+        |  round((avg(CASE WHEN a THEN value END)
+        |       - avg(CASE WHEN NOT a THEN value END)) /
+        |    sqrt(var_samp(CASE WHEN a THEN value END)
+        |           / count(CASE WHEN a THEN value END)
+        |       + var_samp(CASE WHEN NOT a THEN value END)
+        |           / count(CASE WHEN NOT a THEN value END)), 6) AS t_stat
+        |FROM e
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    "drift1_psi" ->
+      s"""WITH e AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        | t0 AS (SELECT min(ts_ms) AS t0 FROM e),
+        | tagged AS (
+        |  SELECT v, ts_ms < (SELECT t0 FROM t0) + $RefWindowMs AS in_ref
+        |  FROM e),
+        | refb AS (
+        |  SELECT ntile(10) OVER (ORDER BY v) AS b, v
+        |  FROM tagged WHERE in_ref),
+        | cuts AS (
+        |  SELECT list(cut ORDER BY cut) AS cuts FROM (
+        |    SELECT b, max(v) AS cut FROM refb GROUP BY b)
+        |  WHERE b <= 9),
+        | counts AS (
+        |  SELECT 1 + len(list_filter((SELECT cuts FROM cuts), c -> v > c))
+        |      AS bucket,
+        |    count(CASE WHEN in_ref THEN 1 END) AS n_ref,
+        |    count(CASE WHEN NOT in_ref THEN 1 END) AS n_cur
+        |  FROM tagged GROUP BY bucket),
+        | tot AS (
+        |  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM counts)
+        |SELECT bucket, n_ref, n_cur,
+        |  round((n_ref + 0.5) / (tr + 5.0), 6) AS p_ref,
+        |  round((n_cur + 0.5) / (tc + 5.0), 6) AS p_cur,
+        |  round(((n_ref + 0.5) / (tr + 5.0) - (n_cur + 0.5) / (tc + 5.0))
+        |    * ln(((n_ref + 0.5) / (tr + 5.0)) / ((n_cur + 0.5) / (tc + 5.0))),
+        |    6) AS psi_term
+        |FROM counts CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin
+  )
+}

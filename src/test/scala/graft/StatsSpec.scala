@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Stats
+
+/** Experiment/drift statistics on planted data: the oracle pins exact
+  * values on the driver corpus; here the STATISTICAL behavior is
+  * controlled — effect direction, antisymmetry, and the PSI zero/far
+  * separation the monitor thresholds on.
+  */
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  // user ids pre-sorted into the md5-hash arms so planted effects land
+  // in a known arm
+  private lazy val (armA, armB) = {
+    import spark.implicits._
+    val ids = spark.range(0, 400).select(col("id"))
+      .withColumn("a", substring(md5(col("id").cast("string")), 1, 1) < "8")
+      .collect().partition(_.getBoolean(1))
+    (ids._1.map(_.getLong(0)).toSeq, ids._2.map(_.getLong(0)).toSeq)
+  }
+
+  test("welch readout: sign follows the planted effect and swapping negates") {
+    import spark.implicits._
+    assert(armA.size >= 50 && armB.size >= 50) // md5 split is near-even
+    def frame(liftA: Double, liftB: Double) =
+      (armA.take(50).zipWithIndex.map { case (u, i) =>
+        (u, "click", liftA + (i % 7) * 0.1) } ++
+        armB.take(50).zipWithIndex.map { case (u, i) =>
+          (u, "click", liftB + (i % 7) * 0.1) })
+        .toDF("user_id", "event_type", "value")
+    def tOf(df: org.apache.spark.sql.DataFrame): Double =
+      Stats.abTestCore(df).collect()(0).getAs[Double]("t_stat")
+    val up = tOf(frame(11.0, 10.0))
+    val down = tOf(frame(10.0, 11.0))
+    assert(up > 0 && down < 0)
+    assert(math.abs(up + down) < 1e-9, s"$up vs $down") // antisymmetric
+    // a bigger effect at equal noise must score a bigger statistic
+    assert(tOf(frame(13.0, 10.0)) > up)
+  }
+
+  test("psi: near zero on identical slices, far from zero after a shift") {
+    import spark.implicits._
+    val week = 604800000L
+    // reference week: values 0..999 cycling; identical current period
+    def ev(offsetMs: Long, shift: Double) =
+      (0 until 1000).map(i => (offsetMs + i * 60000L, (i % 100) + shift))
+    val same = (ev(0L, 0.0) ++ ev(week, 0.0)).toDF("ts_ms", "value")
+    val psiSame = Stats.psiDriftCore(same).agg(sum("psi_term"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(psiSame) < 0.01, psiSame)
+    // industry rule of thumb: PSI > 0.25 = action threshold; a 30-unit
+    // shift on a 0..99 domain must blow far past it
+    val shifted = (ev(0L, 0.0) ++ ev(week, 30.0)).toDF("ts_ms", "value")
+    val psiShift = Stats.psiDriftCore(shifted).agg(sum("psi_term"))
+      .collect()(0).getDouble(0)
+    assert(psiShift > 0.25, psiShift)
+    // every reference decile emits a row, shares each sum to ~1
+    val rows = Stats.psiDriftCore(shifted).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 10L))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
+  }
+}
