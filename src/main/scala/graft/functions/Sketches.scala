@@ -30,11 +30,30 @@ object Sketches {
 
   /** Aggregate column: a serialized Bloom filter over `xxhash64(c)`,
     * sized for `expectedItems` at `fpp`. One row out (BinaryType).
+    *
+    * LOUD on oversize: `BloomFilterAggregate` silently clamps both
+    * parameters to `spark.sql.optimizer.runtime.bloomFilter.maxNumItems`
+    * / `.maxNumBits` (defaults 4M items / 2^26 bits) — a billion-key
+    * index would quietly build a saturated filter whose realized FPR
+    * approaches 1 while the caller believes the sized contract. The
+    * session confs are the capacity contract, so refusing here (with the
+    * conf to raise) beats a prefilter that silently stops filtering.
     */
   def bloomAgg(c: Column, expectedItems: Long, fpp: Double = 0.03): Column = {
     // standard Bloom sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.ceil(
       -expectedItems * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val conf = org.apache.spark.sql.internal.SQLConf.get
+    val maxItems = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_ITEMS)
+    val maxBits = conf.getConf(
+      org.apache.spark.sql.internal.SQLConf.RUNTIME_BLOOM_FILTER_MAX_NUM_BITS)
+    require(expectedItems <= maxItems && numBits <= maxBits,
+      s"bloomAgg sized $expectedItems items / $numBits bits, above the " +
+        s"session caps ($maxItems items / $maxBits bits) — Spark would " +
+        "silently clamp and saturate the filter; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems/.maxNumBits " +
+        "to the intended capacity first")
     Bridge.column(new BloomFilterAggregate(
       new XxHash64(Seq(Bridge.expression(c))),
       Literal(expectedItems), Literal(numBits)).toAggregateExpression())

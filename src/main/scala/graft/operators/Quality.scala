@@ -80,8 +80,8 @@ object Quality {
         |    (SELECT count(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
         |  UNION ALL
         |  SELECT 'lineitem_fk_orders',
-        |    (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN
-        |      (SELECT o_orderkey FROM orders))
+        |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
         |  UNION ALL
         |  SELECT 'lineitem_quantity_positive',
         |    (SELECT count(*) FROM lineitem WHERE l_quantity <= 0)
@@ -90,8 +90,8 @@ object Quality {
         |    (SELECT count(*) FROM orders WHERE o_orderdate IS NULL)
         |  UNION ALL
         |  SELECT 'orders_fk_customer',
-        |    (SELECT count(*) FROM orders WHERE o_custkey NOT IN
-        |      (SELECT c_custkey FROM customer)))
+        |    (SELECT count(*) FROM orders r WHERE NOT EXISTS
+        |      (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)))
         |ORDER BY "constraint"""".stripMargin
   )
 }

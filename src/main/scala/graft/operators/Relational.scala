@@ -264,9 +264,11 @@ object Relational {
     * single-partition stage merges per-partition boundary sketches into
     * ONE row (SketchSpec asserts no Window operator in the plan and
     * bounds the per-bucket count error against [[equiDepthExact]]).
-    * Bucket of v = 1 + #boundaries at or below v, so buckets partition
-    * the domain exactly even when the sketch's boundary values are
-    * approximate.
+    * Bucket of v = 1 + #boundaries STRICTLY below v — the one cut-array
+    * convention shared with drift1's PSI bucketing, so boundary-tied
+    * mass lands in the lower bucket in both and sketch cuts interchange
+    * between the two. Buckets partition the domain exactly even when the
+    * sketch's boundary values are approximate.
     */
   private[graft] def equiDepthApprox(src: DataFrame, c: String, nb: Int): DataFrame = {
     val vals = src.select(col(c).as("v")).filter(col("v").isNotNull)
@@ -276,7 +278,7 @@ object Relational {
     vals.join(broadcast(cuts))
       .select(col("v"),
         aggregate(col("cuts"), lit(1L),
-          (acc, cut) => acc + when(col("v") >= cut, 1L).otherwise(0L))
+          (acc, cut) => acc + when(col("v") > cut, 1L).otherwise(0L))
           .as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))

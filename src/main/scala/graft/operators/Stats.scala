@@ -64,11 +64,16 @@ object Stats {
     * ntile-bucket maxima become 9 cut values); both slices then bucket by
     * `1 + #cuts strictly below v` — the same cut-array assignment as
     * prof2's scale path, so approximate-sketch cuts drop in unchanged at
-    * 100 TB. Emits one row per bucket with both shares and the PSI
-    * contribution `(p - q) * ln(p / q)` (counts Laplace-smoothed
-    * +0.5/+5.0 so an emptied bucket scores finite); the scalar PSI is
-    * their 10-term sum. Shares and contributions derive from exact
-    * integer counts — engine-portable at 6 decimals.
+    * 100 TB. Emits one row per REACHABLE bucket with both shares and the
+    * PSI contribution `(p - q) * ln(p / q)` (counts Laplace-smoothed
+    * +0.5/+5.0 so an emptied-but-reachable bucket scores finite); the
+    * scalar PSI is their sum. A tie-heavy reference can collapse
+    * adjacent deciles into one bucket (duplicate cuts make the skipped
+    * ids unreachable — consistently in BOTH engines, with the tied mass
+    * in the lower bucket); the driver corpus is continuous, and
+    * StatsSpec covers the behavior on planted ties. Shares and
+    * contributions derive from exact integer counts — engine-portable
+    * at 6 decimals.
     *
     * Scale: the reference-decile window sorts only the REFERENCE slice
     * (profile-sized by construction); the corpus pass is scan-local

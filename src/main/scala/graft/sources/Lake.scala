@@ -34,21 +34,17 @@ object Lake {
     * carries the predicate and the data filters are empty — directory
     * pruning, not row filtering).
     */
-  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame = {
-    val out = lakeDir("events_by_type")
-    t(spark, dir, "events")
-      .write.mode("overwrite").partitionBy("event_type").parquet(out)
-    spark.read.parquet(out)
-      .filter(col("event_type") === "click")
+  def partitionedRoundtrip(spark: SparkSession, dir: String): DataFrame =
+    prunedScan(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         count_distinct(col("user_id")).as("n_users"),
         r2(sum(col("value"))).as("total_value"))
       .orderBy("event_type")
-  }
 
-  /** The read side of [[partitionedRoundtrip]] alone (for plan
-    * assertions): one partition's scan after the write.
+  /** The write-then-pruned-read half of [[partitionedRoundtrip]] — ONE
+    * definition, so the scan LakeSpec pins (PartitionFilters, no pushed
+    * data filter) is the same plan the gate aggregates over.
     */
   private[graft] def prunedScan(spark: SparkSession, dir: String): DataFrame = {
     val out = lakeDir("events_by_type")
@@ -115,19 +111,27 @@ object Lake {
     * gate pins the key itself bit-for-bit). Corpus-wide min/max come
     * from one broadcast 1-row aggregate; the interleave is scan-local.
     */
-  def zorderKeys(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
-      .select(col("event_id"), col("user_id"), col("value"))
-    val stats = ev.agg(
+  /** `df` with a `zvalue` Morton key over (user_id, value) — the ONE
+    * definition of the clustering key, consumed by [[zorderKeys]] (the
+    * gate) and [[writeZOrdered]] (the layout): a scaling or bit-budget
+    * change cannot desynchronize the written layout from the gated key.
+    */
+  private def withZKey(df: DataFrame): DataFrame = {
+    val stats = df.agg(
       min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
       min(col("value")).as("mnv"), max(col("value")).as("mxv"))
-    ev.join(broadcast(stats))
-      .select(col("event_id"),
-        zInterleave(
-          zCell(col("user_id"), col("mnu"), col("mxu")),
-          zCell(col("value"), col("mnv"), col("mxv"))).as("zvalue"))
-      .orderBy("event_id")
+    df.join(broadcast(stats))
+      .withColumn("zvalue", zInterleave(
+        zCell(col("user_id"), col("mnu"), col("mxu")),
+        zCell(col("value"), col("mnv"), col("mxv"))))
+      .drop("mnu", "mxu", "mnv", "mxv")
   }
+
+  def zorderKeys(spark: SparkSession, dir: String): DataFrame =
+    withZKey(t(spark, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value")))
+      .select(col("event_id"), col("zvalue"))
+      .orderBy("event_id")
 
   /** Write `df` clustered by the z-order of (user_id, value) — the layout
     * side of [[zorderKeys]]: range-partition then sort by the Morton code
@@ -138,18 +142,10 @@ object Lake {
   private[graft] def writeZOrdered(df: DataFrame, name: String,
       rowGroupBytes: Long = 128L * 1024 * 1024): String = {
     val out = lakeDir(name)
-    val ev = df.select(col("*"))
-    val stats = ev.agg(
-      min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
-      min(col("value")).as("mnv"), max(col("value")).as("mxv"))
-    ev.join(broadcast(stats))
-      .withColumn("z", zInterleave(
-        zCell(col("user_id"), col("mnu"), col("mxu")),
-        zCell(col("value"), col("mnv"), col("mxv"))))
-      .drop("mnu", "mxu", "mnv", "mxv")
-      .repartitionByRange(1, col("z"))
-      .sortWithinPartitions("z")
-      .drop("z")
+    withZKey(df)
+      .repartitionByRange(1, col("zvalue"))
+      .sortWithinPartitions("zvalue")
+      .drop("zvalue")
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes)
       .parquet(out)

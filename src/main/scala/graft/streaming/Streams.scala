@@ -189,14 +189,18 @@ final case class MonitorState(points: List[MPoint])
   * from its own trailing window.
   *
   * Agreement contract (StreamingSpec): for in-order arrivals — any
-  * micro-batch slicing — the emitted rows equal the batch RANGE-frame
-  * query on the same events, including same-timestamp groups (processed
-  * together exactly like a RANGE frame sees them) and the same r6
-  * rounding convention before the deviation comparison. Cross-batch
-  * OUT-OF-ORDER events are dropped as late data (the batch frame would
-  * retroactively restructure already-emitted windows — the same class of
-  * row a watermarked stateful operator sheds; [[Sessionize]]'s
-  * convention).
+  * micro-batch slicing that does not SPLIT a same-timestamp group — the
+  * emitted rows equal the batch RANGE-frame query on the same events,
+  * including same-timestamp groups (processed together exactly like a
+  * RANGE frame sees them) and the same r6 rounding convention before the
+  * deviation comparison. A boundary that does split a tie group scores
+  * the earlier members on their partial frame (append mode cannot
+  * retract them when the sibling arrives); holding emission until the
+  * watermark passes the group's timestamp is the production-grade close
+  * of that gap. Cross-batch OUT-OF-ORDER events are dropped as late data
+  * (the batch frame would retroactively restructure already-emitted
+  * windows — the same class of row a watermarked stateful operator
+  * sheds; [[Sessionize]]'s convention).
   *
   * State scale: one bounded buffer per active user (events inside 7
   * days), sharded by user across executors — the same per-key state
@@ -363,8 +367,15 @@ final case class ScdChange(
     user_id: Long, event_id: Long, valid_from_ms: Long, value: Double,
     valid_to_ms: Long)
 
-/** The open SCD2 row carried between micro-batches. */
-final case class ScdState(event_id: Long, valid_from_ms: Long, value: Double)
+/** The open SCD2 row carried between micro-batches, plus the newest
+  * PROCESSED event time — the late-data floor. The open row's
+  * `valid_from_ms` is NOT that floor: an absorbed repeat advances the
+  * clock without moving the interval start, and an out-of-order event
+  * between the two would otherwise be accepted and rewrite history the
+  * stream already vouched for.
+  */
+final case class ScdState(
+    event_id: Long, valid_from_ms: Long, value: Double, last_seen_ms: Long)
 
 /** The streaming form of ev12's SCD2 history build
   * ([[graft.operators.Events.scd2History]]) — the CDC shape that query
@@ -401,7 +412,7 @@ object Scd2Stream {
       state: GroupState[ScdState]): Iterator[ScdChange] = {
     var open = state.getOption
     val out = Seq.newBuilder[ScdChange]
-    val floor = open.map(_.valid_from_ms).getOrElse(Long.MinValue)
+    val floor = open.map(_.last_seen_ms).getOrElse(Long.MinValue)
     val sorted = events.toArray
       .filter(_.ts.getTime >= floor)
       .sortBy(e => (e.ts.getTime, e.event_id))
@@ -409,11 +420,14 @@ object Scd2Stream {
       val ms = e.ts.getTime
       open match {
         case None =>
-          open = Some(ScdState(e.event_id, ms, e.value))
-        case Some(o) if e.value == o.value => // repeat: interval absorbs it
+          open = Some(ScdState(e.event_id, ms, e.value, ms))
+        case Some(o) if e.value == o.value =>
+          // repeat: the interval absorbs it, but the late-data clock
+          // still advances past it
+          open = Some(o.copy(last_seen_ms = ms))
         case Some(o) =>
           out += ScdChange(userId, o.event_id, o.valid_from_ms, o.value, ms)
-          open = Some(ScdState(e.event_id, ms, e.value))
+          open = Some(ScdState(e.event_id, ms, e.value, ms))
       }
     }
     open.foreach(state.update)

@@ -64,4 +64,23 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01)
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
   }
+
+  test("psi: a tie-heavy reference merges deciles consistently, shares intact") {
+    import spark.implicits._
+    val week = 604800000L
+    // 60% of the reference is one value: several decile cuts coincide,
+    // so high bucket ids become unreachable rather than misassigned
+    val ref = (0 until 1000).map(i =>
+      (i * 60000L, if (i < 600) 5.0 else (i % 50) + 10.0))
+    val cur = (0 until 1000).map(i => (week + i * 60000L, (i % 50) + 10.0))
+    val rows = Stats.psiDriftCore((ref ++ cur).toDF("ts_ms", "value"))
+      .collect()
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted && ids.toSet.size == ids.size)
+    assert(ids.size < 10, ids) // merged deciles: fewer, not wrong, buckets
+    // the tied mass sits in ONE lower bucket and all shares still
+    // account for every row on both sides
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.02)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.02)
+  }
 }

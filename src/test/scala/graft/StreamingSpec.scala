@@ -346,11 +346,12 @@ class StreamingSpec extends AnyFunSuite {
     def ts(m: Int) = new java.sql.Timestamp(base + m * 60000L)
     // user 1: A A B B A — repeats must collapse even when the boundary
     // splits an open run (events 3 and 4 carry the same value across it);
-    // user 2: a single never-closed row
+    // user 2: an open row plus a later absorbed repeat (event 8)
     val events = Seq(
       MEvent(1L, 1L, ts(0), 5.0), MEvent(1L, 2L, ts(1), 5.0),
       MEvent(1L, 3L, ts(2), 7.0), MEvent(1L, 4L, ts(3), 7.0),
-      MEvent(1L, 5L, ts(4), 5.0), MEvent(2L, 6L, ts(0), 9.0))
+      MEvent(1L, 5L, ts(4), 5.0), MEvent(2L, 6L, ts(0), 9.0),
+      MEvent(2L, 8L, ts(5), 9.0))
 
     val batch = graft.operators.Events.scd2Core(
       events.toDF().select(col("user_id"), col("event_id"), col("ts"),
@@ -368,6 +369,12 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(events.take(4)) // boundary inside the 7.0 run
       q.processAllAvailable()
       input.addData(events.drop(4))
+      q.processAllAvailable()
+      // an out-of-order arrival BETWEEN user 2's open start (t0) and its
+      // absorbed repeat (t5) must be dropped as late data: the clock
+      // advanced to t5 even though the open interval still starts at t0 —
+      // flooring on valid_from would accept this and rewrite history
+      input.addData(MEvent(2L, 9L, ts(2), 42.0))
       q.processAllAvailable()
     } finally q.stop()
     val got = spark.table("scd2_out").as[ScdChange].collect().toSet
