@@ -49,6 +49,49 @@ class DedupSpec extends AnyFunSuite {
     assert(!rows.exists { case (a, b, _) => a == 1L && b == 5L })
   }
 
+  test("dd10's banded DP reports exact distances on seeded random corpora") {
+    import spark.implicits._
+    // textbook full-matrix levenshtein as the independent referee
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo",
+      "foxtrot", "golf", "hotel", "india", "juliet")
+    // families of mutated copies: drop/replace/duplicate a token so the
+    // band route yields plenty of candidates at varied true distances
+    val docs = (0 until 8).flatMap { fam =>
+      val base = Vector.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 4).map { v =>
+        val mutated = rnd.nextInt(3) match {
+          case 0 => base.updated(rnd.nextInt(base.size),
+            vocab(rnd.nextInt(vocab.size)))
+          case 1 => base.patch(rnd.nextInt(base.size), Nil, 1)
+          case _ => base
+        }
+        ((fam * 4 + v).toLong, mutated.mkString(" "))
+      }
+    }
+    val byId = docs.toMap
+    val rows = graft.operators.Dedup.editDistanceCore(
+      docs.toDF("doc_id", "text")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val want = BigDecimal(
+        1.0 - lev(a, b).toDouble / math.max(a.length, b.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // the banded threshold may only ever shortcut pairs BELOW the bar;
+      // every emitted similarity must be the exact full-matrix value
+      assert(r.getDouble(2) == want && want >= 0.8, s"$r want=$want")
+    }
+  }
+
   test("minhash LSH candidates verify against true shingle jaccard") {
     val rows = graft.operators.Dedup.minhashLsh(spark, sf).collect()
     assert(rows.forall(_.getAs[Double]("shingle_jaccard") >= 0.7))

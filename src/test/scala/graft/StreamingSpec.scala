@@ -381,6 +381,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == wantClosed, s"stream=$got batch=$wantClosed")
   }
 
+  test("streaming SCD2 == batch closed rows on seeded random streams and slicings") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{MEvent, ScdChange, Scd2Stream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(2026)
+    val base = 1704103200000L
+    for (trial <- 0 until 3) {
+      // tiny value domain forces plenty of repeat runs; in-order per user
+      val events = (1 to 2).flatMap { u =>
+        (0 until 8 + rnd.nextInt(6)).map { i =>
+          MEvent(u.toLong, (u * 100 + i).toLong,
+            new java.sql.Timestamp(base + i * 60000L),
+            (1 + rnd.nextInt(3)).toDouble)
+        }
+      }
+      val want = graft.operators.Events.scd2Core(
+          events.toDF().select(col("user_id"), col("event_id"), col("ts"),
+            col("value"))).collect()
+        .filter(!_.isNullAt(4))
+        .map(r => ScdChange(r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).toSet
+      val cut = 1 + rnd.nextInt(events.size - 1)
+      val input = MemoryStream[MEvent]
+      val q = Scd2Stream.changes(input.toDS())
+        .writeStream.format("memory").queryName(s"scd2_rnd_$trial")
+        .outputMode("append").start()
+      try {
+        input.addData(events.take(cut))
+        q.processAllAvailable()
+        input.addData(events.drop(cut))
+        q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table(s"scd2_rnd_$trial").as[ScdChange].collect().toSet
+      assert(got == want, s"trial $trial cut=$cut: stream=$got batch=$want")
+    }
+  }
+
   test("streaming latest-state converges to the ev7 batch snapshot, even out of order") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
