@@ -87,6 +87,28 @@ class LakeSpec extends AnyFunSuite {
         .count())
   }
 
+  test("z-interleave matches an independent bit interleave on random cells") {
+    import spark.implicits._
+    def ref(a: Long, b: Long): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(7)
+    val cells = (Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L)) ++
+      Seq.fill(200)((rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)))
+    val got = cells.toDF("a", "b")
+      .select(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"),
+        Lake.zInterleave(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ref(r.getLong(0), r.getLong(1)), r)
+    }
+    // corner sanity: full-range interleave fills exactly 32 bits
+    assert(ref(65535L, 65535L) == 0xFFFFFFFFL)
+  }
+
   test("compacted write honors the output file budget exactly") {
     val out = Lake.compactedWrite(
       Tables.t(spark, sf, "events").select("event_id", "user_id", "value"),
