@@ -498,8 +498,6 @@ object TextAnalysis {
     */
   private[graft] def bm25Core(src: DataFrame, query: Seq[String]): DataFrame = {
     import graft.functions.TextFunctions.tokensOrdered
-    val k1 = 1.2
-    val b = 0.75
     val docs = src
       .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
     val lens = docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"),
@@ -511,12 +509,22 @@ object TextAnalysis {
       .groupBy("doc_id", "dl", "token")
       .agg(count(lit(1)).as("tf"))
     val dfreq = tfs.groupBy("token").agg(count(col("doc_id")).as("df"))
+    bm25Score(tfs.join(broadcast(dfreq), "token").crossJoin(broadcast(stats)))
+  }
+
+  /** The ONE BM25 scoring tail — consumed by both the direct-scan path
+    * (t16) and the serve-from-index path (t18), so the two rankers share
+    * the exact IEEE expression tree and cannot drift by an ulp. Input
+    * frame carries (doc_id, dl, token, tf, df, n, avgdl).
+    */
+  private def bm25Score(tfdf: DataFrame): DataFrame = {
+    val k1 = 1.2
+    val b = 0.75
     val contrib =
       log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
         (col("tf") * (k1 + 1)) /
         (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
-    tfs.join(broadcast(dfreq), "token").crossJoin(broadcast(stats))
-      .groupBy("doc_id")
+    tfdf.groupBy("doc_id")
       .agg(round(sum(contrib), 6).as("bm25"),
         count(lit(1)).as("n_terms_matched"))
       .orderBy(col("bm25").desc, col("doc_id"))
@@ -536,8 +544,22 @@ object TextAnalysis {
     * collected list canonical — collect_list order is otherwise
     * partition-dependent), plus a WindowGroupLimit-free broadcast of
     * nothing: no second pass, no skew (shards bound the hot terms).
+    *
+    * Gate rule: the driver's checker sorts every output column and cannot
+    * sort array cells, so the posting list ships as a ','-joined string —
+    * same information, scalar schema. `invertedIndexRaw` keeps the typed
+    * array form for in-engine consumers (t18 serves BM25 from it).
     */
-  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexRaw(spark, dir)
+      .withColumn("postings",
+        array_join(col("postings").cast("array<string>"), ","))
+
+  /** The typed (token, shard) → array<long> posting table — the form a
+    * retrieval stage joins against (t18); t17's gate output is this with
+    * the list serialized to a scalar for the driver's comparator.
+    */
+  def invertedIndexRaw(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.tokenSet
     t(spark, dir, "documents")
       .select(col("doc_id"), explode(tokenSet(col("text"))).as("token"))
@@ -547,9 +569,60 @@ object TextAnalysis {
       .orderBy("token", "shard")
   }
 
+  /** The ranked-retrieval index pair t18 serves from — Lucene's layout in
+    * frame form: a FREQUENCY index ((token, shard) → postings of
+    * (doc_id, tf) structs — t17's membership index with term frequencies
+    * on the postings, same sharding, same one-hash-aggregate build) plus
+    * the doc-length "norms" table. Together they carry everything BM25
+    * needs: tf on the posting, df = posting count per token, dl from the
+    * norms table, N/avgdl from one 1-row aggregate of it.
+    */
+  private[graft] def freqIndexFrames(src: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.TextFunctions.tokensOrdered
+    val docs = src.select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
+    val docLens =
+      docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    val index = docs
+      .select(col("doc_id"), explode(col("tk")).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy(col("token"),
+        floor(col("doc_id") / 100).cast("long").as("shard"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("tf"))))
+        .as("postings"))
+    (index, docLens)
+  }
+
+  /** t18 — BM25 served FROM the materialized index (the retrieval half of
+    * the t17 build/serve story): the query's terms select their posting
+    * rows out of the frequency index, tf rides the postings, df is the
+    * slice's per-token posting count, and dl/N/avgdl come from the
+    * doc-length table — then the SAME [[bm25Score]] tail as t16 ranks.
+    * TextAnalysisSpec pins t16 ≡ t18 row-for-row; the gate pins the
+    * driver corpus against t16's oracle (identical output contract).
+    *
+    * Scale: the index-side filter selects |Q| token groups — a
+    * token-prefix range scan on the materialized table, never a corpus
+    * scan; the exploded slice joins the doc-length table with the SLICE
+    * broadcast (the norms table is corpus-sized, the slice is |Q|-bounded
+    * per shard), so serving cost is posting-slice-sized end to end.
+    */
+  def bm25FromIndex(spark: SparkSession, dir: String): DataFrame = {
+    val (index, docLens) = freqIndexFrames(t(spark, dir, "documents"))
+    val query = Seq("spark", "join", "window")
+    val slice = index.filter(col("token").isin(query: _*))
+      .select(col("token"), explode(col("postings")).as("p"))
+      .select(col("token"), col("p.doc_id").as("doc_id"), col("p.tf").as("tf"))
+    val dfreq = slice.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = docLens.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl"))
+    bm25Score(
+      docLens.join(broadcast(slice.join(broadcast(dfreq), "token")), "doc_id")
+        .crossJoin(broadcast(stats)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t16_bm25_rank" -> bm25Rank,
     "t17_inverted_index" -> invertedIndex,
+    "t18_bm25_from_index" -> bm25FromIndex,
     "t1_text_profile" -> profile,
     "t2_quality_bands" -> qualityBands,
     "t3_fingerprints" -> fingerprints,
@@ -640,6 +713,31 @@ object TextAnalysis {
        |  SELECT unnest(list_transform(range(1, length(token)),
        |    i -> substr(token, CAST(i AS INTEGER), 2))) AS pair
        |  FROM tok WHERE length(token) >= 2)""".stripMargin
+
+  /** The direct-scan BM25 top-10 — shared by t16 and t18 (one output
+    * contract, two Spark plans: scan vs serve-from-index).
+    */
+  private lazy val sqlBm25TopTen =
+    s"""WITH tk AS (
+       |  SELECT doc_id, $sqlTokens AS t FROM documents),
+       | lens AS (
+       |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM tk),
+       | stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
+       | tfs AS (
+       |  SELECT doc_id, dl, token, count(*) AS tf FROM (
+       |    SELECT doc_id, dl, unnest(t) AS token FROM lens)
+       |  WHERE token IN ('spark', 'join', 'window')
+       |  GROUP BY doc_id, dl, token),
+       | dfreq AS (SELECT token, count(doc_id) AS df FROM tfs GROUP BY token)
+       |SELECT doc_id,
+       |  round(sum(
+       |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+       |  count(*) AS n_terms_matched
+       |FROM tfs JOIN dfreq USING (token) CROSS JOIN stats
+       |GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id
+       |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "t1_text_profile" ->
@@ -809,34 +907,19 @@ object TextAnalysis {
          |LIMIT 50""".stripMargin,
     "t17_inverted_index" ->
       s"""SELECT token, shard, count(*) AS n_docs,
-         |  list(doc_id ORDER BY doc_id) AS postings
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
          |FROM (
          |  SELECT doc_id, CAST(floor(doc_id / 100) AS BIGINT) AS shard,
          |    unnest(list_distinct($sqlTokens)) AS token
          |  FROM documents)
          |GROUP BY token, shard
          |ORDER BY token, shard""".stripMargin,
-    "t16_bm25_rank" ->
-      s"""WITH tk AS (
-         |  SELECT doc_id, $sqlTokens AS t FROM documents),
-         | lens AS (
-         |  SELECT doc_id, CAST(len(t) AS BIGINT) AS dl, t FROM tk),
-         | stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM lens),
-         | tfs AS (
-         |  SELECT doc_id, dl, token, count(*) AS tf FROM (
-         |    SELECT doc_id, dl, unnest(t) AS token FROM lens)
-         |  WHERE token IN ('spark', 'join', 'window')
-         |  GROUP BY doc_id, dl, token),
-         | dfreq AS (SELECT token, count(doc_id) AS df FROM tfs GROUP BY token)
-         |SELECT doc_id,
-         |  round(sum(
-         |    ln(1.0 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
-         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
-         |  count(*) AS n_terms_matched
-         |FROM tfs JOIN dfreq USING (token) CROSS JOIN stats
-         |GROUP BY doc_id
-         |ORDER BY bm25 DESC, doc_id
-         |LIMIT 10""".stripMargin,
+    "t16_bm25_rank" -> sqlBm25TopTen,
+    // t18 serves the SAME ranking from the materialized index — its
+    // output contract is t16's, so the oracle is the shared direct-scan
+    // SQL (the serve path's index plumbing is pinned Spark-side by the
+    // t16 ≡ t18 equivalence spec).
+    "t18_bm25_from_index" -> sqlBm25TopTen,
     "t12_tfidf_keywords" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),

@@ -37,6 +37,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!got.contains(6L) && got.values.forall(_ > 0))
   }
 
+  test("t18 serve-from-index BM25 is row-identical to t16 direct scan") {
+    // The build/serve halves of the retrieval story must agree exactly:
+    // same docs, same scores to the rounded digit, same tiebreak order.
+    val direct = TextAnalysis.bm25Rank(spark, sf).collect().toSeq
+    val served = TextAnalysis.bm25FromIndex(spark, sf).collect().toSeq
+    assert(direct.nonEmpty)
+    assert(served == direct)
+  }
+
+  test("t17 gate postings string agrees with the typed index") {
+    val typed = TextAnalysis.invertedIndexRaw(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        r.getSeq[Long](r.fieldIndex("postings")).mkString(","))
+      .toMap
+    val gate = TextAnalysis.invertedIndex(spark, sf).collect()
+    assert(gate.nonEmpty)
+    gate.foreach { r =>
+      assert(r.getString(r.fieldIndex("postings")) ==
+        typed((r.getString(0), r.getLong(1))))
+    }
+  }
+
   test("lm surprise: positive finite scores; <2-token docs score null") {
     val rows = TextAnalysis.lmSurprise(spark, sf).collect()
     assert(rows.length == 500)
