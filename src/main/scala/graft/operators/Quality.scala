@@ -14,8 +14,9 @@ import graft.Tables.t
   *
   * Constraint classes covered: primary-key uniqueness (hash aggregate on
   * the key, map-side combine), referential integrity (anti join against
-  * the referenced key set — broadcast when the dimension is small, plain
-  * shuffle join otherwise; never a driver-side collect), domain/range
+  * the referenced key set — AQE picks broadcast vs shuffle from runtime
+  * sizes; never a driver-side collect, never a forced broadcast of a
+  * possibly-fact-sized referenced table), domain/range
   * predicates and null checks (scan-local filters, pushed to parquet).
   * Each check aggregates to ONE row before the union, so the report
   * plan's exchanges carry single-row frames regardless of table size.
@@ -40,8 +41,13 @@ object Quality {
 
     val pkDupes = cust.groupBy(col("c_custkey"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
+    // No broadcast hint on either FK check: the referenced side of a
+    // real FK can be anything from a 25-row region dim to a fact-sized
+    // customer table, so AQE's size-based choice (broadcast under the
+    // threshold, shuffle join above it) is the right call at 100 TB — a
+    // forced broadcast of a large referenced table would OOM the build.
     val orphanOrders = ord.select(col("o_custkey"))
-      .join(broadcast(cust.select(col("c_custkey"))),
+      .join(cust.select(col("c_custkey")),
         col("o_custkey") === col("c_custkey"), "left_anti")
     val orphanLines = li.select(col("l_orderkey"))
       .join(ord.select(col("o_orderkey")),

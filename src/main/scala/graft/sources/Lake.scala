@@ -20,13 +20,22 @@ import graft.Tables.{r2, t}
   */
 object Lake {
 
-  private def lakeDir(name: String): String =
-    new java.io.File(sys.props("user.dir"), s"target/lake/$name").getAbsolutePath
+  /** Layout roots are keyed by the session's application id: two
+    * concurrent sessions (a bench run beside a verify run) each get their
+    * own directory tree, so one cannot overwrite a layout the other is
+    * mid-read on. Within ONE session the usual lake single-writer rule
+    * applies (the gate queries are sequential, so it holds by
+    * construction).
+    */
+  private def lakeDir(spark: SparkSession, name: String): String =
+    new java.io.File(sys.props("user.dir"),
+      s"target/lake/${spark.sparkContext.applicationId}/$name").getAbsolutePath
 
   /** Spec access to the layout root (comparison layouts live beside the
     * library-written ones).
     */
-  private[graft] def lakeDirForTest(name: String): String = lakeDir(name)
+  private[graft] def lakeDirForTest(spark: SparkSession, name: String): String =
+    lakeDir(spark, name)
 
   /** Write events partitioned by event_type, read back ONE partition, and
     * summarize it. The read's filter must resolve at planning time
@@ -47,7 +56,7 @@ object Lake {
     * data filter) is the same plan the gate aggregates over.
     */
   private[graft] def prunedScan(spark: SparkSession, dir: String): DataFrame = {
-    val out = lakeDir("events_by_type")
+    val out = lakeDir(spark, "events_by_type")
     t(spark, dir, "events")
       .write.mode("overwrite").partitionBy("event_type").parquet(out)
     spark.read.parquet(out).filter(col("event_type") === "click")
@@ -60,7 +69,7 @@ object Lake {
     * file count equals the budget.
     */
   def compactedWrite(df: DataFrame, name: String, numFiles: Int): String = {
-    val out = lakeDir(name)
+    val out = lakeDir(df.sparkSession, name)
     df.repartition(numFiles).write.mode("overwrite").parquet(out)
     out
   }
@@ -116,7 +125,7 @@ object Lake {
     * gate) and [[writeZOrdered]] (the layout): a scaling or bit-budget
     * change cannot desynchronize the written layout from the gated key.
     */
-  private def withZKey(df: DataFrame): DataFrame = {
+  private[graft] def withZKey(df: DataFrame): DataFrame = {
     val stats = df.agg(
       min(col("user_id")).as("mnu"), max(col("user_id")).as("mxu"),
       min(col("value")).as("mnv"), max(col("value")).as("mxv"))
@@ -136,14 +145,22 @@ object Lake {
   /** Write `df` clustered by the z-order of (user_id, value) — the layout
     * side of [[zorderKeys]]: range-partition then sort by the Morton code
     * so every output file and row group covers a compact rectangle of the
-    * 2-D space. `rowGroupBytes` is exposed for LakeSpec to force many
-    * small row groups on tiny test data; production leaves the default.
+    * 2-D space. `repartitionByRange` keeps file z-ranges DISJOINT at any
+    * partition count, which is all the row-group-skipping argument needs
+    * — so `numPartitions` defaults to the session's shuffle-partition
+    * setting (a 1000-executor compaction writes in parallel; one global
+    * range partition would serialize the whole sort through one task).
+    * `rowGroupBytes` is exposed for LakeSpec to force many small row
+    * groups on tiny test data; production leaves the default.
     */
   private[graft] def writeZOrdered(df: DataFrame, name: String,
-      rowGroupBytes: Long = 128L * 1024 * 1024): String = {
-    val out = lakeDir(name)
+      rowGroupBytes: Long = 128L * 1024 * 1024,
+      numPartitions: Int = 0): String = {
+    val out = lakeDir(df.sparkSession, name)
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     withZKey(df)
-      .repartitionByRange(1, col("zvalue"))
+      .repartitionByRange(n, col("zvalue"))
       .sortWithinPartitions("zvalue")
       .drop("zvalue")
       .write.mode("overwrite")

@@ -36,8 +36,12 @@ class LakeSpec extends AnyFunSuite {
     // 10k rows + tiny row groups => enough groups for stats to matter
     val ev = Tables.t(spark, "/root/testdata/sf0.01", "events")
       .select("event_id", "user_id", "value")
-    val zDir = Lake.writeZOrdered(ev, "events_z", rowGroupBytes = 8192)
-    val linDir = Lake.lakeDirForTest("events_linear")
+    // numPartitions = 1 keeps the z and linear group counts comparable
+    // for the overlap-count comparison below; the multi-partition path is
+    // covered by the disjoint-z-ranges test.
+    val zDir = Lake.writeZOrdered(ev, "events_z", rowGroupBytes = 8192,
+      numPartitions = 1)
+    val linDir = Lake.lakeDirForTest(spark, "events_linear")
     ev.repartitionByRange(1, col("user_id")).sortWithinPartitions("user_id")
       .write.mode("overwrite").option("parquet.block.size", 8192L)
       .parquet(linDir)
@@ -107,6 +111,36 @@ class LakeSpec extends AnyFunSuite {
     }
     // corner sanity: full-range interleave fills exactly 32 bits
     assert(ref(65535L, 65535L) == 0xFFFFFFFFL)
+  }
+
+  test("multi-partition z-order write keeps per-file z-ranges disjoint") {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    val ev = Tables.t(spark, "/root/testdata/sf0.01", "events")
+      .select("event_id", "user_id", "value")
+    val zDir = Lake.writeZOrdered(ev, "events_z8", rowGroupBytes = 8192,
+      numPartitions = 8)
+    // Recompute each written row's z-key (same rows => same corpus
+    // min/max => same cells) and collapse to per-file [min, max] ranges.
+    // input_file_name() must attach directly over the single scan —
+    // withZKey's stats join would make it a multi-source expression.
+    val tagged = Lake.withZKey(
+      spark.read.parquet(zDir).withColumn("f", input_file_name()))
+    val ranges = tagged
+      .groupBy(col("f"))
+      .agg(min(col("zvalue")).as("lo"), max(col("zvalue")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "expected a parallel multi-file layout")
+    ranges.sliding(2).foreach { case Array((_, hi), (lo2, _)) =>
+      assert(hi < lo2, s"overlapping file z-ranges: $hi >= $lo2")
+    }
+    // and 2-D skipping still holds: a z-interval query touches a strict
+    // subset of the files
+    val (zl, zh) = (ranges(2)._1, ranges(2)._2)
+    val touched = tagged
+      .filter(col("zvalue").between(zl, zh))
+      .select(col("f")).distinct().count()
+    assert(touched < ranges.length)
+    assert(spark.read.parquet(zDir).count() == ev.count())
   }
 
   test("compacted write honors the output file budget exactly") {
