@@ -55,6 +55,47 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** ab2 — the full experiment readout on the same ONE-pass conditional-
+    * aggregate discipline as ab1: Welch's t plus its Welch–Satterthwaite
+    * degrees of freedom and the pooled-variance Cohen's d effect size —
+    * what a real readout reports next to the statistic (df feeds the
+    * p-value lookup, d says whether a significant effect is LARGE).
+    * Everything derives arithmetically from the six per-arm aggregates
+    * (n, mean, var per arm) the single hash aggregate already computes;
+    * no second pass, no self-join. Squares are spelled `x * x` in both
+    * engines (never `pow`) so the IEEE trees match bit-for-bit under the
+    * 6-decimal rounding grid.
+    */
+  def abEffect(spark: SparkSession, dir: String): DataFrame =
+    abEffectCore(t(spark, dir, "events"))
+
+  /** ab2 over an explicit `(user_id, event_type, value)` frame —
+    * StatsSpec pins the df bracket (min(n)-1 <= df <= n_a+n_b-2, the
+    * Welch–Satterthwaite envelope) and d's scale-invariance.
+    */
+  private[graft] def abEffectCore(ev: DataFrame): DataFrame = {
+    val a = inGroupA(col("user_id"))
+    val va = when(a, col("value"))
+    val vb = when(!a, col("value"))
+    val na = count(va)
+    val nb = count(vb)
+    val s2a = var_samp(va)
+    val s2b = var_samp(vb)
+    val sea = s2a / na
+    val seb = s2b / nb
+    val se2 = sea + seb
+    val dfW = (se2 * se2) /
+      ((sea * sea) / (na - 1) + (seb * seb) / (nb - 1))
+    val pooled = ((na - 1) * s2a + (nb - 1) * s2b) / (na + nb - 2)
+    ev.groupBy(col("event_type"))
+      .agg(
+        na.as("n_a"), nb.as("n_b"),
+        r6((avg(va) - avg(vb)) / sqrt(se2)).as("t_stat"),
+        r6(dfW).as("df_welch"),
+        r6((avg(va) - avg(vb)) / sqrt(pooled)).as("cohen_d"))
+      .orderBy("event_type")
+  }
+
   private val RefWindowMs = 604800000L // the first 7 corpus days
 
   /** drift1 — Population Stability Index of events.value, current period
@@ -118,9 +159,53 @@ object Stats {
       .orderBy("bucket")
   }
 
+  /** drift2 — categorical PSI: the event_type MIX, current period vs the
+    * same first-week reference slice drift1 uses — the categorical half
+    * of the monitoring story (a feature whose numeric distribution is
+    * stable can still drift in its category mix, and vice versa). No
+    * cuts needed: the buckets are the observed category set itself, so
+    * the whole monitor is ONE scan into ONE hash aggregate keyed on the
+    * category — nothing sorts anywhere, at any scale. Smoothing follows
+    * drift1's Laplace convention generalized to K observed categories
+    * (+0.5 per cell, +0.5·K on the denominator — K from the same 1-row
+    * broadcast as the totals), so a category absent from one side
+    * scores finite. Shares and terms are exact-integer arithmetic under
+    * the 6-decimal grid.
+    */
+  def psiCategorical(spark: SparkSession, dir: String): DataFrame =
+    psiCategoricalCore(
+      t(spark, dir, "events").select(unix_millis(col("ts")).as("ts_ms"),
+        col("event_type")))
+
+  /** drift2 over an explicit `(ts_ms, event_type)` frame — StatsSpec
+    * plants an identical mix (near-zero PSI) and a shifted mix (PSI far
+    * past the 0.25 action threshold), plus a side-only category.
+    */
+  private[graft] def psiCategoricalCore(src: DataFrame): DataFrame = {
+    val ev = src.filter(col("event_type").isNotNull)
+    val t0 = ev.agg(min(col("ts_ms")).as("t0"))
+    val counts = ev.crossJoin(broadcast(t0))
+      .select(col("event_type"),
+        (col("ts_ms") < col("t0") + RefWindowMs).as("in_ref"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("in_ref"), 1)).as("n_ref"),
+        count(when(!col("in_ref"), 1)).as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("tr"),
+      sum(col("n_cur")).as("tc"), count(lit(1)).as("k"))
+    val p = (col("n_ref") + 0.5) / (col("tr") + lit(0.5) * col("k"))
+    val q = (col("n_cur") + 0.5) / (col("tc") + lit(0.5) * col("k"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_ref"), col("n_cur"),
+        r6(p).as("p_ref"), r6(q).as("p_cur"),
+        r6((p - q) * log(p / q)).as("psi_term"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab1_welch_readout" -> abTest,
-    "drift1_psi" -> psiDrift
+    "ab2_welch_effect" -> abEffect,
+    "drift1_psi" -> psiDrift,
+    "drift2_psi_categorical" -> psiCategorical
   )
 
   val oracle: Map[String, String] = Map(
@@ -142,6 +227,57 @@ object Stats {
         |           / count(CASE WHEN NOT a THEN value END)), 6) AS t_stat
         |FROM e
         |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+    // ab2: the t/df/d arithmetic runs on the UNROUNDED per-arm aggregates
+    // in a CTE, mirroring Spark's inline expressions op-for-op (squares
+    // as x * x, never pow) so both IEEE trees are identical.
+    "ab2_welch_effect" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a
+        |  FROM events),
+        | agg AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN a THEN value END) AS n_a,
+        |    count(CASE WHEN NOT a THEN value END) AS n_b,
+        |    avg(CASE WHEN a THEN value END) AS m_a,
+        |    avg(CASE WHEN NOT a THEN value END) AS m_b,
+        |    var_samp(CASE WHEN a THEN value END) AS s2_a,
+        |    var_samp(CASE WHEN NOT a THEN value END) AS s2_b
+        |  FROM e GROUP BY event_type)
+        |SELECT event_type, n_a, n_b,
+        |  round((m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b), 6) AS t_stat,
+        |  round(((s2_a / n_a + s2_b / n_b) * (s2_a / n_a + s2_b / n_b)) /
+        |    ((s2_a / n_a) * (s2_a / n_a) / (n_a - 1)
+        |   + (s2_b / n_b) * (s2_b / n_b) / (n_b - 1)), 6) AS df_welch,
+        |  round((m_a - m_b) /
+        |    sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b) / (n_a + n_b - 2)),
+        |    6) AS cohen_d
+        |FROM agg
+        |ORDER BY event_type""".stripMargin,
+    "drift2_psi_categorical" ->
+      s"""WITH e AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, event_type
+        |  FROM events WHERE event_type IS NOT NULL),
+        | t0 AS (SELECT min(ts_ms) AS t0 FROM e),
+        | counts AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN ts_ms < (SELECT t0 FROM t0) + $RefWindowMs
+        |      THEN 1 END) AS n_ref,
+        |    count(CASE WHEN NOT (ts_ms < (SELECT t0 FROM t0) + $RefWindowMs)
+        |      THEN 1 END) AS n_cur
+        |  FROM e GROUP BY event_type),
+        | tot AS (
+        |  SELECT sum(n_ref) AS tr, sum(n_cur) AS tc, count(*) AS k
+        |  FROM counts)
+        |SELECT event_type, n_ref, n_cur,
+        |  round((n_ref + 0.5) / (tr + 0.5 * k), 6) AS p_ref,
+        |  round((n_cur + 0.5) / (tc + 0.5 * k), 6) AS p_cur,
+        |  round(((n_ref + 0.5) / (tr + 0.5 * k)
+        |       - (n_cur + 0.5) / (tc + 0.5 * k))
+        |    * ln(((n_ref + 0.5) / (tr + 0.5 * k))
+        |       / ((n_cur + 0.5) / (tc + 0.5 * k))), 6) AS psi_term
+        |FROM counts CROSS JOIN tot
         |ORDER BY event_type""".stripMargin,
     "drift1_psi" ->
       s"""WITH e AS (

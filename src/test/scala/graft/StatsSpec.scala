@@ -42,6 +42,56 @@ class StatsSpec extends AnyFunSuite {
     assert(tOf(frame(13.0, 10.0)) > up)
   }
 
+  test("welch effect readout: df inside the Satterthwaite envelope, d scale-invariant") {
+    import spark.implicits._
+    def frame(scale: Double) =
+      (armA.take(60).zipWithIndex.map { case (u, i) =>
+        (u, "click", (11.0 + (i % 7) * 0.1) * scale) } ++
+        armB.take(40).zipWithIndex.map { case (u, i) =>
+          (u, "click", (9.0 + (i % 13) * 0.3) * scale) })
+        .toDF("user_id", "event_type", "value")
+    val r = Stats.abEffectCore(frame(1.0)).collect()(0)
+    val (na, nb) = (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))
+    val df = r.getAs[Double]("df_welch")
+    // Welch–Satterthwaite df is bracketed by min(n)-1 and n_a+n_b-2
+    assert(df >= math.min(na, nb) - 1 && df <= na + nb - 2, s"df=$df")
+    // planted positive effect: t and d agree in sign
+    assert(r.getAs[Double]("t_stat") > 0 && r.getAs[Double]("cohen_d") > 0)
+    // Cohen's d is unitless: rescaling every value leaves it unchanged
+    val r10 = Stats.abEffectCore(frame(10.0)).collect()(0)
+    assert(math.abs(r10.getAs[Double]("cohen_d") -
+      r.getAs[Double]("cohen_d")) < 1e-5)
+    assert(math.abs(r10.getAs[Double]("df_welch") - df) < 1e-3)
+  }
+
+  test("categorical psi: near zero on the same mix, far after a mix shift") {
+    import spark.implicits._
+    val week = 604800000L
+    def ev(offsetMs: Long, types: Seq[String]) =
+      types.zipWithIndex.flatMap { case (t, j) =>
+        (0 until 100).map(i => (offsetMs + (j * 100 + i) * 60000L, t)) }
+    // identical 4-way mix on both sides
+    val mix = Seq("click", "view", "buy", "scroll")
+    val same = (ev(0L, mix) ++ ev(week, mix)).toDF("ts_ms", "event_type")
+    val psiSame = Stats.psiCategoricalCore(same).agg(sum("psi_term"))
+      .collect()(0).getDouble(0)
+    assert(math.abs(psiSame) < 0.01, psiSame)
+    // current period collapses to one dominant category
+    val shifted = (ev(0L, mix) ++
+      ev(week, Seq("click", "click", "click", "click")))
+      .toDF("ts_ms", "event_type")
+    val psiShift = Stats.psiCategoricalCore(shifted).agg(sum("psi_term"))
+      .collect()(0).getDouble(0)
+    assert(psiShift > 0.25, psiShift)
+    // a category on only ONE side still scores finite, and every
+    // observed category emits exactly one row with shares summing to ~1
+    val rows = Stats.psiCategoricalCore(shifted).collect()
+    assert(rows.map(_.getString(0)).toSeq == mix.sorted)
+    assert(rows.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.01)
+  }
+
   test("psi: near zero on identical slices, far from zero after a shift") {
     import spark.implicits._
     val week = 604800000L
