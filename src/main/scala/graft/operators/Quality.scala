@@ -68,8 +68,43 @@ object Quality {
       .orderBy("constraint")
   }
 
+  /** dq2 — the constraint classes a warehouse adds right after dq1's
+    * basics: ACCEPTED VALUES (column domain is a closed set — the dbt
+    * `accepted_values` test; scan-local IN-list filters, pushed to
+    * parquet) and CROSS-COLUMN predicates (row-level invariants relating
+    * two columns of one row — discount+tax inside the unit interval,
+    * extended price at least the quantity, i.e. unit price >= 1; still
+    * scan-local, no join). Same report contract as dq1: one row per
+    * constraint, driver corpus all-green, QualitySpec plants one
+    * violation per new class.
+    */
+  def dq2AcceptedAndCross(spark: SparkSession, dir: String): DataFrame =
+    acceptedAndCrossReport(t(spark, dir, "orders"),
+      t(spark, dir, "lineitem"), t(spark, dir, "events"))
+
+  private[graft] def acceptedAndCrossReport(
+      ord: DataFrame, li: DataFrame, ev: DataFrame): DataFrame = {
+    val badEventType = ev.filter(!col("event_type")
+      .isin("click", "view", "purchase", "signup", "error"))
+    val badStatus = ord.filter(!col("o_orderstatus").isin("O", "F", "P"))
+    val badPriority = ord.filter(!col("o_orderpriority").isin(
+      "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+    val badDiscTax = li.filter(col("l_discount") + col("l_tax") > 1)
+    val badUnitPrice = li.filter(col("l_extendedprice") < col("l_quantity"))
+    val badTotal = ord.filter(col("o_totalprice") < 0)
+
+    one("events_type_accepted_values", badEventType)
+      .unionAll(one("lineitem_disc_plus_tax_in_unit_range", badDiscTax))
+      .unionAll(one("lineitem_unit_price_at_least_one", badUnitPrice))
+      .unionAll(one("orders_priority_accepted_values", badPriority))
+      .unionAll(one("orders_status_accepted_values", badStatus))
+      .unionAll(one("orders_totalprice_nonnegative", badTotal))
+      .orderBy("constraint")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dq1_constraint_report" -> dq1ConstraintReport
+    "dq1_constraint_report" -> dq1ConstraintReport,
+    "dq2_accepted_cross_report" -> dq2AcceptedAndCross
   )
 
   val oracle: Map[String, String] = Map(
@@ -98,6 +133,28 @@ object Quality {
         |  SELECT 'orders_fk_customer',
         |    (SELECT count(*) FROM orders r WHERE NOT EXISTS
         |      (SELECT 1 FROM customer c WHERE c.c_custkey = r.o_custkey)))
+        |ORDER BY "constraint"""".stripMargin,
+    "dq2_accepted_cross_report" ->
+      """SELECT * FROM (
+        |  SELECT 'events_type_accepted_values' AS "constraint",
+        |    (SELECT count(*) FROM events WHERE event_type NOT IN
+        |      ('click', 'view', 'purchase', 'signup', 'error')) AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem_disc_plus_tax_in_unit_range',
+        |    (SELECT count(*) FROM lineitem WHERE l_discount + l_tax > 1)
+        |  UNION ALL
+        |  SELECT 'lineitem_unit_price_at_least_one',
+        |    (SELECT count(*) FROM lineitem WHERE l_extendedprice < l_quantity)
+        |  UNION ALL
+        |  SELECT 'orders_priority_accepted_values',
+        |    (SELECT count(*) FROM orders WHERE o_orderpriority NOT IN
+        |      ('1-URGENT', '2-HIGH', '3-MEDIUM', '4-NOT SPECIFIED', '5-LOW'))
+        |  UNION ALL
+        |  SELECT 'orders_status_accepted_values',
+        |    (SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+        |  UNION ALL
+        |  SELECT 'orders_totalprice_nonnegative',
+        |    (SELECT count(*) FROM orders WHERE o_totalprice < 0))
         |ORDER BY "constraint"""".stripMargin
   )
 }

@@ -49,4 +49,47 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.length == 7)
     assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
   }
+
+  test("accepted-values and cross-column report counts planted violations") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    val ord = Seq(
+      (10L, "O", "1-URGENT", 100.0),
+      (11L, "X", "2-HIGH", 50.0),        // bad status
+      (12L, "F", "6-WHENEVER", 75.0),    // bad priority
+      (13L, "P", "5-LOW", -2.0)          // negative total
+    ).toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val li = Seq(
+      (10L, 5.0, 20.0, 0.05, 0.04),
+      (11L, 3.0, 30.0, 0.80, 0.40),      // discount+tax > 1
+      (12L, 4.0, 2.0, 0.00, 0.00)        // extended price below quantity
+    ).toDF("l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val ev = Seq(
+      (1L, ts(0), "click"), (2L, ts(1), "hover") // unknown event type
+    ).toDF("event_id", "ts", "event_type")
+
+    val got = Quality.acceptedAndCrossReport(ord, li, ev)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      "events_type_accepted_values" -> 1L,
+      "lineitem_disc_plus_tax_in_unit_range" -> 1L,
+      "lineitem_unit_price_at_least_one" -> 1L,
+      "orders_priority_accepted_values" -> 1L,
+      "orders_status_accepted_values" -> 1L,
+      "orders_totalprice_nonnegative" -> 1L), got)
+    // a NULL domain column is not an accepted-values violation (dq1's
+    // null checks own that class) — consistent with SQL NOT IN semantics
+    val nullEv = Seq((3L, ts(2), null.asInstanceOf[String]))
+      .toDF("event_id", "ts", "event_type")
+    val g2 = Quality.acceptedAndCrossReport(ord, li, nullEv)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(g2("events_type_accepted_values") == 0L)
+  }
+
+  test("dq2 on the driver corpus is the all-clean baseline") {
+    val rows = Quality.dq2AcceptedAndCross(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 6)
+    assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
+  }
 }
