@@ -285,6 +285,41 @@ object Relational {
       .orderBy("bucket")
   }
 
+  /** prof3 — pairwise correlation profile: Pearson r and sample
+    * covariance for every pair of profiled numeric columns, the
+    * "which features are redundant / which move together" readout a
+    * feature-engineering pass runs right after prof1's univariate stats.
+    * ONE aggregate scan computes every pair's co-moments (corr and
+    * covar_samp are ordinary map-side-partial aggregates); the per-pair
+    * rows explode out of the single 1-row result — prof1's long-format
+    * convention, so the plan cannot re-run the aggregate per pair.
+    * Pearson r is dimensionless in [-1, 1] (6-decimal rounding is miles
+    * from the co-moment association error); covariance carries the
+    * columns' units and scale, so it rounds at 2 like the money columns.
+    */
+  def prof3CorrelationMatrix(spark: SparkSession, dir: String): DataFrame =
+    corrProfile(t(spark, dir, "lineitem"),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+
+  private[graft] def corrProfile(src: DataFrame, cols: Seq[String]): DataFrame = {
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = pairs.flatMap { case (a, b) =>
+      Seq(r6(corr(col(a), col(b))).as(s"r_${a}_$b"),
+        r2(covar_samp(col(a), col(b))).as(s"c_${a}_$b"))
+    }
+    src.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_x"), lit(b).as("col_y"),
+          col(s"r_${a}_$b").as("pearson_r"),
+          col(s"c_${a}_$b").as("covariance"))
+      }: _*)).as("p"))
+      .select(col("p.col_x"), col("p.col_y"), col("p.pearson_r"),
+        col("p.covariance"))
+      .orderBy("col_x", "col_y")
+  }
+
   /** Set operations: customers with both urgent and low-priority orders
     * (INTERSECT), with urgent only (EXCEPT), and all with either (UNION
     * distinct), tagged and unioned.
@@ -918,6 +953,7 @@ object Relational {
     "w4_value_navigation" -> w4ValueNavigation,
     "prof1_column_profile" -> prof1ColumnProfile,
     "prof2_equidepth_histogram" -> prof2EquiDepthHistogram,
+    "prof3_correlation_matrix" -> prof3CorrelationMatrix,
     "set1_priority_customers" -> set1PriorityCustomers,
     "set2_multiset_ops" -> set2MultisetOps,
     "topk_parts_by_quantity" -> topkPartsByQuantity,
@@ -1210,6 +1246,31 @@ object Relational {
         |    ORDER BY value, event_id) AS BIGINT) AS value_quartile
         |FROM e
         |ORDER BY user_id, event_id""".stripMargin,
+    "prof3_correlation_matrix" ->
+      """WITH a AS (
+        |  SELECT
+        |    round(corr(l_quantity, l_extendedprice), 6) AS r_qe,
+        |    round(covar_samp(l_quantity, l_extendedprice), 2) AS c_qe,
+        |    round(corr(l_quantity, l_discount), 6) AS r_qd,
+        |    round(covar_samp(l_quantity, l_discount), 2) AS c_qd,
+        |    round(corr(l_quantity, l_tax), 6) AS r_qt,
+        |    round(covar_samp(l_quantity, l_tax), 2) AS c_qt,
+        |    round(corr(l_extendedprice, l_discount), 6) AS r_ed,
+        |    round(covar_samp(l_extendedprice, l_discount), 2) AS c_ed,
+        |    round(corr(l_extendedprice, l_tax), 6) AS r_et,
+        |    round(covar_samp(l_extendedprice, l_tax), 2) AS c_et,
+        |    round(corr(l_discount, l_tax), 6) AS r_dt,
+        |    round(covar_samp(l_discount, l_tax), 2) AS c_dt
+        |  FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+        |    r_qe AS pearson_r, c_qe AS covariance FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_discount', r_qd, c_qd FROM a
+        |  UNION ALL SELECT 'l_quantity', 'l_tax', r_qt, c_qt FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_discount', r_ed, c_ed FROM a
+        |  UNION ALL SELECT 'l_extendedprice', 'l_tax', r_et, c_et FROM a
+        |  UNION ALL SELECT 'l_discount', 'l_tax', r_dt, c_dt FROM a)
+        |ORDER BY col_x, col_y""".stripMargin,
     "prof2_equidepth_histogram" ->
       """SELECT bucket, count(*) AS n, min(v) AS lo, max(v) AS hi
         |FROM (

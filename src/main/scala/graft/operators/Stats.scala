@@ -96,6 +96,40 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** ab3 — chi-square test of independence between the experiment arm
+    * and the event-type mix: ab1/ab2 ask "did the VALUE move"; this asks
+    * "did the BEHAVIOR mix move" (a treatment that shifts what users do,
+    * not how much, is invisible to the t test and lights up here). One
+    * hash aggregate builds the K×2 contingency table as conditional
+    * counts; expected cells and the per-category chi-square contribution
+    * `(O−E)²/E` are arithmetic over the broadcast 1-row margins —
+    * everything from exact integer counts (the cast to double happens at
+    * the same operand in both engines, squares spelled x*x), so the gate
+    * is bit-stable at 6 decimals. The scalar statistic is the sum of
+    * terms with df = K−1.
+    */
+  def abChisq(spark: SparkSession, dir: String): DataFrame =
+    abChisqCore(t(spark, dir, "events"))
+
+  /** ab3 over an explicit `(user_id, event_type)` frame — StatsSpec
+    * plants an identical mix (terms ≈ 0) and an arm-skewed category.
+    */
+  private[graft] def abChisqCore(ev: DataFrame): DataFrame = {
+    val a = inGroupA(col("user_id"))
+    val counts = ev.groupBy(col("event_type"))
+      .agg(count(when(a, 1)).as("n_a"), count(when(!a, 1)).as("n_b"))
+    val tot = counts.agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val n = col("ta") + col("tb")
+    val ea = (col("n_a") + col("n_b")) * col("ta").cast("double") / n
+    val eb = (col("n_a") + col("n_b")) * col("tb").cast("double") / n
+    counts.crossJoin(broadcast(tot))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        r6(ea).as("expected_a"), r6(eb).as("expected_b"),
+        r6((col("n_a") - ea) * (col("n_a") - ea) / ea +
+          (col("n_b") - eb) * (col("n_b") - eb) / eb).as("chisq_term"))
+      .orderBy("event_type")
+  }
+
   private val RefWindowMs = 604800000L // the first 7 corpus days
 
   /** drift1 — Population Stability Index of events.value, current period
@@ -204,6 +238,7 @@ object Stats {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ab1_welch_readout" -> abTest,
     "ab2_welch_effect" -> abEffect,
+    "ab3_chisq_mix" -> abChisq,
     "drift1_psi" -> psiDrift,
     "drift2_psi_categorical" -> psiCategorical
   )
@@ -254,6 +289,27 @@ object Stats {
         |    sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b) / (n_a + n_b - 2)),
         |    6) AS cohen_d
         |FROM agg
+        |ORDER BY event_type""".stripMargin,
+    "ab3_chisq_mix" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN substr(md5(user_id::VARCHAR), 1, 1) < '8'
+        |      THEN 1 END) AS n_a,
+        |    count(CASE WHEN NOT (substr(md5(user_id::VARCHAR), 1, 1) < '8')
+        |      THEN 1 END) AS n_b
+        |  FROM events GROUP BY event_type),
+        | tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM c)
+        |SELECT event_type, n_a, n_b,
+        |  round((n_a + n_b) * CAST(ta AS DOUBLE) / (ta + tb), 6) AS expected_a,
+        |  round((n_a + n_b) * CAST(tb AS DOUBLE) / (ta + tb), 6) AS expected_b,
+        |  round(
+        |    (n_a - (n_a + n_b) * CAST(ta AS DOUBLE) / (ta + tb))
+        |      * (n_a - (n_a + n_b) * CAST(ta AS DOUBLE) / (ta + tb))
+        |      / ((n_a + n_b) * CAST(ta AS DOUBLE) / (ta + tb))
+        |  + (n_b - (n_a + n_b) * CAST(tb AS DOUBLE) / (ta + tb))
+        |      * (n_b - (n_a + n_b) * CAST(tb AS DOUBLE) / (ta + tb))
+        |      / ((n_a + n_b) * CAST(tb AS DOUBLE) / (ta + tb)), 6) AS chisq_term
+        |FROM c CROSS JOIN tot
         |ORDER BY event_type""".stripMargin,
     "drift2_psi_categorical" ->
       s"""WITH e AS (

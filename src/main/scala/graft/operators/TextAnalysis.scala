@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.t
+import graft.Tables.{r6, t}
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table (north-star
@@ -429,6 +429,48 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t19 — PMI collocations: corpus-wide pointwise mutual information
+    * over token bigrams, `ln(p(ab) / (p(a)·p(b)))` — the association
+    * measure that separates true collocations ("machine learning") from
+    * bigrams that co-occur only because both words are common. t13 asks
+    * "which bigram dominates WITHIN a document"; this asks "which pairs
+    * are bound ACROSS the corpus" — the phrase-mining signal a tokenizer
+    * or stopword-phrase list is built from.
+    *
+    * Scale shape: unigram and bigram counts are each ONE hash aggregate
+    * with map-side combine; both model frames are VOCABULARY-sized (t8's
+    * convention), so the unigram joins broadcast and the corpus totals
+    * are 1-row aggregates OF the model frames (no extra corpus pass).
+    * The min-support filter (n_ab >= 5) lands before the joins, so the
+    * scored frame is the frequent-bigram slice, not the long tail. PMI
+    * is one ln-of-exact-integers expression, identical term order in
+    * both engines; the top-50 ranks on the ROUNDED score with a bigram
+    * tiebreak — one TakeOrderedAndProject.
+    */
+  def pmiCollocations(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.rawShingles
+    val docs = t(spark, dir, "documents")
+      .select(tokensOrdered(col("text")).as("tk"))
+    val uni = docs.select(explode(col("tk")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n_tok"))
+    val tt = uni.agg(sum(col("n_tok")).cast("double").as("t_tok"))
+    val pairs = docs.filter(size(col("tk")) >= 2)
+      .select(explode(rawShingles(col("tk"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("n_ab"))
+    val nbig = pairs.agg(sum(col("n_ab")).cast("double").as("n_big"))
+    pairs.filter(col("n_ab") >= 5)
+      .join(broadcast(uni.select(col("token").as("ta"), col("n_tok").as("n_a"))),
+        substring_index(col("bg"), " ", 1) === col("ta"))
+      .join(broadcast(uni.select(col("token").as("tb"), col("n_tok").as("n_b"))),
+        substring_index(col("bg"), " ", -1) === col("tb"))
+      .crossJoin(broadcast(nbig)).crossJoin(broadcast(tt))
+      .select(col("bg").as("bigram"), col("n_ab"), col("n_a"), col("n_b"),
+        r6(log(col("n_ab")) - log(col("n_big")) + lit(2.0) * log(col("t_tok"))
+          - log(col("n_a")) - log(col("n_b"))).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(50)
+  }
+
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   private val UrlRe = "https?://[^\\s]+"
   private val PhoneRe = "\\+[0-9][0-9-]{6,}[0-9]"
@@ -623,6 +665,7 @@ object TextAnalysis {
     "t16_bm25_rank" -> bm25Rank,
     "t17_inverted_index" -> invertedIndex,
     "t18_bm25_from_index" -> bm25FromIndex,
+    "t19_pmi_collocations" -> pmiCollocations,
     "t1_text_profile" -> profile,
     "t2_quality_bands" -> qualityBands,
     "t3_fingerprints" -> fingerprints,
@@ -915,6 +958,29 @@ object TextAnalysis {
          |GROUP BY token, shard
          |ORDER BY token, shard""".stripMargin,
     "t16_bm25_rank" -> sqlBm25TopTen,
+    "t19_pmi_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlTokens AS t FROM documents),
+         | uni AS (
+         |  SELECT token, count(*) AS n_tok FROM (
+         |    SELECT unnest(t) AS token FROM tk) GROUP BY token),
+         | tt AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS t_tok FROM uni),
+         | bi AS (
+         |  SELECT unnest(list_transform(range(1, len(t)),
+         |    i -> list_element(t, i) || ' ' || list_element(t, i + 1))) AS bg
+         |  FROM tk WHERE len(t) >= 2),
+         | pairs AS (SELECT bg, count(*) AS n_ab FROM bi GROUP BY bg),
+         | nb AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS n_big FROM pairs)
+         |SELECT bg AS bigram, n_ab, ua.n_tok AS n_a, ub.n_tok AS n_b,
+         |  round(ln(n_ab) - ln((SELECT n_big FROM nb))
+         |    + 2.0 * ln((SELECT t_tok FROM tt))
+         |    - ln(ua.n_tok) - ln(ub.n_tok), 6) AS pmi
+         |FROM pairs
+         |JOIN uni ua ON split_part(bg, ' ', 1) = ua.token
+         |JOIN uni ub ON split_part(bg, ' ', 2) = ub.token
+         |WHERE n_ab >= 5
+         |ORDER BY pmi DESC, bigram
+         |LIMIT 50""".stripMargin,
     // t18 serves the SAME ranking from the materialized index — its
     // output contract is t16's, so the oracle is the shared direct-scan
     // SQL (the serve path's index plumbing is pinned Spark-side by the

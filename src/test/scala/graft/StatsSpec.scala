@@ -64,6 +64,29 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(r10.getAs[Double]("df_welch") - df) < 1e-3)
   }
 
+  test("chi-square mix test: zero on proportional arms, large on a skewed category") {
+    import spark.implicits._
+    // identical behavior mix in both arms -> every term ~0
+    def rows(skew: Boolean) =
+      (armA.take(80).zipWithIndex.map { case (u, i) =>
+        (u, if (i % 4 == 0) "buy" else "view") } ++
+        armB.take(80).zipWithIndex.map { case (u, i) =>
+          // skewed: arm B almost never buys
+          (u, if (!skew && i % 4 == 0) "buy" else "view") })
+        .toDF("user_id", "event_type")
+    val flat = Stats.abChisqCore(rows(skew = false)).collect()
+    assert(flat.forall(r => math.abs(r.getAs[Double]("chisq_term")) < 1e-6))
+    val skewed = Stats.abChisqCore(rows(skew = true)).collect()
+    val total = skewed.map(_.getAs[Double]("chisq_term")).sum
+    // K=2 categories -> df=1; 3.84 is the 95% critical value
+    assert(total > 3.84, total)
+    // observed and expected margins agree per category
+    skewed.foreach { r =>
+      assert(r.getAs[Double]("expected_a") > 0 &&
+        r.getAs[Double]("expected_b") > 0)
+    }
+  }
+
   test("categorical psi: near zero on the same mix, far after a mix shift") {
     import spark.implicits._
     val week = 604800000L

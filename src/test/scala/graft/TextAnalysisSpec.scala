@@ -59,6 +59,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("pmi ranks a bound collocation above an incidental co-occurrence") {
+    import spark.implicits._
+    // "alpha beta" occurs ONLY as a pair (10 times); "gamma delta" are
+    // both frequent (40+ occurrences each) but adjacent just 6 times —
+    // both pass min-support, and PMI must rank the bound pair first.
+    val filler = (0 until 40).map(i => s"gamma x$i delta y$i").mkString(" ")
+    val docs = Seq(
+      (1L, ("alpha beta " * 10).trim),
+      (2L, filler),
+      (3L, "gamma delta " * 6)
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-t19").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextAnalysis.pmiCollocations(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows.contains("alpha beta") && rows.contains("gamma delta"), rows)
+    assert(rows("alpha beta") > rows("gamma delta"), rows)
+    // PMI of the bound pair is strongly positive (co-occurrence far above
+    // the independence baseline)
+    assert(rows("alpha beta") > 1.0)
+  }
+
   test("lm surprise: positive finite scores; <2-token docs score null") {
     val rows = TextAnalysis.lmSurprise(spark, sf).collect()
     assert(rows.length == 500)
