@@ -224,15 +224,25 @@ object Stats {
       .groupBy(col("event_type"))
       .agg(count(when(col("in_ref"), 1)).as("n_ref"),
         count(when(!col("in_ref"), 1)).as("n_cur"))
+    psiFromCounts(counts, "event_type")
+  }
+
+  /** The counts → smoothed-shares → PSI tail over an arbitrary
+    * `(keyCol, n_ref, n_cur)` contingency frame — ONE definition shared
+    * by the batch gate (drift2) and the deployed streaming monitor
+    * ([[graft.streaming.DriftMonitor]]), so the scoring arithmetic
+    * cannot drift between the two halves.
+    */
+  private[graft] def psiFromCounts(counts: DataFrame, keyCol: String): DataFrame = {
     val tot = counts.agg(sum(col("n_ref")).as("tr"),
       sum(col("n_cur")).as("tc"), count(lit(1)).as("k"))
     val p = (col("n_ref") + 0.5) / (col("tr") + lit(0.5) * col("k"))
     val q = (col("n_cur") + 0.5) / (col("tc") + lit(0.5) * col("k"))
     counts.crossJoin(broadcast(tot))
-      .select(col("event_type"), col("n_ref"), col("n_cur"),
+      .select(col(keyCol), col("n_ref"), col("n_cur"),
         r6(p).as("p_ref"), r6(q).as("p_cur"),
         r6((p - q) * log(p / q)).as("psi_term"))
-      .orderBy("event_type")
+      .orderBy(keyCol)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

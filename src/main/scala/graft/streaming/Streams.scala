@@ -70,6 +70,39 @@ object Streams {
       graft.sources.Artifacts.store(batch, s"$path/batch=$id")
     }
 
+  /** Deployed drift monitoring — the streaming twin of the drift2 gate:
+    * the live stream's cumulative category counts (a Complete-mode
+    * streaming aggregation, state = one row per observed category,
+    * sharded by key) are re-scored against a STATIC reference count
+    * frame on every micro-batch, through the SAME
+    * [[graft.operators.Stats.psiFromCounts]] tail the batch gate uses —
+    * the monitor and the gate cannot disagree on the arithmetic. The
+    * reference side is how this deploys in practice: the first-week
+    * counts are computed once (batch) and pinned; the monitor tracks the
+    * live mix against them and `onReport` receives the per-category PSI
+    * frame (plus the micro-batch id) to threshold/alert on.
+    *
+    * A full-outer category join keeps reference categories the stream
+    * has not emitted yet (and stream-only novel categories) in the
+    * report with a zero count — both score finite under the Laplace
+    * smoothing, which is exactly the "a category vanished/appeared"
+    * alarm a mix monitor exists for.
+    */
+  def driftMonitor(current: DataFrame, referenceCounts: DataFrame)(
+      onReport: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    current
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_cur"))
+      .writeStream.outputMode(OutputMode.Complete())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val counts = referenceCounts
+          .join(batch, Seq("event_type"), "full_outer")
+          .select(col("event_type"),
+            coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+            coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+        onReport(id, graft.operators.Stats.psiFromCounts(counts, "event_type"))
+      }
+
   /** Streaming corpus ingest — the streaming twin of the training-corpus
     * pipeline's head (pipe1): score quality and language with the SAME
     * expression trees the batch t4 filter uses, drop below-bar documents,

@@ -223,6 +223,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"stream=$got batch=$want")
   }
 
+  test("drift monitor scores the cumulative stream mix like the batch tail") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ref = Seq(("click", 50L), ("view", 50L), ("buy", 10L))
+      .toDF("event_type", "n_ref")
+    val reports = scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    val input = MemoryStream[String]
+    val q = Streams.driftMonitor(input.toDF().toDF("event_type"), ref) {
+      (id, psi) => reports.synchronized { reports(id) = psi.collect().toSeq }
+    }.start()
+    try {
+      input.addData(Seq.fill(30)("click") ++ Seq.fill(10)("view"))
+      q.processAllAvailable()
+      input.addData(Seq.fill(40)("view") ++ Seq.fill(5)("scroll"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 0 scored only the first micro-batch's counts
+    val expect0 = graft.operators.Stats.psiFromCounts(
+      Seq(("buy", 10L, 0L), ("click", 50L, 30L), ("view", 50L, 10L))
+        .toDF("event_type", "n_ref", "n_cur"), "event_type").collect().toSeq
+    assert(reports(0L) == expect0, s"got ${reports(0L)}")
+    // batch 1 is CUMULATIVE (complete-mode state), including the novel
+    // category (n_ref=0) and the vanished one (n_cur=0), both finite
+    val expect1 = graft.operators.Stats.psiFromCounts(
+      Seq(("buy", 10L, 0L), ("click", 50L, 30L), ("scroll", 0L, 5L),
+        ("view", 50L, 50L))
+        .toDF("event_type", "n_ref", "n_cur"), "event_type").collect().toSeq
+    assert(reports(1L) == expect1, s"got ${reports(1L)}")
+    assert(expect1.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
+  }
+
   test("streaming artifact sink checkpoints each micro-batch as reloadable JSON") {
     val srcDir = Files.createTempDirectory("graft-art-src").toString
     val outDir = Files.createTempDirectory("graft-art-out").toString
