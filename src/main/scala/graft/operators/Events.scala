@@ -287,7 +287,38 @@ object Events {
       .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
+  /** ev13 — rollup merge: weekly aggregates derived ONLY from daily
+    * PARTIAL aggregates (count/sum/min/max are algebraic — mergeable —
+    * and avg re-derives from the merged sum and count), while the oracle
+    * computes the same weekly rows DIRECTLY from the raw events. A hash
+    * match therefore PROVES the reaggregation is lossless — the
+    * correctness property every materialized-rollup / incremental-ETL
+    * scheme rests on (store daily partials, serve any coarser grain
+    * without touching raw data again).
+    *
+    * Scale: this is the pattern that turns a 100 TB weekly report into a
+    * scan of day×type partial rows. Both aggregations are ordinary hash
+    * aggregates with map-side combine; the second one runs on the
+    * already-tiny daily frame. Monday-start ISO weeks in both engines.
+    */
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame = {
+    val daily = t(spark, dir, "events")
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    daily
+      .groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
+      .agg(sum(col("n")).as("n"), r2(sum(col("sv"))).as("total_value"),
+        min(col("mn")).as("min_value"), max(col("mx")).as("max_value"),
+        r6(sum(col("sv")) / sum(col("n"))).as("avg_value"))
+      .select(unix_millis(col("week")).as("week_start_ms"), col("event_type"),
+        col("n"), col("total_value"), col("min_value"), col("max_value"),
+        col("avg_value"))
+      .orderBy("week_start_ms", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev13_rollup_merge" -> rollupMerge,
     "ev8_merge_upsert" -> mergeUpsert,
     "ev9_retention" -> retention,
     "ev10_anomaly" -> anomalies,
@@ -301,6 +332,17 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // ev13's oracle aggregates the RAW events directly — a hash match
+    // proves the Spark side's daily-partial merge is lossless.
+    "ev13_rollup_merge" ->
+      """SELECT epoch_ms(date_trunc('week', CAST(ts AS TIMESTAMP)))
+        |    AS week_start_ms,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS total_value,
+        |  min(value) AS min_value, max(value) AS max_value,
+        |  round(sum(value) / count(*), 6) AS avg_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY week_start_ms, event_type""".stripMargin,
     "ev12_scd2_history" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

@@ -450,4 +450,38 @@ class PlanSpec extends AnyFunSuite {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p.take(3500))
     assert(!p.contains("CartesianProduct"), p.take(3500))
   }
+
+  test("prof3 computes every pair's co-moments in one scan of lineitem") {
+    // 12 corr/covar aggregates fold into ONE aggregate pass; the explode
+    // of the 1-row result must not replay the aggregate per pair
+    val p = plan("prof3_correlation_matrix")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+  }
+
+  test("t19 broadcasts the vocabulary models; corpus never self-joins") {
+    // both unigram attach joins and both 1-row totals are broadcasts —
+    // the only exchanges carry vocabulary-sized model frames
+    val p = plan("t19_pmi_collocations")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("t18 serves from the index: norms join builds on the posting slice") {
+    // the corpus-sized doc-length table must stream through a broadcast
+    // hash join whose BUILD side is the |Q|-bounded posting slice —
+    // never a shuffle of the norms table against the slice
+    val p = plan("t18_bm25_from_index")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
+  test("ev13 merges weekly from daily partials: one scan, two hash aggregates") {
+    val p = plan("ev13_rollup_merge")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2500)) // 2 partial+final pairs
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
 }
