@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampType}
 
 /** Shared helpers for the driver test tables (`TESTDATA.md`) and for
   * oracle-deterministic query output.
@@ -18,24 +19,35 @@ object Tables {
 
   /** Load one driver parquet table from an sf directory.
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * rejects by default; it is read via the nanos-as-long escape hatch and
-    * converted to a microsecond timestamp (`ts div 1000` floor-truncates,
-    * matching DuckDB's TIMESTAMP_NS → TIMESTAMP cast for the oracle).
+    * `events.parquet` has shipped under two physical encodings of `ts`
+    * across testdata generations, so the loader branches on the LOADED
+    * schema instead of hardcoding one vintage:
     *
-    * The escape hatch is a SESSION-WIDE conf and is deliberately left set
-    * (an engine-wide default, also set by [[GraftSession]]): restoring it
-    * after this call would be unsound because the returned frame is lazy
-    * and re-consults the conf at execution. Effect on other reads: parquet
-    * nanos columns elsewhere decode as raw longs instead of failing — an
-    * explicit schema shape, not silent data corruption.
+    *   - parquet TIMESTAMP(NANOS): Spark rejects nanos by default, so the
+    *     session-wide `nanosAsLong` escape hatch (also set by
+    *     [[GraftSession]]) decodes the column as a raw long, which we
+    *     floor-truncate to microseconds (`ts div 1000` — matching DuckDB's
+    *     TIMESTAMP_NS → TIMESTAMP cast for the oracle). The conf is left
+    *     set deliberately: the returned frame is lazy and re-consults it
+    *     at execution, so restoring it here would be unsound.
+    *   - parquet TIMESTAMP_MICROS with `isAdjustedToUTC=false`: Spark
+    *     decodes `timestamp_ntz`, which we cast to TimestampType. Under
+    *     the session's UTC zone the ntz→ltz cast is a wall-clock identity,
+    *     so `unix_millis`/`date_trunc`/window frames behave identically to
+    *     the nanos path and to DuckDB's TIMESTAMP.
+    *   - already TimestampType: passed through untouched.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
+      val tsCol = raw.schema("ts").dataType match {
+        case LongType => expr("timestamp_micros(ts div 1000)")
+        case TimestampType => col("ts")
+        case _ => col("ts").cast(TimestampType)
+      }
       raw.select(raw.columns.map {
-        case "ts" => expr("timestamp_micros(ts div 1000)").as("ts")
+        case "ts" => tsCol.as("ts")
         case c => col(c)
       }.toIndexedSeq: _*)
     } else spark.read.parquet(s"$dir/$name.parquet")
@@ -48,4 +60,16 @@ object Tables {
     * guaranteed.
     */
   def r6(c: Column): Column = round(c, 6)
+
+  /** [[r2]]/[[r6]] for SIGNED statistics that can round to zero (t-stats,
+    * effect sizes, slopes, correlations, covariances). DuckDB's IEEE
+    * `round` returns −0.0 for a tiny negative value while Spark's
+    * BigDecimal-based `round` returns +0.0; the raw bits differ
+    * (0x8000… vs 0x0) and the driver's hash compare diverges. Adding
+    * integer 0 is an IEEE identity everywhere EXCEPT −0.0, which it
+    * normalizes to +0.0 — the oracle SQL for such outputs carries the
+    * same `+ 0` tail, so both engines agree on the zero's sign.
+    */
+  def r2s(c: Column): Column = round(c, 2) + lit(0)
+  def r6s(c: Column): Column = round(c, 6) + lit(0)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.Tables.{t, r2, r6}
+import graft.Tables.{t, r2, r2s, r6, r6s}
 
 /** Relational query surface (SURVEY.md §2.5): aggregations, joins, windows,
   * set ops, top-k, grouping sets, scalar functions — the capabilities the
@@ -306,8 +306,8 @@ object Relational {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
     val aggs = pairs.flatMap { case (a, b) =>
-      Seq(r6(corr(col(a), col(b))).as(s"r_${a}_$b"),
-        r2(covar_samp(col(a), col(b))).as(s"c_${a}_$b"))
+      Seq(r6s(corr(col(a), col(b))).as(s"r_${a}_$b"),
+        r2s(covar_samp(col(a), col(b))).as(s"c_${a}_$b"))
     }
     src.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(pairs.map { case (a, b) =>
@@ -1249,18 +1249,18 @@ object Relational {
     "prof3_correlation_matrix" ->
       """WITH a AS (
         |  SELECT
-        |    round(corr(l_quantity, l_extendedprice), 6) AS r_qe,
-        |    round(covar_samp(l_quantity, l_extendedprice), 2) AS c_qe,
-        |    round(corr(l_quantity, l_discount), 6) AS r_qd,
-        |    round(covar_samp(l_quantity, l_discount), 2) AS c_qd,
-        |    round(corr(l_quantity, l_tax), 6) AS r_qt,
-        |    round(covar_samp(l_quantity, l_tax), 2) AS c_qt,
-        |    round(corr(l_extendedprice, l_discount), 6) AS r_ed,
-        |    round(covar_samp(l_extendedprice, l_discount), 2) AS c_ed,
-        |    round(corr(l_extendedprice, l_tax), 6) AS r_et,
-        |    round(covar_samp(l_extendedprice, l_tax), 2) AS c_et,
-        |    round(corr(l_discount, l_tax), 6) AS r_dt,
-        |    round(covar_samp(l_discount, l_tax), 2) AS c_dt
+        |    round(corr(l_quantity, l_extendedprice), 6) + 0 AS r_qe,
+        |    round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS c_qe,
+        |    round(corr(l_quantity, l_discount), 6) + 0 AS r_qd,
+        |    round(covar_samp(l_quantity, l_discount), 2) + 0 AS c_qd,
+        |    round(corr(l_quantity, l_tax), 6) + 0 AS r_qt,
+        |    round(covar_samp(l_quantity, l_tax), 2) + 0 AS c_qt,
+        |    round(corr(l_extendedprice, l_discount), 6) + 0 AS r_ed,
+        |    round(covar_samp(l_extendedprice, l_discount), 2) + 0 AS c_ed,
+        |    round(corr(l_extendedprice, l_tax), 6) + 0 AS r_et,
+        |    round(covar_samp(l_extendedprice, l_tax), 2) + 0 AS c_et,
+        |    round(corr(l_discount, l_tax), 6) + 0 AS r_dt,
+        |    round(covar_samp(l_discount, l_tax), 2) + 0 AS c_dt
         |  FROM lineitem)
         |SELECT * FROM (
         |  SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{r6, t}
+import graft.Tables.{r6, r6s, t}
 
 /** Experiment / monitoring statistics — the A/B-readout and
   * distribution-drift layer an analytics engine serves on top of its
@@ -49,7 +49,7 @@ object Stats {
       .agg(
         count(va).as("n_a"), count(vb).as("n_b"),
         r6(avg(va)).as("mean_a"), r6(avg(vb)).as("mean_b"),
-        r6((avg(va) - avg(vb)) /
+        r6s((avg(va) - avg(vb)) /
           sqrt(var_samp(va) / count(va) + var_samp(vb) / count(vb)))
           .as("t_stat"))
       .orderBy("event_type")
@@ -90,9 +90,9 @@ object Stats {
     ev.groupBy(col("event_type"))
       .agg(
         na.as("n_a"), nb.as("n_b"),
-        r6((avg(va) - avg(vb)) / sqrt(se2)).as("t_stat"),
+        r6s((avg(va) - avg(vb)) / sqrt(se2)).as("t_stat"),
         r6(dfW).as("df_welch"),
-        r6((avg(va) - avg(vb)) / sqrt(pooled)).as("cohen_d"))
+        r6s((avg(va) - avg(vb)) / sqrt(pooled)).as("cohen_d"))
       .orderBy("event_type")
   }
 
@@ -269,7 +269,7 @@ object Stats {
         |    sqrt(var_samp(CASE WHEN a THEN value END)
         |           / count(CASE WHEN a THEN value END)
         |       + var_samp(CASE WHEN NOT a THEN value END)
-        |           / count(CASE WHEN NOT a THEN value END)), 6) AS t_stat
+        |           / count(CASE WHEN NOT a THEN value END)), 6) + 0 AS t_stat
         |FROM e
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
@@ -291,13 +291,13 @@ object Stats {
         |    var_samp(CASE WHEN NOT a THEN value END) AS s2_b
         |  FROM e GROUP BY event_type)
         |SELECT event_type, n_a, n_b,
-        |  round((m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b), 6) AS t_stat,
+        |  round((m_a - m_b) / sqrt(s2_a / n_a + s2_b / n_b), 6) + 0 AS t_stat,
         |  round(((s2_a / n_a + s2_b / n_b) * (s2_a / n_a + s2_b / n_b)) /
         |    ((s2_a / n_a) * (s2_a / n_a) / (n_a - 1)
         |   + (s2_b / n_b) * (s2_b / n_b) / (n_b - 1)), 6) AS df_welch,
         |  round((m_a - m_b) /
         |    sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b) / (n_a + n_b - 2)),
-        |    6) AS cohen_d
+        |    6) + 0 AS cohen_d
         |FROM agg
         |ORDER BY event_type""".stripMargin,
     "ab3_chisq_mix" ->

@@ -146,8 +146,10 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("freq").desc, col("token"))))
     ranked
       .agg(
-        round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
-        round(corr(log(col("freq")), log(col("rank"))), 6).as("zipf_corr"),
+        (round(expr("regr_slope(ln(freq), ln(rank))"), 6) + lit(0))
+          .as("zipf_slope"),
+        (round(corr(log(col("freq")), log(col("rank"))), 6) + lit(0))
+          .as("zipf_corr"),
         count(lit(1)).as("n_types"),
         sum(col("freq")).as("n_tokens"))
   }
@@ -838,8 +840,8 @@ object TextAnalysis {
         |  SELECT freq,
         |    row_number() OVER (ORDER BY freq DESC, token) AS rank
         |  FROM freqs)
-        |SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
-        |  round(corr(ln(freq), ln(rank)), 6) AS zipf_corr,
+        |SELECT round(regr_slope(ln(freq), ln(rank)), 6) + 0 AS zipf_slope,
+        |  round(corr(ln(freq), ln(rank)), 6) + 0 AS zipf_corr,
         |  count(*) AS n_types,
         |  CAST(sum(freq) AS BIGINT) AS n_tokens
         |FROM ranked""".stripMargin,

@@ -39,7 +39,8 @@ def cells_equal(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         if math.isnan(a) and math.isnan(b):
             return True
-        return a == b
+        # bit-strict like the driver's hash compare: -0.0 != +0.0
+        return a == b and math.copysign(1.0, a) == math.copysign(1.0, b)
     try:
         if pd.isna(a) and pd.isna(b):
             return True
