@@ -334,9 +334,49 @@ object Enrichment {
       .orderBy("source", "tokens_before", "doc_id")
   }
 
+  /** d10 — winsorization readout: the percentile-clip step a
+    * feature/reward-normalization pass runs before training on
+    * heavy-tailed numerics (price, duration, token counts). Reports the
+    * p01/p99 cut points, how many rows each side clips, and the mean
+    * before/after — the "how much did the tail move my statistic"
+    * audit line.
+    *
+    * Scale shape: TWO fact scans by construction — one exact-percentile
+    * aggregate for the cuts (a 1-row broadcast), one scan-local
+    * clip-and-aggregate (no shuffle beyond the final 1-row combine). At
+    * 100 TB the first pass swaps `percentile` for `approx_percentile`
+    * (prof2's sketch-cut convention) with no shape change. Cuts round to
+    * 4 (pct1's exact-percentile interpolation grain) before every
+    * comparison, so boundary rows clip identically on both engines.
+    */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeCore(
+      t(spark, dir, "lineitem").select(col("l_extendedprice").as("v")))
+
+  /** d10 over an explicit single-column frame `v` — DictionarySpec plants
+    * a known tail and checks the exact clip counts and the clamped mean.
+    */
+  private[graft] def winsorizeCore(v: DataFrame): DataFrame = {
+    val cuts = v.agg(
+      round(expr("percentile(v, 0.01)"), 4).as("lo_cut"),
+      round(expr("percentile(v, 0.99)"), 4).as("hi_cut"))
+    v.join(broadcast(cuts))
+      .groupBy(col("lo_cut"), col("hi_cut"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(when(col("v") < col("lo_cut"), 1)).as("n_clipped_lo"),
+        count(when(col("v") > col("hi_cut"), 1)).as("n_clipped_hi"),
+        round(avg(col("v")), 6).as("mean_raw"),
+        round(avg(
+          when(col("v") < col("lo_cut"), col("lo_cut"))
+            .when(col("v") > col("hi_cut"), col("hi_cut"))
+            .otherwise(col("v"))), 6).as("mean_winsorized"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d5_mixture_weights" -> mixtureWeights,
     "d8_quality_prune" -> qualityPrune,
+    "d10_winsorize" -> winsorize,
     "d9_token_budget" -> tokenBudget,
     "d7_weighted_sample" -> weightedSample,
     "d6_temperature_weights" -> temperatureWeights,
@@ -425,6 +465,20 @@ object Enrichment {
         |  FROM documents)
         |WHERE rn <= 5
         |ORDER BY lang, doc_id""".stripMargin,
+    "d10_winsorize" ->
+      """WITH cuts AS (
+        |  SELECT round(quantile_cont(l_extendedprice, 0.01), 4) AS lo_cut,
+        |         round(quantile_cont(l_extendedprice, 0.99), 4) AS hi_cut
+        |  FROM lineitem)
+        |SELECT lo_cut, hi_cut, count(*) AS n_rows,
+        |  count(CASE WHEN l_extendedprice < lo_cut THEN 1 END) AS n_clipped_lo,
+        |  count(CASE WHEN l_extendedprice > hi_cut THEN 1 END) AS n_clipped_hi,
+        |  round(avg(l_extendedprice), 6) AS mean_raw,
+        |  round(avg(CASE WHEN l_extendedprice < lo_cut THEN lo_cut
+        |             WHEN l_extendedprice > hi_cut THEN hi_cut
+        |             ELSE l_extendedprice END), 6) AS mean_winsorized
+        |FROM lineitem, cuts
+        |GROUP BY lo_cut, hi_cut""".stripMargin,
     "d8_quality_prune" ->
       s"""WITH s AS (
          |  SELECT source, doc_id, ${TextAnalysis.sqlQuality("text")} AS quality

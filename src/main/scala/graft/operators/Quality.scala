@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.t
+import graft.Tables.{r6, t}
 
 /** Declarative data-quality constraint checking — the dbt-test /
   * expectations layer every production pipeline runs before publishing a
@@ -102,9 +102,52 @@ object Quality {
       .orderBy("constraint")
   }
 
+  /** dq3 — robust outlier report per event_type: median, MAD (median
+    * absolute deviation), and the count/share of values beyond the
+    * classic `3·1.4826·MAD` robust z-band — the monitoring-side outlier
+    * gate that, unlike mean/stddev bands, one corrupted batch cannot
+    * drag (breakdown point 50%). Two exact-percentile passes are
+    * INHERENT to MAD (deviations need the median first); each is a
+    * per-group exact percentile over the fact table with the resulting
+    * group-dimension-sized frame broadcast back — at 100 TB each pass
+    * swaps to `approx_percentile` (prof2's sketch-cut convention)
+    * without changing shape. Determinism: median and MAD round to 4
+    * (pct1's exact-percentile grain) before every comparison, and the
+    * outlier threshold derives from the ROUNDED mad on both engines, so
+    * boundary values classify identically.
+    */
+  def dq3MadOutliers(spark: SparkSession, dir: String): DataFrame =
+    madOutlierReport(t(spark, dir, "events"))
+
+  private[graft] def madOutlierReport(ev: DataFrame): DataFrame = {
+    val vals = ev.select(col("event_type"), col("value"))
+      .filter(col("value").isNotNull && !isnan(col("value")))
+    val med = vals.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = vals.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
+    val mad = dev.groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+    // threshold from the ROUNDED mad: 3 * 1.4826 (the normal-consistency
+    // constant) = 4.4478 exactly in decimal; one IEEE multiply of
+    // identical inputs on both engines
+    dev.join(broadcast(med.join(mad, "event_type")), "event_type")
+      .groupBy("event_type")
+      .agg(
+        max(col("med")).as("median"),
+        max(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        count(when(col("dev") > round(col("mad") * 4.4478, 4), 1))
+          .as("n_outliers"),
+        r6(count(when(col("dev") > round(col("mad") * 4.4478, 4), 1))
+          .cast("double") / count(lit(1))).as("outlier_share"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_constraint_report" -> dq1ConstraintReport,
-    "dq2_accepted_cross_report" -> dq2AcceptedAndCross
+    "dq2_accepted_cross_report" -> dq2AcceptedAndCross,
+    "dq3_mad_outliers" -> dq3MadOutliers
   )
 
   val oracle: Map[String, String] = Map(
@@ -155,6 +198,28 @@ object Quality {
         |  UNION ALL
         |  SELECT 'orders_totalprice_nonnegative',
         |    (SELECT count(*) FROM orders WHERE o_totalprice < 0))
-        |ORDER BY "constraint"""".stripMargin
+        |ORDER BY "constraint"""".stripMargin,
+    "dq3_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        | med AS (
+        |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+        |  FROM v GROUP BY 1),
+        | dev AS (
+        |  SELECT v.event_type, abs(value - med) AS dev, med
+        |  FROM v JOIN med ON v.event_type = med.event_type),
+        | mad AS (
+        |  SELECT event_type, round(quantile_cont(dev, 0.5), 4) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT dev.event_type, max(dev.med) AS median, max(mad.mad) AS mad,
+        |  count(*) AS n,
+        |  count(CASE WHEN dev > round(mad.mad * 4.4478, 4) THEN 1 END)
+        |    AS n_outliers,
+        |  round(count(CASE WHEN dev > round(mad.mad * 4.4478, 4) THEN 1 END)
+        |    * 1.0 / count(*), 6) AS outlier_share
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type
+        |GROUP BY dev.event_type
+        |ORDER BY dev.event_type""".stripMargin
   )
 }

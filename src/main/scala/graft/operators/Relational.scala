@@ -805,6 +805,179 @@ object Relational {
       .orderBy($"n_sole_orders".desc, $"s_name")
   }
 
+  /** TPC-H Q2-style minimum-cost supplier: for each qualifying part, the
+    * EUROPE supplier offering it at the lowest unit cost — the
+    * aggregate-vs-its-own-min-per-group shape (Q2's correlated MIN
+    * subquery). No partsupp table exists in the testdata, so as in q16
+    * the lineitem fact is the supplier↔part bridge: a (part, supplier)
+    * unit cost is the average observed `l_extendedprice / l_quantity`.
+    *
+    * Scale shape: both dimension filters broadcast INTO the fact scan
+    * (region-filtered suppliers, size/type-filtered parts), so the hash
+    * aggregate only sees qualifying lines; the per-part MIN then
+    * self-joins the (part × supplier)-sized cost frame on p_partkey —
+    * co-partitioned, never a global sort. Winners compare on the
+    * 6-rounded cost so both engines pick identical suppliers; ties all
+    * surface (Q2 semantics). Final order carries (p_partkey, s_suppkey)
+    * so the LIMIT prefix is unique.
+    */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val europeSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(t(spark, dir, "region").filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
+    val parts = t(spark, dir, "part")
+      .filter($"p_type" === "STANDARD" && $"p_size" <= 15)
+      .select($"p_partkey", $"p_name")
+    val costs = t(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+      .join(broadcast(parts), $"l_partkey" === $"p_partkey")
+      .join(broadcast(europeSupp), $"l_suppkey" === $"s_suppkey")
+      .groupBy($"p_partkey", $"p_name", $"s_suppkey", $"s_name",
+        $"s_acctbal", $"n_name")
+      .agg(r6(avg($"l_extendedprice" / $"l_quantity")).as("supp_cost"))
+    val minCost = costs.groupBy($"p_partkey".as("mc_partkey"))
+      .agg(min($"supp_cost").as("min_cost"))
+    costs
+      .join(minCost,
+        $"p_partkey" === $"mc_partkey" && $"supp_cost" === $"min_cost")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
+        $"supp_cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      .limit(100)
+  }
+
+  /** TPC-H Q11-style important stock: parts whose value supplied from one
+    * nation exceeds a fixed fraction of that nation's total supplied
+    * value — the global-fraction threshold shape (Q11's HAVING against a
+    * scalar subquery). Lineitem is the supplier↔part bridge (no
+    * partsupp), part value = discounted revenue supplied by the nation's
+    * suppliers.
+    *
+    * Determinism: values accumulate as EXACT INTEGER CENTS (per-line
+    * `round(price·(1−disc)·100)` — sql2's convention), so per-part sums,
+    * the grand total, and the threshold comparison
+    * `value_cents · 1000 > total_cents` (value > 0.1% of total, stated
+    * multiplicatively) are order-independent integer arithmetic on both
+    * engines — no float summation near the HAVING boundary.
+    *
+    * Scale shape: nation's suppliers broadcast into the fact scan; ONE
+    * hash aggregate keyed by part; the grand total re-aggregates the
+    * per-part frame (map-side combine) into a 1-row broadcast. The
+    * per-part frame is scope-persisted: the total's HAVING threshold and
+    * the probe side both consume it, and exchange reuse does NOT fire
+    * across a global-aggregate branch (measured — the unpersisted plan
+    * scans lineitem twice), so the cache is what keeps the fact table
+    * single-scan.
+    */
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val natSupp = t(spark, dir, "supplier")
+      .join(broadcast(t(spark, dir, "nation").filter($"n_name" === "NATION_7")),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val partValue = graft.engine.Caching.scopedPersist(
+      t(spark, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey",
+          round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+            .cast("long").as("cents"))
+        .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"l_partkey")
+        .agg(sum($"cents").as("value_cents")))
+    val total = partValue.agg(sum($"value_cents").as("total_cents"))
+    partValue
+      .join(broadcast(total))
+      .filter($"value_cents" * 1000 > $"total_cents")
+      .select($"l_partkey".as("p_partkey"),
+        r2($"value_cents" / 100.0).as("part_value"))
+      .orderBy($"part_value".desc, $"p_partkey")
+  }
+
+  /** TPC-H Q20-style excess suppliers: suppliers who in one year shipped
+    * MORE THAN HALF of some red part's total shipped quantity — Q20's
+    * nested correlated-threshold IN chain, restated as one per-(part,
+    * supplier) aggregate joined against its own per-part total. The
+    * dominance test `2·qty > total_qty` is stated multiplicatively:
+    * l_quantity is integral, so both sums are exact integer-valued
+    * doubles and the comparison is order-independent on both engines.
+    *
+    * Scale shape: the name-filtered part dimension broadcasts into the
+    * year-pruned fact scan; the per-part total REUSES the per-(part,
+    * supplier) partial aggregate (a second map-side-combined hash
+    * aggregate over the already-small frame, not a second fact scan);
+    * the threshold join is co-partitioned on l_partkey. The distinct
+    * supplier set then broadcast-joins the supplier dimension.
+    */
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val redParts = t(spark, dir, "part")
+      .filter($"p_name".like("%red%")).select($"p_partkey")
+    val perSuppPart = t(spark, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01"))
+      .select($"l_partkey", $"l_suppkey", $"l_quantity")
+      .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
+      .groupBy($"l_partkey", $"l_suppkey")
+      .agg(sum($"l_quantity").as("qty"))
+    val perPart = perSuppPart.groupBy($"l_partkey".as("pp_partkey"))
+      .agg(sum($"qty").as("total_qty"), count(lit(1)).as("n_suppliers"))
+    perSuppPart
+      .join(perPart, $"l_partkey" === $"pp_partkey")
+      .filter($"qty" * 2 > $"total_qty" && $"n_suppliers" > 1)
+      .select($"l_suppkey").distinct()
+      .join(broadcast(t(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .select($"s_suppkey", $"s_name", $"s_acctbal")
+      .orderBy($"s_suppkey")
+  }
+
+  /** prof4 — mutual information between two categorical columns (order
+    * status × order priority): the feature-relevance / redundancy readout
+    * a feature-engineering pass runs on categorical pairs, completing
+    * prof3's numeric co-movement picture. Reports MI in nats, both
+    * marginal entropies, and the normalized MI `mi / sqrt(h_x·h_y)`.
+    *
+    * ONE fact-table hash aggregate produces the |X|·|Y|-sized contingency
+    * frame; marginals are window sums OVER THAT TINY FRAME (d5's
+    * count-frame convention — the fact table is never re-scanned), and
+    * the entropies fold into the same single pass via
+    * Σ_xy p(x,y)·ln p(x) = Σ_x p(x)·ln p(x). All probabilities are IEEE
+    * divisions of exact integer counts, identical on both engines; ln
+    * differs by ≤1 ulp (absorbed by 6-decimal rounding, t14's note). MI
+    * and NMI are signed expressions that can round to zero → r6s.
+    */
+  def prof4MutualInformation(spark: SparkSession, dir: String): DataFrame =
+    miProfile(t(spark, dir, "orders"), "o_orderstatus", "o_orderpriority")
+
+  /** prof4 over an explicit frame — PropertySpec drives the MI axioms
+    * (independence → 0, determinism → NMI 1, symmetry) on planted
+    * contingencies.
+    */
+  private[graft] def miProfile(src: DataFrame, xc: String, yc: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import src.sparkSession.implicits._
+    val joint = src
+      .groupBy(col(xc), col(yc))
+      .agg(count(lit(1)).as("nxy"))
+    // contingency-frame windows: |X|·|Y| rows, single partition by design
+    val nx = sum($"nxy").over(Window.partitionBy(col(xc)))
+    val ny = sum($"nxy").over(Window.partitionBy(col(yc)))
+    val n = sum($"nxy").over(Window.partitionBy())
+    joint
+      .select(
+        ($"nxy".cast("double") / n).as("p"),
+        (nx.cast("double") / n).as("px"),
+        (ny.cast("double") / n).as("py"),
+        n.as("n"))
+      .agg(
+        max($"n").as("n_rows"),
+        r6s(sum($"p" * log($"p" / ($"px" * $"py")))).as("mi_nats"),
+        r6(-sum($"p" * log($"px"))).as("h_x"),
+        r6(-sum($"p" * log($"py"))).as("h_y"),
+        r6s(sum($"p" * log($"p" / ($"px" * $"py"))) /
+          sqrt(sum($"p" * log($"px")) * sum($"p" * log($"py")))).as("nmi"))
+  }
+
   /** LIKE-pattern filter with aggregation (string predicate pushdown). */
   def q13NamePattern(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -843,11 +1016,13 @@ object Relational {
     t(spark, dir, "embeddings")
       .select($"vec_id",
         size($"embedding").cast("long").as("dim"),
-        round(array_min($"embedding").cast("double"), 4).as("v_min"),
-        round(array_max($"embedding").cast("double"), 4).as("v_max"),
-        round(element_at($"embedding", 1).cast("double"), 4).as("v_first"),
-        round(element_at(slice($"embedding", 1, 4), 4).cast("double"), 4).as("v4"),
-        round(element_at(sort_array($"embedding"), 1).cast("double"), 4).as("sorted_first"))
+        // embedding components are signed and can round to zero → the
+        // ±0 normalization convention (SURVEY §8) on every rounded value
+        (round(array_min($"embedding").cast("double"), 4) + lit(0)).as("v_min"),
+        (round(array_max($"embedding").cast("double"), 4) + lit(0)).as("v_max"),
+        (round(element_at($"embedding", 1).cast("double"), 4) + lit(0)).as("v_first"),
+        (round(element_at(slice($"embedding", 1, 4), 4).cast("double"), 4) + lit(0)).as("v4"),
+        (round(element_at(sort_array($"embedding"), 1).cast("double"), 4) + lit(0)).as("sorted_first"))
       .orderBy($"vec_id")
   }
 
@@ -941,6 +1116,10 @@ object Relational {
     "q16_supplier_counts" -> q16SupplierCounts,
     "q21_sole_supplier" -> q21SoleSupplier,
     "q22_idle_balance" -> q22IdleBalance,
+    "q2_min_cost_supplier" -> q2MinCostSupplier,
+    "q11_important_parts" -> q11ImportantParts,
+    "q20_excess_suppliers" -> q20ExcessSuppliers,
+    "prof4_mutual_information" -> prof4MutualInformation,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -982,11 +1161,11 @@ object Relational {
     "a1_array_functions" ->
       """SELECT vec_id,
         |  CAST(len(embedding) AS BIGINT) AS dim,
-        |  round(CAST(list_min(embedding) AS DOUBLE), 4) AS v_min,
-        |  round(CAST(list_max(embedding) AS DOUBLE), 4) AS v_max,
-        |  round(CAST(list_element(embedding, 1) AS DOUBLE), 4) AS v_first,
-        |  round(CAST(list_element(list_slice(embedding, 1, 4), 4) AS DOUBLE), 4) AS v4,
-        |  round(CAST(list_element(list_sort(embedding), 1) AS DOUBLE), 4) AS sorted_first
+        |  round(CAST(list_min(embedding) AS DOUBLE), 4) + 0 AS v_min,
+        |  round(CAST(list_max(embedding) AS DOUBLE), 4) + 0 AS v_max,
+        |  round(CAST(list_element(embedding, 1) AS DOUBLE), 4) + 0 AS v_first,
+        |  round(CAST(list_element(list_slice(embedding, 1, 4), 4) AS DOUBLE), 4) + 0 AS v4,
+        |  round(CAST(list_element(list_sort(embedding), 1) AS DOUBLE), 4) + 0 AS sorted_first
         |FROM embeddings
         |ORDER BY vec_id""".stripMargin,
     "pct1_percentiles" ->
@@ -1246,6 +1425,77 @@ object Relational {
         |    ORDER BY value, event_id) AS BIGINT) AS value_quartile
         |FROM e
         |ORDER BY user_id, event_id""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH costs AS (
+        |  SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+        |    round(avg(l_extendedprice / l_quantity), 6) AS supp_cost
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |    AND p_type = 'STANDARD' AND p_size <= 15
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5, 6),
+        | mc AS (
+        |  SELECT p_partkey AS mc_partkey, min(supp_cost) AS min_cost
+        |  FROM costs GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost
+        |FROM costs JOIN mc
+        |  ON p_partkey = mc_partkey AND supp_cost = min_cost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+    "q11_important_parts" ->
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |        AS BIGINT)) AS value_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        |  GROUP BY 1),
+        | tot AS (SELECT sum(value_cents) AS total_cents FROM pv)
+        |SELECT l_partkey AS p_partkey,
+        |  round(value_cents / 100.0, 2) AS part_value
+        |FROM pv, tot
+        |WHERE value_cents * 1000 > total_cents
+        |ORDER BY part_value DESC, p_partkey""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH psp AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+        |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+        |  GROUP BY 1, 2),
+        | pp AS (
+        |  SELECT l_partkey AS pp_partkey, sum(qty) AS total_qty,
+        |    count(*) AS n_suppliers
+        |  FROM psp GROUP BY 1)
+        |SELECT DISTINCT s_suppkey, s_name, s_acctbal
+        |FROM psp
+        |JOIN pp ON l_partkey = pp_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE qty * 2 > total_qty AND n_suppliers > 1
+        |ORDER BY s_suppkey""".stripMargin,
+    "prof4_mutual_information" ->
+      """WITH joint AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS nxy
+        |  FROM orders GROUP BY 1, 2),
+        | probs AS (
+        |  SELECT
+        |    nxy * 1.0 / (sum(nxy) OVER ()) AS p,
+        |    (sum(nxy) OVER (PARTITION BY o_orderstatus)) * 1.0
+        |      / (sum(nxy) OVER ()) AS px,
+        |    (sum(nxy) OVER (PARTITION BY o_orderpriority)) * 1.0
+        |      / (sum(nxy) OVER ()) AS py,
+        |    sum(nxy) OVER () AS n
+        |  FROM joint)
+        |SELECT CAST(max(n) AS BIGINT) AS n_rows,
+        |  round(sum(p * ln(p / (px * py))), 6) + 0 AS mi_nats,
+        |  round(-sum(p * ln(px)), 6) AS h_x,
+        |  round(-sum(p * ln(py)), 6) AS h_y,
+        |  round(sum(p * ln(p / (px * py))) /
+        |    sqrt(sum(p * ln(px)) * sum(p * ln(py))), 6) + 0 AS nmi
+        |FROM probs""".stripMargin,
     "prof3_correlation_matrix" ->
       """WITH a AS (
         |  SELECT

@@ -37,4 +37,19 @@ class DictionarySpec extends AnyFunSuite {
     assert(Dictionary.schemaOf(Map("region" -> df)) ==
       Map("region" -> Seq("r_regionkey", "r_name")))
   }
+
+  test("d10 winsorize: exact cuts, clip counts, and clamped mean on 1..100") {
+    import spark.implicits._
+    val row = graft.operators.Enrichment.winsorizeCore(
+      (1 to 100).map(_.toDouble).toDF("v")).collect()(0)
+    // linear interpolation over 100 sorted values: p01 between 1 and 2 at
+    // 0.99, p99 between 99 and 100 at 0.01
+    assert(row.getAs[Double]("lo_cut") == 1.99)
+    assert(row.getAs[Double]("hi_cut") == 99.01)
+    assert(row.getAs[Long]("n_clipped_lo") == 1L) // only v=1
+    assert(row.getAs[Long]("n_clipped_hi") == 1L) // only v=100
+    assert(row.getAs[Double]("mean_raw") == 50.5)
+    // clamping 1→1.99 and 100→99.01 adds exactly +0.99−0.99 to the sum
+    assert(row.getAs[Double]("mean_winsorized") == 50.5)
+  }
 }

@@ -484,4 +484,54 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 4, p.take(2500)) // 2 partial+final pairs
     assert(!p.contains("CartesianProduct"), p.take(2500))
   }
+
+  test("q2 broadcasts every dimension into one lineitem scan; min join co-partitioned") {
+    val df = SparkEntry.queries("q2_min_cost_supplier")(spark, sf)
+    df.collect() // finalize the adaptive plan: reuse decisions are runtime
+    val p = df.queryExecution.executedPlan.toString
+    // part, supplier, nation, region all build sides of broadcast joins
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(3000))
+    // the per-part MIN branch is served from the cost aggregate's own
+    // shuffle — the fact table feeds ONE scan pipeline, not two
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000)) // LIMIT 100
+  }
+
+  test("q11 aggregates integer cents once; threshold is a 1-row broadcast") {
+    // the per-part cents frame is scope-persisted (exchange reuse does
+    // not fire across the global-aggregate branch), so BOTH the total
+    // build and the probe read the cache — the plan's branches hit
+    // InMemoryTableScan and only the cached plan itself holds the one
+    // parquet scan
+    val p = plan("q11_important_parts")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2, p.take(3000))
+    // the grand total re-aggregates the per-part frame and comes back as
+    // a broadcast nested loop of ONE row — never a second fact pass
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("q20 prunes the year at the scan and reuses the per-(part,supplier) aggregate") {
+    val df = SparkEntry.queries("q20_excess_suppliers")(spark, sf)
+    df.collect() // finalize the adaptive plan: reuse decisions are runtime
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      p.take(3000))
+    // the per-part total's exchange is served from the per-(part,supplier)
+    // aggregate's shuffle — the fact table feeds ONE scan pipeline
+    assert(p.contains("ReusedExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("prof4 builds the contingency in one orders scan; windows stay on the tiny frame") {
+    val p = plan("prof4_mutual_information")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+  }
+
+  test("d10 is two scans by construction: cut aggregate + scan-local clip") {
+    val p = plan("d10_winsorize")
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2500))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500)) // 1-row cuts
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
 }

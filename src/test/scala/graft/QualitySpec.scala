@@ -92,4 +92,21 @@ class QualitySpec extends AnyFunSuite {
     assert(rows.length == 6)
     assert(rows.forall(_.getLong(1) == 0L), rows.mkString(","))
   }
+
+  test("dq3 flags exactly the planted extreme; a constant group flags none") {
+    import spark.implicits._
+    // group "g": tight cluster around 10 plus one planted extreme.
+    // median 10, MAD 0.1 → threshold 0.4448; 9.9/10.1 stay, 1000 flags.
+    val tight = Seq.tabulate(20)(i => ("g", 10.0 + (i % 3 - 1) * 0.1))
+    // group "c": all-identical values → MAD 0, zero deviations, 0 outliers
+    val const = Seq.fill(10)(("c", 5.0))
+    val got = Quality.madOutlierReport(
+      (tight ++ Seq(("g", 1000.0)) ++ const).toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("g").getAs[Long]("n_outliers") == 1L)
+    assert(got("g").getAs[Double]("median") == 10.0)
+    assert(got("g").getAs[Double]("mad") == 0.1)
+    assert(got("c").getAs[Long]("n_outliers") == 0L)
+    assert(got("c").getAs[Double]("mad") == 0.0)
+  }
 }

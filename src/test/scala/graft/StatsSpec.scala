@@ -156,4 +156,28 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 0.02)
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.02)
   }
+
+  test("prof4 MI: independence scores zero, determinism scores NMI 1, symmetric") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def mi(rows: Seq[(String, String)]) =
+      Relational.miProfile(rows.toDF("x", "y"), "x", "y").collect()(0)
+    // product distribution: every (x, y) cell equally likely → MI 0
+    val indep = mi(for { x <- Seq("a", "b"); y <- Seq("u", "v", "w") }
+      yield (x, y))
+    assert(indep.getAs[Double]("mi_nats") == 0.0)
+    // y is a function of x → MI = H(X) = H(Y), NMI 1
+    val det = mi(Seq.fill(3)(("a", "u")) ++ Seq.fill(5)(("b", "v")))
+    assert(det.getAs[Double]("nmi") == 1.0)
+    assert(det.getAs[Double]("mi_nats") == det.getAs[Double]("h_x"))
+    // symmetry: swapping the columns preserves MI and swaps entropies
+    val ab = Seq(("a", "u"), ("a", "u"), ("a", "v"), ("b", "v"), ("b", "w"))
+    val fwd = mi(ab)
+    val rev = mi(ab.map(_.swap))
+    assert(fwd.getAs[Double]("mi_nats") == rev.getAs[Double]("mi_nats"))
+    assert(fwd.getAs[Double]("h_x") == rev.getAs[Double]("h_y"))
+    // MI is bounded by both entropies
+    assert(fwd.getAs[Double]("mi_nats") <=
+      math.min(fwd.getAs[Double]("h_x"), fwd.getAs[Double]("h_y")))
+  }
 }
