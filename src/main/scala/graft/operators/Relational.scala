@@ -320,6 +320,39 @@ object Relational {
       .orderBy("col_x", "col_y")
   }
 
+  /** prof5 — equi-WIDTH histogram with the Freedman–Diaconis bin width
+    * `2·IQR/∛n` (the robust default every plotting/profiling library
+    * reaches for), complementing prof2's equi-DEPTH buckets: equi-depth
+    * answers "where are the quantiles", equi-width "what does the shape
+    * look like" — a profiling layer needs both.
+    *
+    * Scale shape: ONE stats aggregate (quartiles, min, max, count — the
+    * quartiles swap to approx_percentile at 100 TB, prof2's convention)
+    * broadcasts a 1-row cut spec; bin assignment is scan-local
+    * arithmetic into an ordinary hash aggregate. Determinism: the width
+    * rounds to 4 (the exact-percentile grain) before any division, and
+    * `floor((v − min)/w)` on identical doubles is bit-identical on both
+    * engines; the max value falls in its own (partial) terminal bin
+    * rather than being clamped, so no boundary rule can diverge.
+    */
+  def prof5FdHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val v = t(spark, dir, "events").select($"value".as("v"))
+      .filter($"v".isNotNull && !isnan($"v"))
+    val stats = v.agg(
+      round(expr("percentile(v, 0.25)"), 4).as("q1"),
+      round(expr("percentile(v, 0.75)"), 4).as("q3"),
+      min($"v").as("mn"), max($"v").as("mx"),
+      count(lit(1)).as("n"))
+    val spec = stats.select($"mn", $"mx",
+      round(lit(2.0) * ($"q3" - $"q1") / cbrt($"n"), 4).as("w"))
+    v.join(broadcast(spec))
+      .groupBy(floor(($"v" - $"mn") / $"w").cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min($"v"), 4).as("lo"), round(max($"v"), 4).as("hi"))
+      .orderBy("bin")
+  }
+
   /** Set operations: customers with both urgent and low-priority orders
     * (INTERSECT), with urgent only (EXCEPT), and all with either (UNION
     * distinct), tagged and unioned.
@@ -1120,6 +1153,7 @@ object Relational {
     "q11_important_parts" -> q11ImportantParts,
     "q20_excess_suppliers" -> q20ExcessSuppliers,
     "prof4_mutual_information" -> prof4MutualInformation,
+    "prof5_fd_histogram" -> prof5FdHistogram,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1476,6 +1510,23 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE qty * 2 > total_qty AND n_suppliers > 1
         |ORDER BY s_suppkey""".stripMargin,
+    "prof5_fd_histogram" ->
+      """WITH v AS (
+        |  SELECT value AS v FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        | stats AS (
+        |  SELECT round(quantile_cont(v, 0.25), 4) AS q1,
+        |    round(quantile_cont(v, 0.75), 4) AS q3,
+        |    min(v) AS mn, max(v) AS mx, count(*) AS n
+        |  FROM v),
+        | spec AS (
+        |  SELECT mn, mx, round(2.0 * (q3 - q1) / cbrt(n), 4) AS w
+        |  FROM stats)
+        |SELECT CAST(floor((v - mn) / w) AS BIGINT) AS bin,
+        |  count(*) AS n, round(min(v), 4) AS lo, round(max(v), 4) AS hi
+        |FROM v, spec
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
     "prof4_mutual_information" ->
       """WITH joint AS (
         |  SELECT o_orderstatus, o_orderpriority, count(*) AS nxy

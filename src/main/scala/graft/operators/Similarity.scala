@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.t
+import graft.Tables.{r6, t}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors,
   * north-star extension, SURVEY.md §2.5): brute-force cosine top-k as the
@@ -234,6 +234,64 @@ object Similarity {
       .orderBy(col("qid"), col("cos").desc, col("vec_id"))
   }
 
+  /** sim9 — ANN recall audit: per query, how much of the EXACT top-k the
+    * bucketed multi-probe ANN (sim4's probe set) actually returned —
+    * recall@k, the number every ANN deployment tunes its probe budget
+    * against. Exact baseline and approximate candidate set rank with the
+    * IDENTICAL rounded-cosine + vec_id rule, so the overlap is
+    * deterministic on both engines.
+    *
+    * Scale shape: the query set broadcasts into BOTH passes (the exact
+    * pass is one corpus scan against |Q| broadcast queries, the approx
+    * pass the same probe equi-join sim4 runs); per-query windows rank
+    * |Q|-keyed frames. At 100 TB the audit runs on a SAMPLED query set
+    * by construction — recall is an estimate whose precision scales with
+    * |Q|, never a second full corpus pass per query.
+    */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame =
+    annRecallCore(
+      t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      bitsFor(spark, dir), maxQid = 2L, k = 3)
+
+  /** sim9 over an explicit (vec_id, embedding) frame — SimilaritySpec
+    * plants a neighbor two sign-flips away (outside the Hamming-1 probe
+    * set) and asserts the audit reports the miss.
+    */
+  private[graft] def annRecallCore(
+      emb: DataFrame, b: Int, maxQid: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .withColumn("bucket", signBucket(col("embedding"), b))
+    val q = e.filter(col("vec_id") <= maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vec_id"))
+    val qcos = round(
+      dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+    val exact = e
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), qcos.as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    val probeArr = array((col("qbucket") +: (0 until b).map(i =>
+      col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = q.select(col("qid"), col("qv"), col("qn"),
+      explode(probeArr).as("pbucket"))
+    val approx = e
+      .join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), qcos.as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    exact.select(col("qid"), col("vec_id"))
+      .join(approx.select(col("qid"), col("vec_id"), lit(1).as("hit")),
+        Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("k"), count(col("hit")).as("n_hits"),
+        r6(count(col("hit")).cast("double") / count(lit(1))).as("recall"))
+      .orderBy("qid")
+  }
+
   /** IVF (inverted-file) ANN with DATA-DEPENDENT centroids — the FAISS
     * IVFFlat search shape, complementing sim2's data-independent sign-LSH
     * cells: K corpus vectors chosen by the md5 pseudo-permutation (D3's
@@ -449,6 +507,7 @@ object Similarity {
     "sim3_embedding_neardup" -> embeddingNearDup,
     "sim4_batch_ann" -> batchAnn,
     "sim5_ivf_ann" -> ivfAnn,
+    "sim9_ann_recall" -> annRecallAudit,
     "sim6_semantic_clusters" -> semanticClusters
   )
 
@@ -566,6 +625,43 @@ object Similarity {
          |FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id
          |LIMIT 5""".stripMargin,
+    "sim9_ann_recall" ->
+      s"""WITH $sqlBitsCte,
+         | n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ${sqlCell("0")} AS bucket FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM n
+         |  WHERE vec_id <= 2),
+         | exact AS (
+         |  SELECT qid, vec_id FROM (
+         |   SELECT q.qid, a.vec_id,
+         |     row_number() OVER (PARTITION BY q.qid ORDER BY
+         |       round(list_dot_product(a.v, q.qv) /
+         |         (sqrt(list_dot_product(a.v, a.v)) *
+         |          sqrt(list_dot_product(q.qv, q.qv))), 6) DESC,
+         |       a.vec_id) AS rk
+         |   FROM n a CROSS JOIN q WHERE a.vec_id <> q.qid)
+         |  WHERE rk <= 3),
+         | probes AS (
+         |  SELECT qid, qv, qb AS pb FROM q
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qb, (1::BIGINT << CAST(i AS INTEGER)))
+         |  FROM q CROSS JOIN (SELECT unnest(range((SELECT b FROM prm))) AS i) r),
+         | approx AS (
+         |  SELECT qid, vec_id FROM (
+         |   SELECT p.qid, a.vec_id,
+         |     row_number() OVER (PARTITION BY p.qid ORDER BY
+         |       round(list_dot_product(a.v, p.qv) /
+         |         (sqrt(list_dot_product(a.v, a.v)) *
+         |          sqrt(list_dot_product(p.qv, p.qv))), 6) DESC,
+         |       a.vec_id) AS rk
+         |   FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> p.qid)
+         |  WHERE rk <= 3)
+         |SELECT e.qid, count(*) AS k, count(a.vec_id) AS n_hits,
+         |  round(count(a.vec_id) * 1.0 / count(*), 6) AS recall
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.qid = a.qid AND e.vec_id = a.vec_id
+         |GROUP BY e.qid
+         |ORDER BY e.qid""".stripMargin,
     "sim4_batch_ann" ->
       s"""WITH $sqlBitsCte,
          | n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -154,6 +154,33 @@ object TextAnalysis {
         sum(col("freq")).as("n_tokens"))
   }
 
+  /** t20 — per-source lexical diversity: type–token ratio and hapax share
+    * per corpus domain — the "is this domain template spam or natural
+    * text" curation signal (boilerplate/SEO farms collapse TTR and hapax
+    * share; natural prose holds both up). Complements t14's corpus-global
+    * Zipf fit with the per-domain breakdown a mixture builder acts on.
+    *
+    * Scale shape: t6's explode-into-hash-aggregate produces the
+    * (source, token) frequency frame (map-side combine carries the
+    * explode); the diversity stats are a SECOND aggregate over that
+    * vocabulary-sized frame — the corpus is scanned once and never
+    * re-joined.
+    */
+  def lexicalDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val perTok = t(spark, dir, "documents")
+      .select(col("source"), explode(tokensOrdered(col("text"))).as("token"))
+      .groupBy("source", "token").agg(count(lit(1)).as("freq"))
+    perTok.groupBy("source")
+      .agg(
+        sum(col("freq")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        count(when(col("freq") === 1, 1)).as("n_hapax"),
+        r6(count(lit(1)).cast("double") / sum(col("freq"))).as("ttr"),
+        r6(count(when(col("freq") === 1, 1)).cast("double") / count(lit(1)))
+          .as("hapax_share"))
+      .orderBy("source")
+  }
+
   /** Bigram language-model surprise — the perplexity-style quality signal
     * training pipelines use (CCNet/Gopher lineage): train add-one-smoothed
     * bigram statistics on the corpus itself, then score every document by
@@ -675,6 +702,7 @@ object TextAnalysis {
     "t5_repetition" -> repetition,
     "t6_vocab_topk" -> vocabulary,
     "t14_zipf" -> zipf,
+    "t20_lexical_diversity" -> lexicalDiversity,
     "t15_bpe_step" -> bpeStep,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
@@ -845,6 +873,24 @@ object TextAnalysis {
         |  count(*) AS n_types,
         |  CAST(sum(freq) AS BIGINT) AS n_tokens
         |FROM ranked""".stripMargin,
+    "t20_lexical_diversity" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+        |      x -> x <> '')) AS token
+        |  FROM documents),
+        | pt AS (SELECT source, token, count(*) AS freq
+        |  FROM tok GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(freq) AS BIGINT) AS n_tokens,
+        |  count(*) AS n_types,
+        |  count(CASE WHEN freq = 1 THEN 1 END) AS n_hapax,
+        |  round(count(*) * 1.0 / sum(freq), 6) AS ttr,
+        |  round(count(CASE WHEN freq = 1 THEN 1 END) * 1.0 / count(*), 6)
+        |    AS hapax_share
+        |FROM pt
+        |GROUP BY source
+        |ORDER BY source""".stripMargin,
     "t6_vocab_topk" ->
       """WITH tok AS (
         |  SELECT doc_id,

@@ -528,10 +528,33 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
   }
 
+  test("sim9 audit: approx pass equi-joins on the probe bucket, queries broadcast") {
+    val p = plan("sim9_ann_recall")
+    // the approx candidate join must stay the sim4 equi-join on bucket
+    assert("BroadcastHashJoin \\[bucket".r.findFirstIn(p).isDefined, p.take(3000))
+    // the exact baseline is a |Q|-row broadcast against the corpus scan —
+    // a BroadcastNestedLoopJoin, never a CartesianProduct
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("d10 is two scans by construction: cut aggregate + scan-local clip") {
     val p = plan("d10_winsorize")
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2500))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500)) // 1-row cuts
     assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("prof5 broadcasts the 1-row bin spec; assignment is scan-local") {
+    val p = plan("prof5_fd_histogram")
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2500)) // stats + assign
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("t20 derives diversity from the vocab frame: one corpus scan, no join") {
+    val p = plan("t20_lexical_diversity")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
   }
 }

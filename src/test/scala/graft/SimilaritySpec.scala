@@ -138,4 +138,30 @@ class SimilaritySpec extends AnyFunSuite {
       assert(canon(a) == canon(b), s"pair ($a,$b) split across clusters")
     }
   }
+
+  test("sim9 recall audit reports the Hamming-2 miss the probe set cannot reach") {
+    import spark.implicits._
+    // b=4 sign bits over dims 1-4; dims 5-8 carry the cosine mass.
+    // v1 flips TWO leading signs (outside the Hamming-1 probe set) yet
+    // ranks in the exact top-3 — the audit must surface exactly that miss.
+    val emb = Seq(
+      0L -> Array(1f, 1f, 1f, 1f, 10f, 10f, 10f, 10f),  // query
+      1L -> Array(-1f, -1f, 1f, 1f, 10f, 10f, 10f, 10f), // Hamming-2: missed
+      2L -> Array(1f, 1f, 1f, 1f, 9f, 9f, 9f, 9f),       // same cell: found
+      3L -> Array(1f, 1f, -1f, 1f, 8f, 8f, 8f, 8f),      // Hamming-1: probed
+      4L -> Array(1f, 1f, 1f, 1f, -5f, 5f, -5f, 5f)      // same cell, low cos
+    ).toDF("vec_id", "embedding")
+    val row = graft.operators.Similarity
+      .annRecallCore(emb, b = 4, maxQid = 0L, k = 3).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("k") == 3L)
+    assert(row(0).getAs[Long]("n_hits") == 2L) // v2 + v3; v1 unreachable
+    assert(math.abs(row(0).getAs[Double]("recall") - 2.0 / 3) < 1e-6)
+    // with every corpus vector reachable the audit reports full recall
+    val full = graft.operators.Similarity
+      .annRecallCore(emb.filter($"vec_id" =!= 1L), b = 4, maxQid = 0L, k = 3)
+      .collect()
+    assert(full(0).getAs[Long]("n_hits") == 3L)
+    assert(full(0).getAs[Double]("recall") == 1.0)
+  }
 }
