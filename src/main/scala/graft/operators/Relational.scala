@@ -854,17 +854,27 @@ object Relational {
     * surface (Q2 semantics). Final order carries (p_partkey, s_suppkey)
     * so the LIMIT prefix is unique.
     */
-  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val europeSupp = t(spark, dir, "supplier")
-      .join(broadcast(t(spark, dir, "nation")), $"s_nationkey" === $"n_nationkey")
-      .join(broadcast(t(spark, dir, "region").filter($"r_name" === "EUROPE")),
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame =
+    q2Core(t(spark, dir, "lineitem"), t(spark, dir, "part"),
+      t(spark, dir, "supplier"), t(spark, dir, "nation"),
+      t(spark, dir, "region"))
+
+  /** q2 over explicit frames — InvariantSpec plants a cost tie and
+    * asserts BOTH min-cost suppliers surface (Q2 semantics), and that a
+    * cheaper supplier OUTSIDE the region never wins.
+    */
+  private[graft] def q2Core(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame): DataFrame = {
+    import lineitem.sparkSession.implicits._
+    val europeSupp = supplier
+      .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(region.filter($"r_name" === "EUROPE")),
         $"n_regionkey" === $"r_regionkey")
       .select($"s_suppkey", $"s_name", $"s_acctbal", $"n_name")
-    val parts = t(spark, dir, "part")
+    val parts = part
       .filter($"p_type" === "STANDARD" && $"p_size" <= 15)
       .select($"p_partkey", $"p_name")
-    val costs = t(spark, dir, "lineitem")
+    val costs = lineitem
       .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
       .join(broadcast(parts), $"l_partkey" === $"p_partkey")
       .join(broadcast(europeSupp), $"l_suppkey" === $"s_suppkey")
@@ -905,14 +915,23 @@ object Relational {
     * scans lineitem twice), so the cache is what keeps the fact table
     * single-scan.
     */
-  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val natSupp = t(spark, dir, "supplier")
-      .join(broadcast(t(spark, dir, "nation").filter($"n_name" === "NATION_7")),
+  def q11ImportantParts(spark: SparkSession, dir: String): DataFrame =
+    q11Core(t(spark, dir, "lineitem"), t(spark, dir, "supplier"),
+      t(spark, dir, "nation"))
+
+  /** q11 over explicit frames — InvariantSpec plants a part EXACTLY on
+    * the 0.1% threshold (must be excluded: strictly greater) and one a
+    * cent above it (must be included).
+    */
+  private[graft] def q11Core(lineitem: DataFrame, supplier: DataFrame,
+      nation: DataFrame): DataFrame = {
+    import lineitem.sparkSession.implicits._
+    val natSupp = supplier
+      .join(broadcast(nation.filter($"n_name" === "NATION_7")),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey")
     val partValue = graft.engine.Caching.scopedPersist(
-      t(spark, dir, "lineitem")
+      lineitem
         .select($"l_partkey", $"l_suppkey",
           round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
             .cast("long").as("cents"))
@@ -943,11 +962,22 @@ object Relational {
     * the threshold join is co-partitioned on l_partkey. The distinct
     * supplier set then broadcast-joins the supplier dimension.
     */
-  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val redParts = t(spark, dir, "part")
+  def q20ExcessSuppliers(spark: SparkSession, dir: String): DataFrame =
+    q20Core(t(spark, dir, "lineitem"), t(spark, dir, "part"),
+      t(spark, dir, "supplier"))
+
+  /** q20 over explicit frames — InvariantSpec plants the three edges the
+    * gated corpus may never hit: exactly half the part's volume (strict >
+    * excludes), a SOLE supplier of a part (n_suppliers > 1 excludes — a
+    * monopoly is not "excess"), and a dominant share of a non-matching
+    * part (name filter excludes).
+    */
+  private[graft] def q20Core(lineitem: DataFrame, part: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    import lineitem.sparkSession.implicits._
+    val redParts = part
       .filter($"p_name".like("%red%")).select($"p_partkey")
-    val perSuppPart = t(spark, dir, "lineitem")
+    val perSuppPart = lineitem
       .filter($"l_shipdate" >= lit("1996-01-01") && $"l_shipdate" < lit("1997-01-01"))
       .select($"l_partkey", $"l_suppkey", $"l_quantity")
       .join(broadcast(redParts), $"l_partkey" === $"p_partkey")
@@ -959,7 +989,7 @@ object Relational {
       .join(perPart, $"l_partkey" === $"pp_partkey")
       .filter($"qty" * 2 > $"total_qty" && $"n_suppliers" > 1)
       .select($"l_suppkey").distinct()
-      .join(broadcast(t(spark, dir, "supplier")), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(supplier), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"s_acctbal")
       .orderBy($"s_suppkey")
   }

@@ -117,6 +117,85 @@ class InvariantSpec extends AnyFunSuite {
     assert(got == Seq(("BUILDING", 1L, 300.0), ("MACHINERY", 1L, 300.0)), got)
   }
 
+  test("q2 surfaces min-cost ties and never a cheaper out-of-region supplier") {
+    import spark.implicits._
+    // suppliers 1, 2 in EUROPE tied at unit cost 5.0; supplier 3 in
+    // EUROPE at 6.0 (loses); supplier 4 OUTSIDE the region at 1.0 (must
+    // not win despite being globally cheapest)
+    val supplier = Seq((1L, "alpha", 10, 100.0), (2L, "beta", 10, 200.0),
+      (3L, "gamma", 10, 300.0), (4L, "delta", 20, 400.0))
+      .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+    val nation = Seq((10, "NATION_1", 1), (20, "NATION_2", 2))
+      .toDF("n_nationkey", "n_name", "n_regionkey")
+    val region = Seq((1, "EUROPE"), (2, "ASIA"))
+      .toDF("r_regionkey", "r_name")
+    val part = Seq((100L, "red widget", "STANDARD", 5),
+      (200L, "big bolt", "LARGE", 5)) // type filter drops part 200
+      .toDF("p_partkey", "p_name", "p_type", "p_size")
+    val li = Seq(
+      (100L, 1L, 2.0, 10.0), // supplier 1: cost 5.0
+      (100L, 2L, 4.0, 20.0), // supplier 2: cost 5.0 (tie)
+      (100L, 3L, 1.0, 6.0),  // supplier 3: cost 6.0
+      (100L, 4L, 1.0, 1.0),  // supplier 4: cost 1.0 but ASIA
+      (200L, 1L, 1.0, 2.0)   // non-STANDARD part
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    val got = graft.operators.Relational
+      .q2Core(li, part, supplier, nation, region)
+      .collect().map(r => (r.getAs[String]("s_name"),
+        r.getAs[Long]("p_partkey"), r.getAs[Double]("supp_cost"))).toSet
+    assert(got == Set(("alpha", 100L, 5.0), ("beta", 100L, 5.0)), got)
+  }
+
+  test("q11 threshold is strictly greater: the exact-0.1% part is excluded") {
+    import spark.implicits._
+    val supplier = Seq((1L, 10)).toDF("s_suppkey", "s_nationkey")
+    val nation = Seq((10, "NATION_7")).toDF("n_nationkey", "n_name")
+    // three parts at 10.00 + 990.00 + 999000.00 = 1,000,000.00 total.
+    // 0.1% of total = 1000.00: part 2 (990.00) is under, and a part at
+    // EXACTLY 1000.00 must be excluded -> rebuild with part 2 at 1000.00
+    // by moving 10.00 from part 3.
+    def run(v2: Double, v3: Double) = graft.operators.Relational
+      .q11Core(
+        Seq((1L, 1L, 10.0, 0.0), (2L, 1L, v2, 0.0), (3L, 1L, v3, 0.0))
+          .toDF("l_partkey", "l_suppkey", "l_extendedprice", "l_discount"),
+        supplier, nation)
+      .collect().map(r => r.getAs[Long]("p_partkey")).toSet
+    assert(run(990.0, 999000.0) == Set(3L))          // 990 < 1000
+    assert(run(1000.0, 998990.0) == Set(3L))         // exactly 0.1%: excluded
+    assert(run(1000.01, 998989.99) == Set(2L, 3L))   // a cent above: included
+  }
+
+  test("q20 excludes exact-half shares, sole suppliers, and non-matching parts") {
+    import spark.implicits._
+    def ts(d: String) = java.sql.Timestamp.valueOf(d + " 00:00:00")
+    val supplier = Seq((1L, "alpha", 50.0), (2L, "beta", 60.0),
+      (3L, "gamma", 70.0)).toDF("s_suppkey", "s_name", "s_acctbal")
+    val part = Seq((100L, "red gear"), (200L, "red bolt"),
+      (300L, "blue gear")).toDF("p_partkey", "p_name")
+    val li = Seq(
+      // part 100: supplier 1 ships 6 of 10 (> half: excess), supplier 2
+      // ships 4
+      (100L, 1L, 6.0, ts("1996-03-01")),
+      (100L, 2L, 4.0, ts("1996-03-02")),
+      // part 200: sole supplier 3 ships everything — monopoly, NOT excess
+      (200L, 3L, 9.0, ts("1996-04-01")),
+      // part 300: supplier 2 dominates but the name filter drops it
+      (300L, 2L, 8.0, ts("1996-05-01")),
+      (300L, 1L, 1.0, ts("1996-05-02")),
+      // out-of-year shipment must not tip supplier 2 over on part 100
+      (100L, 2L, 50.0, ts("1995-03-01"))
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    val got = graft.operators.Relational.q20Core(li, part, supplier)
+      .collect().map(_.getAs[String]("s_name")).toSet
+    assert(got == Set("alpha"), got)
+    // exact half is NOT excess: rebalance part 100 to 5/5
+    val even = Seq(
+      (100L, 1L, 5.0, ts("1996-03-01")), (100L, 2L, 5.0, ts("1996-03-02"))
+    ).toDF("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    assert(graft.operators.Relational.q20Core(even, part, supplier)
+      .collect().isEmpty)
+  }
+
   test("prof2 buckets partition the domain with near-equal depths") {
     val rows = graft.operators.Relational
       .equiDepthExact(Tables.t(spark, sf, "events"), "value", 8)
