@@ -301,11 +301,22 @@ object Events {
     * aggregates with map-side combine; the second one runs on the
     * already-tiny daily frame. Monday-start ISO weeks in both engines.
     */
-  def rollupMerge(spark: SparkSession, dir: String): DataFrame = {
-    val daily = t(spark, dir, "events")
-      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+  def rollupMerge(spark: SparkSession, dir: String): DataFrame =
+    weeklyFromDaily(dailyPartialsOf(t(spark, dir, "events")))
+
+  /** ev13's daily-partial half — ONE definition shared with the deployed
+    * incremental maintainer ([[graft.streaming.RollupStream]]), so the
+    * batch gate and the stream cannot disagree on the partial schema.
+    */
+  private[graft] def dailyPartialsOf(ev: DataFrame): DataFrame =
+    ev.groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sv"),
         min(col("value")).as("mn"), max(col("value")).as("mx"))
+
+  /** ev13's serve half: any-coarser-grain aggregates from the daily
+    * partials (algebraic merges only; avg re-derives from sum/count).
+    */
+  private[graft] def weeklyFromDaily(daily: DataFrame): DataFrame =
     daily
       .groupBy(date_trunc("week", col("day")).as("week"), col("event_type"))
       .agg(sum(col("n")).as("n"), r2(sum(col("sv"))).as("total_value"),
@@ -315,7 +326,6 @@ object Events {
         col("n"), col("total_value"), col("min_value"), col("max_value"),
         col("avg_value"))
       .orderBy("week_start_ms", "event_type")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev13_rollup_merge" -> rollupMerge,

@@ -320,6 +320,48 @@ object Relational {
       .orderBy("col_x", "col_y")
   }
 
+  /** prof6 — Spearman rank correlation between two DISCRETE numeric
+    * columns (quantity × discount) with textbook average-rank tie
+    * handling: the monotone-association complement to prof3's Pearson —
+    * what a profiling layer reports when the relationship is nonlinear
+    * or outlier-heavy.
+    *
+    * Scale shape: a global rank would need a corpus sort; instead each
+    * column's AVERAGE RANKS are derived on its DISTINCT-VALUE frame
+    * (50 × 11 rows here — the single-partition window is over that tiny
+    * frame, d5's count-frame convention) as `cum_before + (cnt+1)/2`,
+    * then broadcast back onto one fact scan feeding a single corr
+    * aggregate. Three column-pruned scans total (two 1-column rank
+    * builds + the pair scan); ranks are exact halves of integers, so
+    * only corr's co-moment summation needs the 6-decimal grid, and the
+    * signed ρ follows the ±0 convention.
+    */
+  def prof6Spearman(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spearmanCore(t(spark, dir, "lineitem")
+      .select($"l_quantity".as("x"), $"l_discount".as("y")))
+  }
+
+  /** prof6 over an explicit (x, y) frame — StatsSpec drives the rank
+    * axioms: ρ = 1 under any strictly monotone map of x, −1 under an
+    * order-reversing map, and tie-stability.
+    */
+  private[graft] def spearmanCore(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankMap(c: String): DataFrame =
+      li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .withColumn("cum",
+          sum(col("cnt")).over(Window.orderBy(col(c))) - col("cnt"))
+        .select(col(c), (col("cum") + (col("cnt") + lit(1)) / 2.0).as(s"r_$c"))
+    li.join(broadcast(rankMap("x")), "x")
+      .join(broadcast(rankMap("y")), "y")
+      .agg(
+        r6s(corr(col("r_x"), col("r_y"))).as("spearman_rho"),
+        count(lit(1)).as("n"),
+        count_distinct(col("x")).as("nx_distinct"),
+        count_distinct(col("y")).as("ny_distinct"))
+  }
+
   /** prof5 — equi-WIDTH histogram with the Freedman–Diaconis bin width
     * `2·IQR/∛n` (the robust default every plotting/profiling library
     * reaches for), complementing prof2's equi-DEPTH buckets: equi-depth
@@ -1184,6 +1226,7 @@ object Relational {
     "q20_excess_suppliers" -> q20ExcessSuppliers,
     "prof4_mutual_information" -> prof4MutualInformation,
     "prof5_fd_histogram" -> prof5FdHistogram,
+    "prof6_spearman" -> prof6Spearman,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1540,6 +1583,23 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE qty * 2 > total_qty AND n_suppliers > 1
         |ORDER BY s_suppkey""".stripMargin,
+    "prof6_spearman" ->
+      """WITH li AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
+        | rx AS (
+        |  SELECT x, cum + (cnt + 1) / 2.0 AS r_x FROM (
+        |   SELECT x, count(*) AS cnt,
+        |     sum(count(*)) OVER (ORDER BY x) - count(*) AS cum
+        |   FROM li GROUP BY x)),
+        | ry AS (
+        |  SELECT y, cum + (cnt + 1) / 2.0 AS r_y FROM (
+        |   SELECT y, count(*) AS cnt,
+        |     sum(count(*)) OVER (ORDER BY y) - count(*) AS cum
+        |   FROM li GROUP BY y))
+        |SELECT round(corr(r_x, r_y), 6) + 0 AS spearman_rho,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT x) AS BIGINT) AS nx_distinct,
+        |  CAST(count(DISTINCT y) AS BIGINT) AS ny_distinct
+        |FROM li JOIN rx USING (x) JOIN ry USING (y)""".stripMargin,
     "prof5_fd_histogram" ->
       """WITH v AS (
         |  SELECT value AS v FROM events

@@ -303,6 +303,61 @@ object AnomalyMonitor {
   }
 }
 
+/** ev14 — deployed incremental rollup maintenance: the streaming twin of
+  * ev13's materialized-rollup scheme. Each micro-batch aggregates ALONE
+  * into (day, event_type) partials (ev13's exact partial schema —
+  * [[graft.operators.Events.dailyPartialsOf]], one shared definition) and
+  * MERGES them into the accumulated daily store with algebraic combines
+  * only (counts/sums add, min/max fold; avg re-derives downstream). The
+  * state lives in the SINK, not in streaming aggregation state: this is
+  * the incremental-ETL deployment where the store is a maintained table
+  * any coarser grain is served from
+  * ([[graft.operators.Events.weeklyFromDaily]]) without ever re-reading
+  * raw events.
+  *
+  * Scale shape: per batch, one hash aggregate over the batch (map-side
+  * combine) plus one full-outer merge join keyed on (day, event_type) —
+  * both frames are day×type-sized, never raw-event-sized. The store is
+  * eagerly `localCheckpoint`ed each batch so its lineage stays one merge
+  * deep instead of growing a union chain across the stream's lifetime
+  * (in production the checkpoint is the table write itself).
+  */
+object RollupStream {
+
+  /** Algebraic merge of two ev13-shaped daily-partial frames. `least`/
+    * `greatest` skip nulls, so a (day, type) present on one side only
+    * passes through unchanged.
+    */
+  private[graft] def mergePartials(store: DataFrame, delta: DataFrame): DataFrame = {
+    val s = store.select(col("day"), col("event_type"), col("n").as("n_a"),
+      col("sv").as("sv_a"), col("mn").as("mn_a"), col("mx").as("mx_a"))
+    val d = delta.select(col("day"), col("event_type"), col("n").as("n_b"),
+      col("sv").as("sv_b"), col("mn").as("mn_b"), col("mx").as("mx_b"))
+    s.join(d, Seq("day", "event_type"), "full_outer")
+      .select(col("day"), col("event_type"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n"),
+        (coalesce(col("sv_a"), lit(0.0)) + coalesce(col("sv_b"), lit(0.0))).as("sv"),
+        least(col("mn_a"), col("mn_b")).as("mn"),
+        greatest(col("mx_a"), col("mx_b")).as("mx"))
+  }
+
+  /** Maintain the daily-partial store from a streaming `(ts, event_type,
+    * value)` frame; `onStore` receives the merged store after every
+    * micro-batch (in production: the table overwrite/merge).
+    */
+  def ingest(events: DataFrame)(onStore: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var store: DataFrame = null
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = graft.operators.Events.dailyPartialsOf(batch)
+        store = (if (store == null) delta else mergePartials(store, delta))
+          .localCheckpoint()
+        onStore(id, store)
+      }
+  }
+}
+
 /** Typed event for stateful processing. */
 final case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

@@ -157,6 +157,46 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.02)
   }
 
+  test("signed-zero convention: r2s/r6s normalize round(-eps) to +0.0 bits") {
+    import spark.implicits._
+    import java.lang.Double.doubleToRawLongBits
+    // DuckDB's IEEE round returns -0.0 for these inputs; Spark's r6s/r2s
+    // must land on +0.0 (raw bits 0x0) so the driver's hash compare
+    // cannot diverge — the oracle side appends `+ 0`, IEEE-guaranteed to
+    // map -0.0 to +0.0, so proving the Spark half proves agreement.
+    val row = Seq((-1e-9, -0.0))
+      .toDF("eps", "negzero")
+      .select(
+        graft.Tables.r6s(col("eps")).as("a"),
+        graft.Tables.r2s(col("eps")).as("b"),
+        graft.Tables.r6s(col("negzero")).as("c"),
+        (round(col("negzero"), 6)).as("unnormalized"))
+      .collect()(0)
+    assert(doubleToRawLongBits(row.getDouble(0)) == 0L)
+    assert(doubleToRawLongBits(row.getDouble(1)) == 0L)
+    assert(doubleToRawLongBits(row.getDouble(2)) == 0L)
+  }
+
+  test("prof6 Spearman: monotone-map invariance, reversal, Pearson divergence") {
+    import spark.implicits._
+    import graft.operators.Relational
+    def rho(rows: Seq[(Double, Double)]): Double =
+      Relational.spearmanCore(rows.toDF("x", "y")).collect()(0)
+        .getAs[Double]("spearman_rho")
+    val xs = Seq(1.0, 2.0, 3.0, 5.0, 8.0, 13.0)
+    // any strictly increasing map scores exactly 1 — the rank property
+    // Pearson does not have (x² is convex: its Pearson r < 1)
+    assert(rho(xs.map(v => v -> v * v)) == 1.0)
+    assert(rho(xs.map(v => v -> math.exp(v))) == 1.0)
+    // order reversal scores exactly -1
+    assert(rho(xs.map(v => v -> -v)) == -1.0)
+    // ties on both sides stay in [-1, 1] and positive for an aligned mix
+    val tied = Seq((1.0, 1.0), (1.0, 2.0), (2.0, 2.0), (2.0, 3.0),
+      (3.0, 3.0), (3.0, 3.0))
+    val r = rho(tied)
+    assert(r > 0 && r <= 1.0, r)
+  }
+
   test("prof4 MI: independence scores zero, determinism scores NMI 1, symmetric") {
     import spark.implicits._
     import graft.operators.Relational

@@ -254,6 +254,60 @@ class StreamingSpec extends AnyFunSuite {
         .toDF("event_type", "n_ref", "n_cur"), "event_type").collect().toSeq
     assert(reports(1L) == expect1, s"got ${reports(1L)}")
     assert(expect1.forall(r => !r.getDouble(5).isInfinite && !r.getDouble(5).isNaN))
+    // the ALARM paths, asserted on the live report directly (not just
+    // batch-tail equality): the vanished category still has its row,
+    // scores a strictly positive finite term, and the report's total PSI
+    // — the number a threshold alert consumes — is finite
+    val byKey = reports(1L).map(r => r.getString(0) -> r).toMap
+    val vanished = byKey("buy")
+    assert(vanished.getLong(2) == 0L) // n_cur: never seen on the stream
+    assert(vanished.getDouble(5) > 0.0 && !vanished.getDouble(5).isInfinite)
+    val novel = byKey("scroll")
+    assert(novel.getLong(1) == 0L) // n_ref: absent from the pinned week
+    assert(novel.getDouble(5) > 0.0 && !novel.getDouble(5).isInfinite)
+    val totalPsi = reports(1L).map(_.getDouble(5)).sum
+    assert(!totalPsi.isInfinite && !totalPsi.isNaN && totalPsi > 0.0)
+  }
+
+  test("rollup stream: sink-merged daily partials serve the exact batch weekly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(day: Int, h: Int) =
+      new java.sql.Timestamp(86400000L * (19700 + day) + 3600000L * h)
+    // values in exact halves so incremental merge sums == batch sums
+    // bit-for-bit regardless of combine order
+    val all = for {
+      day <- 0 until 9; h <- Seq(1, 13)
+      et <- Seq("click", "view")
+    } yield (ts(day, h), et, (day * 2 + h % 2) * 0.5)
+    // split MID-DAY across micro-batches: day partials must merge, not
+    // just append
+    val chunks = all.grouped(7).toSeq
+    val stores = scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    var last: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = graft.streaming.RollupStream.ingest(
+      input.toDF().toDF("ts", "event_type", "value")) { (id, store) =>
+      stores.synchronized { stores(id) = store.collect().toSeq; last = store }
+    }.start()
+    try {
+      chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+
+    val batchDaily = graft.operators.Events
+      .dailyPartialsOf(all.toDF("ts", "event_type", "value"))
+    // the maintained store IS the batch daily aggregate over everything
+    // ingested (set-compare: both frames are (day, type)-keyed)
+    val gotStore = last.collect().map(_.toSeq).toSet
+    assert(gotStore == batchDaily.collect().map(_.toSeq).toSet)
+    // and the weekly serve from the store matches ev13's batch weekly
+    val servedWeekly = graft.operators.Events.weeklyFromDaily(last)
+      .collect().map(_.toSeq).toSeq
+    val batchWeekly = graft.operators.Events.weeklyFromDaily(batchDaily)
+      .collect().map(_.toSeq).toSeq
+    assert(servedWeekly == batchWeekly)
+    assert(servedWeekly.nonEmpty && stores.size == chunks.size)
   }
 
   test("streaming artifact sink checkpoints each micro-batch as reloadable JSON") {
