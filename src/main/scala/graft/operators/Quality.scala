@@ -120,27 +120,36 @@ object Quality {
     madOutlierReport(t(spark, dir, "events"))
 
   private[graft] def madOutlierReport(ev: DataFrame): DataFrame = {
-    val vals = ev.select(col("event_type"), col("value"))
+    // Raw events are scanned ONCE, into the (group, value)-domain
+    // contingency; both percentile passes run WITH FREQUENCIES over that
+    // frame (identical to percentile over the expanded multiset), and
+    // the final outlier count sums frequencies — a monitoring metric's
+    // value domain is far smaller than its event count at 100 TB, so
+    // every pass after the first touches domain-sized frames only.
+    val vc = ev.select(col("event_type"), col("value"))
       .filter(col("value").isNotNull && !isnan(col("value")))
-    val med = vals.groupBy("event_type")
-      .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
-    val dev = vals.join(broadcast(med), "event_type")
-      .select(col("event_type"), abs(col("value") - col("med")).as("dev"))
-    val mad = dev.groupBy("event_type")
-      .agg(round(expr("percentile(dev, 0.5)"), 4).as("mad"))
+      .groupBy("event_type", "value").agg(count(lit(1)).as("freq"))
+    val med = vc.groupBy("event_type")
+      .agg(round(expr("percentile(value, 0.5, freq)"), 4).as("med"))
+    val devc = vc.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"),
+        col("freq"))
+    val mad = devc.groupBy("event_type")
+      .agg(round(expr("percentile(dev, 0.5, freq)"), 4).as("mad"))
     // threshold from the ROUNDED mad: 3 * 1.4826 (the normal-consistency
     // constant) = 4.4478 exactly in decimal; one IEEE multiply of
     // identical inputs on both engines
-    dev.join(broadcast(med.join(mad, "event_type")), "event_type")
+    devc.join(broadcast(med.join(mad, "event_type")), "event_type")
       .groupBy("event_type")
       .agg(
         max(col("med")).as("median"),
         max(col("mad")).as("mad"),
-        count(lit(1)).as("n"),
-        count(when(col("dev") > round(col("mad") * 4.4478, 4), 1))
-          .as("n_outliers"),
-        r6(count(when(col("dev") > round(col("mad") * 4.4478, 4), 1))
-          .cast("double") / count(lit(1))).as("outlier_share"))
+        sum(col("freq")).as("n"),
+        coalesce(sum(when(col("dev") > round(col("mad") * 4.4478, 4),
+          col("freq"))), lit(0L)).as("n_outliers"),
+        r6(coalesce(sum(when(col("dev") > round(col("mad") * 4.4478, 4),
+          col("freq"))), lit(0L)).cast("double") / sum(col("freq")))
+          .as("outlier_share"))
       .orderBy("event_type")
   }
 
