@@ -177,6 +177,33 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** w5 — IGNORE NULLS navigation (gap-fill): the last-observation-
+    * carried-forward / next-observation-backward family over a sparse
+    * signal, completing w4's respect-nulls navigation. The signal is
+    * DETERMINISTICALLY sparsified (values below 100 mask to null — the
+    * "sensor only reports above threshold" shape), then each row carries
+    * the masked value, the LOCF fill, the backward fill, and the previous
+    * non-null observation — on ONE shared (user, time) exchange: all
+    * three windows share partitioning and ordering, so the plan sorts
+    * once (w2's convention).
+    */
+  def w5GapFill(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val byTime = Window.partitionBy($"user_id").orderBy($"ts_ms", $"event_id")
+    val back = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = byTime.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prev = byTime.rowsBetween(Window.unboundedPreceding, -1)
+    t(spark, dir, "events")
+      .select($"user_id", $"event_id", unix_millis($"ts").as("ts_ms"),
+        when($"value" >= 100.0, $"value").as("sparse_value"))
+      .select($"user_id", $"event_id", $"ts_ms", $"sparse_value",
+        last($"sparse_value", ignoreNulls = true).over(back).as("locf"),
+        first($"sparse_value", ignoreNulls = true).over(fwd).as("nocb"),
+        last($"sparse_value", ignoreNulls = true).over(prev)
+          .as("prev_observed"))
+      .orderBy($"user_id", $"event_id")
+  }
+
   /** Single-pass column profiling — the first-class form of the statistics
     * the cleaning pass (P2/P7) computes internally: per column, row/null/
     * exact-distinct counts and min/max, emitted long-format (numeric and
@@ -1113,6 +1140,30 @@ object Relational {
       .orderBy($"n_name")
   }
 
+  /** m1 — unpivot/melt: the wide→long reshape completing p1's pivot
+    * (long→wide) — how a metrics table becomes the (entity, measure,
+    * value) long format every generic profiler/monitor consumes.
+    * Compiles to a Generate(stack) projection — per-row expansion inside
+    * whole-stage codegen, NO shuffle and NO join; the deterministic
+    * keyed sample keeps the gate dump bounded while exercising the full
+    * expansion.
+    */
+  def m1Unpivot(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .filter($"l_orderkey" % 50 === 0)
+      .select($"l_orderkey", $"l_linenumber",
+        expr("""stack(4,
+          'discount', l_discount,
+          'extendedprice', l_extendedprice,
+          'quantity', l_quantity,
+          'tax', l_tax) AS (measure, value)"""))
+      // value joins the sort keys: the synthetic data repeats
+      // (orderkey, linenumber) pairs, so the measure alone is not a
+      // total order across the duplicates
+      .orderBy("l_orderkey", "l_linenumber", "measure", "value")
+  }
+
   /** Array function library over the embedding vectors: size, min/max,
     * indexing, slices, sorted prefix — the ArrayType scalar surface.
     */
@@ -1227,6 +1278,8 @@ object Relational {
     "prof4_mutual_information" -> prof4MutualInformation,
     "prof5_fd_histogram" -> prof5FdHistogram,
     "prof6_spearman" -> prof6Spearman,
+    "m1_unpivot" -> m1Unpivot,
+    "w5_gap_fill" -> w5GapFill,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1502,6 +1555,25 @@ object Relational {
         |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
         |FROM events
         |ORDER BY user_id, event_id""".stripMargin,
+    "w5_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms,
+        |    CASE WHEN value >= 100.0 THEN value END AS sparse_value
+        |  FROM events)
+        |SELECT user_id, event_id, ts_ms, sparse_value,
+        |  last_value(sparse_value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+        |  first_value(sparse_value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nocb,
+        |  last_value(sparse_value IGNORE NULLS) OVER
+        |    (PARTITION BY user_id ORDER BY ts_ms, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |    AS prev_observed
+        |FROM e
+        |ORDER BY user_id, event_id""".stripMargin,
     "w4_value_navigation" ->
       """WITH e AS (
         |  SELECT user_id, event_id,
@@ -1583,6 +1655,21 @@ object Relational {
         |JOIN supplier ON l_suppkey = s_suppkey
         |WHERE qty * 2 > total_qty AND n_suppliers > 1
         |ORDER BY s_suppkey""".stripMargin,
+    "m1_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, value FROM (
+        |  SELECT l_orderkey, l_linenumber,
+        |    'discount' AS measure, l_discount AS value
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'quantity', l_quantity
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        |  FROM lineitem WHERE l_orderkey % 50 = 0)
+        |ORDER BY l_orderkey, l_linenumber, measure, value""".stripMargin,
     "prof6_spearman" ->
       """WITH li AS (SELECT l_quantity AS x, l_discount AS y FROM lineitem),
         | rx AS (

@@ -360,6 +360,15 @@ class PlanSpec extends AnyFunSuite {
       p.take(2500))
   }
 
+  test("w5 LOCF/NOCB/prev fills ride one user_id exchange") {
+    // three ignore-nulls navigations with different frames but the same
+    // (user, time) partitioning and ordering — one shuffle, one sort
+    val p = plan("w5_gap_fill")
+    assert(!p.contains("SinglePartition"), p.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2500))
+  }
+
   test("ev12 change-detect and interval-close ride one user_id exchange") {
     // lag, the change filter, and lead all partition on user_id; the
     // filter preserves hash partitioning so no second shuffle appears
@@ -543,6 +552,13 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2500))
     assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500)) // 1-row cuts
     assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("m1 unpivot is a generator projection: no join, key filter pushed down") {
+    val p = plan("m1_unpivot")
+    assert(p.contains("Generate stack"), p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey)"), p.take(2500))
   }
 
   test("prof5 broadcasts the 1-row bin spec; assignment is scan-local") {
