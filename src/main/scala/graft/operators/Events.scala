@@ -287,6 +287,47 @@ object Events {
       .orderBy("user_id", "valid_from_ms", "event_id")
   }
 
+  /** ev15 — rolling active users: DAU and trailing-7-day WAU per
+    * observed day — the engagement staple every analytics deployment
+    * reports, and the one rolling metric a window CANNOT serve (distinct
+    * is not algebraic: a 7-day distinct cannot merge from daily
+    * distincts, which is also why it complements ev13's mergeable
+    * rollups).
+    *
+    * Scale shape: events collapse ONCE to the (day, user) ACTIVITY
+    * DOMAIN (hash aggregate, map-side combine — the frame is
+    * days × active-users, not event-sized); DAU is a domain-sized
+    * aggregate, and the 7-day windows come from a broadcast range join
+    * of the tiny observed-day dimension against the domain (each
+    * activity row lands in ≤7 windows — bounded expansion, never a
+    * corpus self-join). At 100 TB the same plan serves with
+    * approx_count_distinct sketches per (day, user-bucket) if exactness
+    * is waived; the exact form is what the oracle can gate.
+    */
+  def rollingActive(spark: SparkSession, dir: String): DataFrame =
+    rollingActiveCore(t(spark, dir, "events"))
+
+  /** ev15 over an explicit `(ts, user_id)` frame — InvariantSpec plants
+    * an activity pattern with known window membership (churned user
+    * leaving the trailing window, returning user re-entering).
+    */
+  private[graft] def rollingActiveCore(ev: DataFrame): DataFrame = {
+    val du = ev
+      .select(date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .distinct()
+    val days = du.select(col("day").as("wday")).distinct()
+    val dau = du.groupBy("day")
+      .agg(count_distinct(col("user_id")).as("dau"))
+    val wau = du.join(broadcast(days),
+        col("day") <= col("wday") &&
+          col("day") > col("wday") - expr("interval 7 days"))
+      .groupBy(col("wday"))
+      .agg(count_distinct(col("user_id")).as("wau7"))
+    dau.join(wau, col("day") === col("wday"))
+      .select(unix_millis(col("day")).as("day_ms"), col("dau"), col("wau7"))
+      .orderBy("day_ms")
+  }
+
   /** ev13 — rollup merge: weekly aggregates derived ONLY from daily
     * PARTIAL aggregates (count/sum/min/max are algebraic — mergeable —
     * and avg re-derives from the merged sum and count), while the oracle
@@ -329,6 +370,7 @@ object Events {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev13_rollup_merge" -> rollupMerge,
+    "ev15_rolling_active" -> rollingActive,
     "ev8_merge_upsert" -> mergeUpsert,
     "ev9_retention" -> retention,
     "ev10_anomaly" -> anomalies,
@@ -342,6 +384,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev15_rolling_active" ->
+      """WITH du AS (
+        |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    user_id
+        |  FROM events),
+        | days AS (SELECT DISTINCT day AS wday FROM du),
+        | dau AS (
+        |  SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+        | wau AS (
+        |  SELECT wday, count(DISTINCT user_id) AS wau7
+        |  FROM du JOIN days
+        |    ON day <= wday AND day > wday - INTERVAL 7 DAY
+        |  GROUP BY wday)
+        |SELECT epoch_ms(day) AS day_ms, dau, wau7
+        |FROM dau JOIN wau ON day = wday
+        |ORDER BY day_ms""".stripMargin,
     // ev13's oracle aggregates the RAW events directly — a hash match
     // proves the Spark side's daily-partial merge is lossless.
     "ev13_rollup_merge" ->

@@ -196,6 +196,27 @@ class InvariantSpec extends AnyFunSuite {
       .collect().isEmpty)
   }
 
+  test("ev15 trailing windows: churn leaves after 7 days, returns re-enter") {
+    import spark.implicits._
+    def ts(day: Int) =
+      new java.sql.Timestamp(86400000L * (19800 + day) + 3600000L)
+    // A active every day 0-9; B active day 0 only (churns out of the
+    // 7-day window at day 7); C appears day 8 (re-entry)
+    val ev = ((0 to 9).map(d => (ts(d), 1L)) ++
+      Seq((ts(0), 2L), (ts(0), 2L)) ++ // duplicate events, one activity
+      Seq((ts(8), 3L))).toDF("ts", "user_id")
+    val rows = graft.operators.Events.rollingActiveCore(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDay = rows.map { case (ms, dau, wau) =>
+      ((ms / 86400000L - 19800).toInt, (dau, wau)) }.toMap
+    assert(byDay(0) == ((2L, 2L)))  // A + B
+    assert(byDay(6) == ((1L, 2L)))  // B still inside days 0..6
+    assert(byDay(7) == ((1L, 1L)))  // B churned out of days 1..7
+    assert(byDay(8) == ((2L, 2L)))  // C enters
+    // WAU dominates DAU everywhere; both bounded by the user universe
+    assert(rows.forall { case (_, dau, wau) => wau >= dau && wau <= 3 })
+  }
+
   test("prof2 buckets partition the domain with near-equal depths") {
     val rows = graft.operators.Relational
       .equiDepthExact(Tables.t(spark, sf, "events"), "value", 8)
