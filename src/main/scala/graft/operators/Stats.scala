@@ -96,6 +96,39 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** ab4 — the lift readout with its 95% confidence interval: absolute
+    * lift, relative lift, and Welch-form CI bounds `Δ ± 1.96·√(s²_a/n_a
+    * + s²_b/n_b)` — the line a launch decision actually reads (ab1/ab2
+    * give the statistic and effect size; this gives the bracket and the
+    * significance verdict). Same ONE-pass conditional-aggregate
+    * discipline; the `significant` flag derives from the ROUNDED bounds
+    * (zero outside the rounded CI), so both engines always agree on the
+    * verdict bit, and every signed output follows the ±0 convention.
+    */
+  def abLiftCi(spark: SparkSession, dir: String): DataFrame =
+    abLiftCiCore(t(spark, dir, "events"))
+
+  /** ab4 over an explicit frame — StatsSpec pins CI-contains-zero ↔
+    * not-significant and the arm-swap antisymmetry of the bounds.
+    */
+  private[graft] def abLiftCiCore(ev: DataFrame): DataFrame = {
+    val a = inGroupA(col("user_id"))
+    val va = when(a, col("value"))
+    val vb = when(!a, col("value"))
+    val diff = avg(va) - avg(vb)
+    val se = sqrt(var_samp(va) / count(va) + var_samp(vb) / count(vb))
+    val lo = r6s(diff - lit(1.96) * se)
+    val hi = r6s(diff + lit(1.96) * se)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(va).as("n_a"), count(vb).as("n_b"),
+        r6s(diff).as("lift"),
+        r6s(diff / avg(vb)).as("rel_lift"),
+        lo.as("ci_lo"), hi.as("ci_hi"),
+        (lo > 0.0 || hi < 0.0).as("significant"))
+      .orderBy("event_type")
+  }
+
   /** ab3 — chi-square test of independence between the experiment arm
     * and the event-type mix: ab1/ab2 ask "did the VALUE move"; this asks
     * "did the BEHAVIOR mix move" (a treatment that shifts what users do,
@@ -249,6 +282,7 @@ object Stats {
     "ab1_welch_readout" -> abTest,
     "ab2_welch_effect" -> abEffect,
     "ab3_chisq_mix" -> abChisq,
+    "ab4_lift_ci" -> abLiftCi,
     "drift1_psi" -> psiDrift,
     "drift2_psi_categorical" -> psiCategorical
   )
@@ -299,6 +333,36 @@ object Stats {
         |    sqrt(((n_a - 1) * s2_a + (n_b - 1) * s2_b) / (n_a + n_b - 2)),
         |    6) + 0 AS cohen_d
         |FROM agg
+        |ORDER BY event_type""".stripMargin,
+    // ab4: the CI arithmetic runs on the UNROUNDED per-arm aggregates in
+    // a CTE (ab2's convention); the significance bit derives from the
+    // ROUNDED bounds so the verdict cannot straddle an engine boundary.
+    "ab4_lift_ci" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a
+        |  FROM events),
+        | agg AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN a THEN value END) AS n_a,
+        |    count(CASE WHEN NOT a THEN value END) AS n_b,
+        |    avg(CASE WHEN a THEN value END) AS m_a,
+        |    avg(CASE WHEN NOT a THEN value END) AS m_b,
+        |    var_samp(CASE WHEN a THEN value END) AS s2_a,
+        |    var_samp(CASE WHEN NOT a THEN value END) AS s2_b
+        |  FROM e GROUP BY event_type),
+        | ci AS (
+        |  SELECT event_type, n_a, n_b,
+        |    round(m_a - m_b, 6) + 0 AS lift,
+        |    round((m_a - m_b) / m_b, 6) + 0 AS rel_lift,
+        |    round((m_a - m_b)
+        |      - 1.96 * sqrt(s2_a / n_a + s2_b / n_b), 6) + 0 AS ci_lo,
+        |    round((m_a - m_b)
+        |      + 1.96 * sqrt(s2_a / n_a + s2_b / n_b), 6) + 0 AS ci_hi
+        |  FROM agg)
+        |SELECT event_type, n_a, n_b, lift, rel_lift, ci_lo, ci_hi,
+        |  (ci_lo > 0.0 OR ci_hi < 0.0) AS significant
+        |FROM ci
         |ORDER BY event_type""".stripMargin,
     "ab3_chisq_mix" ->
       """WITH c AS (

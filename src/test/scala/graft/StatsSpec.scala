@@ -157,6 +157,34 @@ class StatsSpec extends AnyFunSuite {
     assert(math.abs(rows.map(_.getDouble(4)).sum - 1.0) < 0.02)
   }
 
+  test("ab4 lift CI: zero-in-CI iff not significant, swap negates the bracket") {
+    import spark.implicits._
+    def frame(liftA: Double, liftB: Double, noise: Double) =
+      (armA.take(60).zipWithIndex.map { case (u, i) =>
+        (u, "click", liftA + (i % 7) * noise) } ++
+        armB.take(60).zipWithIndex.map { case (u, i) =>
+          (u, "click", liftB + (i % 7) * noise) })
+        .toDF("user_id", "event_type", "value")
+    def row(df: org.apache.spark.sql.DataFrame) =
+      Stats.abLiftCiCore(df).collect()(0)
+    // a large planted effect against small noise: significant, lo > 0
+    val strong = row(frame(20.0, 10.0, 0.1))
+    assert(strong.getAs[Boolean]("significant"))
+    assert(strong.getAs[Double]("ci_lo") > 0.0)
+    assert(strong.getAs[Double]("lift") == 10.0)
+    // identical arms: CI brackets zero, not significant
+    val none = row(frame(10.0, 10.0, 0.1))
+    assert(!none.getAs[Boolean]("significant"))
+    assert(none.getAs[Double]("ci_lo") <= 0.0 &&
+      none.getAs[Double]("ci_hi") >= 0.0)
+    // swapping the arms negates lift and mirrors the bracket
+    val up = row(frame(12.0, 10.0, 0.5))
+    val down = row(frame(10.0, 12.0, 0.5))
+    assert(up.getAs[Double]("lift") == -down.getAs[Double]("lift"))
+    assert(math.abs(up.getAs[Double]("ci_lo")
+      + down.getAs[Double]("ci_hi")) < 1e-9)
+  }
+
   test("signed-zero convention: r2s/r6s normalize round(-eps) to +0.0 bits") {
     import spark.implicits._
     import java.lang.Double.doubleToRawLongBits
