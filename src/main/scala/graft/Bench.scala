@@ -63,22 +63,31 @@ object Bench {
     // Times rounded to ms — sub-ms digits are noise and bloat the line.
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    def queriesJson(render: Double => String): String =
-      results.toSeq.sortBy(_._1)
-        .map { case (k, v) => s"\"" + k + "\":" + render(v) }
-        .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failures = results.values.count(_ < 0)
-    // Full-precision per-query detail first, then the compact per-query map,
-    // then the contract line LAST — and TINY. The driver captures a ~2 KB
-    // TAIL of stdout; at 73+ queries any line carrying the per-query map is
-    // ~2.6 KB, so a total that rides on the same line as the map loses its
-    // '"metric":"total","value":…' PREFIX to the window (BENCH_r04–r06 all
-    // hit this). The total therefore gets its own sub-100-byte final line
-    // with NO queries map; the map rides the line above, where losing its
-    // head costs nothing (per-query entries are self-delimiting).
-    println(s"""{"detail":"per-query-full-precision","queries":${queriesJson(_.toString)}}""")
-    println(s"""{"metric":"per-query","unit":"sec","sf":"$sfDir","queries":${queriesJson(fmt)}}""")
+    // Truncation-proof layout. The driver captures a bounded TAIL of
+    // stdout and truncation eats from the HEAD of that window — r9/r10
+    // both lost the alphabetical head of the one-line per-query map
+    // (dd*, pipe*, pr1: exactly the heavy hitters). So: entries sort
+    // ASCENDING by time (failures, reported -1.0, sort LAST — a crash
+    // must be the single most visible entry) and stream out in ≤900-byte
+    // self-delimiting chunk lines, fastest chunk first. Whatever part of
+    // the block survives the window is then always the most expensive
+    // queries, sitting immediately above the tiny contract line; a
+    // full-size window recovers the entire map by concatenating parts
+    // 1..N. The contract line stays LAST and sub-100-byte with no map on
+    // it (BENCH_r04–r06 lost its prefix when the map rode along).
+    val asc = results.toSeq
+      .sortBy { case (n, v) => (if (v < 0) Double.MaxValue else v, n) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val parts = asc.foldLeft(List(List.empty[String])) { (acc, e) =>
+      if (acc.head.map(_.length + 1).sum + e.length > 900)
+        List(e) :: acc
+      else (e :: acc.head) :: acc.tail
+    }.map(_.reverse).reverse.filter(_.nonEmpty)
+    parts.zipWithIndex.foreach { case (p, i) =>
+      println(s"""{"metric":"per-query","part":${i + 1},"parts":${parts.size},"order":"asc-time","unit":"sec","sf":"$sfDir","queries":${p.mkString("{", ",", "}")}}""")
+    }
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures}""")
     spark.stop()
   }

@@ -413,8 +413,15 @@ object Relational {
       round(expr("percentile(v, 0.75)"), 4).as("q3"),
       min($"v").as("mn"), max($"v").as("mx"),
       count(lit(1)).as("n"))
+    // width guard: a near-constant column rounds the FD width to 0 (or a
+    // zero IQR makes it exactly 0), which would emit Inf/NaN bins here
+    // and crash DuckDB's floor→BIGINT cast. Fall back to the rounded
+    // value span (one terminal-partial bin), then 1.0 for a fully
+    // constant column (single bin 0) — same CASE chain in the oracle.
+    val w0 = round(lit(2.0) * ($"q3" - $"q1") / cbrt($"n"), 4)
+    val span = round($"mx" - $"mn", 4)
     val spec = stats.select($"mn", $"mx",
-      round(lit(2.0) * ($"q3" - $"q1") / cbrt($"n"), 4).as("w"))
+      when(w0 > 0.0, w0).when(span > 0.0, span).otherwise(lit(1.0)).as("w"))
     v.join(broadcast(spec))
       .groupBy(floor(($"v" - $"mn") / $"w").cast("long").as("bin"))
       .agg(count(lit(1)).as("n"),
@@ -883,27 +890,38 @@ object Relational {
     * a different supplier), the classic double-correlated self-reference
     * on the fact table.
     *
-    * Spark-first form: both existentials collapse into ONE per-order
-    * aggregate (distinct-linenumber count + distinct-supplier count +
-    * the supplier; the synthetic data repeats line numbers, so
-    * "multi-line" means >= 2 DISTINCT line numbers on both engines) —
-    * the fact table is scanned once and never self-joined; a literal
-    * EXISTS/NOT-EXISTS translation would plan two extra corpus-sized
-    * semi/anti joins on l_orderkey (PlanSpec pins the single scan). The
-    * per-order frame then broadcast-joins the supplier dimension.
+    * Spark-first form: both existentials collapse into a two-level
+    * aggregate with NO distinct-aggregate anywhere — a naive
+    * `agg(count_distinct(linenumber), count_distinct(suppkey))` makes
+    * Catalyst insert an Expand that triples every fact row entering the
+    * first aggregate (measured ~4× the family median at sf0.1). Instead:
+    * (1) dedup the (orderkey, linenumber, suppkey) triple — a plain
+    * hash aggregate whose map-side combine ships only distinct triples;
+    * (2) per order, `min(suppkey)==max(suppkey)` decides sole-supplier
+    * (keys are non-null in the fact table), and GIVEN one supplier the
+    * triple count IS the distinct-linenumber count, so "multi-line"
+    * (>= 2 DISTINCT line numbers — the synthetic data repeats line
+    * numbers) is just `count > 1`. One fact scan, never self-joined, no
+    * Expand (PlanSpec pins both); a literal EXISTS/NOT-EXISTS
+    * translation would plan two extra corpus-sized semi/anti joins. The
+    * per-order frame (one row per order) then broadcast-joins the
+    * supplier dimension, so the closing count per supplier needs no
+    * distinct either.
     */
   def q21SoleSupplier(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val perOrder = t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_suppkey")
+      .distinct()
       .groupBy($"l_orderkey")
-      .agg(count_distinct($"l_linenumber").as("n_lines"),
-        count_distinct($"l_suppkey").as("n_supp"),
-        min($"l_suppkey").as("the_supp"))
-      .filter($"n_lines" > 1 && $"n_supp" === 1)
+      .agg(count(lit(1)).as("n_lines"),
+        min($"l_suppkey").as("the_supp"),
+        max($"l_suppkey").as("max_supp"))
+      .filter($"n_lines" > 1 && $"the_supp" === $"max_supp")
     perOrder
       .join(broadcast(t(spark, dir, "supplier")), $"the_supp" === $"s_suppkey")
       .groupBy($"s_name")
-      .agg(count_distinct($"l_orderkey").as("n_sole_orders"))
+      .agg(count(lit(1)).as("n_sole_orders"))
       .orderBy($"n_sole_orders".desc, $"s_name")
   }
 
@@ -920,8 +938,11 @@ object Relational {
     * self-joins the (part × supplier)-sized cost frame on p_partkey —
     * co-partitioned, never a global sort. Winners compare on the
     * 6-rounded cost so both engines pick identical suppliers; ties all
-    * surface (Q2 semantics). Final order carries (p_partkey, s_suppkey)
-    * so the LIMIT prefix is unique.
+    * surface (Q2 semantics). The final sort appends s_suppkey after
+    * p_partkey — within one part, tied winners differ only by supplier —
+    * so the LIMIT-100 prefix is unique BY CONSTRUCTION (both engines),
+    * not by accident of unique s_name in the testdata; the key is
+    * dropped from the projection after the TakeOrdered.
     */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame =
     q2Core(t(spark, dir, "lineitem"), t(spark, dir, "part"),
@@ -955,10 +976,11 @@ object Relational {
     costs
       .join(minCost,
         $"p_partkey" === $"mc_partkey" && $"supp_cost" === $"min_cost")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey",
+        $"s_suppkey")
+      .limit(100)
       .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name",
         $"supp_cost")
-      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
-      .limit(100)
   }
 
   /** TPC-H Q11-style important stock: parts whose value supplied from one
@@ -1076,7 +1098,11 @@ object Relational {
     * Σ_xy p(x,y)·ln p(x) = Σ_x p(x)·ln p(x). All probabilities are IEEE
     * divisions of exact integer counts, identical on both engines; ln
     * differs by ≤1 ulp (absorbed by 6-decimal rounding, t14's note). MI
-    * and NMI are signed expressions that can round to zero → r6s.
+    * and NMI are signed expressions that can round to zero → r6s. A
+    * single-valued column has zero marginal entropy, making NMI's
+    * denominator 0 and the readout 0/0 → NaN; NMI is null in that case
+    * (mirrored in the oracle) — MI is still 0 and the entropies still
+    * report, so the degenerate profile stays informative.
     */
   def prof4MutualInformation(spark: SparkSession, dir: String): DataFrame =
     miProfile(t(spark, dir, "orders"), "o_orderstatus", "o_orderpriority")
@@ -1106,8 +1132,11 @@ object Relational {
         r6s(sum($"p" * log($"p" / ($"px" * $"py")))).as("mi_nats"),
         r6(-sum($"p" * log($"px"))).as("h_x"),
         r6(-sum($"p" * log($"py"))).as("h_y"),
-        r6s(sum($"p" * log($"p" / ($"px" * $"py"))) /
-          sqrt(sum($"p" * log($"px")) * sum($"p" * log($"py")))).as("nmi"))
+        // zero-entropy guard: ln(px) ≤ 0 so the marginal sum is 0 iff the
+        // column is single-valued; either side degenerate → null, not NaN
+        r6s(when(sum($"p" * log($"px")) < 0.0 && sum($"p" * log($"py")) < 0.0,
+          sum($"p" * log($"p" / ($"px" * $"py"))) /
+            sqrt(sum($"p" * log($"px")) * sum($"p" * log($"py"))))).as("nmi"))
   }
 
   /** LIKE-pattern filter with aggregation (string predicate pushdown). */
@@ -1621,7 +1650,7 @@ object Relational {
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supp_cost
         |FROM costs JOIN mc
         |  ON p_partkey = mc_partkey AND supp_cost = min_cost
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey, s_suppkey
         |LIMIT 100""".stripMargin,
     "q11_important_parts" ->
       """WITH pv AS (
@@ -1697,7 +1726,11 @@ object Relational {
         |    min(v) AS mn, max(v) AS mx, count(*) AS n
         |  FROM v),
         | spec AS (
-        |  SELECT mn, mx, round(2.0 * (q3 - q1) / cbrt(n), 4) AS w
+        |  SELECT mn, mx,
+        |    CASE WHEN round(2.0 * (q3 - q1) / cbrt(n), 4) > 0
+        |         THEN round(2.0 * (q3 - q1) / cbrt(n), 4)
+        |         WHEN round(mx - mn, 4) > 0 THEN round(mx - mn, 4)
+        |         ELSE 1.0 END AS w
         |  FROM stats)
         |SELECT CAST(floor((v - mn) / w) AS BIGINT) AS bin,
         |  count(*) AS n, round(min(v), 4) AS lo, round(max(v), 4) AS hi
@@ -1721,8 +1754,10 @@ object Relational {
         |  round(sum(p * ln(p / (px * py))), 6) + 0 AS mi_nats,
         |  round(-sum(p * ln(px)), 6) AS h_x,
         |  round(-sum(p * ln(py)), 6) AS h_y,
-        |  round(sum(p * ln(p / (px * py))) /
-        |    sqrt(sum(p * ln(px)) * sum(p * ln(py))), 6) + 0 AS nmi
+        |  round(CASE WHEN sum(p * ln(px)) < 0 AND sum(p * ln(py)) < 0
+        |    THEN sum(p * ln(p / (px * py))) /
+        |      sqrt(sum(p * ln(px)) * sum(p * ln(py)))
+        |    END, 6) + 0 AS nmi
         |FROM probs""".stripMargin,
     "prof3_correlation_matrix" ->
       """WITH a AS (

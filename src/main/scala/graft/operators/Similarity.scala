@@ -454,23 +454,31 @@ object Similarity {
     */
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val n = t(spark, dir, "embeddings").count()
-    val k = math.max(4L, math.min(64L, (n + 63L) / 64L)).toInt
-    // Scoped-persist the quantized frame: FOUR subtrees of the one final
-    // plan consume it (the seed prefix, both assignment passes, the mean
-    // update) — without the cache each re-scans parquet and re-quantizes.
-    // Measured at sf0.1/local[32], warm: ~2.2-2.4 s vs ~2.5-2.7 s (the
-    // explode/assign arithmetic dominates; the cache trims the redundant
-    // scan+quantize work, ~12%).
+    // Scoped-persist the quantized frame: FIVE subtrees of the one final
+    // plan consume it (the corpus-count k sizing, the seed prefix, both
+    // assignment passes, the mean update) — without the cache each
+    // re-scans parquet and re-quantizes. Measured at sf0.1/local[32],
+    // warm: ~2.2-2.4 s vs ~2.5-2.7 s (the explode/assign arithmetic
+    // dominates; the cache trims the redundant scan+quantize work, ~12%).
     val e6 = graft.engine.Caching.scopedPersist(
       t(spark, dir, "embeddings")
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * lit(1e6)).cast("long")).as("v6")))
+    // k = clamp(ceil(n/64), 4, 64), folded INTO the plan as a 1-row
+    // broadcast instead of a driver-side count() action: the seed prefix
+    // takes the maximum k (64) rows up front and the k-filter trims it,
+    // so sizing costs one aggregate over the cached frame, not a separate
+    // full-corpus job before the real one.
+    val kCol = greatest(lit(4L),
+      least(lit(64L), floor((col("n") + lit(63L)) / lit(64.0)).cast("long")))
+    val kPrm = e6.agg(count(lit(1)).as("n")).select(kCol.as("k"))
     val seedOrder = Seq(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
-    val seeds = e6.orderBy(seedOrder: _*).limit(k)
+    val seeds = e6.orderBy(seedOrder: _*).limit(64)
       .withColumn("cid", (row_number().over(Window.orderBy(seedOrder: _*)) - 1)
         .cast("long"))
+      .join(broadcast(kPrm))
+      .filter(col("cid") < col("k"))
       .select(col("cid"), col("v6").as("c6"))
     // Exact integer squared L2 between two micro-unit long arrays.
     def dist2(a: Column, b: Column): Column =

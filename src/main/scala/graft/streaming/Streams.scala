@@ -326,7 +326,12 @@ object RollupStream {
 
   /** Algebraic merge of two ev13-shaped daily-partial frames. `least`/
     * `greatest` skip nulls, so a (day, type) present on one side only
-    * passes through unchanged.
+    * passes through unchanged. The sum merge is null-preserving the same
+    * way batch `sum` is: sv is null only when BOTH sides are null (a
+    * group whose every value is null must stay null incrementally, or
+    * the store diverges from the batch `dailyPartialsOf` it advertises
+    * equivalence with — a blanket coalesce-to-0.0 would turn that group
+    * into 0.0).
     */
   private[graft] def mergePartials(store: DataFrame, delta: DataFrame): DataFrame = {
     val s = store.select(col("day"), col("event_type"), col("n").as("n_a"),
@@ -336,7 +341,9 @@ object RollupStream {
     s.join(d, Seq("day", "event_type"), "full_outer")
       .select(col("day"), col("event_type"),
         (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))).as("n"),
-        (coalesce(col("sv_a"), lit(0.0)) + coalesce(col("sv_b"), lit(0.0))).as("sv"),
+        when(col("sv_a").isNotNull || col("sv_b").isNotNull,
+          coalesce(col("sv_a"), lit(0.0)) + coalesce(col("sv_b"), lit(0.0)))
+          .as("sv"),
         least(col("mn_a"), col("mn_b")).as("mn"),
         greatest(col("mx_a"), col("mx_b")).as("mx"))
   }

@@ -218,6 +218,10 @@ class PlanSpec extends AnyFunSuite {
     assert("lineitem".r.findAllIn(p).size <= 2, p.take(3000))
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
+    // the triple-dedup rewrite must keep every aggregate non-distinct:
+    // an Expand node means Catalyst fell back to the multi-count_distinct
+    // plan that triples the fact rows entering the first aggregate
+    assert(!p.contains("Expand"), p.take(3000))
   }
 
   test("pipe3 composes on one documents scan: final plan reads no parquet") {

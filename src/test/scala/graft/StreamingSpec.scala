@@ -310,6 +310,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedWeekly.nonEmpty && stores.size == chunks.size)
   }
 
+  test("rollup merge keeps an all-null-value group's sum null, as batch does") {
+    import spark.implicits._
+    // batch sum(value) over an all-null group is null; the incremental
+    // merge must preserve that (null only when BOTH sides are null), not
+    // coalesce it to 0.0 — the store==batch equivalence above only
+    // exercises non-null values, so pin the degenerate case directly
+    def partials(rows: Seq[(java.sql.Timestamp, String, Option[Double])]) =
+      graft.operators.Events.dailyPartialsOf(
+        rows.toDF("ts", "event_type", "value"))
+    def ts(day: Int) = new java.sql.Timestamp(86400000L * (19700 + day))
+    val a = partials(Seq((ts(0), "click", None), (ts(1), "view", Some(2.0))))
+    val b = partials(Seq((ts(0), "click", None), (ts(2), "buy", None)))
+    val merged = graft.streaming.RollupStream.mergePartials(a, b)
+      .collect().map(r => (r.getString(1), r)).toMap
+    // both batches all-null for (day0, click): merged sv must stay null
+    assert(merged("click").isNullAt(merged("click").fieldIndex("sv")))
+    // one-sided groups pass through: null side stays null, value side keeps it
+    assert(merged("buy").isNullAt(merged("buy").fieldIndex("sv")))
+    assert(merged("view").getDouble(merged("view").fieldIndex("sv")) == 2.0)
+    // and the batch twin agrees end-to-end on the union of both batches
+    val batch = partials(
+      Seq((ts(0), "click", None), (ts(1), "view", Some(2.0)),
+        (ts(0), "click", None), (ts(2), "buy", None)))
+    assert(merged.values.map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet)
+  }
+
   test("streaming artifact sink checkpoints each micro-batch as reloadable JSON") {
     val srcDir = Files.createTempDirectory("graft-art-src").toString
     val outDir = Files.createTempDirectory("graft-art-out").toString
