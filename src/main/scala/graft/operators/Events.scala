@@ -148,6 +148,50 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ev16 — full CDC MERGE classification: ev8 completed with the DELETE
+    * arm. The change batch now carries tombstones — the corpus has no
+    * deletion marker, so the e2/t7 injection convention applies: a delta
+    * event with `event_id ≡ 0 (mod 13)` is a tombstone. Per affected key
+    * the LAST change (by ts, event_id) wins, exactly MERGE INTO:
+    *   - last is a tombstone and the key exists in the base snapshot →
+    *     `delete` (state columns null, ts = deletion instant);
+    *   - last is a tombstone for an absent key → NO row (an unmatched
+    *     WHEN MATCHED DELETE is a no-op — the merge never saw the key);
+    *   - otherwise `insert`/`update` as ev8.
+    * This is the batch twin the Scd2Stream CDC path replays incrementally
+    * (deletes there CLOSE validity intervals — StreamingSpec drives a
+    * delete arriving in a later micro-batch).
+    *
+    * Scale shape: identical to ev8 — rank-1 delta compaction is map-side
+    * (WindowGroupLimit), the base is one DISTINCT user-id aggregate, the
+    * classify join is user-count-sized and AQE-broadcast; the tombstone
+    * predicate and the unmatched-delete drop are scan-local arithmetic
+    * on that tiny frame. No event-log self-join.
+    */
+  def mergeFull(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val split = "2024-01-16 00:00:00"
+    val ev = t(spark, dir, "events")
+    val delta = ev.filter(col("ts") >= lit(split))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .withColumn("tomb", col("event_id") % 13 === 0)
+    val base = ev.filter(col("ts") < lit(split) && col("user_id") % 7 =!= 0)
+      .select(col("user_id").as("base_user")).distinct()
+    delta.join(base, col("user_id") === col("base_user"), "left")
+      .filter(!col("tomb") || col("base_user").isNotNull)
+      .select(col("user_id"), unix_millis(col("ts")).as("last_ts_ms"),
+        when(col("tomb"), lit(null)).otherwise(col("event_type"))
+          .as("last_event_type"),
+        when(col("tomb"), lit(null)).otherwise(col("value")).as("last_value"),
+        when(col("tomb"), lit("delete"))
+          .when(col("base_user").isNull, lit("insert"))
+          .otherwise(lit("update")).as("change"))
+      .orderBy("user_id")
+  }
+
   /** ev9 — cohort retention: users grouped by their first active day
     * (cohort), counted on each later active day as an offset from the
     * cohort day — the product-analytics retention triangle.
@@ -372,6 +416,7 @@ object Events {
     "ev13_rollup_merge" -> rollupMerge,
     "ev15_rolling_active" -> rollingActive,
     "ev8_merge_upsert" -> mergeUpsert,
+    "ev16_merge_full" -> mergeFull,
     "ev9_retention" -> retention,
     "ev10_anomaly" -> anomalies,
     "ev11_resample" -> resample,
@@ -579,6 +624,30 @@ object Events {
         |  CASE WHEN base_user IS NULL THEN 'insert' ELSE 'update' END AS change
         |FROM (SELECT * FROM delta WHERE rn = 1) d
         |LEFT JOIN base ON d.user_id = base_user
+        |ORDER BY d.user_id""".stripMargin,
+    "ev16_merge_full" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value
+        |  FROM events),
+        | delta AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e WHERE ts >= TIMESTAMP '2024-01-16 00:00:00'),
+        | d AS (
+        |  SELECT *, (event_id % 13 = 0) AS tomb FROM delta WHERE rn = 1),
+        | base AS (
+        |  SELECT DISTINCT user_id AS base_user FROM e
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND user_id % 7 <> 0)
+        |SELECT d.user_id, epoch_ms(d.ts) AS last_ts_ms,
+        |  CASE WHEN tomb THEN NULL ELSE event_type END AS last_event_type,
+        |  CASE WHEN tomb THEN NULL ELSE value END AS last_value,
+        |  CASE WHEN tomb THEN 'delete'
+        |       WHEN base_user IS NULL THEN 'insert'
+        |       ELSE 'update' END AS change
+        |FROM d LEFT JOIN base ON d.user_id = base_user
+        |WHERE NOT tomb OR base_user IS NOT NULL
         |ORDER BY d.user_id""".stripMargin
   )
 }

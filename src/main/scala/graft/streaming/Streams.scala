@@ -529,3 +529,75 @@ object Scd2Stream {
     out.result().iterator
   }
 }
+
+/** A CDC-typed change event: `tombstone = true` is a DELETE for the key
+  * (value is ignored on tombstones) — ev16's delete arm, streamed.
+  */
+final case class CdcEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double,
+    tombstone: Boolean)
+
+/** CDC state: the open interval (None right after a delete) plus the
+  * late-data clock. The clock lives OUTSIDE the open row because a
+  * delete clears the row but must NOT reset the clock — otherwise a
+  * late pre-delete event would resurrect a key whose deletion the
+  * stream already emitted.
+  */
+final case class CdcState(open: Option[ScdState], clock_ms: Long)
+
+/** [[Scd2Stream]] completed with the DELETE arm — the streaming twin of
+  * [[graft.operators.Events.mergeFull]] (ev16). A tombstone CLOSES the
+  * key's open interval at the tombstone's time (emitting the finished
+  * row — the delete is the interval's end, exactly the batch SCD2 row a
+  * MERGE DELETE would finalize) and clears the state; a later value
+  * re-opens the key as a fresh interval. A tombstone for an absent key
+  * is a no-op (ev16's unmatched-delete rule). Same late-data contract as
+  * [[Scd2Stream]], enforced across deletes by [[CdcState]]'s clock.
+  *
+  * State scale: identical to Scd2Stream — ≤1 small row per key; a
+  * deleted key keeps only the clock until it re-opens.
+  */
+object CdcScd2Stream {
+
+  def changes(events: Dataset[CdcEvent]): Dataset[ScdChange] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private[streaming] def update(
+      userId: Long,
+      events: Iterator[CdcEvent],
+      state: GroupState[CdcState]): Iterator[ScdChange] = {
+    val st = state.getOption.getOrElse(CdcState(None, Long.MinValue))
+    var open = st.open
+    var clock = st.clock_ms
+    val out = Seq.newBuilder[ScdChange]
+    val sorted = events.toArray
+      .filter(_.ts.getTime >= clock)
+      .sortBy(e => (e.ts.getTime, e.event_id))
+    for (e <- sorted) {
+      val ms = e.ts.getTime
+      (open, e.tombstone) match {
+        case (Some(o), true) =>
+          out += ScdChange(userId, o.event_id, o.valid_from_ms, o.value, ms)
+          open = None
+        case (None, true) =>
+          () // unmatched delete: the key was never open — MERGE no-op
+        case (None, false) =>
+          open = Some(ScdState(e.event_id, ms, e.value, ms))
+        case (Some(o), false) if e.value == o.value =>
+          open = Some(o.copy(last_seen_ms = ms))
+        case (Some(o), false) =>
+          out += ScdChange(userId, o.event_id, o.valid_from_ms, o.value, ms)
+          open = Some(ScdState(e.event_id, ms, e.value, ms))
+      }
+      clock = math.max(clock, ms)
+    }
+    if (open.isDefined || clock != Long.MinValue)
+      state.update(CdcState(open, clock))
+    out.result().iterator
+  }
+}

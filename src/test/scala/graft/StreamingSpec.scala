@@ -495,6 +495,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == wantClosed, s"stream=$got batch=$wantClosed")
   }
 
+  test("CDC SCD2: a delete in a later micro-batch closes the interval; re-open works") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{CdcEvent, CdcScd2Stream, ScdChange}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704103200000L
+    def ts(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    val input = MemoryStream[CdcEvent]
+    val q = CdcScd2Stream.changes(input.toDS())
+      .writeStream.format("memory").queryName("cdc_scd2_out")
+      .outputMode("append").start()
+    def got() = spark.table("cdc_scd2_out").as[ScdChange].collect().toSet
+    try {
+      // batch 1: user 1 opens at t0; user 2's tombstone targets an absent
+      // key — ev16's unmatched-delete no-op, nothing may emit for it
+      input.addData(CdcEvent(1L, 1L, ts(0), 5.0, tombstone = false),
+        CdcEvent(2L, 2L, ts(0), 0.0, tombstone = true))
+      q.processAllAvailable()
+      assert(got().isEmpty)
+      // batch 2: the delete arrives a micro-batch LATER and must close
+      // user 1's open interval at the tombstone's time
+      input.addData(CdcEvent(1L, 3L, ts(2), 0.0, tombstone = true))
+      q.processAllAvailable()
+      assert(got() == Set(ScdChange(1L, 1L, ts(0).getTime, 5.0, ts(2).getTime)))
+      // batch 3: a pre-delete straggler must stay dead (the clock outlives
+      // the cleared open row), and a post-delete value re-opens the key...
+      input.addData(CdcEvent(1L, 4L, ts(1), 9.0, tombstone = false),
+        CdcEvent(1L, 5L, ts(4), 7.0, tombstone = false))
+      q.processAllAvailable()
+      assert(got() == Set(ScdChange(1L, 1L, ts(0).getTime, 5.0, ts(2).getTime)))
+      // ...whose own later delete closes the SECOND interval at its time
+      input.addData(CdcEvent(1L, 6L, ts(6), 0.0, tombstone = true))
+      q.processAllAvailable()
+      assert(got() == Set(
+        ScdChange(1L, 1L, ts(0).getTime, 5.0, ts(2).getTime),
+        ScdChange(1L, 5L, ts(4).getTime, 7.0, ts(6).getTime)))
+    } finally q.stop()
+  }
+
   test("streaming SCD2 == batch closed rows on seeded random streams and slicings") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
