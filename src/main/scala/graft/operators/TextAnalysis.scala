@@ -383,6 +383,98 @@ object TextAnalysis {
       .limit(50)
   }
 
+  /** Merge steps the gated t21 trains (sentinel alphabet bounds k at 10). */
+  private[graft] val BpeTrainSteps = 6
+
+  /** t21 — k-step BPE TRAINING loop: t15's single elect→merge→recount
+    * step iterated [[BpeTrainSteps]] times, emitting the MERGE TABLE —
+    * one row per step with the elected pair (units joined by '+'), the
+    * new vocabulary unit (flat), and its count at election time. The
+    * merge table IS the trained tokenizer: applying its replaces in step
+    * order re-segments any text — the capability an LLM-data pipeline
+    * trains, not just one statistic of it.
+    *
+    * Encoding: t15's sentinel trick generalized — the step-i merge is
+    * the digit '<i>' (impossible in the [a-z]+ token alphabet), and
+    * later steps decode sentinels through the accumulated unit table, so
+    * a merge can itself absorb earlier merges ("t+he" → "the"). Election
+    * ties break on the DECODED label, which grouping by raw symbol pair
+    * preserves (decode is injective per symbol: units are ≥2 chars, so
+    * no unit collides with a letter).
+    *
+    * Scale shape — the Zipf crush: the corpus is aggregated ONCE to the
+    * DISTINCT-token frequency table (the word-frequency dict real BPE
+    * trainers iterate on), so every one of the k steps is VOCAB-sized,
+    * not occurrence-sized — pair counts are weighted sums over distinct
+    * tokens (map-side combine; the shuffle carries ≤(26+k)² symbol
+    * pairs), and the replace+regroup touches only distinct strings (the
+    * regroup also merges post-replace collisions, keeping the frame a
+    * true vocabulary). Iteration machinery follows sim6's rounds, not a
+    * single lazy plan: each step reads back exactly ONE row (the elected
+    * winner — bounded driver traffic, the D2 convention) and
+    * `localCheckpoint`s the re-segmented vocab so lineage stays one
+    * generation deep — a fully-lazy chain embeds the previous
+    * generation's plan in each of its 2-3 consumers and goes EXPONENTIAL
+    * in analysis/planning cost (measured: 20-35 s at sf0.1 lazy vs ~2 s
+    * checkpointed; the time was driver-side planning, not compute). At
+    * 100 TB the vocab is bounded by distinct words, orders below the
+    * corpus; the single occurrence pass is the only corpus-width stage.
+    * Invariant (InvariantSpec, planted + real corpus): elected counts
+    * are monotone non-increasing — a merge only removes old adjacencies,
+    * and every new pair contains the new unit, whose occurrence count is
+    * at most the elected count.
+    */
+  def bpeTrain(spark: SparkSession, dir: String): DataFrame =
+    bpeTrainSteps(tokenStream(spark, dir), BpeTrainSteps)
+
+  /** t21 over an explicit single-column `token` frame (InvariantSpec
+    * plants a corpus with a known merge sequence).
+    */
+  private[graft] def bpeTrainSteps(tokens: DataFrame, k: Int): DataFrame = {
+    require(k >= 1 && k <= 10, "sentinel alphabet is '0'-'9'")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    var vocab = tokens.select(col("token").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val units = scala.collection.mutable.LinkedHashMap[String, String]()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var dry = false
+    for (i <- 0 until k if !dry) {
+      def dec(c: Column): Column =
+        units.foldLeft(c) { case (e, (d, u)) =>
+          when(c === d, lit(u)).otherwise(e)
+        }
+      val top = vocab
+        .select(col("w"), explode(transform(
+          sequence(lit(1), length(col("t")) - 1),
+          p => col("t").substr(p, lit(2)))).as("rp"))
+        .groupBy("rp").agg(sum(col("w")).as("n"))
+        .select(col("rp"), col("n"),
+          concat(dec(col("rp").substr(1, 1)), lit("+"),
+            dec(col("rp").substr(2, 1))).as("pair"),
+          concat(dec(col("rp").substr(1, 1)),
+            dec(col("rp").substr(2, 1))).as("unit"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) dry = true // vocab merged away: no further electable pair
+      else {
+        val r = top(0)
+        val (rp, n) = (r.getString(0), r.getLong(1))
+        merges += ((i.toLong, r.getString(2), r.getString(3), n))
+        units += (i.toString -> r.getString(3))
+        if (i < k - 1)
+          vocab = vocab
+            // rp's alphabet is [a-z0-9]: safe to inline as a SQL literal
+            .select(expr(s"replace(t, '$rp', '$i')").as("t"), col("w"))
+            .filter(length(col("t")) >= 2)
+            .groupBy("t").agg(sum(col("w")).as("w"))
+            .localCheckpoint()
+      }
+    }
+    merges.result().toDF("step", "pair", "unit", "n_occurrences")
+  }
+
   /** t12 — TF-IDF keyword extraction: the top-3 most distinctive terms per
     * document (tf × ln(N/df)), the classic relevance statistic a corpus
     * pipeline attaches for retrieval, topic labeling, or near-dup triage.
@@ -704,6 +796,7 @@ object TextAnalysis {
     "t14_zipf" -> zipf,
     "t20_lexical_diversity" -> lexicalDiversity,
     "t15_bpe_step" -> bpeStep,
+    "t21_bpe_train" -> bpeTrain,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
     "t9_chunks" -> chunks,
@@ -779,6 +872,56 @@ object TextAnalysis {
   /** [[tokenStream]]+[[pairCounts]]'s DuckDB twin — the tok/pairs CTE
     * chain shared by the t11 and t15 oracles.
     */
+  /** t21's oracle, GENERATED for k steps — the same unrolled
+    * elect→merge→recount chain the Spark loop builds, so the two can
+    * only drift if the shared structure does. Step-i CTEs: cnt (raw
+    * symbol-pair counts), un (1-row accumulated unit table), lab
+    * (decoded labels), top (elected winner), toks (re-segmented corpus).
+    */
+  private def sqlBpeTrain(k: Int): String = {
+    def dec(i: Int, s: String): String =
+      if (i == 0) s
+      else s"(CASE $s" +
+        (0 until i).map(j => s" WHEN '$j' THEN u$j").mkString +
+        s" ELSE $s END)"
+    val sb = new StringBuilder(
+      s"""WITH tok AS (
+         |  SELECT unnest($sqlTokens) AS token FROM documents),
+         | toks0 AS (SELECT token AS t FROM tok WHERE length(token) >= 2)""".stripMargin)
+    for (i <- 0 until k) {
+      val d1 = dec(i, "substr(rp, 1, 1)")
+      val d2 = dec(i, "substr(rp, 2, 1)")
+      sb ++= s""",
+         | cnt$i AS (
+         |  SELECT rp, count(*) AS n FROM (
+         |    SELECT unnest(list_transform(range(1, length(t)),
+         |      p -> substr(t, CAST(p AS INTEGER), 2))) AS rp
+         |    FROM toks$i) GROUP BY rp)""".stripMargin
+      if (i > 0)
+        sb ++= s",\n un$i AS (SELECT " +
+          (0 until i).map(j => s"(SELECT unit FROM top$j) AS u$j")
+            .mkString(", ") + ")"
+      sb ++= s""",
+         | lab$i AS (
+         |  SELECT rp, n, $d1 || '+' || $d2 AS pair, $d1 || $d2 AS unit
+         |  FROM cnt$i${if (i > 0) s" CROSS JOIN un$i" else ""}),
+         | top$i AS (
+         |  SELECT rp, pair, unit, n FROM lab$i ORDER BY n DESC, pair LIMIT 1)""".stripMargin
+      if (i < k - 1)
+        sb ++= s""",
+           | toks${i + 1} AS (
+           |  SELECT t FROM (
+           |    SELECT replace(t, (SELECT rp FROM top$i), '$i') AS t FROM toks$i)
+           |  WHERE length(t) >= 2)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (\n" +
+      (0 until k).map(i =>
+        s"  SELECT CAST($i AS BIGINT) AS step, pair, unit, n AS n_occurrences FROM top$i")
+        .mkString("\n  UNION ALL\n") +
+      ")\nORDER BY step"
+    sb.toString
+  }
+
   private def sqlBpePairCtes: String =
     s"""tok AS (
        |  SELECT unnest($sqlTokens) AS token FROM documents),
@@ -964,6 +1107,7 @@ object TextAnalysis {
          |  SELECT doc_id, ${sqlTokenCount("text")} AS n, doc_id % $PackShards AS shard
          |  FROM documents),
          |""".stripMargin + sqlPackTail("tk")),
+    "t21_bpe_train" -> sqlBpeTrain(BpeTrainSteps),
     "t11_bpe_merge_pairs" ->
       s"""WITH $sqlBpePairCtes
          |SELECT pair, count(*) AS n_occurrences

@@ -23,6 +23,31 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("n") > 0)
   }
 
+  test("t21 BPE training: planted corpus yields the known merge sequence") {
+    import spark.implicits._
+    // "thethe","then","the": step 0 ties th/he at 4, label "h+e" < "t+h"
+    // elects he; step 1 merges t+he (the sentinel absorbing step 0's
+    // unit); step 2's survivors "11"/"1n" tie at 1, "the+n" < "the+the"
+    val toks = Seq("thethe", "then", "the").toDF("token")
+    val got = TextAnalysis.bpeTrainSteps(toks, 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (0L, "h+e", "he", 4L),
+      (1L, "t+he", "the", 4L),
+      (2L, "the+n", "then", 1L)))
+  }
+
+  test("t21 BPE training: elected counts are monotone non-increasing (real corpus)") {
+    // a merge only removes old adjacencies, and every new pair contains
+    // the new unit (count ≤ the elected count) — so the elected maximum
+    // cannot rise; a loop that re-tokenized from scratch or decoded
+    // sentinels wrong breaks this on any corpus
+    val ns = TextAnalysis.bpeTrain(spark, sf)
+      .orderBy("step").collect().map(_.getLong(3))
+    assert(ns.length == TextAnalysis.BpeTrainSteps)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b }, ns.toSeq)
+  }
+
   test("t9 chunk manifests conserve tokens: per-doc chunk sum == token count") {
     val sums = TextAnalysis.chunks(spark, sf)
       .groupBy("doc_id").agg(sum("n_tokens").as("s"))
