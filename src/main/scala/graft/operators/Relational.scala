@@ -233,6 +233,28 @@ object Relational {
       rsd: Double = 0.02): DataFrame =
     columnProfile(src, numCols, strCols, exact = false, rsd)
 
+  /** prof7 — prof1's 100 TB sketch path, DECLARED as a first-class gated
+    * query: [[profileApprox]] over the same customer columns. No DuckDB
+    * oracle can hash-match HLL++ internals, so the driver gate is
+    * rows-only BY DESIGN (SmokeSpec pins the rows-only set explicitly);
+    * the accuracy contract lives in SketchSpec (≤5% distinct error on
+    * known cardinalities, exact null accounting, Expand-free plan).
+    */
+  def prof7ProfileSketch(spark: SparkSession, dir: String): DataFrame =
+    profileApprox(t(spark, dir, "customer"),
+      Seq("c_custkey", "c_nationkey", "c_acctbal"),
+      Seq("c_name", "c_mktsegment"))
+
+  /** prof8 — prof2's 100 TB sketch path as a first-class gated query:
+    * [[equiDepthApprox]] over the same events.value, 8 buckets. KLL-style
+    * quantile sketches are engine-specific (DuckDB's t-digest cuts
+    * differ), so rows-only gate; SketchSpec bounds per-bucket depth
+    * error ≤10% of n/8 against [[equiDepthExact]] and asserts the
+    * Window-free plan.
+    */
+  def prof8EquidepthSketch(spark: SparkSession, dir: String): DataFrame =
+    equiDepthApprox(t(spark, dir, "events"), "value", 8)
+
   private def columnProfile(src: DataFrame, numCols: Seq[String],
       strCols: Seq[String], exact: Boolean, rsd: Double = 0.02): DataFrame = {
     val aggs = (numCols ++ strCols).flatMap { c =>
@@ -1307,6 +1329,8 @@ object Relational {
     "prof4_mutual_information" -> prof4MutualInformation,
     "prof5_fd_histogram" -> prof5FdHistogram,
     "prof6_spearman" -> prof6Spearman,
+    "prof7_profile_sketch" -> prof7ProfileSketch,
+    "prof8_equidepth_sketch" -> prof8EquidepthSketch,
     "m1_unpivot" -> m1Unpivot,
     "w5_gap_fill" -> w5GapFill,
     "q18_large_orders" -> q18LargeOrders,

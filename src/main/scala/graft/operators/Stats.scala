@@ -199,16 +199,53 @@ object Stats {
     */
   private[graft] def psiDriftCore(src: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val ev = src.filter(col("value").isNotNull)
-    val t0 = ev.agg(min(col("ts_ms")).as("t0"))
-    val tagged = ev.crossJoin(broadcast(t0))
-      .select(col("value").as("v"),
-        (col("ts_ms") < col("t0") + RefWindowMs).as("in_ref"))
+    val tagged = psiTagged(src)
     val cuts = tagged.filter(col("in_ref"))
       .select(ntile(10).over(Window.orderBy(col("v"))).as("b"), col("v"))
       .groupBy(col("b")).agg(max(col("v")).as("cut"))
       .filter(col("b") <= 9)
       .agg(sort_array(collect_list(col("cut"))).as("cuts"))
+    psiFromCuts(tagged, cuts)
+  }
+
+  /** drift3 — drift1's 100 TB sketch path as a first-class gated query:
+    * decile cuts from ONE `approx_percentile` aggregate over the
+    * reference slice (KLL-style mergeable sketch, map-side partials)
+    * instead of the exact global-ntile sort; the bucket-assignment,
+    * counting, and Laplace-smoothed scoring tail is THE SAME CODE as
+    * drift1 ([[psiFromCuts]]), so only the cut source differs. Quantile
+    * sketches are engine-specific → rows-only driver gate; SketchSpec
+    * asserts the Window-free plan and that the sketch monitor's total
+    * PSI tracks drift1's exact readout on the same corpus.
+    */
+  def psiDriftSketch(spark: SparkSession, dir: String): DataFrame =
+    psiDriftSketchCore(
+      graft.Tables.t(spark, dir, "events")
+        .select(unix_millis(col("ts")).as("ts_ms"), col("value")))
+
+  private[graft] def psiDriftSketchCore(src: DataFrame): DataFrame = {
+    val tagged = psiTagged(src)
+    val cuts = tagged.filter(col("in_ref"))
+      .agg(approx_percentile(col("v"),
+        array((1 until 10).map(i => lit(i.toDouble / 10)): _*), lit(10000))
+        .as("cuts"))
+    psiFromCuts(tagged, cuts)
+  }
+
+  /** Shared drift1/drift3 reference-window tagging. */
+  private def psiTagged(src: DataFrame): DataFrame = {
+    val ev = src.filter(col("value").isNotNull)
+    val t0 = ev.agg(min(col("ts_ms")).as("t0"))
+    ev.crossJoin(broadcast(t0))
+      .select(col("value").as("v"),
+        (col("ts_ms") < col("t0") + RefWindowMs).as("in_ref"))
+  }
+
+  /** Shared drift1/drift3 tail: scan-local bucket assignment against the
+    * broadcast cut array (bucket = 1 + #cuts strictly below v — prof2's
+    * convention), one hash aggregate, Laplace-smoothed PSI terms.
+    */
+  private def psiFromCuts(tagged: DataFrame, cuts: DataFrame): DataFrame = {
     val counts = tagged.crossJoin(broadcast(cuts))
       .select(col("in_ref"),
         aggregate(col("cuts"), lit(1L),
@@ -284,7 +321,8 @@ object Stats {
     "ab3_chisq_mix" -> abChisq,
     "ab4_lift_ci" -> abLiftCi,
     "drift1_psi" -> psiDrift,
-    "drift2_psi_categorical" -> psiCategorical
+    "drift2_psi_categorical" -> psiCategorical,
+    "drift3_psi_sketch" -> psiDriftSketch
   )
 
   val oracle: Map[String, String] = Map(

@@ -33,6 +33,24 @@ class SketchSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("drift3 sketch-cut PSI tracks drift1's exact readout without a global sort") {
+    val exact = graft.operators.Stats.psiDrift(spark, sf)
+      .collect().map(_.getAs[Double]("psi_term")).sum
+    val sketch = graft.operators.Stats.psiDriftSketch(spark, sf)
+    val got = sketch.collect()
+    val sketchPsi = got.map(_.getAs[Double]("psi_term")).sum
+    // both monitors look at the SAME stable corpus: total PSI must agree
+    // in the only way a threshold alert cares about — small, finite, and
+    // close (sketch cut wobble moves boundary-adjacent mass only)
+    assert(!sketchPsi.isNaN && !sketchPsi.isInfinite)
+    assert(math.abs(sketchPsi - exact) < 0.02,
+      s"sketch=$sketchPsi exact=$exact")
+    assert(got.map(_.getAs[Long]("bucket")).toSet == (1L to 10L).toSet)
+    // the 100 TB claim: no global ntile — no Window operator in the plan
+    val plan = sketch.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
   test("approx_count_distinct (HLL) lands within 5% of exact on order keys") {
     val l = Tables.t(spark, sf, "lineitem")
     val exact = l.select(countDistinct(col("l_orderkey")).as("n"))
