@@ -743,8 +743,18 @@ object TextAnalysis {
   private[graft] def freqIndexFrames(src: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.TextFunctions.tokensOrdered
     val docs = src.select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
-    val docLens =
-      docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl"))
+    // Scope-persist the doc-length table: t18 consumes it TWICE (the
+    // N/avgdl stats aggregate and the score-join spine), and each
+    // consumer otherwise re-reads parquet and re-tokenizes the corpus
+    // just to take size(tk). The cached frame is two longs per doc —
+    // d10/dq3's narrow-frame trick, NOT t8's measured anti-pattern of
+    // caching a wide tokenized projection. Measured at sf0.1/local[32]:
+    // t18 1.59 s -> 1.21 s. Audit note (r11): t3/t13's second consumer
+    // of their tokenized frame prunes to doc_id-only (no re-tokenize),
+    // and t7 is one scan with 6 inherent regex passes — t18 was the one
+    // real re-tokenizer in the 0.9 s cluster.
+    val docLens = graft.engine.Caching.scopedPersist(
+      docs.select(col("doc_id"), size(col("tk")).cast("long").as("dl")))
     val index = docs
       .select(col("doc_id"), explode(col("tk")).as("token"))
       .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
