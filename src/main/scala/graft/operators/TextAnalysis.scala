@@ -427,18 +427,34 @@ object TextAnalysis {
   def bpeTrain(spark: SparkSession, dir: String): DataFrame =
     bpeTrainSteps(tokenStream(spark, dir), BpeTrainSteps)
 
+  /** One trained merge: step index, raw symbol pair (in the sentinel
+    * encoding — `rp` replaced by digit `step` applies it), decoded '+'
+    * label, flat unit, elected weighted count.
+    */
+  private[graft] final case class BpeMerge(
+      step: Long, rp: String, pair: String, unit: String, n: Long)
+
   /** t21 over an explicit single-column `token` frame (InvariantSpec
     * plants a corpus with a known merge sequence).
     */
   private[graft] def bpeTrainSteps(tokens: DataFrame, k: Int): DataFrame = {
-    require(k >= 1 && k <= 10, "sentinel alphabet is '0'-'9'")
     val spark = tokens.sparkSession
     import spark.implicits._
+    bpeTrainRaw(tokens, k)
+      .map(m => (m.step, m.pair, m.unit, m.n))
+      .toDF("step", "pair", "unit", "n_occurrences")
+  }
+
+  /** The trainer itself, returning the raw merge list (t22's encode
+    * applies `replace(t, rp, digit)` in step order).
+    */
+  private[graft] def bpeTrainRaw(tokens: DataFrame, k: Int): Seq[BpeMerge] = {
+    require(k >= 1 && k <= 10, "sentinel alphabet is '0'-'9'")
     var vocab = tokens.select(col("token").as("t"))
       .groupBy("t").agg(count(lit(1)).as("w"))
       .localCheckpoint()
     val units = scala.collection.mutable.LinkedHashMap[String, String]()
-    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    val merges = Seq.newBuilder[BpeMerge]
     var dry = false
     for (i <- 0 until k if !dry) {
       def dec(c: Column): Column =
@@ -460,8 +476,9 @@ object TextAnalysis {
       if (top.isEmpty) dry = true // vocab merged away: no further electable pair
       else {
         val r = top(0)
-        val (rp, n) = (r.getString(0), r.getLong(1))
-        merges += ((i.toLong, r.getString(2), r.getString(3), n))
+        val rp = r.getString(0)
+        merges += BpeMerge(i.toLong, rp, r.getString(2), r.getString(3),
+          r.getLong(1))
         units += (i.toString -> r.getString(3))
         if (i < k - 1)
           vocab = vocab
@@ -472,7 +489,55 @@ object TextAnalysis {
             .localCheckpoint()
       }
     }
-    merges.result().toDF("step", "pair", "unit", "n_occurrences")
+    merges.result()
+  }
+
+  /** t22 — tokenizer APPLICATION (the encode half of the t21 train/apply
+    * pair): train the k-merge table, apply the merges in step order to
+    * every token, and report each document's segmentation — token count,
+    * character mass, BPE-unit count, and the units-per-character
+    * compression ratio (the statistic that prices a corpus in tokens
+    * under a trained tokenizer, what every context-budget and
+    * cost-estimate pass runs).
+    *
+    * Scale shape: the merge table applies to the DISTINCT-token frame
+    * (t21's Zipf crush — k nested `replace`es on vocab-sized data; every
+    * post-merge symbol is one char, so units = length), then one
+    * occurrence-level join tags each token occurrence with its unit
+    * count and a per-doc hash aggregate sums it — AQE broadcasts the
+    * vocab side at any realistic corpus:vocab ratio. Zero-token
+    * documents report 0/0/0 with null compression (mirrored CASE in the
+    * oracle).
+    */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeCore(t(spark, dir, "documents"), BpeTrainSteps)
+
+  /** t22 over an explicit `(doc_id, text)` frame — InvariantSpec replays
+    * the planted t21 corpus and checks the hand-computed segmentation.
+    */
+  private[graft] def bpeEncodeCore(docs: DataFrame, k: Int): DataFrame = {
+    import graft.functions.TextFunctions.tokensOrdered
+    val merges = bpeTrainRaw(
+      docs.select(explode(tokensOrdered(col("text"))).as("token"))
+        .filter(length(col("token")) >= 2), k)
+    val encStr = merges.foldLeft("tok")((e, m) =>
+      s"replace($e, '${m.rp}', '${m.step}')")
+    val toks = docs.select(col("doc_id"),
+      explode_outer(tokensOrdered(col("text"))).as("tok"))
+    val vocabEnc = toks.filter(col("tok").isNotNull)
+      .select(col("tok")).distinct()
+      .select(col("tok").as("vt"),
+        length(expr(encStr)).cast("long").as("units"))
+    toks.join(vocabEnc, col("tok") === col("vt"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("tok")).as("n_tokens"),
+        coalesce(sum(length(col("tok")).cast("long")), lit(0L)).as("n_chars"),
+        coalesce(sum(col("units")), lit(0L)).as("n_units"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_units"),
+        when(col("n_chars") > 0,
+          round(col("n_units").cast("double") / col("n_chars"), 6))
+          .as("compression"))
+      .orderBy("doc_id")
   }
 
   /** t12 — TF-IDF keyword extraction: the top-3 most distinctive terms per
@@ -807,6 +872,7 @@ object TextAnalysis {
     "t20_lexical_diversity" -> lexicalDiversity,
     "t15_bpe_step" -> bpeStep,
     "t21_bpe_train" -> bpeTrain,
+    "t22_bpe_encode" -> bpeEncode,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
     "t9_chunks" -> chunks,
@@ -888,7 +954,47 @@ object TextAnalysis {
     * symbol-pair counts), un (1-row accumulated unit table), lab
     * (decoded labels), top (elected winner), toks (re-segmented corpus).
     */
-  private def sqlBpeTrain(k: Int): String = {
+  private def sqlBpeTrain(k: Int): String =
+    sqlBpeTrainChain(k) + "\nSELECT * FROM (\n" +
+      (0 until k).map(i =>
+        s"  SELECT CAST($i AS BIGINT) AS step, pair, unit, n AS n_occurrences FROM top$i")
+        .mkString("\n  UNION ALL\n") +
+      ")\nORDER BY step"
+
+  /** t22's oracle: the SAME generated training chain, then the merges
+    * applied (nested scalar-subquery replaces, step order) over the
+    * distinct-token frame and summed per document.
+    */
+  private def sqlBpeEncode(k: Int): String = {
+    val enc = (0 until k).foldLeft("tok")((e, i) =>
+      s"replace($e, (SELECT rp FROM top$i), '$i')")
+    sqlBpeTrainChain(k) +
+      s""",
+         | occ AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
+         | venc AS (
+         |  SELECT tok AS vt, CAST(length($enc) AS BIGINT) AS units
+         |  FROM (SELECT DISTINCT tok FROM occ)),
+         | agg AS (
+         |  SELECT occ.doc_id, count(*) AS n_tokens,
+         |    CAST(sum(length(occ.tok)) AS BIGINT) AS n_chars,
+         |    CAST(sum(units) AS BIGINT) AS n_units
+         |  FROM occ JOIN venc ON occ.tok = vt GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
+         |  CAST(coalesce(agg.n_units, 0) AS BIGINT) AS n_units,
+         |  CASE WHEN coalesce(agg.n_chars, 0) > 0
+         |    THEN round(CAST(agg.n_units AS DOUBLE) / agg.n_chars, 6)
+         |    END AS compression
+         |FROM documents d LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin
+  }
+
+  /** The shared t21/t22 CTE chain: tokenize, then k unrolled
+    * elect→merge→recount steps exposing `top0..top{k-1}` (rp, pair,
+    * unit, n).
+    */
+  private def sqlBpeTrainChain(k: Int): String = {
     def dec(i: Int, s: String): String =
       if (i == 0) s
       else s"(CASE $s" +
@@ -924,11 +1030,6 @@ object TextAnalysis {
            |    SELECT replace(t, (SELECT rp FROM top$i), '$i') AS t FROM toks$i)
            |  WHERE length(t) >= 2)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM (\n" +
-      (0 until k).map(i =>
-        s"  SELECT CAST($i AS BIGINT) AS step, pair, unit, n AS n_occurrences FROM top$i")
-        .mkString("\n  UNION ALL\n") +
-      ")\nORDER BY step"
     sb.toString
   }
 
@@ -1118,6 +1219,7 @@ object TextAnalysis {
          |  FROM documents),
          |""".stripMargin + sqlPackTail("tk")),
     "t21_bpe_train" -> sqlBpeTrain(BpeTrainSteps),
+    "t22_bpe_encode" -> sqlBpeEncode(BpeTrainSteps),
     "t11_bpe_merge_pairs" ->
       s"""WITH $sqlBpePairCtes
          |SELECT pair, count(*) AS n_occurrences

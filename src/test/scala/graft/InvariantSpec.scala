@@ -37,6 +37,21 @@ class InvariantSpec extends AnyFunSuite {
       (2L, "the+n", "then", 1L)))
   }
 
+  test("t22 BPE encode: planted corpus segments to the hand-computed units") {
+    import spark.implicits._
+    // merges (from the t21 planted test): he->'0', t0->'1', 1n->'2'.
+    // "thethe" -> t0t0 -> 11        : 2 units
+    // "then"   -> t0n  -> 1n  -> 2  : 1 unit
+    // "the"    -> t0   -> 1         : 1 unit
+    val docs = Seq((1L, "thethe then the")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeCore(docs, 3).collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 13L, 4L)),
+      r.toSeq)
+    assert(r.getDouble(4) == math.rint(4.0 / 13.0 * 1e6) / 1e6)
+  }
+
   test("t21 BPE training: elected counts are monotone non-increasing (real corpus)") {
     // a merge only removes old adjacencies, and every new pair contains
     // the new unit (count ≤ the elected count) — so the elected maximum
