@@ -238,6 +238,12 @@ object Multimodal {
       media_id: Long, width: Int, height: Int, channels: Int,
       maxval: Int, n_sample_bytes: Long, sum_bytes: Long)
 
+  /** Per-clip stats row for [[audioStats]]. */
+  final case class AudioStatsRow(
+      media_id: Long, audio_format: Int, channels: Int, sample_rate: Int,
+      bits_per_sample: Int, n_samples: Long, duration_ms: Long,
+      sum_bytes: Long, sum_sq_dev: Long)
+
   /** Frame sampling: each video payload is a REAL concatenated-PNM
     * stream; the codec walks frame headers to find each raster, emitting
     * one row per frame with its parsed dimensions and an md5 fingerprint
@@ -297,11 +303,62 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** mm5 — audio statistics from REAL RIFF/WAVE chunk walking: the fmt
+    * fields (PCM tag, channel count, rate, bit depth) come out of the
+    * binary header, sample count and duration derive from the parsed
+    * `data` chunk, and the signal stats — mean sample value and RMS
+    * deviation from the 8-bit midpoint (the loudness proxy an audio
+    * curation pass thresholds on) — fold over the raw PCM bytes. The
+    * audio analogue of mm4: the oracle recomputes everything from the
+    * text column (one byte per char by construction), so a mis-walked
+    * chunk list or off-by-one data offset breaks the hash.
+    *
+    * Scale shape: map-only decode (mapPartitions batch, payload pruned
+    * after the stage); sums are exact integers, the two divisions and
+    * the sqrt are single correctly-rounded IEEE ops under the 6-decimal
+    * grid — no accumulation-order sensitivity on either engine.
+    */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, dir)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val wav = MediaCodecs.Wav.parse(payload)
+          var s = 0L
+          var sq = 0L
+          var i = 0
+          while (i < wav.data.length) {
+            val v = wav.data(i) & 0xff
+            s += v
+            val d = v - 128
+            sq += d.toLong * d
+            i += 1
+          }
+          AudioStatsRow(id, wav.audioFormat, wav.channels, wav.sampleRate,
+            wav.bitsPerSample, wav.nSamples, wav.durationMs, s, sq)
+        }
+      }
+      .select(col("media_id"), col("audio_format"), col("channels"),
+        col("sample_rate"), col("bits_per_sample"), col("n_samples"),
+        col("duration_ms"),
+        when(col("n_samples") > 0,
+          round(col("sum_bytes").cast("double") / col("n_samples"), 6))
+          .as("mean_sample"),
+        when(col("n_samples") > 0,
+          round(sqrt(col("sum_sq_dev").cast("double") / col("n_samples")), 6))
+          .as("rms_dev"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_profile" -> mediaProfile,
     "mm2_media_features" -> mediaFeatures,
     "mm3_frame_sample" -> frameSample,
-    "mm4_image_stats" -> imageStats
+    "mm4_image_stats" -> imageStats,
+    "mm5_audio_stats" -> audioStats
   )
 
   val oracle: Map[String, String] = Map(
@@ -389,6 +446,29 @@ object Multimodal {
         |      i -> ord(st[i])), 'sum') AS DOUBLE) / (3 * width * height), 6)
         |  END AS mean_byte
         |FROM d
+        |ORDER BY media_id""".stripMargin,
+    // fmt fields are the planted constants (PCM mono 8 kHz 8-bit); sample
+    // count/duration and the PCM byte folds recompute from the text.
+    "mm5_audio_stats" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | d AS (
+        |  SELECT doc_id AS media_id, st, CAST(length(st) AS BIGINT) AS n
+        |  FROM s),
+        | a AS (
+        |  SELECT media_id, n,
+        |    CAST(list_aggregate(list_transform(range(1, n + 1),
+        |      i -> ord(st[i])), 'sum') AS BIGINT) AS sb,
+        |    CAST(list_aggregate(list_transform(range(1, n + 1),
+        |      i -> (ord(st[i]) - 128) * (ord(st[i]) - 128)), 'sum') AS BIGINT) AS sq
+        |  FROM d)
+        |SELECT media_id, 1 AS audio_format, 1 AS channels,
+        |  8000 AS sample_rate, 8 AS bits_per_sample, n AS n_samples,
+        |  n // 8 AS duration_ms,
+        |  CASE WHEN n > 0 THEN round(CAST(sb AS DOUBLE) / n, 6) END AS mean_sample,
+        |  CASE WHEN n > 0 THEN round(sqrt(CAST(sq AS DOUBLE) / n), 6) END AS rms_dev
+        |FROM a
         |ORDER BY media_id""".stripMargin
   )
 }

@@ -201,6 +201,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(prof.collect().nonEmpty)
   }
 
+  test("audioStats reads fmt fields out of the RIFF chunks; duration matches metadata") {
+    import org.apache.spark.sql.functions.col
+    val meta = Multimodal.syntheticMedia(spark, sf)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("duration_ms")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stats = Multimodal.audioStats(spark, sf).collect()
+    assert(stats.nonEmpty && stats.length == meta.size)
+    stats.foreach { r =>
+      assert(r.getAs[Int]("audio_format") == 1) // PCM, parsed not assumed
+      assert(r.getAs[Int]("channels") == 1 && r.getAs[Int]("sample_rate") == 8000)
+      assert(r.getAs[Int]("bits_per_sample") == 8)
+      // header-derived duration agrees with the planted metadata column
+      assert(r.getAs[Long]("duration_ms") == meta(r.getAs[Long]("media_id")))
+      // 8-bit ASCII payload: mean in [32,126], rms deviation bounded by 128
+      val mean = r.getAs[Double]("mean_sample")
+      assert(mean >= 32.0 && mean <= 126.0, mean)
+      assert(r.getAs[Double]("rms_dev") >= 0.0 && r.getAs[Double]("rms_dev") < 128.0)
+    }
+  }
+
   test("imageStats reads dims out of the binary header") {
     val stats = Multimodal.imageStats(spark, sf).collect()
     assert(stats.nonEmpty)
