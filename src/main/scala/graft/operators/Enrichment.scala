@@ -377,7 +377,49 @@ object Enrichment {
             .otherwise(col("v"))), 6).as("mean_winsorized"))
   }
 
+  /** d11 — leak-proof train/val/test split: the split key is the hash of
+    * the document's content FINGERPRINT (normalized-text md5), not of its
+    * id, so exact duplicates — even across sources, even with different
+    * ids — always land in the SAME split. Splitting on doc_id leaks:
+    * duplicated web pages end up with one copy in train and one in test,
+    * and the eval measures memorization. Buckets are the first 8 md5 hex
+    * digits of the fingerprint re-hashed (d7's hex→int convention) mod
+    * 10 → 0 = test, 1 = val, 2-9 = train (80/10/10 in expectation).
+    *
+    * The gated output is the split manifest a pipeline records: per
+    * (split, source) document counts, distinct-fingerprint counts and
+    * token totals — one hash aggregate over one scan, no join, no
+    * window. EnrichSpec plants cross-source duplicate texts and asserts
+    * they co-locate (the leak-proof law the aggregate cannot show).
+    */
+  def leakproofSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokenCount}
+    leakproofSplitCore(t(spark, dir, "documents"))
+      .groupBy("split", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("fp")).as("n_unique"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .orderBy("split", "source")
+  }
+
+  /** Per-document split assignment (doc_id, source, fp, n_tokens, split);
+    * the d11 aggregate and the spec's co-location law both read this.
+    */
+  private[graft] def leakproofSplitCore(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokenCount}
+    val bucket =
+      conv(substring(md5(col("fp")), 1, 8), 16, 10).cast("long") % 10
+    docs
+      .select(col("doc_id"), col("source"),
+        fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("split",
+        when(bucket === 0, "test").when(bucket === 1, "val")
+          .otherwise("train"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_leakproof_split" -> leakproofSplit,
     "d5_mixture_weights" -> mixtureWeights,
     "d8_quality_prune" -> qualityPrune,
     "d10_winsorize" -> winsorize,
@@ -434,6 +476,21 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d11_leakproof_split" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, source,
+         |    ${TextAnalysis.sqlFp("text")} AS fp,
+         |    ${TextAnalysis.sqlTokenCount("text")} AS n_tokens
+         |  FROM documents),
+         | s AS (
+         |  SELECT *, CASE (('0x' || substr(md5(fp), 1, 8))::BIGINT % 10)
+         |    WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+         |  FROM f)
+         |SELECT split, source, count(*) AS n_docs,
+         |  count(DISTINCT fp) AS n_unique, sum(n_tokens) AS n_tokens
+         |FROM s
+         |GROUP BY split, source
+         |ORDER BY split, source""".stripMargin,
     "d7_weighted_sample" ->
       s"""WITH tk AS (
          |  SELECT doc_id,

@@ -153,10 +153,72 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** dq4 — daily-volume anomaly monitor: per ingest day, the row count
+    * against the trailing-7-day median volume, flagging days that
+    * deviate more than ±50% — the "did yesterday's load half-fail or
+    * double-fire" check every scheduled pipeline runs before publishing
+    * a partition. The median (not mean) baseline is dq3's robustness
+    * argument at the day grain: one bad day in the window cannot drag
+    * its own baseline.
+    *
+    * Scale shape: the fact table collapses ONCE to the day dimension
+    * (one hash aggregate, map-side combined); the trailing window is a
+    * range self-join of that calendar-sized frame (≤7 partners per day,
+    * both sides tiny regardless of fact size — broadcast under AQE).
+    * Days with fewer than 3 trailing observations emit a null verdict
+    * (warm-up, not alarm). QualitySpec plants a dropped day and a
+    * double-fire day and asserts exactly those flag.
+    */
+  def dq4VolumeAnomaly(spark: SparkSession, dir: String): DataFrame =
+    volumeAnomalyReport(t(spark, dir, "events"))
+
+  private[graft] def volumeAnomalyReport(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val trail = daily.as("d")
+      .join(daily.as("p"),
+        col("p.day") >= date_sub(col("d.day"), 7) &&
+          col("p.day") < col("d.day"))
+      .groupBy(col("d.day").as("day"))
+      .agg(count(lit(1)).as("n_trailing"),
+        round(expr("percentile(p.n_events, 0.5)"), 4).as("trailing_med"))
+    daily.join(trail, Seq("day"), "left")
+      .select(col("day"), col("n_events"),
+        coalesce(col("n_trailing"), lit(0L)).as("n_trailing"),
+        col("trailing_med"),
+        when(col("n_trailing") >= 3,
+          abs(col("n_events") - col("trailing_med")) >
+            col("trailing_med") * 0.5).as("anomaly"))
+      .orderBy("day")
+  }
+
+  /** dq5 — freshness report: per event_type, the last-seen timestamp and
+    * how many hours it lags the corpus watermark (the newest event
+    * anywhere) — the staleness line a monitoring dashboard keys SLA
+    * alerts on. One hash aggregate to the type dimension; the global
+    * watermark is a 1-row aggregate broadcast back (no window over the
+    * fact table, no second fact scan — max-of-max over the tiny frame).
+    */
+  def dq5Freshness(spark: SparkSession, dir: String): DataFrame =
+    freshnessReport(t(spark, dir, "events"))
+
+  private[graft] def freshnessReport(ev: DataFrame): DataFrame = {
+    val perType = ev.groupBy(col("event_type"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+    val watermark = perType.agg(max(col("last_ts")).as("wm"))
+    perType.join(broadcast(watermark))
+      .select(col("event_type"), col("last_ts"), col("n_events"),
+        round((unix_millis(col("wm")) - unix_millis(col("last_ts")))
+          / 3600000.0, 6).as("hours_behind"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq1_constraint_report" -> dq1ConstraintReport,
     "dq2_accepted_cross_report" -> dq2AcceptedAndCross,
-    "dq3_mad_outliers" -> dq3MadOutliers
+    "dq3_mad_outliers" -> dq3MadOutliers,
+    "dq4_volume_anomaly" -> dq4VolumeAnomaly,
+    "dq5_freshness" -> dq5Freshness
   )
 
   val oracle: Map[String, String] = Map(
@@ -229,6 +291,32 @@ object Quality {
         |    * 1.0 / count(*), 6) AS outlier_share
         |FROM dev JOIN mad ON dev.event_type = mad.event_type
         |GROUP BY dev.event_type
-        |ORDER BY dev.event_type""".stripMargin
+        |ORDER BY dev.event_type""".stripMargin,
+    "dq4_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT ts::DATE AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        | trail AS (
+        |  SELECT d.day, count(*) AS n_trailing,
+        |    round(quantile_cont(p.n_events, 0.5), 4) AS trailing_med
+        |  FROM daily d JOIN daily p
+        |    ON p.day >= d.day - INTERVAL 7 DAY AND p.day < d.day
+        |  GROUP BY d.day)
+        |SELECT daily.day, daily.n_events,
+        |  coalesce(trail.n_trailing, 0) AS n_trailing, trail.trailing_med,
+        |  CASE WHEN trail.n_trailing >= 3
+        |    THEN abs(daily.n_events - trail.trailing_med)
+        |      > trail.trailing_med * 0.5 END AS anomaly
+        |FROM daily LEFT JOIN trail ON daily.day = trail.day
+        |ORDER BY daily.day""".stripMargin,
+    "dq5_freshness" ->
+      """WITH pt AS (
+        |  SELECT event_type, max(ts) AS last_ts, count(*) AS n_events
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, last_ts, n_events,
+        |  round((epoch_ms(max(last_ts) OVER ()) - epoch_ms(last_ts))
+        |    / 3600000.0, 6) AS hours_behind
+        |FROM pt
+        |ORDER BY event_type""".stripMargin
   )
 }

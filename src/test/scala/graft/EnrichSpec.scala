@@ -97,4 +97,30 @@ class EnrichSpec extends AnyFunSuite {
     // damping: rare/majority ratio is sqrt(5) here vs d5's factor 5
     assert(rows("a")._2 / rows("c")._2 < 2.333333 / 0.466667)
   }
+
+  test("d11 split co-locates duplicate content across sources and ids") {
+    // The leak-proof law the gated aggregate cannot show: documents with
+    // the SAME normalized text (different ids, different sources, messy
+    // whitespace/case) must land in the SAME split, because the split
+    // key is the content fingerprint. Distinct texts spread over
+    // buckets; every doc gets exactly one split label.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "web", "The quick brown fox jumps over the lazy dog"),
+      (2L, "news", "the  quick Brown fox jumps over the lazy dog "),
+      (3L, "web", "An entirely different document about trains"),
+      (4L, "code", "AN ENTIRELY   different Document about trains"),
+      (5L, "web", "A third text with no duplicate anywhere")
+    ).toDF("doc_id", "source", "text")
+    val got = graft.operators.Enrichment.leakproofSplitCore(docs)
+      .select("doc_id", "fp", "split").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got.size == 5)
+    assert(got(1L) == got(2L), "exact near-dup pair must share fp + split")
+    assert(got(3L) == got(4L), "case/whitespace variants must share fp + split")
+    assert(got(1L)._1 != got(3L)._1)
+    val splits = got.values.map(_._2).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+  }
 }

@@ -109,4 +109,39 @@ class QualitySpec extends AnyFunSuite {
     assert(got("c").getAs[Long]("n_outliers") == 0L)
     assert(got("c").getAs[Double]("mad") == 0.0)
   }
+
+  test("dq4 flags exactly the planted dropped day and double-fire day") {
+    import spark.implicits._
+    // 14 steady days of 100 events, then a 10-event day (drop), a
+    // 100-event day (recovery), and a 210-event day (double-fire).
+    // Trailing medians stay ~100, so only the two planted days flag;
+    // the first 3 days are warm-up (null verdict, never `false`).
+    def day(d: Int, n: Int) = Seq.tabulate(n)(i =>
+      (d * 1000L + i, new java.sql.Timestamp(1704067200000L + d * 86400000L + i * 1000L)))
+    val ev = ((0 until 14).flatMap(d => day(d, 100)) ++
+      day(14, 10) ++ day(15, 100) ++ day(16, 210))
+      .toDF("event_id", "ts")
+    val rows = Quality.volumeAnomalyReport(ev).collect()
+    assert(rows.length == 17)
+    val flagged = rows.filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(_.getAs[java.sql.Date]("day").toString).toSet
+    assert(flagged == Set("2024-01-15", "2024-01-17"), rows.mkString("\n"))
+    val warmup = rows.take(3)
+    assert(warmup.forall(_.isNullAt(4)), "first 3 days are warm-up")
+    assert(warmup.map(_.getAs[Long]("n_trailing")).toSeq == Seq(0L, 1L, 2L))
+  }
+
+  test("dq5 reports staleness against the corpus watermark") {
+    import spark.implicits._
+    val base = 1704067200000L
+    val ev = Seq(
+      (1L, new java.sql.Timestamp(base), "click"),
+      (2L, new java.sql.Timestamp(base + 3600000L * 5), "click"),
+      (3L, new java.sql.Timestamp(base + 3600000L * 2), "view"),
+      (4L, new java.sql.Timestamp(base + 1800000L), "error")
+    ).toDF("event_id", "ts", "event_type")
+    val got = Quality.freshnessReport(ev).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("hours_behind")).toMap
+    assert(got == Map("click" -> 0.0, "view" -> 3.0, "error" -> 4.5))
+  }
 }
