@@ -353,12 +353,74 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** One raw inter-frame diff row for [[keyframes]]. */
+  final case class KeyframeRaw(
+      media_id: Long, frame_idx: Long, diff_bytes: Long, sum_abs_diff: Long)
+
+  /** mm6 — keyframe detection over the parsed frame stream: each frame's
+    * mean absolute byte difference against its predecessor (computed over
+    * the overlapping raster prefix), with frames above the change
+    * threshold — plus frame 0, every stream's anchor — marked keyframes.
+    * The shot-boundary / scene-change pass a video curation pipeline runs
+    * to pick which frames feed the (expensive) captioning or embedding
+    * stage; everything downstream reads only keyframes.
+    *
+    * Scale shape: map-only like mm3 — frames of one payload are adjacent
+    * in memory, so the pairwise walk never crosses rows, no window, no
+    * shuffle; the output carries per-frame statistics, never rasters.
+    * The oracle recomputes every byte difference from the text column,
+    * so a misaligned frame walk shifts the sums and breaks the hash.
+    * Threshold 28.0 sits at the observed inter-frame diff median for
+    * ASCII payloads, so both verdicts appear in the gated output;
+    * MultimodalSpec plants a repeated frame (diff 0 → not a keyframe)
+    * and a hard cut (diff ≫ threshold → keyframe).
+    */
+  def keyframes(spark: SparkSession, dir: String): DataFrame =
+    keyframesOf(syntheticMedia(spark, dir), spark)
+
+  private[graft] def keyframesOf(media: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media
+      .filter(col("kind") === "video")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val frames = MediaCodecs.Pnm.parseAll(payload)
+          frames.iterator.zipWithIndex.map { case (img, i) =>
+            if (i == 0) KeyframeRaw(id, 0L, 0L, 0L)
+            else {
+              val prev = frames(i - 1).pixels
+              val cur = img.pixels
+              val n = math.min(prev.length, cur.length)
+              var s = 0L
+              var j = 0
+              while (j < n) {
+                s += math.abs((cur(j) & 0xff) - (prev(j) & 0xff))
+                j += 1
+              }
+              KeyframeRaw(id, i.toLong, n.toLong, s)
+            }
+          }
+        }
+      }
+      .select(col("media_id"), col("frame_idx"),
+        when(col("frame_idx") > 0,
+          round(col("sum_abs_diff").cast("double") / col("diff_bytes"), 6))
+          .as("mean_abs_diff"))
+      .withColumn("is_keyframe",
+        when(col("frame_idx") === 0, lit(true))
+          .otherwise(col("mean_abs_diff") > 28.0))
+      .orderBy("media_id", "frame_idx")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_profile" -> mediaProfile,
     "mm2_media_features" -> mediaFeatures,
     "mm3_frame_sample" -> frameSample,
     "mm4_image_stats" -> imageStats,
-    "mm5_audio_stats" -> audioStats
+    "mm5_audio_stats" -> audioStats,
+    "mm6_keyframes" -> keyframes
   )
 
   val oracle: Map[String, String] = Map(
@@ -469,6 +531,31 @@ object Multimodal {
         |  CASE WHEN n > 0 THEN round(CAST(sb AS DOUBLE) / n, 6) END AS mean_sample,
         |  CASE WHEN n > 0 THEN round(sqrt(CAST(sq AS DOUBLE) / n), 6) END AS rms_dev
         |FROM a
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+    // Inter-frame byte diffs recomputed from the text: frame i's raster
+    // is chars [i*192+1, i*192+192], the mean |cur - prev| over the 192
+    // positions matches the codec walk byte-for-byte.
+    "mm6_keyframes" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 2),
+        | f AS (SELECT media_id, st, length(st) // 192 AS frames
+        |       FROM s WHERE length(st) >= 192),
+        | fr AS (SELECT media_id, st, unnest(range(0, frames)) AS frame_idx FROM f),
+        | d AS (
+        |  SELECT media_id, frame_idx,
+        |    CASE WHEN frame_idx > 0 THEN
+        |      round(CAST(list_aggregate(list_transform(range(1, 193),
+        |        j -> abs(ord(st[CAST(frame_idx * 192 + j AS BIGINT)])
+        |               - ord(st[CAST((frame_idx - 1) * 192 + j AS BIGINT)]))),
+        |        'sum') AS DOUBLE) / 192, 6)
+        |    END AS mean_abs_diff
+        |  FROM fr)
+        |SELECT media_id, frame_idx, mean_abs_diff,
+        |  CASE WHEN frame_idx = 0 THEN TRUE
+        |       ELSE mean_abs_diff > 28.0 END AS is_keyframe
+        |FROM d
+        |ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -232,4 +232,24 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_sample_bytes") == 3L * w * r.getAs[Int]("height"))
     }
   }
+
+  test("keyframes: repeated frame is not a keyframe, a hard cut is") {
+    import spark.implicits._
+    // Planted 3-frame stream A, A, B: frame 0 anchors (always keyframe),
+    // frame 1 repeats A exactly (diff 0 → not a keyframe), frame 2 cuts
+    // hard (every byte moves by 60 → diff 60 > threshold → keyframe).
+    val a = Array.tabulate(192)(i => (32 + i % 64).toByte)
+    val b = Array.tabulate(192)(i => (92 + i % 64).toByte)
+    val hdr = ascii("P6\n16 4\n255\n")
+    val payload = hdr ++ a ++ hdr ++ a ++ hdr ++ b
+    val media = Seq((7L, "video", "ppms", payload))
+      .toDF("media_id", "kind", "format", "payload")
+    val rows = Multimodal.keyframesOf(media, spark).collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Boolean]("is_keyframe") && rows(0).isNullAt(2))
+    assert(rows(1).getAs[Double]("mean_abs_diff") == 0.0)
+    assert(!rows(1).getAs[Boolean]("is_keyframe"))
+    assert(rows(2).getAs[Double]("mean_abs_diff") == 60.0)
+    assert(rows(2).getAs[Boolean]("is_keyframe"))
+  }
 }
