@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Graph.queries ++
       operators.Stats.queries ++
       operators.AsOf.queries ++
+      operators.Linkage.queries ++
       operators.TypedAgg.queries ++
       engine.Skew.queries ++
       engine.Pipelines.queries ++
@@ -50,6 +51,7 @@ object SparkEntry {
       operators.Graph.oracle ++
       operators.Stats.oracle ++
       operators.AsOf.oracle ++
+      operators.Linkage.oracle ++
       operators.TypedAgg.oracle ++
       engine.Skew.oracle ++
       engine.Pipelines.oracle ++

@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+
+/** Structured-record entity resolution (record linkage): find the record
+  * pairs that denote the same real-world entity despite a corrupted key
+  * field — the dedup problem for TABLES rather than documents (dd* is the
+  * document side; this is the contacts/CRM/master-data side every
+  * warehouse eventually runs).
+  *
+  * The planted fixture derives a "dirty contacts" table from the driver's
+  * customer dimension the way [[Multimodal.syntheticMedia]] derives media
+  * from documents: every customer yields a clean record, and every third
+  * customer additionally yields a corrupted variant (one character of the
+  * name's digit region overwritten at a key-dependent position, id
+  * re-assigned) — deterministic arithmetic, so the DuckDB oracle rebuilds
+  * the identical table and the whole pipeline is hash-gated.
+  *
+  * Linkage scheme (the classic block → verify shape):
+  *   - BLOCKING: the 9-char digit region splits into three 3-char bands;
+  *     each record emits three block keys, each key = nation + the OTHER
+  *     two bands. A single-character corruption hits exactly one band, so
+  *     every true pair still collides on the key that excludes it — dd2's
+  *     band-routing argument on structured fields. Bucket sizes are
+  *     BOUNDED BY THE KEY SPACE, not the corpus: a key fixes 6 of 9
+  *     digits, so at most 10^3 entities can ever share one bucket,
+  *     regardless of table size — no hot-bucket cap needed where the
+  *     blocked field has fixed width.
+  *   - VERIFY: candidate pairs match iff the names are within edit
+  *     distance 1 AND the strong field (acctbal) agrees exactly — the
+  *     multi-field agreement rule real linkage uses to separate true
+  *     variants from near-key neighbours (consecutive customer numbers
+  *     are 1 edit apart by construction; their balances differ).
+  *
+  * Scale shape: the band explode is 3× the record count (scan-local);
+  * the candidate join shuffles on (band, nation, key) with bounded
+  * buckets; verification is a projection over the distinct pair set.
+  * LinkageSpec plants a matching variant, a near-key neighbour that must
+  * NOT match, and a cross-nation twin that blocking must never pair.
+  */
+object Linkage {
+
+  /** The deterministic dirty-contacts fixture: clean record per customer
+    * (rec_id = 2·custkey) plus, for every third customer, a corrupted
+    * variant (rec_id = 2·custkey+1) whose name has the character at
+    * digit position `custkey % 9` overwritten with 'x'.
+    */
+  private[graft] def dirtyContacts(cust: DataFrame): DataFrame = {
+    val clean = cust.select(
+      (col("c_custkey") * 2).as("rec_id"), col("c_name").as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"))
+    val pos = (col("c_custkey") % 9 + 10).cast("int")
+    val variant = cust.filter(col("c_custkey") % 3 === 0).select(
+      (col("c_custkey") * 2 + 1).as("rec_id"),
+      concat(substring(col("c_name"), 1, 9),
+        expr("substring(c_name, 10, (c_custkey % 9 + 10) - 10)"),
+        lit("x"),
+        expr("substring(c_name, c_custkey % 9 + 11, 18)")).as("name"),
+      col("c_nationkey").as("nation"), col("c_acctbal").as("acctbal"))
+    clean.unionAll(variant)
+  }
+
+  /** er1 — the gated linkage run over the dirty-contacts fixture. */
+  def er1RecordLinkage(spark: SparkSession, dir: String): DataFrame =
+    linkedPairs(dirtyContacts(t(spark, dir, "customer")))
+
+  /** Block → verify over any (rec_id, name, nation, acctbal) frame whose
+    * name carries a fixed-width digit tail at positions 10-18.
+    */
+  private[graft] def linkedPairs(recs: DataFrame): DataFrame = {
+    // three keys per record, key k = the two bands OTHER than band k
+    val keys = recs.select(col("rec_id"), col("name"), col("nation"),
+        col("acctbal"),
+        explode(array(
+          struct(lit(0).as("k"), substring(col("name"), 13, 6).as("bk")),
+          struct(lit(1).as("k"), concat(substring(col("name"), 10, 3),
+            substring(col("name"), 16, 3)).as("bk")),
+          struct(lit(2).as("k"), substring(col("name"), 10, 6).as("bk"))))
+          .as("b"))
+      .select(col("rec_id"), col("name"), col("nation"), col("acctbal"),
+        col("b.k").as("k"), col("b.bk").as("bk"))
+    val cand = keys.alias("x").join(keys.alias("y"),
+        col("x.k") === col("y.k") && col("x.nation") === col("y.nation") &&
+          col("x.bk") === col("y.bk") && col("x.rec_id") < col("y.rec_id"))
+      .select(col("x.rec_id").as("rec_a"), col("y.rec_id").as("rec_b"),
+        col("x.name").as("name_a"), col("y.name").as("name_b"),
+        col("x.acctbal").as("bal_a"), col("y.acctbal").as("bal_b"))
+      .distinct()
+    cand
+      .select(col("rec_a"), col("rec_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"),
+        col("bal_a"), col("bal_b"))
+      .filter(col("edit_dist") <= 1 && col("bal_a") === col("bal_b"))
+      .select(col("rec_a"), col("rec_b"), col("name_a"), col("name_b"),
+        col("edit_dist"), col("bal_a").as("acctbal"))
+      .orderBy("rec_a", "rec_b")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er1_record_linkage" -> er1RecordLinkage
+  )
+
+  val oracle: Map[String, String] = Map(
+    "er1_record_linkage" ->
+      """WITH recs AS (
+        |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
+        |    c_nationkey AS nation, c_acctbal AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    substr(c_name, 1, 9)
+        |      || substr(c_name, 10, (c_custkey % 9 + 10) - 10)
+        |      || 'x' || substr(c_name, c_custkey % 9 + 11, 18),
+        |    c_nationkey, c_acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        | keys AS (
+        |  SELECT rec_id, name, nation, acctbal, k,
+        |    CASE k WHEN 0 THEN substr(name, 13, 6)
+        |           WHEN 1 THEN substr(name, 10, 3) || substr(name, 16, 3)
+        |           ELSE substr(name, 10, 6) END AS bk
+        |  FROM recs, (VALUES (0), (1), (2)) AS b(k)),
+        | cand AS (
+        |  SELECT DISTINCT x.rec_id AS rec_a, y.rec_id AS rec_b,
+        |    x.name AS name_a, y.name AS name_b,
+        |    x.acctbal AS bal_a, y.acctbal AS bal_b
+        |  FROM keys x JOIN keys y
+        |    ON x.k = y.k AND x.nation = y.nation AND x.bk = y.bk
+        |   AND x.rec_id < y.rec_id)
+        |SELECT rec_a, rec_b, name_a, name_b,
+        |  levenshtein(name_a, name_b) AS edit_dist, bal_a AS acctbal
+        |FROM cand
+        |WHERE levenshtein(name_a, name_b) <= 1 AND bal_a = bal_b
+        |ORDER BY rec_a, rec_b""".stripMargin
+  )
+}
