@@ -507,7 +507,42 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** sim10 — batch maximum-inner-product search (MIPS): exact top-10 by
+    * raw dot product for each of the first three vectors as queries over
+    * the rest of the corpus. MIPS is the retrieval problem cosine ANN
+    * does NOT solve (when norms vary, the largest inner product is not
+    * the nearest angle — recommendation scores, un-normalized reward
+    * models, learned sparse retrieval all rank by ⟨q,x⟩). This is the
+    * exact baseline; the scale path is the classic norm-augmentation
+    * reduction — append sqrt(M² − ‖x‖²) to every corpus vector and 0 to
+    * every query (M = max corpus norm) and the AUGMENTED cosine order
+    * equals the inner-product order, so sim2/sim5's sign-LSH cosine
+    * cells serve MIPS unchanged. SimilaritySpec proves the reduction on
+    * the driver corpus (identical top-10 sets both ways).
+    *
+    * Scale shape: queries broadcast (batch-ANN convention, sim4); one
+    * corpus scan computes all query dot products; per-query top-10 is a
+    * rank-≤-10 filter that compiles to a map-side WindowGroupLimit, so
+    * each task ships at most 10 rows per query.
+    */
+  def mipsTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = t(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") <= 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    e.filter(col("vec_id") > 2)
+      .join(broadcast(q))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        round(dot(col("embedding"), col("qv")), 6).as("ip"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("ip").desc, col("vec_id"))).cast("long"))
+      .filter(col("rk") <= 10)
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim10_mips_topk" -> mipsTopK,
     "sim8_kmeans" -> kmeansRefine,
     "sim7_pq_adc" -> pqAdc,
     "sim1_cosine_topk" -> cosineTopK,
@@ -531,6 +566,20 @@ object Similarity {
       "THEN (1::BIGINT << CAST(k - 1 AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT)"
 
   val oracle: Map[String, String] = Map(
+    "sim10_mips_topk" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | s AS (
+        |  SELECT q.vec_id AS query_id, a.vec_id, a.label,
+        |    round(list_dot_product(a.v, q.v), 6) AS ip
+        |  FROM n a JOIN n q ON q.vec_id <= 2 AND a.vec_id > 2),
+        | r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY ip DESC, vec_id) AS rk
+        |  FROM s)
+        |SELECT query_id, vec_id, label, ip, rk
+        |FROM r WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin,
     "sim8_kmeans" ->
       """WITH kprm AS (
         |  SELECT greatest(4, least(64, (count(*) + 63) // 64)) AS k

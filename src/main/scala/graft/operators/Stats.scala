@@ -315,7 +315,44 @@ object Stats {
       .orderBy(keyCol)
   }
 
+  /** ab5 — sample-ratio mismatch (SRM) check: per event_type, the count
+    * of distinct UNITS (users, not events) each arm enrolled, the 1-df
+    * chi-square goodness-of-fit statistic against the designed 50/50
+    * split, and the alarm verdict at the 95% critical value 3.841. SRM
+    * is the first gate a trustworthy experiment readout runs: if the
+    * split itself is broken (randomization bug, logging loss on one
+    * arm), every downstream ab1-ab4 number is invalid. It is a
+    * different question from ab3's independence test — GOF against the
+    * DESIGNED ratio on unit counts, not arm×category independence on
+    * event counts.
+    *
+    * Scale shape: events collapse once to the distinct (event_type,
+    * user) domain (one hash aggregate with map-side partials), arm
+    * counts are conditional aggregates on that domain frame. The
+    * verdict derives from the ROUNDED statistic so both engines agree
+    * on boundary bits. StatsSpec plants a clean 50/50 (no alarm) and a
+    * starved arm (alarm).
+    */
+  def abSrm(spark: SparkSession, dir: String): DataFrame =
+    abSrmCore(t(spark, dir, "events"))
+
+  private[graft] def abSrmCore(ev: DataFrame): DataFrame = {
+    val a = inGroupA(col("user_id"))
+    val units = ev.select(col("event_type"), col("user_id")).distinct()
+    val na = col("n_units_a")
+    val nb = col("n_units_b")
+    val e = (na + nb) / 2.0
+    val chisq = (na - e) * (na - e) / e + (nb - e) * (nb - e) / e
+    units.groupBy(col("event_type"))
+      .agg(count(when(a, 1)).as("n_units_a"),
+        count(when(!a, 1)).as("n_units_b"))
+      .select(col("event_type"), na, nb, r6(chisq).as("chisq"),
+        (r6(chisq) > 3.841).as("srm_alarm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab5_srm_check" -> abSrm,
     "ab1_welch_readout" -> abTest,
     "ab2_welch_effect" -> abEffect,
     "ab3_chisq_mix" -> abChisq,
@@ -326,6 +363,31 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "ab5_srm_check" ->
+      """WITH u AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a
+        |  FROM events),
+        | c AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN a THEN 1 END) AS n_units_a,
+        |    count(CASE WHEN NOT a THEN 1 END) AS n_units_b
+        |  FROM u GROUP BY event_type)
+        |SELECT event_type, n_units_a, n_units_b,
+        |  round((n_units_a - (n_units_a + n_units_b) / 2.0)
+        |      * (n_units_a - (n_units_a + n_units_b) / 2.0)
+        |      / ((n_units_a + n_units_b) / 2.0)
+        |    + (n_units_b - (n_units_a + n_units_b) / 2.0)
+        |      * (n_units_b - (n_units_a + n_units_b) / 2.0)
+        |      / ((n_units_a + n_units_b) / 2.0), 6) AS chisq,
+        |  round((n_units_a - (n_units_a + n_units_b) / 2.0)
+        |      * (n_units_a - (n_units_a + n_units_b) / 2.0)
+        |      / ((n_units_a + n_units_b) / 2.0)
+        |    + (n_units_b - (n_units_a + n_units_b) / 2.0)
+        |      * (n_units_b - (n_units_a + n_units_b) / 2.0)
+        |      / ((n_units_a + n_units_b) / 2.0), 6) > 3.841 AS srm_alarm
+        |FROM c
+        |ORDER BY event_type""".stripMargin,
     "ab1_welch_readout" ->
       """WITH e AS (
         |  SELECT event_type, value,

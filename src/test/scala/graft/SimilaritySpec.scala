@@ -164,4 +164,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full(0).getAs[Long]("n_hits") == 3L)
     assert(full(0).getAs[Double]("recall") == 1.0)
   }
+
+  test("sim10 MIPS order equals augmented-cosine order (the scale reduction)") {
+    // The norm-augmentation argument sim10 relies on at 100 TB: append
+    // sqrt(M^2 - |x|^2) to every corpus vector (M = max corpus norm) and
+    // 0 to the query, and cosine in the augmented space ranks exactly by
+    // inner product — so the existing cosine LSH serves MIPS unchanged.
+    // Verified end-to-end on the driver corpus per query.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val got = Similarity.mipsTopK(spark, dir).collect()
+    assert(got.length == 30, "3 queries x top-10")
+    val emb = graft.Tables.t(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect().toMap
+    val m2 = emb.filter(_._1 > 2).values
+      .map(v => v.map(x => x.toDouble * x).sum).max
+    def ipOf(q: Array[Float], x: Array[Float]) =
+      q.zip(x).map { case (a, b) => a.toDouble * b }.sum
+    for (qid <- 0L to 2L) {
+      val q = emb(qid)
+      val corpus = emb.filter(_._1 > 2).toSeq
+      // augmented cosine: |x'| = M for every corpus vector, so
+      // cos' = ip / (|q| * M) — a positive constant rescale of ip
+      val augRank = corpus
+        .map { case (id, v) => (id,
+          ipOf(q, v) / (math.sqrt(ipOf(q, q)) * math.sqrt(m2))) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      val ipRank = corpus.map { case (id, v) => (id, ipOf(q, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      assert(augRank == ipRank, s"reduction broke for query $qid")
+      // and the gated query serves that order (at its 6-decimal grain)
+      val roundedRank = corpus
+        .map { case (id, v) => (id, math.rint(ipOf(q, v) * 1e6) / 1e6) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1)
+      val mipsRank = got.filter(_.getLong(0) == qid)
+        .sortBy(_.getAs[Long]("rk")).map(_.getLong(1)).toSeq
+      assert(mipsRank == roundedRank, s"query $qid")
+    }
+  }
 }

@@ -248,4 +248,29 @@ class StatsSpec extends AnyFunSuite {
     assert(fwd.getAs[Double]("mi_nats") <=
       math.min(fwd.getAs[Double]("h_x"), fwd.getAs[Double]("h_y")))
   }
+
+  test("ab5 SRM: clean 50/50 stays quiet, a starved arm alarms") {
+    import spark.implicits._
+    // users 1..200 hash-split exactly 100/100 (precomputed); each user
+    // fires 2 events so the distinct-unit collapse is exercised
+    def events(users: Seq[Long]) =
+      users.flatMap(u => Seq((u, "click"), (u, "click")))
+        .toDF("user_id", "event_type")
+    val all = (1L to 200L)
+    val clean = Stats.abSrmCore(events(all)).collect().head
+    assert(clean.getAs[Long]("n_units_a") == 100L)
+    assert(clean.getAs[Long]("n_units_b") == 100L)
+    assert(clean.getAs[Double]("chisq") == 0.0)
+    assert(!clean.getAs[Boolean]("srm_alarm"))
+    // starve arm B: keep only 2 of 5 B-users -> chisq far over 3.841
+    val armB = all.filter(u =>
+      (java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes).head & 0x80) != 0) // hex[0] >= '8'
+    val starved = all.filterNot(armB.contains) ++ armB.filter(_ % 5 < 2)
+    val bad = Stats.abSrmCore(events(starved)).collect().head
+    assert(bad.getAs[Long]("n_units_a") == 100L)
+    assert(bad.getAs[Long]("n_units_b") < 60L)
+    assert(bad.getAs[Boolean]("srm_alarm"))
+    assert(bad.getAs[Double]("chisq") > 3.841)
+  }
 }
