@@ -99,8 +99,49 @@ object Linkage {
       .orderBy("rec_a", "rec_b")
   }
 
+  /** er2 — survivorship (golden-record) consolidation: collapse er1's
+    * matched pairs into one entity row each, with every unmatched record
+    * surviving as its own entity. The canonical id is the cluster's
+    * minimum rec_id and the golden values are the canonical record's —
+    * the master-data step that turns "these records match" into the
+    * deduplicated dimension a warehouse actually joins against.
+    *
+    * Cluster closure: er1's fixture links are pairwise (each corrupted
+    * variant to its clean twin), so one min-over-neighbours pass is the
+    * exact fixed point; a corpus with longer match chains iterates this
+    * pass to convergence — dd5's log-round component machinery on er1's
+    * edge list (shared shape, documented there).
+    *
+    * Scale shape: the pair frame is entity-sized (bounded by er1's
+    * blocking), records left-join it once on each side (AQE picks the
+    * join), and the golden projection is one aggregate keyed on the
+    * entity id.
+    */
+  def er2GoldenRecords(spark: SparkSession, dir: String): DataFrame =
+    goldenRecords(dirtyContacts(t(spark, dir, "customer")))
+
+  private[graft] def goldenRecords(recs: DataFrame): DataFrame = {
+    val pairs = linkedPairs(recs).select(col("rec_a"), col("rec_b"))
+    // min neighbour over both edge directions (a<b, so only b-side rows
+    // can lower their label); unmatched records keep their own id
+    val entity = recs.select(col("rec_id"))
+      .join(pairs, col("rec_id") === col("rec_b"), "left")
+      .groupBy(col("rec_id"))
+      .agg(coalesce(min(col("rec_a")), first(col("rec_id"))).as("entity_id"))
+    val golden = recs.join(entity, "rec_id")
+    golden.groupBy(col("entity_id"))
+      .agg(count(lit(1)).as("n_records"),
+        min(struct(col("rec_id"), col("name"), col("nation"),
+          col("acctbal"))).as("c"))
+      .select(col("entity_id"), col("n_records"),
+        col("c.name").as("name"), col("c.nation").as("nation"),
+        col("c.acctbal").as("acctbal"))
+      .orderBy("entity_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "er1_record_linkage" -> er1RecordLinkage
+    "er1_record_linkage" -> er1RecordLinkage,
+    "er2_golden_records" -> er2GoldenRecords
   )
 
   val oracle: Map[String, String] = Map(
@@ -133,6 +174,47 @@ object Linkage {
         |  levenshtein(name_a, name_b) AS edit_dist, bal_a AS acctbal
         |FROM cand
         |WHERE levenshtein(name_a, name_b) <= 1 AND bal_a = bal_b
-        |ORDER BY rec_a, rec_b""".stripMargin
+        |ORDER BY rec_a, rec_b""".stripMargin,
+    "er2_golden_records" ->
+      """WITH recs AS (
+        |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
+        |    c_nationkey AS nation, c_acctbal AS acctbal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey * 2 + 1,
+        |    substr(c_name, 1, 9)
+        |      || substr(c_name, 10, (c_custkey % 9 + 10) - 10)
+        |      || 'x' || substr(c_name, c_custkey % 9 + 11, 18),
+        |    c_nationkey, c_acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        | keys AS (
+        |  SELECT rec_id, name, nation, acctbal, k,
+        |    CASE k WHEN 0 THEN substr(name, 13, 6)
+        |           WHEN 1 THEN substr(name, 10, 3) || substr(name, 16, 3)
+        |           ELSE substr(name, 10, 6) END AS bk
+        |  FROM recs, (VALUES (0), (1), (2)) AS b(k)),
+        | cand AS (
+        |  SELECT DISTINCT x.rec_id AS rec_a, y.rec_id AS rec_b,
+        |    x.name AS name_a, y.name AS name_b,
+        |    x.acctbal AS bal_a, y.acctbal AS bal_b
+        |  FROM keys x JOIN keys y
+        |    ON x.k = y.k AND x.nation = y.nation AND x.bk = y.bk
+        |   AND x.rec_id < y.rec_id),
+        | ver AS (
+        |  SELECT rec_a, rec_b FROM cand
+        |  WHERE levenshtein(name_a, name_b) <= 1 AND bal_a = bal_b),
+        | ent AS (
+        |  SELECT r.rec_id, coalesce(min(v.rec_a), r.rec_id) AS entity_id
+        |  FROM recs r LEFT JOIN ver v ON r.rec_id = v.rec_b
+        |  GROUP BY r.rec_id),
+        | g AS (
+        |  SELECT e.entity_id, r.rec_id, r.name, r.nation, r.acctbal
+        |  FROM recs r JOIN ent e ON r.rec_id = e.rec_id)
+        |SELECT entity_id, count(*) AS n_records,
+        |  min_by(name, rec_id) AS name, min_by(nation, rec_id) AS nation,
+        |  min_by(acctbal, rec_id) AS acctbal
+        |FROM g
+        |GROUP BY entity_id
+        |ORDER BY entity_id""".stripMargin
   )
 }

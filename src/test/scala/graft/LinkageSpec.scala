@@ -53,6 +53,22 @@ class LinkageSpec extends AnyFunSuite {
     assert(got.forall { case (a, b) => b == a + 1 })
   }
 
+  test("er2 golden records: one entity per customer, variants absorbed") {
+    import spark.implicits._
+    val recs = Seq(
+      (2L, "Customer#000000042", 7L, 100.50),
+      (3L, "Customer#00000x042", 7L, 100.50), // variant of entity 2
+      (6L, "Customer#000000043", 7L, 999.99), // singleton
+      (8L, "Customer#000000042", 3L, 100.50)  // other-nation twin, singleton
+    ).toDF("rec_id", "name", "nation", "acctbal")
+    val got = graft.operators.Linkage.goldenRecords(recs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got.keySet == Set(2L, 6L, 8L))
+    assert(got(2L) == ((2L, "Customer#000000042"))) // golden = clean twin
+    assert(got(6L) == ((1L, "Customer#000000043")))
+    assert(got(8L) == ((1L, "Customer#000000042")))
+  }
+
   test("er1 on the driver corpus links every planted variant exactly once") {
     val got = Linkage.er1RecordLinkage(spark, "/root/testdata/sf0.001")
       .collect()
