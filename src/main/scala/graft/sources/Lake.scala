@@ -169,9 +169,53 @@ object Lake {
     out
   }
 
+  /** lake3 — incremental watermark ingest: consume only the day
+    * partitions strictly newer than the recorded high-water mark — the
+    * nightly "process what arrived since last run" batch every scheduled
+    * pipeline is built on. The layout is day-partitioned (the standard
+    * ingest-time key); the watermark here is derived as "14 days past
+    * the first observed partition", standing in for the value a real
+    * scheduler persists in its run metadata.
+    *
+    * Scale shape: resolving the watermark is a control-plane read — the
+    * partition-values listing (no data columns touched), one value to
+    * the driver, exactly what a metastore lookup costs. The increment
+    * scan then carries `day > watermark` as a PLANNING-TIME literal, so
+    * whole directories prune before any I/O (LakeSpec pins the
+    * predicate into PartitionFilters with nothing row-level pushed) —
+    * the difference between re-reading 100 TB nightly and reading one
+    * day's slice.
+    */
+  def incrementalRead(spark: SparkSession, dir: String): DataFrame = {
+    val scan = incrementalScan(spark, dir)
+    scan
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        r2(sum(col("value"))).as("total_value"))
+      .orderBy("day")
+  }
+
+  /** The write → watermark → pruned-increment-scan half of [[incrementalRead]]
+    * (ONE definition, so LakeSpec pins the same plan the gate runs).
+    */
+  private[graft] def incrementalScan(spark: SparkSession, dir: String): DataFrame = {
+    val out = lakeDir(spark, "events_by_day")
+    t(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    // control-plane watermark: only the partition column is touched
+    // (empty data-column ReadSchema), one value ships to the driver
+    val wm = spark.read.parquet(out)
+      .select(col("day")).distinct()
+      .agg(date_add(min(col("day")), 14)).head.getDate(0)
+    spark.read.parquet(out).filter(col("day") > lit(wm))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
-    "lake2_zorder_keys" -> zorderKeys
+    "lake2_zorder_keys" -> zorderKeys,
+    "lake3_incremental_read" -> incrementalRead
   )
 
   private def sqlZCell(v: String, mn: String, mx: String): String =
@@ -199,6 +243,15 @@ object Lake {
         |FROM events
         |WHERE event_type = 'click'
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "lake3_incremental_read" ->
+      """WITH wm AS (SELECT min(ts::DATE) + 14 AS w FROM events)
+        |SELECT ts::DATE AS day, count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events, wm
+        |WHERE ts::DATE > w
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin
   )
 }

@@ -30,6 +30,27 @@ class LakeSpec extends AnyFunSuite {
     assert(rows == direct && rows > 0)
   }
 
+  test("incremental read prunes the already-ingested day directories") {
+    import org.apache.spark.sql.functions.to_date
+    val scan = Lake.incrementalScan(spark, sf)
+    val plan = scan.queryExecution.executedPlan.toString
+    // the watermark predicate resolves against the directory layout at
+    // planning time — directory pruning, not row filtering
+    assert(plan.contains("PartitionFilters"), plan.take(2000))
+    val pf = plan.split("PartitionFilters:")(1).split("]")(0)
+    assert(pf.contains("day"), plan.take(2000))
+    assert(!plan.split("PushedFilters:")(1).split("]")(0).contains("day"),
+      plan.take(2000))
+    // increment = exactly the rows past day 15 of the corpus
+    val ev = Tables.t(spark, sf, "events")
+    val minDay = ev.select(org.apache.spark.sql.functions.min(to_date(col("ts"))))
+      .head.getDate(0)
+    val direct = ev.filter(
+      to_date(col("ts")) > org.apache.spark.sql.functions.date_add(
+        org.apache.spark.sql.functions.lit(minDay), 14)).count()
+    assert(scan.count() == direct && direct > 0)
+  }
+
   test("z-order layout skips more row groups than linear sort on 2-D ranges") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.functions.col
