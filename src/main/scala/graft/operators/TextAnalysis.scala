@@ -198,7 +198,13 @@ object TextAnalysis {
     * model table is the thing you'd broadcast or count-min-sketch; the
     * corpus never joins itself.
     */
-  def lmSurprise(spark: SparkSession, dir: String): DataFrame = {
+  def lmSurprise(spark: SparkSession, dir: String): DataFrame =
+    surpriseScores(spark, dir).orderBy("doc_id")
+
+  /** t8's per-doc scoring core `(doc_id, n_bigrams, avg_surprise)`,
+    * un-ordered — shared by the t8 gate and t23's band filter.
+    */
+  private def surpriseScores(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.TextFunctions.rawShingles
     // The tokenized frame feeds four plan subtrees and is deliberately NOT
     // cached: measured at sf0.1, scoped-persisting docs+c2 made the query
@@ -232,6 +238,40 @@ object TextAnalysis {
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("avg_surprise"))
+  }
+
+  /** t23 — the model-based quality filter t8's scores exist FOR (the
+    * CCNet/Gopher convention): keep documents whose average bigram
+    * surprise sits in the middle band of the corpus distribution —
+    * too-LOW surprise is templated/repetitive boilerplate the model has
+    * effectively memorized, too-HIGH is gibberish the model cannot
+    * predict at all; both poison training. Cuts are the exact p10/p90 of
+    * the score distribution, broadcast back onto the scored frame (d10's
+    * cut-array shape — `approx_percentile` is the stated 100 TB swap).
+    *
+    * The scored frame is scope-persisted: BOTH consumers (the cut
+    * aggregate and the band join) would otherwise re-run the full
+    * model-join pipeline — unlike t8's linear tokenize projection, this
+    * subtree contains two aggregation exchanges and a join, which is
+    * exactly the reuse case dd2/dd3 persist for. Bands derive from the
+    * ROUNDED scores and ROUNDED cuts on both engines, so boundary
+    * documents classify identically.
+    */
+  def perplexityFilter(spark: SparkSession, dir: String): DataFrame = {
+    val s = graft.engine.Caching.scopedPersist(
+      surpriseScores(spark, dir).filter(col("n_bigrams") > 0)
+        .select(col("doc_id"), col("avg_surprise")))
+    val cuts = s.agg(
+        expr("percentile(avg_surprise, array(0.10, 0.90))").as("p"))
+      .select(round(element_at(col("p"), 1), 4).as("lo_cut"),
+        round(element_at(col("p"), 2), 4).as("hi_cut"))
+    s.join(broadcast(cuts))
+      .select(col("doc_id"), col("avg_surprise"),
+        when(col("avg_surprise") < col("lo_cut"), "low")
+          .when(col("avg_surprise") > col("hi_cut"), "high")
+          .otherwise("mid").as("band"),
+        (col("avg_surprise") >= col("lo_cut") &&
+          col("avg_surprise") <= col("hi_cut")).as("kept"))
       .orderBy("doc_id")
   }
 
@@ -875,6 +915,7 @@ object TextAnalysis {
     "t22_bpe_encode" -> bpeEncode,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
+    "t23_perplexity_filter" -> perplexityFilter,
     "t9_chunks" -> chunks,
     "t10_packing" -> packing,
     "t11_bpe_merge_pairs" -> bpeMergePairs,
@@ -944,6 +985,35 @@ object TextAnalysis {
   }
   private[graft] def sqlFp(c: String) =
     s"md5(regexp_replace(lower(trim($c)), '\\s+', ' ', 'g'))"
+
+  /** t8's add-one-smoothed bigram-LM scoring chain (tk → bi → counts →
+    * model → per-doc agg), shared by the t8 and t23 oracles so the band
+    * filter cannot drift from the score it filters.
+    */
+  private val sqlSurpriseCtes =
+    """tk AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
+      |  FROM documents),
+      | bi AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(t)),
+      |      i -> list_element(t, i) || ' ' || list_element(t, i + 1))) AS bg
+      |  FROM tk WHERE len(t) >= 2),
+      | c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
+      | c1 AS (
+      |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+      |  FROM c2 GROUP BY 1),
+      | v AS (
+      |  SELECT count(DISTINCT w) AS v
+      |  FROM (SELECT unnest(t) AS w FROM tk)),
+      | model AS (
+      |  SELECT bg, -ln((c2.c2 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v))) AS nll
+      |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
+      | agg AS (
+      |  SELECT doc_id, round(avg(nll), 4) AS avg_surprise, count(*) AS n_bigrams
+      |  FROM bi JOIN model USING (bg)
+      |  GROUP BY doc_id)""".stripMargin
 
   /** [[tokenStream]]+[[pairCounts]]'s DuckDB twin — the tok/pairs CTE
     * chain shared by the t11 and t15 oracles.
@@ -1175,31 +1245,24 @@ object TextAnalysis {
          |FROM m
          |ORDER BY doc_id""".stripMargin,
     "t8_lm_surprise" ->
-      """WITH tk AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '') AS t
-        |  FROM documents),
-        | bi AS (
-        |  SELECT doc_id,
-        |    unnest(list_transform(range(1, len(t)),
-        |      i -> list_element(t, i) || ' ' || list_element(t, i + 1))) AS bg
-        |  FROM tk WHERE len(t) >= 2),
-        | c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY bg),
-        | c1 AS (
-        |  SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
-        |  FROM c2 GROUP BY 1),
-        | v AS (
-        |  SELECT count(DISTINCT w) AS v
-        |  FROM (SELECT unnest(t) AS w FROM tk)),
-        | model AS (
-        |  SELECT bg, -ln((c2.c2 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v))) AS nll
-        |  FROM c2 JOIN c1 ON split_part(c2.bg, ' ', 1) = c1.w1),
-        | agg AS (
-        |  SELECT doc_id, round(avg(nll), 4) AS avg_surprise, count(*) AS n_bigrams
-        |  FROM bi JOIN model USING (bg)
-        |  GROUP BY doc_id)
+      s"""WITH $sqlSurpriseCtes
         |SELECT tk.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams, agg.avg_surprise
         |FROM tk LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "t23_perplexity_filter" ->
+      s"""WITH $sqlSurpriseCtes,
+        | s AS (
+        |  SELECT doc_id, avg_surprise FROM agg WHERE n_bigrams > 0),
+        | cuts AS (
+        |  SELECT round(quantile_cont(avg_surprise, 0.10), 4) AS lo_cut,
+        |    round(quantile_cont(avg_surprise, 0.90), 4) AS hi_cut
+        |  FROM s)
+        |SELECT doc_id, avg_surprise,
+        |  CASE WHEN avg_surprise < lo_cut THEN 'low'
+        |       WHEN avg_surprise > hi_cut THEN 'high'
+        |       ELSE 'mid' END AS band,
+        |  avg_surprise >= lo_cut AND avg_surprise <= hi_cut AS kept
+        |FROM s, cuts
         |ORDER BY doc_id""".stripMargin,
     "t9_chunks" ->
       s"""WITH tk AS (
