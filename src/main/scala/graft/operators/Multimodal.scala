@@ -414,13 +414,79 @@ object Multimodal {
       .orderBy("media_id", "frame_idx")
   }
 
+  /** One resized-image row for [[imageResize]]. */
+  final case class ResizeRow(
+      media_id: Long, width: Int, height: Int, r_width: Int, r_height: Int,
+      n_resized_bytes: Long, sum_bytes: Long, resized_fp: String)
+
+  /** mm7 — nearest-neighbour 2× downscale of the decoded rasters: the
+    * resize stage every image-training pipeline runs before batching
+    * (thumbnailing for dedup fingerprints, normalizing to the model's
+    * input grid). Each output pixel (r, c) copies source pixel
+    * (2r, 2c) — ceil-halved dims so odd edges keep their last row/col —
+    * and the gate carries the resized dims, the mean resized byte and an
+    * md5 of the RESIZED raster, which the oracle recomputes byte-for-
+    * byte from the text payload: a wrong stride or channel offset shifts
+    * every fingerprint.
+    *
+    * Scale shape: map-only like every decode stage (decode → resize →
+    * stats inside one mapPartitions pass, payload pruned after); output
+    * rows carry statistics and a 32-char fingerprint, never rasters.
+    */
+  def imageResize(spark: SparkSession, dir: String): DataFrame =
+    resizeForTest(syntheticMedia(spark, dir), spark)
+
+  private[graft] def resizeForTest(media: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    media
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          val img = MediaCodecs.Pnm.parse(payload)
+          val w = img.width
+          val h = img.height
+          val rw = (w + 1) / 2
+          val rh = (h + 1) / 2
+          val out = new Array[Byte](3 * rw * rh)
+          var i = 0
+          var r = 0
+          while (r < rh) {
+            var c = 0
+            while (c < rw) {
+              val src = ((r * 2) * w + c * 2) * 3
+              out(i) = img.pixels(src); out(i + 1) = img.pixels(src + 1)
+              out(i + 2) = img.pixels(src + 2)
+              i += 3; c += 1
+            }
+            r += 1
+          }
+          var s = 0L
+          var j = 0
+          while (j < out.length) { s += (out(j) & 0xff); j += 1 }
+          val hex = md.digest(out).map(b => f"$b%02x").mkString
+          ResizeRow(id, w, h, rw, rh, out.length.toLong, s, hex)
+        }
+      }
+      .select(col("media_id"), col("width"), col("height"),
+        col("r_width"), col("r_height"), col("n_resized_bytes"),
+        when(col("n_resized_bytes") > 0,
+          round(col("sum_bytes").cast("double") / col("n_resized_bytes"), 6))
+          .as("mean_byte"),
+        col("resized_fp"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_profile" -> mediaProfile,
     "mm2_media_features" -> mediaFeatures,
     "mm3_frame_sample" -> frameSample,
     "mm4_image_stats" -> imageStats,
     "mm5_audio_stats" -> audioStats,
-    "mm6_keyframes" -> keyframes
+    "mm6_keyframes" -> keyframes,
+    "mm7_image_resize" -> imageResize
   )
 
   val oracle: Map[String, String] = Map(
@@ -556,6 +622,40 @@ object Multimodal {
         |  CASE WHEN frame_idx = 0 THEN TRUE
         |       ELSE mean_abs_diff > 28.0 END AS is_keyframe
         |FROM d
-        |ORDER BY media_id, frame_idx""".stripMargin
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    // Resized raster recomputed from the text: output pixel i of the
+    // ceil-halved grid copies the 3 chars at source offset
+    // ((2r)w + 2c)*3, r = i div rw, c = i mod rw — the same
+    // stride walk the codec-side resize runs.
+    "mm7_image_resize" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | d AS (
+        |  SELECT media_id,
+        |    CAST(4 + media_id % 13 AS INTEGER) AS width,
+        |    CAST(length(st) // (3 * (4 + media_id % 13)) AS INTEGER) AS height,
+        |    st
+        |  FROM s),
+        | r AS (
+        |  SELECT media_id, width, height,
+        |    CAST((width + 1) // 2 AS INTEGER) AS r_width,
+        |    CAST((height + 1) // 2 AS INTEGER) AS r_height,
+        |    coalesce(list_aggregate(list_transform(
+        |      range(0, ((height + 1) // 2) * ((width + 1) // 2)),
+        |      i -> substr(st, CAST(((i // ((width + 1) // 2)) * 2 * width
+        |           + (i % ((width + 1) // 2)) * 2) * 3 + 1 AS BIGINT), 3)),
+        |      'string_agg', ''), '') AS rs
+        |  FROM d)
+        |SELECT media_id, width, height, r_width, r_height,
+        |  CAST(length(rs) AS BIGINT) AS n_resized_bytes,
+        |  CASE WHEN length(rs) > 0 THEN
+        |    round(CAST(list_aggregate(list_transform(range(1, length(rs) + 1),
+        |      j -> ord(rs[j])), 'sum') AS DOUBLE) / length(rs), 6)
+        |  END AS mean_byte,
+        |  md5(rs) AS resized_fp
+        |FROM r
+        |ORDER BY media_id""".stripMargin
   )
 }

@@ -233,6 +233,28 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resize picks the even-stride pixels; odd dims keep the last row/col") {
+    // 3x3 raster with pixel (r,c) = value 10r + c per channel: the 2x2
+    // downscale must pick exactly (0,0) (0,2) (2,0) (2,2).
+    val pixels = (for (r <- 0 until 3; c <- 0 until 3; _ <- 0 until 3)
+      yield (10 * r + c).toByte).toArray
+    val payload = ascii("P6\n3 3\n255\n") ++ pixels
+    import spark.implicits._
+    val media = Seq((5L, "image", "ppm", payload))
+      .toDF("media_id", "kind", "format", "payload")
+      .withColumn("width", org.apache.spark.sql.functions.lit(3))
+      .withColumn("height", org.apache.spark.sql.functions.lit(3))
+      .withColumn("duration_ms",
+        org.apache.spark.sql.functions.lit(null).cast("long"))
+    // run the mapPartitions core by substituting the planted frame
+    val r = Multimodal.resizeForTest(media, spark).collect().head
+    assert(r.getAs[Int]("r_width") == 2 && r.getAs[Int]("r_height") == 2)
+    assert(r.getAs[Long]("n_resized_bytes") == 12L)
+    // picked values: 0,2,20,22 each x3 channels -> sum 132
+    val expected = Seq(0, 2, 20, 22).map(_ * 3).sum
+    assert(r.getAs[Double]("mean_byte") == expected / 12.0)
+  }
+
   test("keyframes: repeated frame is not a keyframe, a hard cut is") {
     import spark.implicits._
     // Planted 3-frame stream A, A, B: frame 0 anchors (always keyframe),
