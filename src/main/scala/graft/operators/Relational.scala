@@ -551,6 +551,48 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** j4 — Bloom-prefiltered fact-to-subset join: revenue of lineitems
+    * whose order is URGENT, with the fact side prefiltered through a
+    * Bloom filter built over the urgent order keys BEFORE the
+    * authoritative equi-join. The RESULT is exactly the plain join's
+    * (Bloom has no false negatives; its false positives die in the
+    * join), so the DuckDB oracle is the plain join — this gate promotes
+    * [[graft.functions.Sketches.bloomPrefilter]] from spec-only to a
+    * first-class hash-checked operator.
+    *
+    * Scale shape: the filter is sketch-sized driver traffic (one small
+    * aggregate over the already-filtered dimension side) and the probe
+    * is a codegen'd scan-local `might_contain` — at 1000-executor scale
+    * the ~95% of fact rows with non-urgent orders never enter the join
+    * exchange. This is what AQE's runtime bloom injection does; stating
+    * it explicitly makes the prefilter available where the optimizer's
+    * heuristics would not fire (PlanSpec pins the might_contain filter
+    * below the join). The dimension-side `count()` is the index-side
+    * cardinality a real system reads from its metastore.
+    */
+  def j4BloomJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val urgent = t(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey", $"o_orderdate")
+    val li = t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val pre = graft.functions.Sketches.bloomPrefilter(
+      li, urgent.select($"o_orderkey".as("l_orderkey")), "l_orderkey",
+      expectedItems = urgent.count())
+    // revenue accumulates as EXACT INTEGER CENTS (q11/sql2's convention):
+    // the per-date double sums can land on a half-cent tie where the two
+    // engines' summation orders round apart
+    pre.join(urgent, $"l_orderkey" === $"o_orderkey")
+      .select($"o_orderdate",
+        round($"l_extendedprice" * (lit(1.0) - $"l_discount") * 100)
+          .cast("long").as("cents"))
+      .groupBy($"o_orderdate")
+      .agg(count(lit(1)).as("n_lines"),
+        r2(sum($"cents") / 100.0).as("revenue"))
+      .orderBy("o_orderdate")
+  }
+
   /** Explicit grouping sets over orders: by status, by priority, grand
     * total — Spark's groupingSets API, sentinel-labeled.
     */
@@ -1353,6 +1395,7 @@ object Relational {
     "g2_grouping_sets_orders" -> g2GroupingSetsOrders,
     "g3_cube_orders" -> g3CubeOrders,
     "j1_semi_anti_counts" -> j1SemiAntiCounts,
+    "j4_bloom_join" -> j4BloomJoin,
     "j3_full_outer" -> j3FullOuter,
     "s1_scalar_functions" -> s1ScalarFunctions,
     "j2_events_json" -> j2EventsJson
@@ -1904,6 +1947,14 @@ object Relational {
         |FROM orders
         |GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    "j4_bloom_join" ->
+      """SELECT o_orderdate, count(*) AS n_lines,
+        |  round(sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) / 100.0, 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY o_orderdate
+        |ORDER BY o_orderdate""".stripMargin,
     "j3_full_outer" ->
       """SELECT CAST(coalesce(c_nationkey, s_nationkey) AS BIGINT) AS nationkey,
         |  coalesce(n_customers, 0) AS n_customers,

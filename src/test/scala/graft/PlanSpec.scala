@@ -19,6 +19,17 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4, p.take(2000))
   }
 
+  test("j4 probes the bloom filter scan-local, below the join") {
+    val p = plan("j4_bloom_join")
+    // the prefilter must be a filter on the fact scan (codegen'd
+    // might_contain), not a post-join predicate
+    assert(p.contains("might_contain"), p.take(3000))
+    val joinIdx = p.indexOf("Join")
+    val probeIdx = p.indexOf("might_contain")
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      "probe should sit under (printed after) the join operator")
+  }
+
   test("q1 pushes the shipdate filter and prunes columns at the parquet scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p.take(2000))
