@@ -172,9 +172,16 @@ object Quality {
   def dq4VolumeAnomaly(spark: SparkSession, dir: String): DataFrame =
     volumeAnomalyReport(t(spark, dir, "events"))
 
-  private[graft] def volumeAnomalyReport(ev: DataFrame): DataFrame = {
-    val daily = ev.groupBy(to_date(col("ts")).as("day"))
-      .agg(count(lit(1)).as("n_events"))
+  private[graft] def volumeAnomalyReport(ev: DataFrame): DataFrame =
+    volumeReportFromDaily(ev.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events")))
+
+  /** The verdict half of dq4 over an already-maintained `(day, n_events)`
+    * frame — shared with [[graft.streaming.VolumeMonitor]], whose
+    * incrementally merged store feeds the SAME report definition the
+    * batch gate hashes.
+    */
+  private[graft] def volumeReportFromDaily(daily: DataFrame): DataFrame = {
     val trail = daily.as("d")
       .join(daily.as("p"),
         col("p.day") >= date_sub(col("d.day"), 7) &&

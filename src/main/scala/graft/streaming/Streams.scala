@@ -365,6 +365,46 @@ object RollupStream {
   }
 }
 
+/** Streaming twin of dq4's volume-anomaly monitor: maintain per-day
+  * event counts across micro-batches (counts merge by addition — the
+  * simplest algebraic store) and re-derive the anomaly report from the
+  * day-dimension store after every merge, through the SAME
+  * `volumeReportFromDaily` definition the batch gate hashes — so the
+  * stream's verdicts cannot drift from dq4's. The store is
+  * calendar-sized regardless of traffic, and each micro-batch costs one
+  * batch-local hash aggregate plus a day-keyed full-outer merge
+  * (RollupStream's scheme, eagerly localCheckpoint'ed so lineage stays
+  * one merge deep). StreamingSpec splits a day across micro-batches and
+  * asserts the final report equals the batch dq4 on the union.
+  */
+object VolumeMonitor {
+
+  private[graft] def mergeCounts(store: DataFrame, delta: DataFrame): DataFrame =
+    store.select(col("day"), col("n_events").as("n_a"))
+      .join(delta.select(col("day"), col("n_events").as("n_b")),
+        Seq("day"), "full_outer")
+      .select(col("day"),
+        (coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L)))
+          .as("n_events"))
+
+  /** Maintain the daily-count store from a streaming `(ts, ...)` frame;
+    * `onReport` receives the re-derived dq4 report after every batch.
+    */
+  def ingest(events: DataFrame)(onReport: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var store: DataFrame = null
+    events.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = batch
+          .groupBy(to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n_events"))
+        store = (if (store == null) delta else mergeCounts(store, delta))
+          .localCheckpoint()
+        onReport(id, graft.operators.Quality.volumeReportFromDaily(store))
+      }
+  }
+}
+
 /** Typed event for stateful processing. */
 final case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

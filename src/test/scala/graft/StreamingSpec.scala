@@ -310,6 +310,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedWeekly.nonEmpty && stores.size == chunks.size)
   }
 
+  test("volume monitor: incrementally merged store serves the exact batch dq4") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // dq4's fixture shape: steady 20-event days, a 2-event drop day, a
+    // 42-event double-fire day; chunks split MID-DAY so day counts must
+    // MERGE across micro-batches, not just append
+    def day(d: Int, n: Int) = Seq.tabulate(n)(i =>
+      new java.sql.Timestamp(1704067200000L + d * 86400000L + i * 1000L))
+    val all = (0 until 10).flatMap(d => day(d, 20)) ++ day(10, 2) ++ day(11, 42)
+    val reports = scala.collection.mutable.Map[Long, Seq[org.apache.spark.sql.Row]]()
+    var last: org.apache.spark.sql.DataFrame = null
+    val input = MemoryStream[java.sql.Timestamp]
+    val q = graft.streaming.VolumeMonitor.ingest(
+      input.toDF().toDF("ts")) { (id, report) =>
+      reports.synchronized { reports(id) = report.collect().toSeq; last = report }
+    }.start()
+    try {
+      all.grouped(17).foreach { c => input.addData(c); q.processAllAvailable() }
+    } finally q.stop()
+    val batch = graft.operators.Quality.volumeAnomalyReport(all.toDF("ts"))
+    assert(last.collect().map(_.toSeq).toSeq ==
+      batch.collect().map(_.toSeq).toSeq)
+    // and the monitor actually alarms on the planted days in its final view
+    val alarms = last.collect()
+      .filter(r => !r.isNullAt(4) && r.getBoolean(4))
+      .map(_.getAs[java.sql.Date]("day").toString).toSet
+    assert(alarms == Set("2024-01-11", "2024-01-12"))
+  }
+
   test("rollup merge keeps an all-null-value group's sum null, as batch does") {
     import spark.implicits._
     // batch sum(value) over an all-null group is null; the incremental
