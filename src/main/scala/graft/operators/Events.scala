@@ -412,6 +412,78 @@ object Events {
         col("avg_value"))
       .orderBy("week_start_ms", "event_type")
 
+  /** ev17 — first-order Markov transition matrix over each user's
+    * chronological event stream: for every observed `(from_type,
+    * to_type)` adjacency, the transition count and the row-normalized
+    * probability `P(to | from)`. The behavioural-model primitive under
+    * next-event prediction, anomaly scoring (ev10's complement on the
+    * SEQUENCE axis rather than the value axis), and path simulation.
+    *
+    * Scale shape: ONE exchange on user_id serves the lead() window (the
+    * only full-data pass); the adjacency aggregate has map-side combine
+    * down to the |types|² alphabet (25 here), and the row normalization
+    * is a window over that tiny frame — never over events. No self-join
+    * of events against events.
+    */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    transitionsCore(t(spark, dir, "events"))
+
+  private[graft] def transitionsCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val tr = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    tr.select(col("from_type"), col("to_type"), col("n"),
+        r6(col("n") / sum(col("n")).over(Window.partitionBy("from_type"))).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
+  /** ev18 — session path mining: the distinct session-opening paths
+    * (first ≤3 event types per session, in order) ranked by how many
+    * sessions open that way. Sessionization is the lag-gap rule with the
+    * same 5-minute inactivity threshold as ev3 (a new session starts
+    * when the previous event is ≥ 5 minutes back — identical membership
+    * to `session_window`, but expressed so the oracle can reproduce it
+    * verbatim).
+    *
+    * Scale shape: one exchange on user_id serves ALL THREE windows — the
+    * lag, the running session counter, and the within-session row_number
+    * (hash(user_id) satisfies the (user_id, sess) clustering, so Catalyst
+    * inserts only a re-sort, no second shuffle). The path aggregate is a
+    * hash aggregate whose cardinality is bounded by the event-type
+    * alphabet (≤ |types|³ + |types|² + |types| rows), so the final frame
+    * is tiny at any corpus size.
+    */
+  def sessionPaths(spark: SparkSession, dir: String): DataFrame =
+    sessionPathsCore(t(spark, dir, "events"))
+
+  private[graft] def sessionPathsCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val e = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("new_s",
+        when(prevTs.isNull ||
+          col("ts") >= prevTs + expr("INTERVAL 5 MINUTES"), 1).otherwise(0))
+      .withColumn("sess", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "sess").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") <= 3)
+    e.groupBy(col("user_id"), col("sess"))
+      .agg(concat_ws("->",
+        max(when(col("rn") === 1, col("event_type"))),
+        max(when(col("rn") === 2, col("event_type"))),
+        max(when(col("rn") === 3, col("event_type")))).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ev13_rollup_merge" -> rollupMerge,
     "ev15_rolling_active" -> rollingActive,
@@ -425,10 +497,54 @@ object Events {
     "ev2_sliding_window" -> sliding,
     "ev3_sessions" -> sessions,
     "ev6_funnel" -> funnel,
-    "ev7_latest_state" -> latestState
+    "ev7_latest_state" -> latestState,
+    "ev17_transitions" -> transitions,
+    "ev18_session_paths" -> sessionPaths
   )
 
   val oracle: Map[String, String] = Map(
+    "ev17_transitions" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        | tr AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM tr
+        |ORDER BY from_type, to_type""".stripMargin,
+    "ev18_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+        |  FROM events),
+        | g AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts >= lag(ts) OVER w + INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | se AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        | rn AS (
+        |  SELECT user_id, sess, event_type,
+        |    row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM se),
+        | paths AS (
+        |  SELECT user_id, sess,
+        |    string_agg(event_type, '->' ORDER BY rn) AS path
+        |  FROM rn WHERE rn <= 3 GROUP BY user_id, sess)
+        |SELECT path, count(*) AS n_sessions
+        |FROM paths GROUP BY path
+        |ORDER BY n_sessions DESC, path""".stripMargin,
     "ev15_rolling_active" ->
       """WITH du AS (
         |  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

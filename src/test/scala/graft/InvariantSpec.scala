@@ -590,4 +590,51 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.count() >= 1)
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
+
+  test("ev17 transition rows normalize to 1 and conserve adjacency count") {
+    import spark.implicits._
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // user 1: A B A B  (A->B x2, B->A x1); user 2: B B (B->B x1);
+    // user 3: single event -> contributes NO transition
+    val ev = Seq(
+      (1L, 1L, ts(0), "A"), (1L, 2L, ts(1), "B"),
+      (1L, 3L, ts(2), "A"), (1L, 4L, ts(3), "B"),
+      (2L, 5L, ts(0), "B"), (2L, 6L, ts(1), "B"),
+      (3L, 7L, ts(0), "A")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Events.transitionsCore(ev).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(got.keySet == Set(("A", "B"), ("B", "A"), ("B", "B")))
+    assert(got(("A", "B")) == ((2L, 1.0)))
+    assert(got(("B", "A")) == ((1L, 0.5)))
+    assert(got(("B", "B")) == ((1L, 0.5)))
+    // conservation: transitions = events - one per user with >= 1 event
+    assert(got.values.map(_._1).sum == 7 - 3)
+    // each from-row's probabilities sum to 1 (within the rounding grain)
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-6) }
+  }
+
+  test("ev18 session paths: gap splits, 3-prefix truncation, conservation") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: 4 events 1s apart (one session, path truncates to first 3),
+    // then a 5-minute-exactly gap -> NEW session of 1 event
+    // user 2: two events exactly 299s apart -> still ONE session
+    val ev = Seq(
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(1), "click"),
+      (1L, 3L, ts(2), "purchase"), (1L, 4L, ts(3), "error"),
+      (1L, 5L, ts(303), "signup"),
+      (2L, 6L, ts(0), "view"), (2L, 7L, ts(299), "click")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Events.sessionPathsCore(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map(
+      "view->click->purchase" -> 1L, // 4th event dropped by the 3-prefix
+      "signup" -> 1L,                // exact-gap boundary opens a session
+      "view->click" -> 1L))
+    // conservation: session count = sum of path counts
+    assert(got.values.sum == 3L)
+  }
 }
