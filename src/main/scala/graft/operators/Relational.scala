@@ -451,6 +451,42 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** prof9 — Benford first-digit audit over `l_extendedprice`: observed
+    * leading-significant-digit frequencies vs Benford's law
+    * `log10(1 + 1/d)`, with the per-digit chi-square contribution — the
+    * classic fraud/synthetic-data detector a profiling layer ships
+    * (here it correctly reports that TPC-H-ish uniform prices are NOT
+    * Benford — the operator is the divergence REPORT, not an assertion).
+    *
+    * Determinism: the leading digit is extracted through exact integer
+    * arithmetic, not log10 — prices carry exactly 2 decimals, so
+    * `round(v·100)` is an integer cents count and its first decimal
+    * digit IS the first significant digit of v; integer→string is
+    * engine-portable where double log10 near a power of 10 is a
+    * last-ulp coin flip.
+    *
+    * Scale shape: one scan, digit extraction map-side, hash aggregate
+    * onto a 9-row frame; expected counts and chi-square terms ride a
+    * window total over those 9 rows.
+    */
+  def prof9Benford(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val digits = t(spark, dir, "lineitem")
+      .select($"l_extendedprice".as("v")).filter($"v" > 0.0)
+      .select(substring(round($"v" * 100.0, 0).cast("long").cast("string"),
+        1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val total = sum($"n").over(Window.partitionBy())
+    val expP = log(10.0, lit(1.0) + lit(1.0) / $"digit")
+    val expN = expP * total
+    digits.select($"digit", $"n",
+        r6($"n" / total).as("observed_p"),
+        r6(expP).as("benford_p"),
+        r6(($"n" - expN) * ($"n" - expN) / expN).as("chisq_term"))
+      .orderBy("digit")
+  }
+
   /** Set operations: customers with both urgent and low-priority orders
     * (INTERSECT), with urgent only (EXCEPT), and all with either (UNION
     * distinct), tagged and unioned.
@@ -1373,6 +1409,7 @@ object Relational {
     "prof6_spearman" -> prof6Spearman,
     "prof7_profile_sketch" -> prof7ProfileSketch,
     "prof8_equidepth_sketch" -> prof8EquidepthSketch,
+    "prof9_benford" -> prof9Benford,
     "m1_unpivot" -> m1Unpivot,
     "w5_gap_fill" -> w5GapFill,
     "q18_large_orders" -> q18LargeOrders,
@@ -1402,6 +1439,20 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "prof9_benford" ->
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100.0, 0)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        |  FROM lineitem WHERE l_extendedprice > 0),
+        | c AS (SELECT digit, count(*) AS n FROM d GROUP BY digit)
+        |SELECT digit, n,
+        |  round(n / sum(n) OVER (), 6) AS observed_p,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford_p,
+        |  round((n - log10(1.0 + 1.0 / digit) * sum(n) OVER ())
+        |      * (n - log10(1.0 + 1.0 / digit) * sum(n) OVER ())
+        |      / (log10(1.0 + 1.0 / digit) * sum(n) OVER ()), 6) AS chisq_term
+        |FROM c
+        |ORDER BY digit""".stripMargin,
     "sql1_revenue_by_nation" -> SharedRevenueSql,
     "sql2_correlated_scalar" -> SharedScalarSubquerySql,
     "p1_pivot_segments" ->

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{r6, r6s, t}
+import graft.Tables.{r2, r2s, r6, r6s, t}
 
 /** Experiment / monitoring statistics — the A/B-readout and
   * distribution-drift layer an analytics engine serves on top of its
@@ -351,7 +351,63 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** ab6 — CUPED variance reduction (Deng et al., WSDM'13 — public
+    * method): regress each user's post-period metric on their pre-period
+    * covariate, report `theta = cov(x,y)/var(x)`, the raw and
+    * CUPED-adjusted metric variances, the variance reduction achieved,
+    * and the covariate-adjusted arm difference — the standard readout
+    * that shrinks experiment confidence intervals without touching the
+    * treatment effect. The period split is the midpoint of the observed
+    * time range (pre = first half, post = second half), derived from the
+    * data so the operator is parameter-free and engine-portable.
+    *
+    * Scale shape: one tiny bounds aggregate (broadcast 1 row), then ONE
+    * events scan into a per-user conditional aggregate (map-side combine;
+    * shuffle carries one row per user), then one aggregate over the
+    * user frame. The adjusted variance derives algebraically
+    * (`var_y − cov²/var_x`) from the same moment aggregates — no second
+    * pass over the user frame, no join. All statistics are O(1)-to-
+    * O(100) magnitudes under the shared rounding grain (variances at
+    * cents grain; ratios at 6 decimals).
+    */
+  def abCuped(spark: SparkSession, dir: String): DataFrame =
+    abCupedCore(t(spark, dir, "events"))
+
+  /** ab6 over an explicit `(user_id, ts, value)` frame — StatsSpec
+    * plants a perfectly-correlated covariate (100% reduction, zero
+    * adjusted variance) and an independent one (theta ≈ 0, no
+    * reduction).
+    */
+  private[graft] def abCupedCore(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), unix_millis(col("ts")).as("ms"),
+      col("value"))
+    val bounds = e.agg(expr("(min(ms) + max(ms)) div 2").as("mid"))
+    val u = e.crossJoin(broadcast(bounds))
+      .groupBy(col("user_id"), inGroupA(col("user_id")).as("a"))
+      .agg(
+        coalesce(sum(when(col("ms") < col("mid"), col("value"))
+          .otherwise(lit(0.0))), lit(0.0)).as("x"),
+        coalesce(sum(when(col("ms") >= col("mid"), col("value"))
+          .otherwise(lit(0.0))), lit(0.0)).as("y"))
+    val cov = covar_samp(col("x"), col("y"))
+    val vx = var_samp(col("x"))
+    val vy = var_samp(col("y"))
+    val theta = cov / vx
+    val xa = when(col("a"), col("x"))
+    val ya = when(col("a"), col("y"))
+    val xb = when(!col("a"), col("x"))
+    val yb = when(!col("a"), col("y"))
+    u.agg(
+      count(lit(1)).as("n_users"),
+      r6s(theta).as("theta"),
+      r2(vy).as("var_post"),
+      r2s(vy - cov * cov / vx).as("var_cuped"),
+      r6(lit(100.0) * (cov * cov / vx) / vy).as("var_reduction_pct"),
+      r6s((avg(ya) - avg(yb)) - theta * (avg(xa) - avg(xb))).as("adj_diff"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab6_cuped" -> abCuped,
     "ab5_srm_check" -> abSrm,
     "ab1_welch_readout" -> abTest,
     "ab2_welch_effect" -> abEffect,
@@ -363,6 +419,35 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // ab6: the moment arithmetic runs on unrounded per-user aggregates
+    // mirroring Spark op-for-op (squares as cov*cov, never pow).
+    "ab6_cuped" ->
+      """WITH b AS (
+        |  SELECT (epoch_ms(min(CAST(ts AS TIMESTAMP)))
+        |        + epoch_ms(max(CAST(ts AS TIMESTAMP)))) // 2 AS mid
+        |  FROM events),
+        | u AS (
+        |  SELECT user_id,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a,
+        |    coalesce(sum(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) < mid
+        |      THEN value ELSE 0 END), 0) AS x,
+        |    coalesce(sum(CASE WHEN epoch_ms(CAST(ts AS TIMESTAMP)) >= mid
+        |      THEN value ELSE 0 END), 0) AS y
+        |  FROM events, b GROUP BY user_id, a)
+        |SELECT count(*) AS n_users,
+        |  round(covar_samp(x, y) / var_samp(x), 6) + 0 AS theta,
+        |  round(var_samp(y), 2) AS var_post,
+        |  round(var_samp(y)
+        |    - covar_samp(x, y) * covar_samp(x, y) / var_samp(x), 2) + 0
+        |    AS var_cuped,
+        |  round(100.0 * (covar_samp(x, y) * covar_samp(x, y) / var_samp(x))
+        |    / var_samp(y), 6) AS var_reduction_pct,
+        |  round((avg(CASE WHEN a THEN y END)
+        |       - avg(CASE WHEN NOT a THEN y END))
+        |    - (covar_samp(x, y) / var_samp(x))
+        |      * (avg(CASE WHEN a THEN x END)
+        |       - avg(CASE WHEN NOT a THEN x END)), 6) + 0 AS adj_diff
+        |FROM u""".stripMargin,
     "ab5_srm_check" ->
       """WITH u AS (
         |  SELECT DISTINCT event_type, user_id,

@@ -591,6 +591,17 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("prof9 Benford digits partition the positive rows; p normalizes") {
+    val rows = graft.operators.Relational.prof9Benford(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.map(_._1).forall(d => d >= 1 && d <= 9))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-4) // Benford p's too
+    val positives = Tables.t(spark, sf, "lineitem")
+      .filter(col("l_extendedprice") > 0.0).count()
+    assert(rows.map(_._2).sum == positives)
+  }
+
   test("ev17 transition rows normalize to 1 and conserve adjacency count") {
     import spark.implicits._
     def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)

@@ -273,4 +273,30 @@ class StatsSpec extends AnyFunSuite {
     assert(bad.getAs[Boolean]("srm_alarm"))
     assert(bad.getAs[Double]("chisq") > 3.841)
   }
+
+  test("ab6 CUPED: perfect covariate kills all variance, independent none") {
+    import spark.implicits._
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // one pre (ms=0) and one post (ms=1000000) event per user; mid=500000
+    def ev(rows: Seq[(Long, Double, Double)]) =
+      rows.flatMap { case (u, x, y) =>
+        Seq((u, ts(0L), x), (u, ts(1000000L), y)) }
+        .toDF("user_id", "ts", "value")
+    // y = 2x + 5 exactly: theta = 2, adjusted variance = 0, reduction 100%
+    val perfect = Stats.abCupedCore(ev(Seq(
+      (1L, 1.0, 7.0), (2L, 2.0, 9.0), (3L, 3.0, 11.0), (4L, 4.0, 13.0)
+    ))).collect().head
+    assert(perfect.getAs[Long]("n_users") == 4L)
+    assert(perfect.getAs[Double]("theta") == 2.0)
+    assert(perfect.getAs[Double]("var_cuped") == 0.0)
+    assert(perfect.getAs[Double]("var_reduction_pct") == 100.0)
+    // x uncorrelated with y: theta = 0, adjusted variance untouched
+    val indep = Stats.abCupedCore(ev(Seq(
+      (1L, 1.0, 3.0), (2L, 2.0, 3.0), (3L, 1.0, 7.0), (4L, 2.0, 7.0)
+    ))).collect().head
+    assert(indep.getAs[Double]("theta") == 0.0)
+    assert(indep.getAs[Double]("var_cuped") ==
+      indep.getAs[Double]("var_post"))
+    assert(indep.getAs[Double]("var_reduction_pct") == 0.0)
+  }
 }
