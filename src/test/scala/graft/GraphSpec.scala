@@ -37,4 +37,18 @@ class GraphSpec extends AnyFunSuite {
     // without dangling redistribution total mass can only leak
     assert(r.values.sum <= 7.000001, r.values.sum)
   }
+
+  test("gr2 triangles: K4 yields 3 per vertex; support<2 edges vanish") {
+    import spark.implicits._
+    // orders 1 and 2 each contain parts {1,2,3,4}: every pair co-ordered
+    // twice -> K4 survives the support filter. Each K4 vertex sits in
+    // C(3,2)=3 triangles. Parts {10,11,12} co-ordered ONCE (order 3) ->
+    // all their edges die at support>=2 -> no triangles.
+    val li = (Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p)))
+      ++ Seq(10L, 11L, 12L).map(p => (3L, p)))
+      .toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.trianglesCore(li).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+  }
 }
