@@ -238,6 +238,49 @@ object Enrichment {
       .orderBy("source")
   }
 
+  /** d12 — epoch-mix materialization: turn d6's temperature factors into
+    * an actual one-epoch training mix and MATERIALIZE it. Each document
+    * receives `floor(r)` guaranteed copies plus one more iff its md5
+    * uniform falls below `frac(r)` (deterministic stochastic rounding —
+    * the expected copy count per doc is exactly r), where
+    * `r = sqrt(N / n_d)` is d6's unnormalized temperature-2 factor. This
+    * is the step that converts a mixing POLICY (d5/d6 weights) into the
+    * upsampled corpus a trainer actually iterates — mT5/XLM-R-style
+    * domain balancing as data, not metadata.
+    *
+    * Determinism: r is sqrt of a ratio of exact integers (correctly
+    * rounded IEEE ops — no cross-domain double summation, d6's
+    * convention) and the uniform is the md5 pseudo-permutation (d7's
+    * convention), so both engines materialize the identical multiset.
+    *
+    * Scale shape: the per-source factor frame is domain-sized and
+    * broadcast; copy materialization is scan-local explode (no shuffle
+    * — output partitioning inherits the corpus partitioning, and the
+    * ≤ ceil(r)-way fanout is the unavoidable output size of an
+    * upsampled epoch). At 100 TB the plan frame (doc_id, n_copies) is
+    * the cheap artifact to persist; the explode runs inside the
+    * training-shard writer.
+    */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy()
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("source"))
+    val factors = docs.groupBy("source").agg(count(lit(1)).as("n_d"))
+      .select(col("source"),
+        sqrt(sum(col("n_d")).over(w).cast("double") / col("n_d")).as("r"))
+    val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double")
+    val u = (h + lit(0.5)) / lit(4294967296.0)
+    docs.join(broadcast(factors), "source")
+      .select(col("doc_id"), col("source"),
+        (floor(col("r")).cast("long") +
+          when(u < (col("r") - floor(col("r"))), 1L).otherwise(0L))
+          .as("n_copies"))
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, n_copies)")).as("copy"))
+      .orderBy("doc_id", "copy")
+  }
+
   /** d7 — deterministic WEIGHTED sampling without replacement
     * (Efraimidis–Spirakis A-ES): each document draws an exponential key
     * `-ln(u) / w` with rate w = its token count, and the 20 smallest keys
@@ -425,6 +468,7 @@ object Enrichment {
     "d10_winsorize" -> winsorize,
     "d9_token_budget" -> tokenBudget,
     "d7_weighted_sample" -> weightedSample,
+    "d12_epoch_mix" -> epochMix,
     "d6_temperature_weights" -> temperatureWeights,
     "d4_stratified_sample" -> stratifiedSample,
     "e2_detect_distributed" -> detectLanguageDistributed,
@@ -491,6 +535,25 @@ object Enrichment {
          |FROM s
          |GROUP BY split, source
          |ORDER BY split, source""".stripMargin,
+    "d12_epoch_mix" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_d FROM documents GROUP BY source),
+        | tot AS (SELECT count(*) AS n FROM documents),
+        | f AS (
+        |  SELECT source,
+        |    sqrt((SELECT n FROM tot) / CAST(n_d AS DOUBLE)) AS r
+        |  FROM c),
+        | p AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(floor(r) AS BIGINT)
+        |      + CASE WHEN
+        |          (('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT::DOUBLE
+        |            + 0.5) / 4294967296.0 < r - floor(r)
+        |        THEN 1 ELSE 0 END AS n_copies
+        |  FROM documents d JOIN f ON d.source = f.source)
+        |SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+        |FROM p CROSS JOIN unnest(generate_series(1, n_copies)) AS u(copy)
+        |ORDER BY doc_id, copy""".stripMargin,
     "d7_weighted_sample" ->
       s"""WITH tk AS (
          |  SELECT doc_id,

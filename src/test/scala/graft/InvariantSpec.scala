@@ -591,6 +591,26 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("d12 epoch mix: copies bracket the factor and number contiguously") {
+    val rows = graft.operators.Enrichment.epochMix(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val perDoc = rows.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    // copy indices are exactly 1..n per doc (explode left no gaps)
+    perDoc.foreach { case (d, cs) =>
+      assert(cs.toList == (1L to cs.max).toList, s"doc $d") }
+    // every doc's copy count brackets its source factor sqrt(N/n_d)
+    val n = Tables.t(spark, sf, "documents").count().toDouble
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      val nd = rs.map(_._1).distinct.size.toDouble
+      val r = math.sqrt(n / nd)
+      rs.groupBy(_._1).foreach { case (_, copies) =>
+        assert(copies.size == math.floor(r).toLong ||
+          copies.size == math.ceil(r).toLong, s"$src $r ${copies.size}")
+      }
+    }
+  }
+
   test("prof9 Benford digits partition the positive rows; p normalizes") {
     val rows = graft.operators.Relational.prof9Benford(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
