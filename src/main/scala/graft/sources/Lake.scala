@@ -212,10 +212,65 @@ object Lake {
     spark.read.parquet(out).filter(col("day") > lit(wm))
   }
 
+  /** lake4 — small-file compaction: rewrite a fragmented day-partitioned
+    * layout (25-row files — the "streaming ingest left ten thousand tiny
+    * files" pathology) into a compacted one (100-row budget), and report
+    * per day the row count and the ACTUAL file counts listed from both
+    * layouts. The gate is physical: the oracle recomputes what the
+    * listing MUST say (`ceil(rows/25)` and `ceil(rows/100)` — each day
+    * is written by exactly one task, so `maxRecordsPerFile` rolls files
+    * at exact row boundaries), so a compaction that leaves stragglers,
+    * splits a day across tasks, or drops rows breaks the hash. Budgets
+    * are rows, not bytes, precisely so the oracle CAN recompute them;
+    * the production knob is the same pair of writer options with a
+    * bytes-derived record budget.
+    *
+    * Scale shape: compaction is ONE shuffle keyed on the partition
+    * column (each day lands wholly in one task — the single-writer-per-
+    * partition discipline), file rolling is writer-local, and the
+    * listings are control-plane directory reads (no data I/O). At 100 TB
+    * this is exactly a table-format OPTIMIZE pass: shuffle by partition,
+    * roll at the size budget, swap the directory.
+    */
+  def compactionReport(spark: SparkSession, dir: String): DataFrame = {
+    val fragTarget = 25L
+    val target = 100L
+    val ev = t(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    val frag = lakeDir(spark, "events_frag")
+    ev.repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day")
+      .option("maxRecordsPerFile", fragTarget).parquet(frag)
+    val compacted = lakeDir(spark, "events_compact")
+    spark.read.parquet(frag)
+      .repartition(col("day"))
+      .write.mode("overwrite").partitionBy("day")
+      .option("maxRecordsPerFile", target).parquet(compacted)
+    def filesPerDay(root: String): Map[String, Long] =
+      new java.io.File(root).listFiles().filter(_.isDirectory)
+        .map(d => d.getName.stripPrefix("day=") ->
+          d.listFiles().count(f => f.getName.endsWith(".parquet")).toLong)
+        .toMap
+    val before = filesPerDay(frag)
+    val after = filesPerDay(compacted)
+    import spark.implicits._
+    val listing = before.keys.toSeq.sorted
+      .map(d => (java.sql.Date.valueOf(d), before(d), after(d)))
+      .toDF("day", "files_before", "files_after")
+    spark.read.parquet(compacted)
+      .groupBy("day").agg(count(lit(1)).as("n_rows"))
+      .join(listing, "day")
+      .select(col("day"), col("n_rows"), col("files_before"),
+        col("files_after"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
     "lake2_zorder_keys" -> zorderKeys,
-    "lake3_incremental_read" -> incrementalRead
+    "lake3_incremental_read" -> incrementalRead,
+    "lake4_compaction" -> compactionReport
   )
 
   private def sqlZCell(v: String, mn: String, mx: String): String =
@@ -244,6 +299,13 @@ object Lake {
         |WHERE event_type = 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "lake4_compaction" ->
+      """SELECT ts::DATE AS day, count(*) AS n_rows,
+        |  CAST(ceil(count(*) / 25.0) AS BIGINT) AS files_before,
+        |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS files_after
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "lake3_incremental_read" ->
       """WITH wm AS (SELECT min(ts::DATE) + 14 AS w FROM events)
         |SELECT ts::DATE AS day, count(*) AS n_events,
