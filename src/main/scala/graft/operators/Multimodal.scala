@@ -479,7 +479,89 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class DhashRow(media_id: Long, dhash: Long)
+
+  /** mm8 — perceptual-hash image dedup: a 56-bit dHash per image (8×8
+    * nearest-neighbour grayscale thumbnail, each bit = "is this pixel
+    * darker than its right neighbour", 7 comparisons × 8 rows — 56 bits
+    * so the key stays positive in a signed 64-bit lane on both engines),
+    * then the verified near-duplicate pairs at Hamming ≤ 7. This is the
+    * image-modality twin of dd4's SimHash: visually-near-identical
+    * images collide on most comparison bits even when their byte
+    * payloads differ everywhere.
+    *
+    * Candidate generation is banded exactly like dd3/dd4: 8 bands × 7
+    * bits; by pigeonhole ANY pair with ≤ 7 differing bits shares at
+    * least one untouched band (7 < 8), so band routing has EXACT recall
+    * at this threshold and the oracle can gate against all-pairs
+    * Hamming. Scale shape: dHash is map-only (decode → thumbnail → 56
+    * comparisons inside the existing mapPartitions decode pass); the
+    * self-join runs per (band, key) bucket, never all-pairs; at larger
+    * corpora the band width is the knob (wider bands + multiprobe, the
+    * sim2 convention) and the hot-bucket cap rule (dd3's) applies
+    * unchanged.
+    */
+  def imageNearDups(spark: SparkSession, dir: String): DataFrame =
+    imageNearDupsOf(syntheticMedia(spark, dir), spark)
+
+  private[graft] def imageNearDupsOf(media: DataFrame,
+      spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val hashes = media
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val img = MediaCodecs.Pnm.parse(payload)
+          val w = img.width
+          val h = img.height
+          if (h < 1 || w < 1) Iterator.empty
+          else {
+            val g = new Array[Int](64)
+            var i = 0
+            while (i < 64) {
+              val sr = (i / 8) * h / 8
+              val sc = (i % 8) * w / 8
+              val o = (sr * w + sc) * 3
+              g(i) = ((img.pixels(o) & 0xff) + (img.pixels(o + 1) & 0xff) +
+                (img.pixels(o + 2) & 0xff)) / 3
+              i += 1
+            }
+            var bits = 0L
+            var j = 0
+            while (j < 56) {
+              val r = j / 7
+              val c = j % 7
+              if (g(r * 8 + c) < g(r * 8 + c + 1)) bits |= 1L << j
+              j += 1
+            }
+            Iterator.single(DhashRow(id, bits))
+          }
+        }
+      }
+      .toDF()
+    // band key = the 7 bits starting at band*7
+    val keyed = hashes.select(col("media_id"), col("dhash"),
+        explode(sequence(lit(0), lit(7))).as("band"))
+      .withColumn("bkey", expr("shiftright(dhash, 7 * band) % 128"))
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"),
+        col("y.media_id").as("media_b"),
+        col("x.dhash").as("da"), col("y.dhash").as("db"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("da").bitwiseXOR(col("db"))))
+      .filter(col("hamming") <= 7)
+      .select(col("media_a"), col("media_b"),
+        col("hamming").cast("long").as("hamming"))
+      .orderBy("media_a", "media_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm8_image_neardups" -> imageNearDups,
     "mm1_media_profile" -> mediaProfile,
     "mm2_media_features" -> mediaFeatures,
     "mm3_frame_sample" -> frameSample,
@@ -490,6 +572,44 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // mm8: the thumbnail grid, grayscale and comparison bits recompute
+    // from the text payload at the same integer offsets the JVM parser
+    // reads; the pair set is ALL-PAIRS Hamming <= 7 (banding has exact
+    // recall at this threshold by pigeonhole, so the sets must agree).
+    "mm8_image_neardups" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | d AS (
+        |  SELECT media_id,
+        |    CAST(4 + media_id % 13 AS INTEGER) AS w,
+        |    CAST(length(st) // (3 * (4 + media_id % 13)) AS INTEGER) AS h,
+        |    st
+        |  FROM s),
+        | g AS (
+        |  SELECT media_id,
+        |    list_transform(range(0, 64), i ->
+        |      (ord(substr(st, CAST(((((i // 8) * h) // 8) * w
+        |          + (((i % 8) * w) // 8)) * 3 + 1 AS BIGINT), 1))
+        |     + ord(substr(st, CAST(((((i // 8) * h) // 8) * w
+        |          + (((i % 8) * w) // 8)) * 3 + 2 AS BIGINT), 1))
+        |     + ord(substr(st, CAST(((((i // 8) * h) // 8) * w
+        |          + (((i % 8) * w) // 8)) * 3 + 3 AS BIGINT), 1))) // 3)
+        |      AS gr
+        |  FROM d WHERE h >= 1),
+        | hsh AS (
+        |  SELECT media_id,
+        |    list_aggregate(list_transform(range(0, 56), j ->
+        |      CASE WHEN gr[CAST((j // 7) * 8 + (j % 7) + 1 AS BIGINT)]
+        |              < gr[CAST((j // 7) * 8 + (j % 7) + 2 AS BIGINT)]
+        |           THEN 1::BIGINT << j ELSE 0 END), 'sum') AS dhash
+        |  FROM g)
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+        |FROM hsh a JOIN hsh b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.dhash, b.dhash)) <= 7
+        |ORDER BY media_a, media_b""".stripMargin,
     // Durations derive from the planted payload sizes: nb samples at
     // 8 kHz = nb/8 ms of audio; nb div 192 frames at 25 fps = 40 ms each.
     "mm1_media_profile" ->

@@ -274,4 +274,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows(2).getAs[Double]("mean_abs_diff") == 60.0)
     assert(rows(2).getAs[Boolean]("is_keyframe"))
   }
+
+  test("mm8 dHash: clones pair at 0, one-pixel tweak at 1, inverse drops") {
+    import spark.implicits._
+    // 8x8 horizontal gradient: every right neighbour is brighter -> all
+    // 56 comparison bits set. Its inverse clears them all (hamming 56).
+    def img(px: (Int, Int) => Int): Array[Byte] =
+      ascii("P6\n8 8\n255\n") ++
+        (for (r <- 0 until 8; c <- 0 until 8; _ <- 0 until 3)
+          yield px(r, c).toByte).toArray
+    val grad = img((_, c) => c * 30)
+    val clone = img((_, c) => c * 30)
+    val tweak = img((r, c) => if (r == 0 && c == 1) 0 else c * 30)
+    val inverse = img((_, c) => (7 - c) * 30)
+    val media = Seq(
+      (1L, "image", grad), (2L, "image", clone),
+      (3L, "image", tweak), (4L, "image", inverse),
+      (5L, "audio", grad) // wrong kind: must be ignored
+    ).toDF("media_id", "kind", "payload")
+    val got = Multimodal.imageNearDupsOf(media, spark).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // pairs: (1,2) identical, (1,3)/(2,3) one flipped comparison bit
+    assert(got == Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), got)
+  }
 }
