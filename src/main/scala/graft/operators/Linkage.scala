@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.t
+import graft.Tables.{r6, t}
 
 /** Structured-record entity resolution (record linkage): find the record
   * pairs that denote the same real-world entity despite a corrupted key
@@ -70,7 +70,21 @@ object Linkage {
   /** Block → verify over any (rec_id, name, nation, acctbal) frame whose
     * name carries a fixed-width digit tail at positions 10-18.
     */
-  private[graft] def linkedPairs(recs: DataFrame): DataFrame = {
+  private[graft] def linkedPairs(recs: DataFrame): DataFrame =
+    candidatePairs(recs)
+      .select(col("rec_a"), col("rec_b"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"),
+        col("bal_a"), col("bal_b"))
+      .filter(col("edit_dist") <= 1 && col("bal_a") === col("bal_b"))
+      .select(col("rec_a"), col("rec_b"), col("name_a"), col("name_b"),
+        col("edit_dist"), col("bal_a").as("acctbal"))
+      .orderBy("rec_a", "rec_b")
+
+  /** The blocking half of [[linkedPairs]]: the DISTINCT candidate pair
+    * set the band keys route together, before any verification — ONE
+    * definition, so er3's audit counts the same candidates er1 verifies.
+    */
+  private[graft] def candidatePairs(recs: DataFrame): DataFrame = {
     // three keys per record, key k = the two bands OTHER than band k
     val keys = recs.select(col("rec_id"), col("name"), col("nation"),
         col("acctbal"),
@@ -82,21 +96,56 @@ object Linkage {
           .as("b"))
       .select(col("rec_id"), col("name"), col("nation"), col("acctbal"),
         col("b.k").as("k"), col("b.bk").as("bk"))
-    val cand = keys.alias("x").join(keys.alias("y"),
+    keys.alias("x").join(keys.alias("y"),
         col("x.k") === col("y.k") && col("x.nation") === col("y.nation") &&
           col("x.bk") === col("y.bk") && col("x.rec_id") < col("y.rec_id"))
       .select(col("x.rec_id").as("rec_a"), col("y.rec_id").as("rec_b"),
         col("x.name").as("name_a"), col("y.name").as("name_b"),
         col("x.acctbal").as("bal_a"), col("y.acctbal").as("bal_b"))
       .distinct()
-    cand
-      .select(col("rec_a"), col("rec_b"), col("name_a"), col("name_b"),
-        levenshtein(col("name_a"), col("name_b")).as("edit_dist"),
-        col("bal_a"), col("bal_b"))
-      .filter(col("edit_dist") <= 1 && col("bal_a") === col("bal_b"))
-      .select(col("rec_a"), col("rec_b"), col("name_a"), col("name_b"),
-        col("edit_dist"), col("bal_a").as("acctbal"))
-      .orderBy("rec_a", "rec_b")
+  }
+
+  /** er3 — blocking-quality audit: the one-row readout every linkage
+    * deployment watches before trusting its matcher. Counts records,
+    * planted true pairs (the fixture's ground truth — every odd rec_id
+    * is a corrupted twin), blocking candidates, verified matches and
+    * verified TRUE matches, then the three classic metrics: reduction
+    * ratio (how much of the n² search space blocking discarded), pairs
+    * completeness (recall of blocking+verify against ground truth) and
+    * pairs quality (precision of the verified set). On this fixture
+    * completeness and quality must both be 1.0 — the banding recall
+    * argument and the multi-field verify are DESIGNED to be exact here —
+    * so a regression in either shows up as a hash change, and on a real
+    * corpus the same operator reports the honest tradeoff.
+    *
+    * Scale shape: one aggregate over the record frame and one over the
+    * candidate frame (both with map-side combine), crossed as 1-row
+    * broadcasts; the candidate frame is the audit's dominant cost and is
+    * exactly er1's — bounded buckets, no all-pairs.
+    */
+  def er3BlockingMetrics(spark: SparkSession, dir: String): DataFrame =
+    blockingMetrics(dirtyContacts(t(spark, dir, "customer")))
+
+  private[graft] def blockingMetrics(recs: DataFrame): DataFrame = {
+    val verified = levenshtein(col("name_a"), col("name_b")) <= 1 &&
+      col("bal_a") === col("bal_b")
+    val isTrue = col("rec_b") === col("rec_a") + 1 && col("rec_a") % 2 === 0
+    val recStats = recs.agg(
+      count(lit(1)).as("n_records"),
+      count(when(col("rec_id") % 2 === 1, 1)).as("n_true_pairs"))
+    val candStats = candidatePairs(recs).agg(
+      count(lit(1)).as("n_candidates"),
+      count(when(verified, 1)).as("n_matched"),
+      count(when(verified && isTrue, 1)).as("n_matched_true"))
+    recStats.crossJoin(broadcast(candStats))
+      .select(col("n_records"), col("n_true_pairs"), col("n_candidates"),
+        col("n_matched"),
+        r6(lit(1.0) - col("n_candidates") /
+          (col("n_records") * (col("n_records") - 1) / lit(2.0)))
+          .as("reduction_ratio"),
+        r6(col("n_matched_true") / col("n_true_pairs"))
+          .as("pairs_completeness"),
+        r6(col("n_matched_true") / col("n_matched")).as("pairs_quality"))
   }
 
   /** er2 — survivorship (golden-record) consolidation: collapse er1's
@@ -141,66 +190,72 @@ object Linkage {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "er1_record_linkage" -> er1RecordLinkage,
-    "er2_golden_records" -> er2GoldenRecords
+    "er2_golden_records" -> er2GoldenRecords,
+    "er3_blocking_metrics" -> er3BlockingMetrics
   )
+
+  /** The recs → keys → cand CTE chain shared by every er* oracle — ONE
+    * definition, mirroring [[dirtyContacts]] + [[candidatePairs]].
+    */
+  private val SharedCandCtes: String =
+    """recs AS (
+      |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
+      |    c_nationkey AS nation, c_acctbal AS acctbal
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey * 2 + 1,
+      |    substr(c_name, 1, 9)
+      |      || substr(c_name, 10, (c_custkey % 9 + 10) - 10)
+      |      || 'x' || substr(c_name, c_custkey % 9 + 11, 18),
+      |    c_nationkey, c_acctbal
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      | keys AS (
+      |  SELECT rec_id, name, nation, acctbal, k,
+      |    CASE k WHEN 0 THEN substr(name, 13, 6)
+      |           WHEN 1 THEN substr(name, 10, 3) || substr(name, 16, 3)
+      |           ELSE substr(name, 10, 6) END AS bk
+      |  FROM recs, (VALUES (0), (1), (2)) AS b(k)),
+      | cand AS (
+      |  SELECT DISTINCT x.rec_id AS rec_a, y.rec_id AS rec_b,
+      |    x.name AS name_a, y.name AS name_b,
+      |    x.acctbal AS bal_a, y.acctbal AS bal_b
+      |  FROM keys x JOIN keys y
+      |    ON x.k = y.k AND x.nation = y.nation AND x.bk = y.bk
+      |   AND x.rec_id < y.rec_id)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "er1_record_linkage" ->
-      """WITH recs AS (
-        |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
-        |    c_nationkey AS nation, c_acctbal AS acctbal
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey * 2 + 1,
-        |    substr(c_name, 1, 9)
-        |      || substr(c_name, 10, (c_custkey % 9 + 10) - 10)
-        |      || 'x' || substr(c_name, c_custkey % 9 + 11, 18),
-        |    c_nationkey, c_acctbal
-        |  FROM customer WHERE c_custkey % 3 = 0),
-        | keys AS (
-        |  SELECT rec_id, name, nation, acctbal, k,
-        |    CASE k WHEN 0 THEN substr(name, 13, 6)
-        |           WHEN 1 THEN substr(name, 10, 3) || substr(name, 16, 3)
-        |           ELSE substr(name, 10, 6) END AS bk
-        |  FROM recs, (VALUES (0), (1), (2)) AS b(k)),
-        | cand AS (
-        |  SELECT DISTINCT x.rec_id AS rec_a, y.rec_id AS rec_b,
-        |    x.name AS name_a, y.name AS name_b,
-        |    x.acctbal AS bal_a, y.acctbal AS bal_b
-        |  FROM keys x JOIN keys y
-        |    ON x.k = y.k AND x.nation = y.nation AND x.bk = y.bk
-        |   AND x.rec_id < y.rec_id)
-        |SELECT rec_a, rec_b, name_a, name_b,
+      (s"WITH $SharedCandCtes\n" +
+        """SELECT rec_a, rec_b, name_a, name_b,
         |  levenshtein(name_a, name_b) AS edit_dist, bal_a AS acctbal
         |FROM cand
         |WHERE levenshtein(name_a, name_b) <= 1 AND bal_a = bal_b
-        |ORDER BY rec_a, rec_b""".stripMargin,
+        |ORDER BY rec_a, rec_b""".stripMargin),
+    "er3_blocking_metrics" ->
+      (s"WITH $SharedCandCtes,\n" +
+        """ st AS (
+        |  SELECT count(*) AS n_records,
+        |    count(CASE WHEN rec_id % 2 = 1 THEN 1 END) AS n_true_pairs
+        |  FROM recs),
+        | ca AS (
+        |  SELECT count(*) AS n_candidates,
+        |    count(CASE WHEN levenshtein(name_a, name_b) <= 1
+        |      AND bal_a = bal_b THEN 1 END) AS n_matched,
+        |    count(CASE WHEN levenshtein(name_a, name_b) <= 1
+        |      AND bal_a = bal_b AND rec_b = rec_a + 1
+        |      AND rec_a % 2 = 0 THEN 1 END) AS n_matched_true
+        |  FROM cand)
+        |SELECT n_records, n_true_pairs, n_candidates, n_matched,
+        |  round(1.0 - n_candidates
+        |    / (n_records * (n_records - 1) / 2.0), 6) AS reduction_ratio,
+        |  round(n_matched_true / CAST(n_true_pairs AS DOUBLE), 6)
+        |    AS pairs_completeness,
+        |  round(n_matched_true / CAST(n_matched AS DOUBLE), 6)
+        |    AS pairs_quality
+        |FROM st, ca""".stripMargin),
     "er2_golden_records" ->
-      """WITH recs AS (
-        |  SELECT c_custkey * 2 AS rec_id, c_name AS name,
-        |    c_nationkey AS nation, c_acctbal AS acctbal
-        |  FROM customer
-        |  UNION ALL
-        |  SELECT c_custkey * 2 + 1,
-        |    substr(c_name, 1, 9)
-        |      || substr(c_name, 10, (c_custkey % 9 + 10) - 10)
-        |      || 'x' || substr(c_name, c_custkey % 9 + 11, 18),
-        |    c_nationkey, c_acctbal
-        |  FROM customer WHERE c_custkey % 3 = 0),
-        | keys AS (
-        |  SELECT rec_id, name, nation, acctbal, k,
-        |    CASE k WHEN 0 THEN substr(name, 13, 6)
-        |           WHEN 1 THEN substr(name, 10, 3) || substr(name, 16, 3)
-        |           ELSE substr(name, 10, 6) END AS bk
-        |  FROM recs, (VALUES (0), (1), (2)) AS b(k)),
-        | cand AS (
-        |  SELECT DISTINCT x.rec_id AS rec_a, y.rec_id AS rec_b,
-        |    x.name AS name_a, y.name AS name_b,
-        |    x.acctbal AS bal_a, y.acctbal AS bal_b
-        |  FROM keys x JOIN keys y
-        |    ON x.k = y.k AND x.nation = y.nation AND x.bk = y.bk
-        |   AND x.rec_id < y.rec_id),
-        | ver AS (
+      (s"WITH $SharedCandCtes,\n" +
+        """ ver AS (
         |  SELECT rec_a, rec_b FROM cand
         |  WHERE levenshtein(name_a, name_b) <= 1 AND bal_a = bal_b),
         | ent AS (
@@ -215,6 +270,6 @@ object Linkage {
         |  min_by(acctbal, rec_id) AS acctbal
         |FROM g
         |GROUP BY entity_id
-        |ORDER BY entity_id""".stripMargin
+        |ORDER BY entity_id""".stripMargin)
   )
 }
