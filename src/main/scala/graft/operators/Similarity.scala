@@ -541,7 +541,80 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  private val MmrK = 5
+  private val MmrCandidates = 20
+
+  /** sim11 — Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98
+    * — public method): diversified top-k retrieval. Fetch the top-20
+    * candidates by cosine relevance to the query (vec_id 0), then
+    * greedily select 5, each step maximizing
+    * `0.7·rel − 0.3·max_sim_to_already_selected` — the standard redundancy
+    * penalty that keeps a retrieval (or a training-batch sampler) from
+    * returning five near-copies of the same document.
+    *
+    * Determinism: relevances and pairwise sims round to 6 BEFORE the
+    * greedy, every weight is a parsed decimal literal on both engines
+    * (never `1 − λ`, whose double differs from the parsed `0.3` in the
+    * last ulp), and every argmax tiebreaks on vec_id — so the selected
+    * SEQUENCE is oracle-checkable, not just the set.
+    *
+    * Scale shape: the corpus-sized work is the ONE candidate scan
+    * (broadcast query, TakeOrderedAndProject top-20 — sim1's shape); the
+    * greedy runs entirely on the candidate-sized frame (20×20 sim matrix
+    * via broadcast self-join, k tiny argmax rounds, each round's 1-row
+    * winner localCheckpoint'ed so lineage stays flat — t21's discipline;
+    * a fully-lazy k-step chain re-plans the prefix 3^k times). At 100 TB
+    * only the candidate fetch grows; the MMR stage is constant-cost.
+    */
+  def mmrTopK(spark: SparkSession, dir: String): DataFrame =
+    mmrCore(withNorm(spark, dir))
+
+  /** sim11 over an explicit `(vec_id, embedding, nrm)` frame —
+    * SimilaritySpec plants redundant twins and proves the diversity
+    * penalty skips the second twin where plain top-k would not.
+    */
+  private[graft] def mmrCore(e: DataFrame): DataFrame = {
+    val q = e.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qv"), col("nrm").as("qn"))
+    val cand = graft.engine.Caching.scopedPersist(
+      e.filter(col("vec_id") =!= 0L)
+        .join(broadcast(q))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+            .as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates))
+    val sims = graft.engine.Caching.scopedPersist(
+      cand.select(col("vec_id").as("a"), col("embedding").as("av"),
+          col("nrm").as("an"), col("rel"))
+        .join(broadcast(cand.select(col("vec_id").as("b"),
+          col("embedding").as("bv"), col("nrm").as("bn"))),
+          col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+            .as("s")))
+    var selected = cand
+      .select(lit(1L).as("rank"), col("vec_id"), col("rel"),
+        round(col("rel") * lit(0.7), 6).as("mmr"))
+      .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      .localCheckpoint()
+    for (i <- 2 to MmrK) {
+      val selIds = selected.select(col("vec_id").as("sid"))
+      val maxSim = sims.join(broadcast(selIds), col("b") === col("sid"))
+        .groupBy(col("a")).agg(max(col("s")).as("ms"))
+      val next = cand
+        .join(broadcast(selIds), col("vec_id") === col("sid"), "left_anti")
+        .join(broadcast(maxSim), col("vec_id") === col("a"), "left")
+        .select(lit(i.toLong).as("rank"), col("vec_id"), col("rel"),
+          round(col("rel") * lit(0.7) -
+            coalesce(col("ms"), lit(0.0)) * lit(0.3), 6).as("mmr"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+      selected = selected.unionAll(next.localCheckpoint())
+    }
+    selected.orderBy("rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim11_mmr_topk" -> mmrTopK,
     "sim10_mips_topk" -> mipsTopK,
     "sim8_kmeans" -> kmeansRefine,
     "sim7_pq_adc" -> pqAdc,
@@ -565,7 +638,45 @@ object Similarity {
       s"k -> CASE WHEN list_element(embedding, CAST($off + k AS INTEGER)) > 0 " +
       "THEN (1::BIGINT << CAST(k - 1 AS INTEGER)) ELSE 0::BIGINT END)) AS BIGINT)"
 
+  /** sim11's oracle: the same greedy unrolled by a generator (pr1's
+    * convention), one CTE pair per selection step.
+    */
+  private def mmrOracleSql: String = {
+    val base =
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         | cand AS (
+         |  SELECT a.vec_id, a.v, round($sqlCos, 6) AS rel
+         |  FROM n a JOIN n b ON b.vec_id = 0 AND a.vec_id <> 0
+         |  ORDER BY rel DESC, a.vec_id LIMIT $MmrCandidates),
+         | m AS (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib, round($sqlCos, 6) AS s
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         | sel1 AS (
+         |  SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel,
+         |    round(rel * 0.7, 6) AS mmr
+         |  FROM cand ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    val steps = (2 to MmrK).map { i =>
+      s""" s$i AS (
+         |  SELECT CAST($i AS BIGINT) AS rank, c.vec_id, c.rel,
+         |    round(c.rel * 0.7 - coalesce((
+         |      SELECT max(s) FROM m
+         |      WHERE m.ia = c.vec_id
+         |        AND m.ib IN (SELECT vec_id FROM sel${i - 1})), 0.0) * 0.3,
+         |      6) AS mmr
+         |  FROM cand c
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${i - 1})
+         |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+         | sel$i AS (
+         |  SELECT * FROM sel${i - 1} UNION ALL SELECT * FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$steps
+       |SELECT rank, vec_id, rel, mmr FROM sel$MmrK ORDER BY rank""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "sim11_mmr_topk" -> mmrOracleSql,
     "sim10_mips_topk" ->
       """WITH n AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),

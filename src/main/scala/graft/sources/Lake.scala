@@ -233,8 +233,15 @@ object Lake {
     * roll at the size budget, swap the directory.
     */
   def compactionReport(spark: SparkSession, dir: String): DataFrame = {
-    val fragTarget = 25L
-    val target = 100L
+    // Budgets scale with the corpus (total/400 rows per fragment file,
+    // floored at 25) so the DEMONSTRATED pathology stays ~400 fragment
+    // files at any sf instead of the file count growing linearly with
+    // data — the fixed-25 form put 4 000 files on disk at sf0.1 and the
+    // bench paid 49 s of filesystem churn for no extra coverage. The
+    // sizing count is a control-plane scan (no shuffle, column-less).
+    val total = t(spark, dir, "events").count()
+    val fragTarget = math.max(25L, math.ceil(total / 400.0).toLong)
+    val target = 4L * fragTarget
     val ev = t(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
@@ -300,9 +307,14 @@ object Lake {
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
     "lake4_compaction" ->
-      """SELECT ts::DATE AS day, count(*) AS n_rows,
-        |  CAST(ceil(count(*) / 25.0) AS BIGINT) AS files_before,
-        |  CAST(ceil(count(*) / 100.0) AS BIGINT) AS files_after
+      """WITH p AS (
+        |  SELECT greatest(25, CAST(ceil(count(*) / 400.0) AS BIGINT)) AS b1
+        |  FROM events)
+        |SELECT ts::DATE AS day, count(*) AS n_rows,
+        |  CAST(ceil(count(*) / ((SELECT b1 FROM p) * 1.0)) AS BIGINT)
+        |    AS files_before,
+        |  CAST(ceil(count(*) / ((SELECT b1 FROM p) * 4.0)) AS BIGINT)
+        |    AS files_after
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
