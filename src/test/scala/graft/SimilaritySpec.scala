@@ -203,4 +203,35 @@ class SimilaritySpec extends AnyFunSuite {
       assert(mipsRank == roundedRank, s"query $qid")
     }
   }
+
+  test("sim11 MMR: the redundant twin is demoted below the diverse doc") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // query q = (1,1,0,0): relevance reaches docs on BOTH axes, so the
+    // diverse doc (axis 2) scores close to the axis-1 twins WITHOUT
+    // being similar to them. Twins 1/2 are near-identical (sim ~0.9998);
+    // diverse doc 3 has sim < 0.08 to either twin. Pure relevance ranks
+    // {1, 2} first; MMR must interleave: 1, then 3 (twin 2's penalty
+    // 0.3*0.9998 dwarfs its relevance edge), then 2.
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val e = Seq(
+      (0L, v(1, 1, 0, 0)),               // the query vector
+      (1L, v(1, 0.06, 0, 0)),
+      (2L, v(1, 0.04, 0, 0)),
+      (3L, v(0.02, 1, 0, 0)),
+      (4L, v(-1, -1, 0, 0))              // anti-relevant filler
+    ).toDF("vec_id", "embedding")
+      .withColumn("nrm", sqrt(graft.operators.Similarity.dot(
+        col("embedding"), col("embedding"))))
+    val got = Similarity.mmrCore(e).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(got.take(3) == Seq(1L, 3L, 2L), got)
+    // by contrast pure relevance ranks the twins 1-2
+    val rel = e.filter(col("vec_id") =!= 0L)
+      .select(col("vec_id"), (graft.operators.Similarity.dot(col("embedding"),
+        typedlit(Seq(1f, 1f, 0f, 0f))) / col("nrm")).as("r"))
+      .orderBy(col("r").desc).limit(2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(rel.toSet == Set(1L, 2L), rel)
+  }
 }
