@@ -897,7 +897,63 @@ object TextAnalysis {
         .crossJoin(broadcast(stats)))
   }
 
+  /** t24 — Heaps'-law vocabulary growth: the empirical V = K·N^β curve
+    * (type count vs corpus size) sampled at 10 corpus prefixes, with the
+    * log-log OLS fit (β, K) attached — t14's Zipf fit measures the
+    * frequency DISTRIBUTION, this measures vocabulary GROWTH, and
+    * together they are the two classic laws a corpus-health audit checks
+    * (β near 0 flags a closed template vocabulary; a tokenizer-budget
+    * planner reads V(N) off this curve directly). Types here are word
+    * TRIGRAMS: the driver corpus draws from a ~31-word pool, so unigram
+    * and bigram spaces saturate inside the first prefix (β ≡ 0 — the
+    * degenerate readout the operator exists to flag); the trigram space
+    * is where this corpus actually grows (β ≈ 0.8 at sf0.01), and the
+    * n-gram order is the natural parameter of the operator.
+    *
+    * Scale shape: ONE tokenize pass; prefix vocabularies are NOT 10
+    * rescans — each type records its FIRST prefix bucket (a hash
+    * aggregate on type), and both curves come from cumulative sums over
+    * the 10-row bucket frame. The fit is regr_slope/intercept over those
+    * 10 points. Prefix buckets derive arithmetically from doc_id against
+    * a broadcast max, so no global sort anywhere.
+    */
+  def heapsFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val m = docs.agg((max(col("doc_id")) + 1).as("m"))
+    val tok = graft.engine.Caching.scopedPersist(
+      docs.join(broadcast(m))
+        .select(expr("least(10L, (doc_id * 10) div m + 1)").as("bucket"),
+          tokensOrdered(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 3)
+        .select(col("bucket"), explode(expr(
+          "transform(sequence(1, size(tk) - 2), i -> concat(" +
+            "element_at(tk, i), ' ', element_at(tk, i + 1), ' ', " +
+            "element_at(tk, i + 2)))")).as("token")))
+    val nb = tok.groupBy("bucket").agg(count(lit(1)).as("nb"))
+    val vb = tok.groupBy("token").agg(min(col("bucket")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("vb"))
+    val wc = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 10-row frame: the empty-partition window is over buckets (d5's
+    // count-frame convention), as is the crossJoin with the 1-row fit
+    val curve = graft.engine.Caching.scopedPersist(
+      nb.join(vb, Seq("bucket"), "left")
+        .select(col("bucket"),
+          sum(col("nb")).over(wc).as("n_tokens"),
+          sum(coalesce(col("vb"), lit(0L))).over(wc).as("vocab")))
+    val fit = curve.agg(
+      expr("regr_slope(ln(vocab), ln(n_tokens))").as("beta"),
+      expr("regr_intercept(ln(vocab), ln(n_tokens))").as("alpha"))
+    curve.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("n_tokens"), col("vocab"),
+        r6(col("beta")).as("beta"),
+        r6(exp(col("alpha"))).as("k_const"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_heaps_fit" -> heapsFit,
     "t16_bm25_rank" -> bm25Rank,
     "t17_inverted_index" -> invertedIndex,
     "t18_bm25_from_index" -> bm25FromIndex,
@@ -1137,6 +1193,34 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t24_heaps_fit" ->
+      s"""WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
+         | tk AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         | tok AS (
+         |  SELECT least(10, (doc_id * 10) // (SELECT m FROM m) + 1) AS bucket,
+         |    unnest(list_transform(range(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS token
+         |  FROM tk WHERE len(t) >= 3),
+         | nb AS (SELECT bucket, count(*) AS nb FROM tok GROUP BY bucket),
+         | vb AS (
+         |  SELECT bucket, count(*) AS vb FROM (
+         |    SELECT token, min(bucket) AS bucket FROM tok GROUP BY token)
+         |  GROUP BY bucket),
+         | curve AS (
+         |  SELECT nb.bucket,
+         |    CAST(sum(nb.nb) OVER (ORDER BY nb.bucket) AS BIGINT)
+         |      AS n_tokens,
+         |    CAST(sum(coalesce(vb.vb, 0)) OVER (ORDER BY nb.bucket)
+         |      AS BIGINT) AS vocab
+         |  FROM nb LEFT JOIN vb ON nb.bucket = vb.bucket),
+         | fit AS (
+         |  SELECT regr_slope(ln(vocab), ln(n_tokens)) AS beta,
+         |    regr_intercept(ln(vocab), ln(n_tokens)) AS alpha
+         |  FROM curve)
+         |SELECT bucket, n_tokens, vocab,
+         |  round(beta, 6) AS beta, round(exp(alpha), 6) AS k_const
+         |FROM curve, fit
+         |ORDER BY bucket""".stripMargin,
     "t1_text_profile" ->
       s"""SELECT doc_id,
          |  ${sqlTokenCount("text")} AS n_tokens,

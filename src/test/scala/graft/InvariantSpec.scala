@@ -591,6 +591,24 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("t24 Heaps curve is monotone and the fit interpolates sanely") {
+    val rows = TextAnalysis.heapsFit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    // both curves strictly increase (every prefix adds tokens and, on
+    // natural text, at least one new type)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 > a._2 && b._3 >= a._3, s"$a -> $b") }
+    // sublinear growth: 0 < beta < 1 on any natural corpus
+    val beta = rows.head._4
+    assert(beta > 0.0 && beta < 1.0, beta)
+    // the fitted curve reproduces the endpoint within a factor of 2
+    val (_, n10, v10, _, k) = rows.last
+    val vHat = k * math.pow(n10, beta)
+    assert(vHat > v10 / 2.0 && vHat < v10 * 2.0, s"$vHat vs $v10")
+  }
+
   test("d12 epoch mix: copies bracket the factor and number contiguously") {
     val rows = graft.operators.Enrichment.epochMix(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
