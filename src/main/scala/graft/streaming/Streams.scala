@@ -641,3 +641,91 @@ object CdcScd2Stream {
     out.result().iterator
   }
 }
+
+/** Streaming twin of dd9's incremental admission: a corpus-ingest
+  * service that, per micro-batch of incoming documents, issues the same
+  * exact / near / unique verdicts dd9 gates in batch — against the
+  * sink-maintained index of EVERYTHING ADMITTED SO FAR — and admits only
+  * the uniques, so later batches dedup against earlier admissions. The
+  * index is the store (RollupStream's foreachBatch scheme: merge, then
+  * eager localCheckpoint so lineage stays one merge deep); the dedup
+  * kernels are dd*'s own ([[graft.functions.TextFunctions.fingerprint]]
+  * for exact, [[graft.operators.Dedup.shingledOf]] +
+  * [[graft.operators.Dedup.verifiedPairsOf]] band-routed Jaccard for
+  * near), so the stream cannot drift from the batch gates.
+  *
+  * Within one micro-batch, a document also deduplicates against its
+  * LOWER-ID batch peers (first-id-wins): two copies arriving together
+  * admit exactly one, matching what replaying the same docs one-per-batch
+  * would produce — StreamingSpec asserts this batch-split invariance.
+  * Precondition: ingest doc_ids are globally unique (any real ingest id
+  * satisfies this; the id order is the deterministic tiebreak).
+  *
+  * Scale shape per micro-batch: one fingerprint equi-join and one banded
+  * shingle join, both against (index ∪ batch) — at production scale the
+  * index side's signatures and band buckets are the PRECOMPUTED store
+  * (bucketed on (band, bucket)) so a batch only hashes itself and probes
+  * its buckets; nothing touches |batch| × |index|.
+  */
+object AdmissionStream {
+
+  import graft.operators.Dedup
+  import graft.functions.TextFunctions.fingerprint
+
+  /** Verdicts for `batch` (doc_id, text) against the admitted `index`
+    * frame of the same schema: one row per batch doc — verdict
+    * `exact` / `near` / `unique` plus the matched doc's id (-1 when
+    * unique). Matches consider the whole index and lower-id batch peers.
+    */
+  private[graft] def verdictsAgainst(batch: DataFrame,
+      index: DataFrame): DataFrame = {
+    val tagged = index.select(col("doc_id"), col("text"), lit(true).as("ix"))
+      .unionAll(batch.select(col("doc_id"), col("text"), lit(false).as("ix")))
+    val fps = tagged.select(col("doc_id").as("m_id"), col("ix"),
+      fingerprint(col("text")).as("fp"))
+    val exact = batch
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(fps, Seq("fp"))
+      .filter(col("ix") || col("m_id") < col("doc_id"))
+      .groupBy("doc_id").agg(min("m_id").as("exact_id"))
+    val sh = graft.engine.Caching.scopedPersist(
+      Dedup.shingledOf(tagged.select(col("doc_id"), col("text"))))
+    val pairs = Dedup.verifiedPairsOf(sh).select(col("doc_a"), col("doc_b"))
+    val side = tagged.select(col("doc_id").as("p_id"), col("ix"))
+    // partner qualifies if it is indexed, or a lower-id batch peer
+    val near = pairs
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("p_id"))
+      .unionAll(pairs.select(col("doc_a").as("doc_id"),
+        col("doc_b").as("p_id")))
+      .join(side, Seq("p_id"))
+      .filter(col("ix") || col("p_id") < col("doc_id"))
+      .groupBy("doc_id").agg(min("p_id").as("near_id"))
+    batch.select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_id").isNotNull, lit("exact"))
+          .when(col("near_id").isNotNull, lit("near"))
+          .otherwise(lit("unique")).as("verdict"),
+        coalesce(col("exact_id"), col("near_id"), lit(-1L)).as("match_id"))
+  }
+
+  /** Maintain the admitted index from a streaming `(doc_id, text)` frame;
+    * `onVerdicts` receives each micro-batch's verdict frame (in
+    * production: the admission log the ingest writes).
+    */
+  def ingest(docs: DataFrame)(onVerdicts: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var index: DataFrame = null
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val b = batch.select(col("doc_id"), col("text")).localCheckpoint()
+        val ix = if (index == null) b.filter(lit(false)) else index
+        val v = verdictsAgainst(b, ix).localCheckpoint()
+        onVerdicts(id, v)
+        val admitted = b.join(
+          v.filter(col("verdict") === "unique").select("doc_id"), "doc_id")
+        index = ix.unionAll(admitted).localCheckpoint()
+      }
+  }
+}

@@ -647,4 +647,51 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("last_ts_ms")).toMap
     assert(batch == fin)
   }
+
+  test("admission stream: copies bounce against earlier admissions, " +
+      "intra-batch peers dedup, and verdicts are batch-split invariant") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango")
+      .split(" ")
+    def variant(pos: Int, w: String) = base.updated(pos, w).mkString(" ")
+    val baseTxt = base.mkString(" ")
+    val other = "completely unrelated words about nothing in particular here"
+    val other2 = "another disjoint set of terms sharing no shingles at all"
+    val docs = Seq(
+      1L -> baseTxt, 2L -> other,                       // batch 1
+      3L -> baseTxt,                                    // exact copy of 1
+      4L -> variant(5, "victor"),                       // near-dup of 1
+      5L -> other2, 6L -> other2,                       // intra-batch twins
+      7L -> variant(5, "victor"),                       // 4 was BOUNCED, so
+                                                        // matches 1 as near
+      8L -> other2)                                     // exact copy of 5
+    def runChunked(chunks: Seq[Seq[(Long, String)]])
+        : Map[Long, (String, Long)] = {
+      val verdicts = scala.collection.mutable.Map[Long, (String, Long)]()
+      val input = MemoryStream[(Long, String)]
+      val q = graft.streaming.AdmissionStream.ingest(
+        input.toDF().toDF("doc_id", "text")) { (_, v) =>
+        verdicts.synchronized {
+          v.collect().foreach(r =>
+            verdicts(r.getLong(0)) = (r.getString(1), r.getLong(2)))
+        }
+      }.start()
+      try chunks.foreach { c => input.addData(c); q.processAllAvailable() }
+      finally q.stop()
+      verdicts.toMap
+    }
+    val expected = Map(
+      1L -> ("unique", -1L), 2L -> ("unique", -1L),
+      3L -> ("exact", 1L), 4L -> ("near", 1L),
+      5L -> ("unique", -1L), 6L -> ("exact", 5L),
+      7L -> ("near", 1L), 8L -> ("exact", 5L))
+    val got = runChunked(Seq(docs.take(2), docs.slice(2, 6), docs.drop(6)))
+    assert(got == expected, got)
+    // replaying one doc per micro-batch gives the identical verdict log
+    val gotSingles = runChunked(docs.map(Seq(_)))
+    assert(gotSingles == expected, gotSingles)
+  }
 }
