@@ -484,7 +484,46 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
   }
 
+  /** ev19 — conversion-lag distribution: how long users take from their
+    * first `view` to their first `purchase` AFTER it (ev6's stage rule),
+    * as the readout a growth team actually consumes — converted-user
+    * count, median and p90 lag, and the mean. The timing complement to
+    * ev6's conversion COUNTS.
+    *
+    * Determinism: per-user lags are exact integer millisecond
+    * differences; the mean derives as `sum(lag_ms) / (1000·n)` — an
+    * exact integer sum divided once, so no double-summation order can
+    * shift it (a naive avg over double seconds at ~1e6 magnitude would
+    * sit exactly at the 6-decimal grain's noise floor). Percentiles
+    * follow pct1's exact-percentile + round-4 convention (swap to
+    * approx_percentile at 100 TB, prof2's convention).
+    *
+    * Scale shape: two filtered aggregates on user_id and one
+    * user-frame-sized join — ev6's funnel shape; the final readout is a
+    * 1-row aggregate over the converted-user frame.
+    */
+  def conversionLag(spark: SparkSession, dir: String): DataFrame =
+    conversionLagCore(t(spark, dir, "events"))
+
+  private[graft] def conversionLagCore(ev: DataFrame): DataFrame = {
+    val e = ev.select(col("user_id"), col("event_type"),
+      unix_millis(col("ts")).as("ms"))
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ms")).as("v_ms"))
+    val lag = e.filter(col("event_type") === "purchase")
+      .join(v, "user_id").filter(col("ms") > col("v_ms"))
+      .groupBy("user_id")
+      .agg((min(col("ms")) - min(col("v_ms"))).as("lag_ms"))
+      .withColumn("lag_s", col("lag_ms") / lit(1000.0))
+    lag.agg(
+      count(lit(1)).as("n_converted"),
+      round(expr("percentile(lag_s, 0.5)"), 4).as("median_s"),
+      round(expr("percentile(lag_s, 0.9)"), 4).as("p90_s"),
+      r6(sum(col("lag_ms")) / (lit(1000.0) * count(lit(1)))).as("mean_s"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev19_conversion_lag" -> conversionLag,
     "ev13_rollup_merge" -> rollupMerge,
     "ev15_rolling_active" -> rollingActive,
     "ev8_merge_upsert" -> mergeUpsert,
@@ -503,6 +542,24 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev19_conversion_lag" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events),
+        | v AS (
+        |  SELECT user_id, min(ms) AS v_ms FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        | lg AS (
+        |  SELECT e.user_id, min(e.ms) - min(v_ms) AS lag_ms
+        |  FROM e JOIN v ON e.user_id = v.user_id
+        |  WHERE event_type = 'purchase' AND ms > v_ms
+        |  GROUP BY e.user_id)
+        |SELECT count(*) AS n_converted,
+        |  round(quantile_cont(lag_ms / 1000.0, 0.5), 4) AS median_s,
+        |  round(quantile_cont(lag_ms / 1000.0, 0.9), 4) AS p90_s,
+        |  round(sum(lag_ms) / (1000.0 * count(*)), 6) AS mean_s
+        |FROM lg""".stripMargin,
     "ev17_transitions" ->
       """WITH s AS (
         |  SELECT event_type,

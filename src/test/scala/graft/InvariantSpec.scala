@@ -591,6 +591,26 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("ev19 conversion lag: planted timeline yields exact readout") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: view@0, purchase@10 (lag 10); purchase@5 BEFORE view? no -
+    // purchase@20 later ignored (first qualifying wins)
+    // user 2: purchase@3 BEFORE first view@5 (must not count), then
+    //         purchase@65 -> lag 60
+    // user 3: views only -> never converts
+    val ev = Seq(
+      (1L, ts(0), "view"), (1L, ts(10), "purchase"), (1L, ts(20), "purchase"),
+      (2L, ts(3), "purchase"), (2L, ts(5), "view"), (2L, ts(65), "purchase"),
+      (3L, ts(0), "view"), (3L, ts(9), "view")
+    ).toDF("user_id", "ts", "event_type")
+    val r = graft.operators.Events.conversionLagCore(ev).collect().head
+    assert(r.getAs[Long]("n_converted") == 2L)
+    assert(r.getAs[Double]("median_s") == 35.0) // midpoint of {10, 60}
+    assert(r.getAs[Double]("p90_s") == 55.0)    // 10 + 0.9 * 50
+    assert(r.getAs[Double]("mean_s") == 35.0)
+  }
+
   test("t24 Heaps curve is monotone and the fit interpolates sanely") {
     val rows = TextAnalysis.heapsFit(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
