@@ -204,6 +204,26 @@ object Relational {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** w6 — distribution ranks: percent_rank, cume_dist and quartile
+    * (ntile) of every customer's balance WITHIN its market segment —
+    * the relative-standing window family (w1 counts, w2 accumulates, w4
+    * navigates; this one positions). The three functions share ONE
+    * (segment, balance, custkey) exchange+sort; custkey completes the
+    * ordering so ntile's row numbering — and therefore every output —
+    * is deterministic under balance ties.
+    */
+  def w6DistributionRanks(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal", $"c_custkey")
+    t(spark, dir, "customer")
+      .select($"c_mktsegment", $"c_custkey", $"c_acctbal",
+        r6(percent_rank().over(w)).as("pct_rank"),
+        r6(cume_dist().over(w)).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
   /** Single-pass column profiling — the first-class form of the statistics
     * the cleaning pass (P2/P7) computes internally: per column, row/null/
     * exact-distinct counts and min/max, emitted long-format (numeric and
@@ -1412,6 +1432,7 @@ object Relational {
     "prof9_benford" -> prof9Benford,
     "m1_unpivot" -> m1Unpivot,
     "w5_gap_fill" -> w5GapFill,
+    "w6_distribution_ranks" -> w6DistributionRanks,
     "q18_large_orders" -> q18LargeOrders,
     "q19_brand_revenue" -> q19BrandRevenue,
     "q1_pricing_summary" -> q1PricingSummary,
@@ -1439,6 +1460,15 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "w6_distribution_ranks" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
     "prof9_benford" ->
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(l_extendedprice * 100.0, 0)
