@@ -69,8 +69,11 @@ object Events {
     * no window over the full event stream and no self-join of events
     * against events.
     */
-  def funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = t(spark, dir, "events")
+  def funnel(spark: SparkSession, dir: String): DataFrame =
+    funnelCore(t(spark, dir, "events"))
+
+  private[graft] def funnelCore(events: DataFrame): DataFrame = {
+    val ev = events
       .select(col("user_id"), col("event_type"), col("ts"))
     val v = ev.filter(col("event_type") === "view")
       .groupBy("user_id").agg(min(col("ts")).as("v_ts"))

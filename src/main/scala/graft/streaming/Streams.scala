@@ -729,3 +729,73 @@ object AdmissionStream {
       }
   }
 }
+
+/** Typed event for the streaming funnel. */
+final case class FEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+    event_type: String)
+
+/** One funnel stage advance: stage 1 = view, 2 = click-after-view,
+  * 3 = purchase-after-click (ev6's stage numbering).
+  */
+final case class FunnelAdvance(user_id: Long, stage: Int, at_ms: Long)
+
+/** Per-user funnel progress carried between micro-batches: the earliest
+  * qualifying timestamp of each reached stage.
+  */
+final case class FunnelState(
+    v_ms: Option[Long], c_ms: Option[Long], p_ms: Option[Long])
+
+/** Streaming twin of ev6's ordered funnel: per-user
+  * `flatMapGroupsWithState` that emits a [[FunnelAdvance]] the moment a
+  * user reaches a new stage, under the SAME strictly-after rule the
+  * batch gate hashes (a click counts only strictly after the user's
+  * first view, a purchase only strictly after the first qualifying
+  * click). Counting the emitted advances per stage therefore reproduces
+  * ev6's funnel counts exactly — StreamingSpec proves it against
+  * [[graft.operators.Events.funnelCore]] on a planted, batch-split
+  * timeline.
+  *
+  * State is three optional longs per user — constant-size, so the store
+  * is user-dimension-sized at any traffic volume. Precondition (the
+  * standard one for stateful event-time logic without a reorder buffer):
+  * each user's events arrive time-ordered across micro-batches; within
+  * a batch the update sorts on (ts, event_id), so intra-batch order is
+  * deterministic regardless of shuffle arrival.
+  */
+object FunnelStream {
+
+  def advances(events: Dataset[FEvent]): Dataset[FunnelAdvance] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        update)
+  }
+
+  private[streaming] def update(
+      userId: Long, events: Iterator[FEvent],
+      state: GroupState[FunnelState]): Iterator[FunnelAdvance] = {
+    var st = state.getOption.getOrElse(FunnelState(None, None, None))
+    val out = Seq.newBuilder[FunnelAdvance]
+    for (e <- events.toArray.sortBy(x => (x.ts.getTime, x.event_id))) {
+      val ms = e.ts.getTime
+      e.event_type match {
+        case "view" if st.v_ms.isEmpty =>
+          st = st.copy(v_ms = Some(ms))
+          out += FunnelAdvance(userId, 1, ms)
+        case "click" if st.v_ms.nonEmpty && st.c_ms.isEmpty &&
+            ms > st.v_ms.get =>
+          st = st.copy(c_ms = Some(ms))
+          out += FunnelAdvance(userId, 2, ms)
+        case "purchase" if st.c_ms.nonEmpty && st.p_ms.isEmpty &&
+            ms > st.c_ms.get =>
+          st = st.copy(p_ms = Some(ms))
+          out += FunnelAdvance(userId, 3, ms)
+        case _ => ()
+      }
+    }
+    state.update(st)
+    out.result().iterator
+  }
+}

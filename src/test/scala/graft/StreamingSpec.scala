@@ -648,6 +648,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == fin)
   }
 
+  test("funnel stream: stage advances across micro-batches match batch ev6") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    def fe(u: Long, id: Long, s: Int, t: String) =
+      graft.streaming.FEvent(u, id, ts(s), t)
+    // user 1 completes the funnel across a batch split; user 2's first
+    // click precedes any view (no credit) and its same-second click
+    // fails strictly-after; user 3 purchases before ever viewing
+    val b1 = Seq(fe(1, 1, 0, "view"), fe(1, 2, 5, "click"),
+      fe(2, 3, 0, "click"), fe(2, 4, 5, "view"),
+      fe(3, 5, 1, "purchase"))
+    val b2 = Seq(fe(1, 6, 10, "purchase"),
+      fe(2, 7, 5, "click"), fe(2, 8, 7, "click"),
+      fe(3, 9, 2, "view"))
+    val got = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+    val input = MemoryStream[graft.streaming.FEvent]
+    val q = graft.streaming.FunnelStream.advances(input.toDS())
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[graft.streaming.FunnelAdvance],
+            _: Long) =>
+          got.synchronized { got ++= batch.collect()
+            .map(a => (a.user_id, a.stage, a.at_ms)) }
+          ()
+      }.start()
+    try Seq(b1, b2).foreach { c => input.addData(c); q.processAllAvailable() }
+    finally q.stop()
+    def ms(s: Int) = 1700000000000L + s * 1000L
+    assert(got.sorted.toList == List(
+      (1L, 1, ms(0)), (1L, 2, ms(5)), (1L, 3, ms(10)),
+      (2L, 1, ms(5)), (2L, 2, ms(7)),
+      (3L, 1, ms(2))), got.sorted)
+    // stage counts equal the batch ev6 funnel over the union
+    val all = (b1 ++ b2).map(e => (e.user_id, e.event_type, e.ts))
+      .toDF("user_id", "event_type", "ts")
+    val batchCounts = graft.operators.Events.funnelCore(all).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("n_users")).toMap
+    val streamCounts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(streamCounts == batchCounts.map { case (k, v) => (k, v) },
+      s"$streamCounts vs $batchCounts")
+  }
+
   test("admission stream: copies bounce against earlier admissions, " +
       "intra-batch peers dedup, and verdicts are batch-split invariant") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
