@@ -273,11 +273,71 @@ object Lake {
       .orderBy("day")
   }
 
+  /** lake5 — manifest-based time travel: the snapshot-isolation mechanism
+    * every table format (Delta/Iceberg/Hudi) rests on, built from its
+    * primitives. Version 1 writes the first 15 days of events; version 2
+    * APPENDS the remainder into the same data directory; each commit
+    * records an explicit FILE LIST manifest (`_manifests/v<N>.json`).
+    * Reading "as of v1" loads exactly v1's manifest files — the appended
+    * v2 files sit in the same directory and MUST be invisible — and the
+    * gate hashes both versions' aggregates against the oracle's
+    * recomputation from the raw events, so a manifest that leaks files
+    * across versions (the snapshot-isolation bug) breaks the hash.
+    *
+    * Scale shape: a commit is one write plus a file-list record (the
+    * control-plane cost of a real table-format commit); an as-of read
+    * plans exactly the manifest's files — no directory listing of the
+    * whole table, which is the point of manifests at 100 TB (a million-
+    * file table resolves its snapshot without touching the filesystem
+    * tree). Aggregates are ordinary one-pass hash aggregates.
+    */
+  def timeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val root = lakeDir(spark, "events_versions")
+    val dataDir = s"$root/data"
+    val manifestDir = new java.io.File(root, "_manifests")
+    val ev = t(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
+    def listData(): Set[String] =
+      Option(new java.io.File(dataDir).listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    // v1 commit: first 15 days; v2 commit: append the remainder
+    new java.io.File(root).mkdirs()
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dataDir))
+    ev.filter(col("day") <= lit(cut)).write.mode("append").parquet(dataDir)
+    val v1Files = listData()
+    ev.filter(col("day") > lit(cut)).write.mode("append").parquet(dataDir)
+    val v2Files = listData()
+    manifestDir.mkdirs()
+    def commit(v: Int, files: Set[String]): Unit =
+      java.nio.file.Files.writeString(
+        manifestDir.toPath.resolve(s"v$v.json"),
+        files.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+    commit(1, v1Files)
+    commit(2, v2Files)
+    def asOf(v: Int): DataFrame = {
+      val files = java.nio.file.Files
+        .readString(manifestDir.toPath.resolve(s"v$v.json"))
+        .stripPrefix("[\"").stripSuffix("\"]").split("\",\"").toSeq
+      spark.read.parquet(files: _*)
+    }
+    def report(v: Int): DataFrame = asOf(v)
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        r2(sum(col("value"))).as("total_value"))
+      .select(lit(v.toLong).as("version"), col("n_events"), col("n_users"),
+        col("total_value"))
+    report(1).unionAll(report(2)).orderBy("version")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
     "lake2_zorder_keys" -> zorderKeys,
     "lake3_incremental_read" -> incrementalRead,
-    "lake4_compaction" -> compactionReport
+    "lake4_compaction" -> compactionReport,
+    "lake5_time_travel" -> timeTravel
   )
 
   private def sqlZCell(v: String, mn: String, mx: String): String =
@@ -306,6 +366,18 @@ object Lake {
         |WHERE event_type = 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "lake5_time_travel" ->
+      """WITH cut AS (SELECT min(ts::DATE) + 15 AS c FROM events)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, count(*) AS n_events,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |    round(sum(value), 2) AS total_value
+        |  FROM events, cut WHERE ts::DATE <= c
+        |  UNION ALL
+        |  SELECT CAST(2 AS BIGINT), count(*),
+        |    CAST(count(DISTINCT user_id) AS BIGINT), round(sum(value), 2)
+        |  FROM events)
+        |ORDER BY version""".stripMargin,
     "lake4_compaction" ->
       """WITH p AS (
         |  SELECT greatest(25, CAST(ceil(count(*) / 400.0) AS BIGINT)) AS b1
