@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{r6, t}
+import graft.Tables.{r6, r6s, t}
 
 /** Similarity search over the `embeddings` table (`Array[Float]` vectors,
   * north-star extension, SURVEY.md §2.5): brute-force cosine top-k as the
@@ -613,7 +613,60 @@ object Similarity {
     selected.orderBy("rank")
   }
 
+  /** sim12 — simplified-silhouette clustering audit over the labeled
+    * embeddings: per cluster, the mean of `(b − a) / max(a, b)` where
+    * `a` = a point's distance to its OWN label centroid and `b` = its
+    * distance to the nearest OTHER centroid — the standard "are these
+    * clusters real" readout (≈1 tight and separated, ≈0 overlapping,
+    * < 0 misassigned) a labeling/clustering pipeline watches. The
+    * centroid-based (simplified) form is the scalable variant: the
+    * classic all-pairs silhouette is O(n²) and exists here as the thing
+    * this approximates.
+    *
+    * Determinism: sim8's integer-exact discipline — coordinates land on
+    * the 1e-6 grid as longs, centroids round to integer micro-units from
+    * EXACT integer sums (one division, identically rounded on both
+    * engines), squared distances are exact 64-bit sums (< 2^53, so even
+    * the oracle's double path is exact), and only then does sqrt produce
+    * the two doubles whose continuous combination rounds at 6 decimals.
+    *
+    * Scale shape: one posexplode aggregate builds the (labels × dims)
+    * centroid table (map-side combine; output is dimension-sized), the
+    * centroid array frame broadcasts, and the distance pass is
+    * scan-local per point (|labels| array folds) into a per-point min —
+    * the corpus is scanned twice (centroids, distances), never joined to
+    * itself.
+    */
+  def silhouette(spark: SparkSession, dir: String): DataFrame = {
+    val e6 = t(spark, dir, "embeddings").select(col("vec_id"), col("label"),
+      expr("transform(embedding, x -> " +
+        "cast(round(cast(x as double) * 1000000.0) as long))").as("v6"))
+    val pts = e6
+      .select(col("label"), posexplode(col("v6")))
+      .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("x6"))
+    val cent = pts.groupBy(col("label").as("c_label"), col("dim"))
+      .agg(round(sum(col("x6")) / count(lit(1))).cast("long").as("c6"))
+    val centArr = cent.groupBy("c_label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c6")))),
+        s => s.getField("c6")).as("c6l"))
+    val d = e6.join(broadcast(centArr))
+      .select(col("vec_id"), col("label"), col("c_label"),
+        aggregate(zip_with(col("v6"), col("c6l"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v).as("d2"))
+    val ab = d.groupBy("vec_id", "label")
+      .agg(min(when(col("c_label") === col("label"), col("d2"))).as("a2"),
+        min(when(col("c_label") =!= col("label"), col("d2"))).as("b2"))
+    val mx = greatest(sqrt(col("a2")), sqrt(col("b2")))
+    val s = ab.select(col("label"),
+      when(mx === 0.0, lit(0.0))
+        .otherwise((sqrt(col("b2")) - sqrt(col("a2"))) / mx).as("sil"))
+    s.groupBy("label")
+      .agg(count(lit(1)).as("n"), r6s(avg(col("sil"))).as("mean_silhouette"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim12_silhouette" -> silhouette,
     "sim11_mmr_topk" -> mmrTopK,
     "sim10_mips_topk" -> mipsTopK,
     "sim8_kmeans" -> kmeansRefine,
@@ -676,6 +729,44 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim12_silhouette" ->
+      """WITH e6 AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding::DOUBLE[],
+        |      x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v6
+        |  FROM embeddings),
+        | pt AS (
+        |  SELECT label, i, v6[CAST(i AS INTEGER)] AS x6
+        |  FROM e6, range(1, 65) r(i)),
+        | cent AS (
+        |  SELECT label AS c_label, i,
+        |    CAST(round(sum(x6) / count(*)) AS BIGINT) AS c6
+        |  FROM pt GROUP BY label, i),
+        | centl AS (
+        |  SELECT c_label, list(c6 ORDER BY i) AS c6l
+        |  FROM cent GROUP BY c_label),
+        | d AS (
+        |  SELECT e.vec_id, e.label, c.c_label,
+        |    list_sum(list_transform(range(1, len(e.v6) + 1), i ->
+        |      (e.v6[CAST(i AS INTEGER)] - c.c6l[CAST(i AS INTEGER)])
+        |      * (e.v6[CAST(i AS INTEGER)] - c.c6l[CAST(i AS INTEGER)])))
+        |      AS d2
+        |  FROM e6 e CROSS JOIN centl c),
+        | ab AS (
+        |  SELECT vec_id, label,
+        |    min(CASE WHEN c_label = label THEN d2 END) AS a2,
+        |    min(CASE WHEN c_label <> label THEN d2 END) AS b2
+        |  FROM d GROUP BY vec_id, label),
+        | s AS (
+        |  SELECT label,
+        |    CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+        |         ELSE (sqrt(b2) - sqrt(a2)) / greatest(sqrt(a2), sqrt(b2))
+        |    END AS sil
+        |  FROM ab)
+        |SELECT label, count(*) AS n,
+        |  round(avg(sil), 6) + 0 AS mean_silhouette
+        |FROM s GROUP BY label
+        |ORDER BY label""".stripMargin,
     "sim11_mmr_topk" -> mmrOracleSql,
     "sim10_mips_topk" ->
       """WITH n AS (
