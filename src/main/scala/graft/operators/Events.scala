@@ -525,7 +525,49 @@ object Events {
       r6(sum(col("lag_ms")) / (lit(1000.0) * count(lit(1)))).as("mean_s"))
   }
 
+  /** ev20 — conversion attribution: every purchase credits the user's
+    * FIRST and LAST non-purchase touchpoint strictly before it
+    * (first-touch / last-touch, the two canonical marketing-attribution
+    * models), and the report counts conversions credited to each
+    * event type under both models — the "which channel drives
+    * purchases" readout.
+    *
+    * Scale shape: ONE exchange on user_id serves both IGNORE-NULLS
+    * navigation windows (running first/last over the masked touch
+    * column — w5's machinery pointed at attribution); the credit
+    * aggregate is a hash aggregate onto the |types|-bounded frame. No
+    * self-join of events against events.
+    */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    attributionCore(t(spark, dir, "events"))
+
+  private[graft] def attributionCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col("event_type") =!= "purchase", col("event_type"))
+    val credited = ev
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("first_touch", first(touch, ignoreNulls = true).over(byUser))
+      .withColumn("last_touch", last(touch, ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase" &&
+        col("first_touch").isNotNull)
+    // one pass: each credited purchase contributes one row per model,
+    // so both models aggregate in a single |types|-bounded hash agg
+    credited
+      .select(explode(array(
+        struct(lit("f").as("m"), col("first_touch").as("touch_type")),
+        struct(lit("l").as("m"), col("last_touch").as("touch_type"))))
+        .as("e"))
+      .groupBy(col("e.touch_type").as("touch_type"))
+      .agg(count(when(col("e.m") === "f", 1)).as("first_touch_conversions"),
+        count(when(col("e.m") === "l", 1)).as("last_touch_conversions"))
+      .orderBy("touch_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev20_attribution" -> attribution,
     "ev19_conversion_lag" -> conversionLag,
     "ev13_rollup_merge" -> rollupMerge,
     "ev15_rolling_active" -> rollingActive,
@@ -545,6 +587,31 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev20_attribution" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS tch
+        |  FROM events),
+        | nav AS (
+        |  SELECT event_type,
+        |    first_value(tch IGNORE NULLS) OVER w AS first_touch,
+        |    last_value(tch IGNORE NULLS) OVER w AS last_touch
+        |  FROM s
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        | credited AS (
+        |  SELECT first_touch, last_touch FROM nav
+        |  WHERE event_type = 'purchase' AND first_touch IS NOT NULL),
+        | m AS (
+        |  SELECT 'f' AS m, first_touch AS touch_type FROM credited
+        |  UNION ALL
+        |  SELECT 'l', last_touch FROM credited)
+        |SELECT touch_type,
+        |  count(CASE WHEN m = 'f' THEN 1 END) AS first_touch_conversions,
+        |  count(CASE WHEN m = 'l' THEN 1 END) AS last_touch_conversions
+        |FROM m GROUP BY touch_type
+        |ORDER BY touch_type""".stripMargin,
     "ev19_conversion_lag" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

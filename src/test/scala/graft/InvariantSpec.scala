@@ -591,6 +591,33 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("ev20 attribution: first/last touch credit planted journeys") {
+    import spark.implicits._
+    def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // user 1: view, click, purchase -> first=view, last=click
+    // user 2: purchase with NO prior touch -> uncredited (dropped)
+    //         then error, purchase -> first=error, last=error
+    // user 3: click, purchase, purchase -> both purchases credit click
+    //         (the 2nd's last_touch skips the intervening purchase)
+    val ev = Seq(
+      (1L, 1L, ts(0), "view"), (1L, 2L, ts(1), "click"),
+      (1L, 3L, ts(2), "purchase"),
+      (2L, 4L, ts(0), "purchase"), (2L, 5L, ts(1), "error"),
+      (2L, 6L, ts(2), "purchase"),
+      (3L, 7L, ts(0), "click"), (3L, 8L, ts(1), "purchase"),
+      (3L, 9L, ts(2), "purchase")
+    ).toDF("user_id", "event_id", "ts", "event_type")
+    val got = graft.operators.Events.attributionCore(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "view" -> ((1L, 0L)),   // user 1 first
+      "click" -> ((2L, 3L)),  // user 3 both (first+last) + user 1 last
+      "error" -> ((1L, 1L))), // user 2's second purchase both models
+      got)
+    // conservation: each model's credits = credited purchases
+    assert(got.values.map(_._1).sum == got.values.map(_._2).sum)
+  }
+
   test("ev19 conversion lag: planted timeline yields exact readout") {
     import spark.implicits._
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
