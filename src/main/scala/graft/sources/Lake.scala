@@ -332,7 +332,46 @@ object Lake {
     report(1).unionAll(report(2)).orderBy("version")
   }
 
+  /** lake6 — schema-evolution read: generation 1 of the layout was
+    * written BEFORE `event_type` existed; generation 2 carries it. The
+    * mergeSchema read resolves the union schema and must fill the
+    * missing column with nulls for gen-1 rows — the backfill-free column
+    * addition every long-lived lake table depends on. The gate hashes
+    * per-generation row counts, the null-`event_type` count (= all of
+    * gen 1, none of gen 2) and user counts against the oracle's
+    * recomputation from raw events, so a read that drops gen-1 rows,
+    * misaligns columns by position, or invents non-null defaults breaks
+    * the hash.
+    *
+    * Scale shape: schema resolution reads footers (mergeSchema's cost is
+    * per-FILE metadata, the reason real tables keep the union schema in
+    * the manifest instead — lake5's mechanism); the aggregate is one
+    * hash aggregate per generation partition.
+    */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val root = lakeDir(spark, "events_evolving")
+    val ev = t(spark, dir, "events")
+      .withColumn("day", to_date(col("ts")))
+    val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(root))
+    ev.filter(col("day") <= lit(cut))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .write.parquet(s"$root/gen=1")
+    ev.filter(col("day") > lit(cut))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"),
+        col("event_type"))
+      .write.parquet(s"$root/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(root)
+      .groupBy(col("gen"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(when(col("event_type").isNull, 1)).as("n_null_event_type"),
+        count_distinct(col("user_id")).as("n_users"))
+      .orderBy("gen")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake6_schema_evolution" -> schemaEvolution,
     "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
     "lake2_zorder_keys" -> zorderKeys,
     "lake3_incremental_read" -> incrementalRead,
@@ -366,6 +405,15 @@ object Lake {
         |WHERE event_type = 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "lake6_schema_evolution" ->
+      """WITH cut AS (SELECT min(ts::DATE) + 15 AS c FROM events)
+        |SELECT CASE WHEN ts::DATE <= c THEN 1 ELSE 2 END AS gen,
+        |  count(*) AS n_rows,
+        |  count(CASE WHEN ts::DATE <= c THEN 1 END) AS n_null_event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events, cut
+        |GROUP BY 1
+        |ORDER BY gen""".stripMargin,
     "lake5_time_travel" ->
       """WITH cut AS (SELECT min(ts::DATE) + 15 AS c FROM events)
         |SELECT * FROM (
