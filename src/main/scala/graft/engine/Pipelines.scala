@@ -248,7 +248,49 @@ object Pipelines {
       .orderBy("doc_id")
   }
 
+  /** pipe4 — the corpus report card: the one-frame health summary a
+    * dataset release ships (the "dataset card" numbers) — corpus size,
+    * mean document length, exact-duplicate rate, declared-English share,
+    * token volume, and hapax share (the vocabulary-health canary: near 0
+    * means template spam, near 1 means token soup). Long-format
+    * `(metric, value)` so downstream monitors diff releases row-wise.
+    *
+    * Scale shape: ONE document-level aggregate (count / mean length /
+    * distinct-fingerprint / lang share in a single pass; the exact
+    * count_distinct swaps to approx at 100 TB — prof1's convention) and
+    * ONE token-frequency aggregate (t6's explode-with-map-side-combine
+    * into a vocabulary-sized frame), crossed as 1-row broadcasts and
+    * unpivoted. No joins against the corpus.
+    */
+  def reportCard(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.Tables.r6
+    import graft.functions.TextFunctions.{fingerprint, tokensOrdered}
+    val docs = graft.Tables.t(spark, dir, "documents")
+    val d = docs.agg(
+      count(lit(1)).cast("double").as("n_docs"),
+      r6(avg(length(col("text")))).as("mean_chars"),
+      r6(lit(1.0) -
+        count_distinct(fingerprint(col("text"))).cast("double") /
+          count(lit(1))).as("exact_dup_rate"),
+      r6(count(when(col("lang") === "en", 1)).cast("double") /
+        count(lit(1))).as("en_share"))
+    val freq = docs.select(explode(tokensOrdered(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("f"))
+    val tk = freq.agg(
+      sum(col("f")).cast("double").as("n_tokens"),
+      r6(count(when(col("f") === 1, 1)).cast("double") / count(lit(1)))
+        .as("hapax_share"))
+    d.crossJoin(broadcast(tk))
+      .select(expr("stack(6, " +
+        "'en_share', en_share, 'exact_dup_rate', exact_dup_rate, " +
+        "'hapax_share', hapax_share, 'mean_chars', mean_chars, " +
+        "'n_docs', n_docs, 'n_tokens', n_tokens) AS (metric, value)"))
+      .orderBy("metric")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe4_report_card" -> reportCard,
     "pipe1_training_corpus" -> trainingCorpus,
     "pipe2_ingest_batch" -> ingestBatch,
     "pipe3_packed_corpus" -> packedCorpus
@@ -266,6 +308,35 @@ object Pipelines {
     val lang = TextAnalysis.sqlLangId("text")
     val fp = TextAnalysis.sqlFp("text")
     Map(
+      "pipe4_report_card" ->
+        s"""WITH d AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |    round(avg(length(text)), 6) AS mean_chars,
+           |    round(1.0 - CAST(count(DISTINCT $fp) AS DOUBLE)
+           |      / count(*), 6) AS exact_dup_rate,
+           |    round(count(CASE WHEN lang = 'en' THEN 1 END)
+           |      / CAST(count(*) AS DOUBLE), 6) AS en_share
+           |  FROM documents),
+           | fr AS (
+           |  SELECT token, count(*) AS f FROM (
+           |    SELECT unnest(list_filter(
+           |      regexp_split_to_array(lower(text), '[^a-z]+'),
+           |      x -> x <> '')) AS token
+           |    FROM documents)
+           |  GROUP BY token),
+           | tk AS (
+           |  SELECT CAST(sum(f) AS DOUBLE) AS n_tokens,
+           |    round(count(CASE WHEN f = 1 THEN 1 END)
+           |      / CAST(count(*) AS DOUBLE), 6) AS hapax_share
+           |  FROM fr),
+           | m AS (
+           |  SELECT 'en_share' AS metric, en_share AS value FROM d
+           |  UNION ALL SELECT 'exact_dup_rate', exact_dup_rate FROM d
+           |  UNION ALL SELECT 'hapax_share', hapax_share FROM tk
+           |  UNION ALL SELECT 'mean_chars', mean_chars FROM d
+           |  UNION ALL SELECT 'n_docs', n_docs FROM d
+           |  UNION ALL SELECT 'n_tokens', n_tokens FROM tk)
+           |SELECT metric, value FROM m ORDER BY metric""".stripMargin,
       "pipe2_ingest_batch" ->
         s"""WITH scored AS (
            |  SELECT doc_id, $q AS quality, $lang AS lang_detected, $fp AS fp
