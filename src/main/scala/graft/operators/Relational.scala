@@ -700,6 +700,33 @@ object Relational {
       .orderBy($"o_orderkey")
   }
 
+  /** s2 — the calendar/datetime scalar surface s1 leaves out: ISO
+    * weekday and week, quarter, day-of-year, month-end, month
+    * arithmetic with end-of-month clamping, day differences against an
+    * epoch anchor, and formatting. Engine-portability notes are the
+    * point of this gate: Spark's `weekday` (0 = Monday) maps to
+    * DuckDB's `isodow` via +1, `add_months` and `date + INTERVAL n
+    * MONTH` share the same end-of-month clamp, and `weekofyear`/`week`
+    * are both ISO. Scan-local projection, pushed column pruning, fully
+    * codegen'd — the gate pins the SEMANTICS, not the plan.
+    */
+  def s2DatetimeFunctions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = to_date($"o_orderdate")
+    t(spark, dir, "orders")
+      .select($"o_orderkey",
+        (weekday(d) + 1).cast("long").as("iso_dow"),
+        weekofyear(d).cast("long").as("iso_week"),
+        quarter(d).cast("long").as("qtr"),
+        dayofyear(d).cast("long").as("doy"),
+        last_day(d).as("month_end"),
+        add_months(d, 3).as("plus_3m"),
+        datediff(d, lit("1995-01-01").cast("date")).cast("long")
+          .as("days_since_anchor"),
+        date_format(d, "yyyy-MM").as("ym"))
+      .orderBy($"o_orderkey")
+  }
+
   /** Semi-structured extraction: parse the events.props JSON payload and
     * aggregate by a derived bucket (from_json is codegen'd; the whole plan
     * is scan -> project -> partial agg -> final agg).
@@ -1456,10 +1483,24 @@ object Relational {
     "j4_bloom_join" -> j4BloomJoin,
     "j3_full_outer" -> j3FullOuter,
     "s1_scalar_functions" -> s1ScalarFunctions,
+    "s2_datetime_functions" -> s2DatetimeFunctions,
     "j2_events_json" -> j2EventsJson
   )
 
   val oracle: Map[String, String] = Map(
+    "s2_datetime_functions" ->
+      """SELECT o_orderkey,
+        |  CAST(isodow(o_orderdate::DATE) AS BIGINT) AS iso_dow,
+        |  CAST(week(o_orderdate::DATE) AS BIGINT) AS iso_week,
+        |  CAST(quarter(o_orderdate::DATE) AS BIGINT) AS qtr,
+        |  CAST(dayofyear(o_orderdate::DATE) AS BIGINT) AS doy,
+        |  last_day(o_orderdate::DATE) AS month_end,
+        |  (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS plus_3m,
+        |  CAST(o_orderdate::DATE - DATE '1995-01-01' AS BIGINT)
+        |    AS days_since_anchor,
+        |  strftime(o_orderdate::DATE, '%Y-%m') AS ym
+        |FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
     "w6_distribution_ranks" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal,
         |  round(percent_rank() OVER w, 6) AS pct_rank,

@@ -406,7 +406,39 @@ object Stats {
       r6s((avg(ya) - avg(yb)) - theta * (avg(xa) - avg(xb))).as("adj_diff"))
   }
 
+  /** ab7 — experiment power analysis: the DESIGN-side readout that comes
+    * before ab1-ab6's analysis side. Per event_type, from the observed
+    * mean and variance: the minimum detectable effect as 5% of the mean,
+    * and the per-arm sample size the standard two-sided α=0.05 /
+    * power=0.8 z-approximation requires —
+    * `n = (z_{α/2} + z_β)² · 2σ² / Δ²` with the textbook constants
+    * 1.96 and 0.8416 spelled as parsed literals on both engines. The
+    * answer every "how long must this test run" question starts from.
+    *
+    * One scan, one hash aggregate on event_type (map-side combine); the
+    * formula is scan-free arithmetic over the aggregates. `n_per_arm`
+    * ceils to a whole user on the ROUNDED (6-decimal) real-valued n, so
+    * the integer output cannot straddle an engine ulp at the boundary.
+    */
+  def abPower(spark: SparkSession, dir: String): DataFrame =
+    abPowerCore(t(spark, dir, "events"))
+
+  private[graft] def abPowerCore(ev: DataFrame): DataFrame = {
+    val mde = abs(avg(col("value"))) * lit(0.05)
+    val zsum2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
+    val nReal = zsum2 * lit(2.0) * var_samp(col("value")) / (mde * mde)
+    ev.groupBy(col("event_type"))
+      .agg(
+        count(col("value")).as("n_observed"),
+        r6(avg(col("value"))).as("mean"),
+        r2(var_samp(col("value"))).as("variance"),
+        r6(mde).as("mde"),
+        ceil(r6(nReal)).cast("long").as("n_per_arm"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab7_power" -> abPower,
     "ab6_cuped" -> abCuped,
     "ab5_srm_check" -> abSrm,
     "ab1_welch_readout" -> abTest,
@@ -419,6 +451,19 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "ab7_power" ->
+      """SELECT event_type,
+        |  count(value) AS n_observed,
+        |  round(avg(value), 6) AS mean,
+        |  round(var_samp(value), 2) AS variance,
+        |  round(abs(avg(value)) * 0.05, 6) AS mde,
+        |  CAST(ceil(round(
+        |    (1.96 + 0.8416) * (1.96 + 0.8416) * 2.0 * var_samp(value)
+        |      / ((abs(avg(value)) * 0.05) * (abs(avg(value)) * 0.05)),
+        |    6)) AS BIGINT) AS n_per_arm
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // ab6: the moment arithmetic runs on unrounded per-user aggregates
     // mirroring Spark op-for-op (squares as cov*cov, never pow).
     "ab6_cuped" ->
