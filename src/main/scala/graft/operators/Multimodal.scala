@@ -560,7 +560,52 @@ object Multimodal {
       .orderBy("media_a", "media_b")
   }
 
+  final case class ResampleRow(
+      media_id: Long, n_samples: Long, n_out: Long, sum_out: Long,
+      out_fp: String)
+
+  /** mm9 — audio downsample: 2× decimation of the PCM stream (keep every
+    * other sample — the 8 kHz → 4 kHz preprocessing cut a speech
+    * pipeline runs before featurization; mm7's resize for the audio
+    * modality). The gate carries output sample counts, the mean kept
+    * byte and an md5 of the DECIMATED stream, recomputed byte-for-byte
+    * by the oracle from the text payload — an off-by-one phase error or
+    * stride bug shifts every fingerprint. Map-only like every decode
+    * stage; rows carry statistics and a 32-char fingerprint, never PCM.
+    */
+  def audioResample(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMedia(spark, dir)
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          val wav = MediaCodecs.Wav.parse(payload)
+          val n = wav.data.length
+          val out = new Array[Byte]((n + 1) / 2)
+          var i = 0
+          var s = 0L
+          while (i < out.length) {
+            out(i) = wav.data(2 * i)
+            s += out(i) & 0xff
+            i += 1
+          }
+          val hex = md.digest(out).map(b => f"$b%02x").mkString
+          ResampleRow(id, n.toLong, out.length.toLong, s, hex)
+        }
+      }
+      .select(col("media_id"), col("n_samples"), col("n_out"),
+        when(col("n_out") > 0,
+          round(col("sum_out").cast("double") / col("n_out"), 6))
+          .as("mean_out"),
+        col("out_fp"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm9_audio_resample" -> audioResample,
     "mm8_image_neardups" -> imageNearDups,
     "mm1_media_profile" -> mediaProfile,
     "mm2_media_features" -> mediaFeatures,
@@ -572,6 +617,28 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm9_audio_resample" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | d AS (
+        |  SELECT media_id, CAST(length(st) AS BIGINT) AS n_samples,
+        |    coalesce(list_aggregate(list_transform(
+        |      range(0, (length(st) + 1) // 2),
+        |      i -> substr(st, CAST(2 * i + 1 AS BIGINT), 1)),
+        |      'string_agg', ''), '') AS dec
+        |  FROM s)
+        |SELECT media_id, n_samples,
+        |  CAST(length(dec) AS BIGINT) AS n_out,
+        |  CASE WHEN length(dec) > 0 THEN
+        |    round(CAST(list_aggregate(list_transform(
+        |      range(1, length(dec) + 1), j -> ord(dec[j])), 'sum')
+        |      AS DOUBLE) / length(dec), 6)
+        |  END AS mean_out,
+        |  md5(dec) AS out_fp
+        |FROM d
+        |ORDER BY media_id""".stripMargin,
     // mm8: the thumbnail grid, grayscale and comparison bits recompute
     // from the text payload at the same integer offsets the JVM parser
     // reads; the pair set is ALL-PAIRS Hamming <= 7 (banding has exact
