@@ -665,6 +665,61 @@ object Relational {
       .orderBy($"status", $"priority")
   }
 
+  /** Write orders+lineitem as bucketed tables (8 buckets on the order
+    * key, sorted within buckets) under session- and sf-scoped names —
+    * ONE definition shared by the j5 gate and PlanSpec's shuffle-free
+    * assertion. Idempotent per (session, sf): the "write once, join
+    * many" lifecycle bucketing exists for.
+    */
+  private[graft] def bucketedOrderTables(
+      spark: SparkSession, dir: String): (String, String) = {
+    val tag = (spark.sparkContext.applicationId + "_" +
+      new java.io.File(dir).getName).replaceAll("[^a-zA-Z0-9]", "_")
+    val (to, tl) = (s"j5_orders_$tag", s"j5_lineitem_$tag")
+    if (!spark.catalog.tableExists(to)) {
+      // repartition on the SAME hash the bucketer uses, so each task
+      // holds exactly one bucket and each bucket lands in ONE file —
+      // the single-file-per-bucket layout that lets the join elide its
+      // sorts as well as its exchanges (multi-file buckets force a
+      // per-bucket merge sort back into the plan)
+      t(spark, dir, "orders")
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(to)
+      t(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(tl)
+    }
+    (to, tl)
+  }
+
+  /** j5 — bucketed co-located join: revenue per order priority from a
+    * lineitem ⋈ orders join over tables BUCKETED on the join key — the
+    * storage-layout answer to repeated large-large joins at 100 TB
+    * (partitioning prunes scans, bucketing removes join shuffles; the
+    * complement to lake1's pruning). Both sides read their matching
+    * buckets directly: the join needs NO exchange and no sort
+    * (PlanSpec pins the Exchange-free join subtree with broadcast
+    * disabled); the only shuffle left is the final
+    * priority-dimension-sized aggregate. The gate hashes the result
+    * against the oracle's plain join, so the bucketed layout must be
+    * CORRECT, not just fast — a row routed to the wrong bucket drops
+    * from the join and breaks the hash.
+    */
+  def j5BucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (to, tl) = bucketedOrderTables(spark, dir)
+    spark.table(tl)
+      .join(spark.table(to), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        r2(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")))
+          .as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
   /** Semi/anti joins as EXISTS / NOT EXISTS counts. */
   def j1SemiAntiCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1481,6 +1536,7 @@ object Relational {
     "g3_cube_orders" -> g3CubeOrders,
     "j1_semi_anti_counts" -> j1SemiAntiCounts,
     "j4_bloom_join" -> j4BloomJoin,
+    "j5_bucketed_join" -> j5BucketedJoin,
     "j3_full_outer" -> j3FullOuter,
     "s1_scalar_functions" -> s1ScalarFunctions,
     "s2_datetime_functions" -> s2DatetimeFunctions,
@@ -1488,6 +1544,12 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "j5_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
     "s2_datetime_functions" ->
       """SELECT o_orderkey,
         |  CAST(isodow(o_orderdate::DATE) AS BIGINT) AS iso_dow,

@@ -588,4 +588,23 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
     assert(!p.contains("Join"), p.take(2500))
   }
+
+  test("j5 bucketed join needs no exchange below the join") {
+    import org.apache.spark.sql.functions.col
+    val spark = TestSpark.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val (to, tl) = graft.operators.Relational.bucketedOrderTables(spark, sf)
+      val joined = spark.table(tl).join(spark.table(to),
+        col("l_orderkey") === col("o_orderkey"))
+      val p = joined.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), p.take(2500))
+      assert(p.contains("SortMergeJoin"), p.take(2500))
+      assert(p.contains("Bucketed: true"), p.take(2500))
+      // NOTE: per-bucket Sort nodes remain — Spark 3+ no longer
+      // propagates bucket sort order (SPARK-32859; legacy flag only).
+      // The exchange elimination is the shuffle the layout buys.
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
