@@ -566,7 +566,39 @@ object Events {
       .orderBy("touch_type")
   }
 
+  /** ev21 — longest activity streak per user: the classic
+    * gaps-and-islands reduction (consecutive active days share
+    * `day − row_number`, so each run collapses to one group) serving the
+    * engagement metric every retention team tracks — longest run of
+    * consecutive active days, current-activity day count, and the streak
+    * count. ev9's retention matrix measures RETURN; this measures
+    * PERSISTENCE.
+    *
+    * Scale shape: events collapse once to the (user, day) activity
+    * domain (hash aggregate, map-side combine); the window runs per
+    * user over day-domain rows (≤ calendar-sized per user), and the
+    * island aggregate is another domain-sized hash aggregate. The raw
+    * event stream is scanned exactly once.
+    */
+  def streaks(spark: SparkSession, dir: String): DataFrame =
+    streaksCore(t(spark, dir, "events"))
+
+  private[graft] def streaksCore(ev: DataFrame): DataFrame = {
+    val days = ev
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .withColumn("grp", expr("date_sub(day, row_number() over " +
+        "(partition by user_id order by day))"))
+    val islands = days.groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"))
+    islands.groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("active_days"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev21_streaks" -> streaks,
     "ev20_attribution" -> attribution,
     "ev19_conversion_lag" -> conversionLag,
     "ev13_rollup_merge" -> rollupMerge,
@@ -587,6 +619,22 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev21_streaks" ->
+      """WITH du AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS day
+        |  FROM events),
+        | g AS (
+        |  SELECT user_id, day,
+        |    day - CAST(row_number() OVER (
+        |      PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        |  FROM du),
+        | isl AS (
+        |  SELECT user_id, grp, count(*) AS len
+        |  FROM g GROUP BY user_id, grp)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS active_days
+        |FROM isl GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "ev20_attribution" ->
       """WITH s AS (
         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,

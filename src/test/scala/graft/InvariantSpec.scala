@@ -591,6 +591,23 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("ev21 streaks: islands split on gaps, dup events collapse") {
+    import spark.implicits._
+    def ts(d: Int, h: Int = 3) =
+      new java.sql.Timestamp(86400000L * (19800 + d) + 3600000L * h)
+    // user 1: days 0,1,2 then 5,6 (two streaks, longest 3); day 1 has
+    // two events (must count once). user 2: one day.
+    val ev = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(1, 9)), (1L, ts(2)),
+      (1L, ts(5)), (1L, ts(6)),
+      (2L, ts(4))
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Events.streaksCore(ev).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map(1L -> ((3L, 2L, 5L)), 2L -> ((1L, 1L, 1L))), got)
+  }
+
   test("ev20 attribution: first/last touch credit planted journeys") {
     import spark.implicits._
     def ts(s: Int) = new java.sql.Timestamp(1700000000000L + s * 1000L)
