@@ -87,11 +87,67 @@ object TypedAgg {
       .orderBy("o_custkey", "rn")
   }
 
+  final case class LineW(l_returnflag: String, l_extendedprice: Double,
+      l_quantity: Double)
+
+  /** Constant-size algebraic buffer: `(Σ w·ln x, Σ w, n)`. */
+  final case class GMeanBuf(swlx: Double, sw: Double, n: Long)
+
+  /** Quantity-weighted geometric mean of line prices — the
+    * log-domain-algebraic complement to [[TopKOrders]]'s bounded-
+    * collection buffer: this Aggregator's partial state is THREE
+    * scalars regardless of group size, the ideal mergeable shape
+    * (map-side combine ships 24 bytes per key per partition). Geometric
+    * means are the right average for multiplicative quantities (price
+    * ratios, growth factors) where an arithmetic mean over-weights
+    * spikes.
+    */
+  object WeightedGMean extends Aggregator[LineW, GMeanBuf, Double] {
+    override def zero: GMeanBuf = GMeanBuf(0.0, 0.0, 0L)
+    override def reduce(b: GMeanBuf, r: LineW): GMeanBuf =
+      GMeanBuf(b.swlx + r.l_quantity * math.log(r.l_extendedprice),
+        b.sw + r.l_quantity, b.n + 1)
+    override def merge(a: GMeanBuf, b: GMeanBuf): GMeanBuf =
+      GMeanBuf(a.swlx + b.swlx, a.sw + b.sw, a.n + b.n)
+    override def finish(r: GMeanBuf): Double =
+      if (r.sw == 0.0) 0.0 else math.exp(r.swlx / r.sw)
+    override def bufferEncoder: Encoder[GMeanBuf] = ExpressionEncoder()
+    override def outputEncoder: Encoder[Double] =
+      ExpressionEncoder()
+  }
+
+  /** agg2 — quantity-weighted geometric mean price per return flag via
+    * the typed algebraic Aggregator. Result rounds to cents: the
+    * log-domain sum's last-ulp accumulation-order difference between
+    * engines is ~1e-12 relative, far inside the 2-decimal grain at
+    * price magnitudes (a 6-decimal gate WOULD graze it — the same
+    * magnitude argument as ev19's mean).
+    */
+  def weightedGMeanTyped(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    t(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+      .as[LineW]
+      .groupByKey(_.l_returnflag)
+      .agg(WeightedGMean.toColumn.name("g"))
+      .toDF("l_returnflag", "g")
+      .select(col("l_returnflag"), round(col("g"), 2).as("w_gmean_price"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "agg1_topk_typed" -> topOrdersTyped
+    "agg1_topk_typed" -> topOrdersTyped,
+    "agg2_wgmean_typed" -> weightedGMeanTyped
   )
 
   val oracle: Map[String, String] = Map(
+    "agg2_wgmean_typed" ->
+      """SELECT l_returnflag,
+        |  round(exp(sum(l_quantity * ln(l_extendedprice))
+        |    / sum(l_quantity)), 2) AS w_gmean_price
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "agg1_topk_typed" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
