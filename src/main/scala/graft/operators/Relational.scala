@@ -676,22 +676,23 @@ object Relational {
     val tag = (spark.sparkContext.applicationId + "_" +
       new java.io.File(dir).getName).replaceAll("[^a-zA-Z0-9]", "_")
     val (to, tl) = (s"j5_orders_$tag", s"j5_lineitem_$tag")
-    if (!spark.catalog.tableExists(to)) {
-      // repartition on the SAME hash the bucketer uses, so each task
-      // holds exactly one bucket and each bucket lands in ONE file —
-      // the single-file-per-bucket layout that lets the join elide its
-      // sorts as well as its exchanges (multi-file buckets force a
-      // per-bucket merge sort back into the plan)
+    // Guards are PER TABLE and the writes are overwrite-mode: a first
+    // call interrupted between the two saveAsTable commits must not
+    // wedge the session (a single to-only guard would skip the missing
+    // lineitem write forever and every later j5 would throw).
+    // Repartitioning on the SAME hash the bucketer uses puts each
+    // bucket in ONE file (a task holds exactly one bucket).
+    if (!spark.catalog.tableExists(to))
       t(spark, dir, "orders")
         .repartition(8, col("o_orderkey"))
-        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable(to)
+        .write.mode("overwrite").bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable(to)
+    if (!spark.catalog.tableExists(tl))
       t(spark, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
         .repartition(8, col("l_orderkey"))
-        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable(tl)
-    }
+        .write.mode("overwrite").bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable(tl)
     (to, tl)
   }
 

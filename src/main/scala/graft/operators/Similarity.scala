@@ -574,24 +574,29 @@ object Similarity {
     * penalty skips the second twin where plain top-k would not.
     */
   private[graft] def mmrCore(e: DataFrame): DataFrame = {
-    val q = e.filter(col("vec_id") === 0L)
-      .select(col("embedding").as("qv"), col("nrm").as("qn"))
-    val cand = graft.engine.Caching.scopedPersist(
-      e.filter(col("vec_id") =!= 0L)
-        .join(broadcast(q))
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
-            .as("rel"))
-        .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates))
-    val sims = graft.engine.Caching.scopedPersist(
-      cand.select(col("vec_id").as("a"), col("embedding").as("av"),
-          col("nrm").as("an"), col("rel"))
-        .join(broadcast(cand.select(col("vec_id").as("b"),
-          col("embedding").as("bv"), col("nrm").as("bn"))),
-          col("a") =!= col("b"))
-        .select(col("a"), col("b"),
-          round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
-            .as("s")))
+    // candidate fetch and sim matrix are LOCALCHECKPOINTED, not
+    // scoped-persisted: the greedy runs k eager localCheckpoint actions,
+    // and a scoped persist releases after the FIRST of them — every
+    // later step would silently re-run the corpus scan (and from step 3
+    // the matrix build) from lineage. Both frames are candidate-sized
+    // (20 and 380 rows), so materializing them eagerly is free.
+    val cand = e.filter(col("vec_id") =!= 0L)
+      .join(broadcast(e.filter(col("vec_id") === 0L)
+        .select(col("embedding").as("qv"), col("nrm").as("qn"))))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
+          .as("rel"))
+      .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates)
+      .localCheckpoint()
+    val sims = cand.select(col("vec_id").as("a"), col("embedding").as("av"),
+        col("nrm").as("an"))
+      .join(broadcast(cand.select(col("vec_id").as("b"),
+        col("embedding").as("bv"), col("nrm").as("bn"))),
+        col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+          .as("s"))
+      .localCheckpoint()
     var selected = cand
       .select(lit(1L).as("rank"), col("vec_id"), col("rel"),
         round(col("rel") * lit(0.7), 6).as("mmr"))

@@ -427,13 +427,22 @@ object Stats {
     val mde = abs(avg(col("value"))) * lit(0.05)
     val zsum2 = lit((1.96 + 0.8416) * (1.96 + 0.8416))
     val nReal = zsum2 * lit(2.0) * var_samp(col("value")) / (mde * mde)
+    // Degenerate guard, decided on ROUNDED values so both engines agree
+    // on the bit: a zero mean makes the relative MDE 0 and nReal
+    // Infinity (NaN when the variance is 0 too) — Spark's long cast
+    // would saturate while DuckDB's BIGINT cast ERRORS, so emit null
+    // ("no finite answer") instead; likewise a near-zero MDE whose
+    // rounded nReal exceeds 1e15 ("more users than exist") stays null
+    // rather than risking the oracle-side BIGINT overflow.
+    val nRounded = r6(nReal)
     ev.groupBy(col("event_type"))
       .agg(
         count(col("value")).as("n_observed"),
         r6(avg(col("value"))).as("mean"),
         r2(var_samp(col("value"))).as("variance"),
         r6(mde).as("mde"),
-        ceil(r6(nReal)).cast("long").as("n_per_arm"))
+        when(r6(mde) > 0.0 && nRounded <= 1e15,
+          ceil(nRounded).cast("long")).as("n_per_arm"))
       .orderBy("event_type")
   }
 
@@ -457,10 +466,16 @@ object Stats {
         |  round(avg(value), 6) AS mean,
         |  round(var_samp(value), 2) AS variance,
         |  round(abs(avg(value)) * 0.05, 6) AS mde,
-        |  CAST(ceil(round(
-        |    (1.96 + 0.8416) * (1.96 + 0.8416) * 2.0 * var_samp(value)
-        |      / ((abs(avg(value)) * 0.05) * (abs(avg(value)) * 0.05)),
-        |    6)) AS BIGINT) AS n_per_arm
+        |  CASE WHEN round(abs(avg(value)) * 0.05, 6) > 0
+        |        AND round(
+        |          (1.96 + 0.8416) * (1.96 + 0.8416) * 2.0 * var_samp(value)
+        |          / ((abs(avg(value)) * 0.05) * (abs(avg(value)) * 0.05)),
+        |          6) <= 1e15
+        |       THEN CAST(ceil(round(
+        |         (1.96 + 0.8416) * (1.96 + 0.8416) * 2.0 * var_samp(value)
+        |           / ((abs(avg(value)) * 0.05) * (abs(avg(value)) * 0.05)),
+        |         6)) AS BIGINT)
+        |  END AS n_per_arm
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

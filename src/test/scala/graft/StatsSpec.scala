@@ -274,6 +274,29 @@ class StatsSpec extends AnyFunSuite {
     assert(bad.getAs[Double]("chisq") > 3.841)
   }
 
+  test("ab7 power: zero-mean metric yields null n_per_arm, healthy scales") {
+    import spark.implicits._
+    // "z": symmetric values -> mean exactly 0 -> mde 0 -> no finite n
+    // "h": healthy metric -> n matches the z-formula computed locally
+    val ev = Seq(
+      ("z", 1.0), ("z", -1.0), ("z", 2.0), ("z", -2.0),
+      ("h", 10.0), ("h", 12.0), ("h", 14.0), ("h", 16.0)
+    ).toDF("event_type", "value")
+    val rows = Stats.abPowerCore(ev).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows("z").isNullAt(rows("z").fieldIndex("n_per_arm")))
+    assert(rows("z").getDouble(rows("z").fieldIndex("mde")) == 0.0)
+    val h = rows("h")
+    val mean = 13.0
+    val varS = Seq(10.0, 12.0, 14.0, 16.0)
+      .map(v => (v - mean) * (v - mean)).sum / 3
+    val mde = mean * 0.05
+    val n = math.ceil(BigDecimal((1.96 + 0.8416) * (1.96 + 0.8416) * 2.0 *
+      varS / (mde * mde)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble).toLong
+    assert(h.getLong(h.fieldIndex("n_per_arm")) == n, h)
+  }
+
   test("ab6 CUPED: perfect covariate kills all variance, independent none") {
     import spark.implicits._
     def ts(ms: Long) = new java.sql.Timestamp(ms)
