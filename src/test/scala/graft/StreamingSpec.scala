@@ -704,11 +704,17 @@ class StreamingSpec extends AnyFunSuite {
     val baseTxt = base.mkString(" ")
     val other = "completely unrelated words about nothing in particular here"
     val other2 = "another disjoint set of terms sharing no shingles at all"
+    // doc 9 is the bounced-peer chain case: its ONLY >=0.7 match in its
+    // batch is doc 4 (jaccard ~0.81), but 4 itself bounces as a near-dup
+    // of 1 — and 9 vs 1 is ~0.65, below the bar. A one-per-batch replay
+    // never has 4 in the index, so 9 must be UNIQUE; crediting a
+    // bounced peer would wrongly call it near(4).
     val docs = Seq(
       1L -> baseTxt, 2L -> other,                       // batch 1
       3L -> baseTxt,                                    // exact copy of 1
       4L -> variant(5, "victor"),                       // near-dup of 1
       5L -> other2, 6L -> other2,                       // intra-batch twins
+      9L -> base.updated(5, "victor").updated(9, "xray").mkString(" "),
       7L -> variant(5, "victor"),                       // 4 was BOUNCED, so
                                                         // matches 1 as near
       8L -> other2)                                     // exact copy of 5
@@ -731,8 +737,9 @@ class StreamingSpec extends AnyFunSuite {
       1L -> ("unique", -1L), 2L -> ("unique", -1L),
       3L -> ("exact", 1L), 4L -> ("near", 1L),
       5L -> ("unique", -1L), 6L -> ("exact", 5L),
+      9L -> ("unique", -1L), // bounced-peer chain: 4 cannot credit it
       7L -> ("near", 1L), 8L -> ("exact", 5L))
-    val got = runChunked(Seq(docs.take(2), docs.slice(2, 6), docs.drop(6)))
+    val got = runChunked(Seq(docs.take(2), docs.slice(2, 7), docs.drop(7)))
     assert(got == expected, got)
     // replaying one doc per micro-batch gives the identical verdict log
     val gotSingles = runChunked(docs.map(Seq(_)))
