@@ -721,6 +721,46 @@ object Relational {
       .orderBy($"o_orderpriority")
   }
 
+  /** q23 — month-over-month revenue growth per nation: the reporting
+    * staple layered on the q5-style star join — monthly revenue, the
+    * previous month's, and the growth ratio, NULL for each nation's
+    * first month (no fabricated 0% growth). Revenue accumulates in
+    * EXACT integer 10⁻⁴ units (prices and discounts carry exactly 2
+    * decimals, so `cents · (100 − disc_bp)` is an exact long) — this
+    * query's (nation × month) grain actually LANDED a monthly sum on a
+    * half-cent rounding boundary where the two engines' double
+    * accumulation orders disagreed, the failure mode coarser-grained
+    * revenue queries dodge by luck; integer sums remove it outright.
+    * Growth then divides identical operands, so the 6-decimal ratio
+    * cannot drift.
+    *
+    * Scale shape: the fact scan aggregates straight to the
+    * (nation × month) frame (map-side combine; dimension joins
+    * broadcast), and the lag window runs over that tiny frame — never
+    * over lineitem.
+    */
+  def q23MomGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val monthly = t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t(spark, dir, "customer")),
+        $"o_custkey" === $"c_custkey")
+      .join(broadcast(t(spark, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name",
+        date_format($"o_orderdate", "yyyy-MM").as("month"))
+      .agg((sum(round($"l_extendedprice" * 100.0).cast("long") *
+          (lit(100L) - round($"l_discount" * 100.0).cast("long")))
+        / lit(10000.0)).as("revenue"))
+    val w = Window.partitionBy($"n_name").orderBy($"month")
+    monthly
+      .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+      .select($"n_name", $"month", $"revenue", $"prev_revenue",
+        r6s(($"revenue" - $"prev_revenue") / $"prev_revenue")
+          .as("mom_growth"))
+      .orderBy($"n_name", $"month")
+  }
+
   /** Semi/anti joins as EXISTS / NOT EXISTS counts. */
   def j1SemiAntiCounts(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -1504,6 +1544,7 @@ object Relational {
     "q16_supplier_counts" -> q16SupplierCounts,
     "q21_sole_supplier" -> q21SoleSupplier,
     "q22_idle_balance" -> q22IdleBalance,
+    "q23_mom_growth" -> q23MomGrowth,
     "q2_min_cost_supplier" -> q2MinCostSupplier,
     "q11_important_parts" -> q11ImportantParts,
     "q20_excess_suppliers" -> q20ExcessSuppliers,
@@ -1545,6 +1586,24 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "q23_mom_growth" ->
+      """WITH m AS (
+        |  SELECT n_name, strftime(o_orderdate::DATE, '%Y-%m') AS month,
+        |    sum(CAST(round(l_extendedprice * 100.0) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100.0) AS BIGINT)))
+        |      / 10000.0 AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT n_name, month, revenue,
+        |  lag(revenue) OVER w AS prev_revenue,
+        |  round((revenue - lag(revenue) OVER w)
+        |    / lag(revenue) OVER w, 6) + 0 AS mom_growth
+        |FROM m
+        |WINDOW w AS (PARTITION BY n_name ORDER BY month)
+        |ORDER BY n_name, month""".stripMargin,
     "j5_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_lines,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
