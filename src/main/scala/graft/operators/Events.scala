@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{t, r2, r6}
+import graft.Tables.{t, r2, r2s, r6}
 
 /** Windowed aggregation over the `events` stream table, batch mode
   * (north-star extension, SURVEY.md §2.5 "Streaming"). These are the
@@ -597,7 +597,51 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ev23 — EWMA-smoothed daily value per event type (α = 0.3, the
+    * pandas `adjust=True` form: `Σ(1−α)^{t−k}x_k / Σ(1−α)^{t−k}` — no
+    * seed-value convention to disagree on), plus each day's deviation
+    * from the PREVIOUS day's smoothed baseline — the classic
+    * monitoring smoother between dq4's hard z-band and drift1's
+    * distribution shift: slow drift moves the baseline, a spike stands
+    * off it.
+    *
+    * The weighted cumulative sums ride ONE window over the day-domain
+    * frame (both engines compute `x_k·(1/(1−α))^k` — the c^t factor
+    * cancels in the ratio, so no weight ever exceeds (10/7)^days).
+    * Daily totals round to cents FIRST, so the smoother's operands are
+    * bit-identical cross-engine before any pow/division touches them;
+    * the output grain is cents at daily-total magnitudes. Precondition
+    * of the cancellation trick: the day horizon is bounded (a year of
+    * days keeps the weight < 1e46 — fine in double; an unbounded
+    * stream would swap to the recursive streaming form).
+    *
+    * Scale shape: one raw scan into the (day × type) aggregate; the
+    * smoother is calendar-sized window work.
+    */
+  def ewmaDaily(spark: SparkSession, dir: String): DataFrame =
+    ewmaDailyCore(t(spark, dir, "events"))
+
+  private[graft] def ewmaDailyCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(r2(sum(col("value"))).as("x"))
+    val byType = Window.partitionBy("event_type").orderBy("day")
+    val cum = byType.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = pow(lit(10.0) / lit(7.0), col("rn"))
+    daily
+      .withColumn("rn", row_number().over(byType))
+      .withColumn("ewma",
+        r2(sum(col("x") * wk).over(cum) / sum(wk).over(cum)))
+      .select(unix_millis(col("day")).as("day_ms"), col("event_type"),
+        col("x").as("daily_total"), col("ewma"),
+        r2s(col("x") - lag(col("ewma"), 1).over(byType))
+          .as("dev_from_baseline"))
+      .orderBy("event_type", "day_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev23_ewma" -> ewmaDaily,
     "ev21_streaks" -> streaks,
     "ev20_attribution" -> attribution,
     "ev19_conversion_lag" -> conversionLag,
@@ -619,6 +663,28 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev23_ewma" ->
+      """WITH daily AS (
+        |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    event_type, round(sum(value), 2) AS x
+        |  FROM events GROUP BY 1, 2),
+        | r AS (
+        |  SELECT day, event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+        |  FROM daily),
+        | sm AS (
+        |  SELECT day, event_type, x,
+        |    round(sum(x * power(10.0 / 7.0, rn)) OVER w
+        |      / sum(power(10.0 / 7.0, rn)) OVER w, 2) AS ewma
+        |  FROM r
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT epoch_ms(day) AS day_ms, event_type, x AS daily_total,
+        |  ewma,
+        |  round(x - lag(ewma) OVER (PARTITION BY event_type
+        |    ORDER BY day), 2) + 0 AS dev_from_baseline
+        |FROM sm
+        |ORDER BY event_type, day_ms""".stripMargin,
     "ev21_streaks" ->
       """WITH du AS (
         |  SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS day

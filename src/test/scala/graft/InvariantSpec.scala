@@ -591,6 +591,33 @@ class InvariantSpec extends AnyFunSuite {
     assert(out.filter(col("total_revenue") =!= mx).count() == 0)
   }
 
+  test("ev23 EWMA: constant series is a fixpoint; step converges toward") {
+    import spark.implicits._
+    def ts(d: Int) = new java.sql.Timestamp(86400000L * (19800 + d))
+    // type c: constant 10 -> ewma identically 10, deviation 0 after day 1
+    // type s: 0,0,0 then 100,100,100 -> ewma strictly rises toward 100,
+    // never overshoots; the jump day shows a large positive deviation
+    val ev = ((0 to 5).map(d => (ts(d), "c", 10.0)) ++
+      (0 to 2).map(d => (ts(d), "s", 0.0)) ++
+      (3 to 5).map(d => (ts(d), "s", 100.0)))
+      .toDF("ts", "event_type", "value")
+    val rows = graft.operators.Events.ewmaDailyCore(ev).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getDouble(3),
+        if (r.isNullAt(4)) Double.NaN else r.getDouble(4)))
+    val c = rows.filter(_._1 == "c").sortBy(_._2)
+    assert(c.forall(_._3 == 10.0), c.toSeq)
+    assert(c.drop(1).forall(_._4 == 0.0), c.toSeq)
+    val s = rows.filter(_._1 == "s").sortBy(_._2).map(_._3)
+    assert(s.take(3).forall(_ == 0.0), s.toSeq)
+    // monotone convergence toward 100 without overshoot
+    assert(s.drop(2).sliding(2).forall { case Array(a, b) => b > a }, s.toSeq)
+    assert(s.last < 100.0 && s.last > 50.0, s.toSeq)
+    // the step day deviates by the full jump against yesterday's baseline
+    val stepDev = rows.filter(r => r._1 == "s")
+      .sortBy(_._2).map(_._4).drop(3).head
+    assert(stepDev == 100.0, stepDev)
+  }
+
   test("ev21 streaks: islands split on gaps, dup events collapse") {
     import spark.implicits._
     def ts(d: Int, h: Int = 3) =
