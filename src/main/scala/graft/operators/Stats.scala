@@ -446,7 +446,55 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** drift4 — exact two-sample Kolmogorov–Smirnov statistic between the
+    * reference window (drift1's 7-day carve) and the rest of the
+    * stream: `sup |F_ref − F_cur|`, the distribution-free drift test
+    * that reacts to ANY shape change where PSI (drift1) sees only its
+    * 10 bins. Computed on the DISTINCT-VALUE domain — per value, both
+    * samples' counts; cumulative sums give both ECDFs at every jump
+    * point, and the supremum over jump points IS the exact KS — so
+    * every number is a ratio of exact integers and ties carry no
+    * ambiguity (both ECDFs are right-continuous at the same points).
+    *
+    * Scale shape: one hash aggregate to the value domain (map-side
+    * combine), one window over the domain frame (the exact-path global
+    * sort, prof2's acknowledged convention — the sketch swap is
+    * drift3's binned variant), one 1-row max. The raw stream is
+    * scanned once.
+    */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame =
+    ksDriftCore(
+      t(spark, dir, "events").select(unix_millis(col("ts")).as("ts_ms"),
+        col("value")))
+
+  /** drift4 over an explicit `(ts_ms, value)` frame — StatsSpec plants
+    * identical samples (KS 0) and disjoint ones (KS 1).
+    */
+  private[graft] def ksDriftCore(src: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = src.filter(col("value").isNotNull)
+    val t0 = ev.agg(min(col("ts_ms")).as("t0"))
+    val tagged = ev.crossJoin(broadcast(t0))
+      .select(col("value").as("v"),
+        (col("ts_ms") < col("t0") + RefWindowMs).as("in_ref"))
+    val dom = tagged.groupBy("v")
+      .agg(count(when(col("in_ref"), 1)).as("nr"),
+        count(when(!col("in_ref"), 1)).as("nc"))
+    val w = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy()
+    dom
+      .select(col("v"),
+        (sum(col("nr")).over(w) / sum(col("nr")).over(tot)).as("fr"),
+        (sum(col("nc")).over(w) / sum(col("nc")).over(tot)).as("fc"),
+        sum(col("nr")).over(tot).as("n_ref"),
+        sum(col("nc")).over(tot).as("n_cur"))
+      .agg(r6(max(abs(col("fr") - col("fc")))).as("ks_stat"),
+        min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "drift4_ks" -> ksDrift,
     "ab7_power" -> abPower,
     "ab6_cuped" -> abCuped,
     "ab5_srm_check" -> abSrm,
@@ -460,6 +508,32 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "drift4_ks" ->
+      s"""WITH ev AS (
+         |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value
+         |  FROM events WHERE value IS NOT NULL),
+         | t0 AS (SELECT min(ts_ms) AS t0 FROM ev),
+         | tagged AS (
+         |  SELECT value AS v,
+         |    ts_ms < (SELECT t0 FROM t0) + $RefWindowMs AS in_ref
+         |  FROM ev),
+         | dom AS (
+         |  SELECT v,
+         |    count(CASE WHEN in_ref THEN 1 END) AS nr,
+         |    count(CASE WHEN NOT in_ref THEN 1 END) AS nc
+         |  FROM tagged GROUP BY v),
+         | c AS (
+         |  SELECT v,
+         |    sum(nr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      / CAST(sum(nr) OVER () AS DOUBLE) AS fr,
+         |    sum(nc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+         |      / CAST(sum(nc) OVER () AS DOUBLE) AS fc,
+         |    sum(nr) OVER () AS n_ref, sum(nc) OVER () AS n_cur
+         |  FROM dom)
+         |SELECT round(max(abs(fr - fc)), 6) AS ks_stat,
+         |  CAST(min(n_ref) AS BIGINT) AS n_ref,
+         |  CAST(min(n_cur) AS BIGINT) AS n_cur
+         |FROM c""".stripMargin,
     "ab7_power" ->
       """SELECT event_type,
         |  count(value) AS n_observed,

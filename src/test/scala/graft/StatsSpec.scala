@@ -274,6 +274,27 @@ class StatsSpec extends AnyFunSuite {
     assert(bad.getAs[Double]("chisq") > 3.841)
   }
 
+  test("drift4 KS: identical samples score 0, disjoint score 1") {
+    import spark.implicits._
+    val week = 604800000L
+    // ref window = first 7 days from t0: put ref at ms 0..3, cur after
+    def frame(ref: Seq[Double], cur: Seq[Double]) =
+      (ref.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+        cur.zipWithIndex.map { case (v, i) => (week + 1 + i.toLong, v) })
+        .toDF("ts_ms", "value")
+    val same = Stats.ksDriftCore(
+      frame(Seq(1.0, 2.0, 3.0, 4.0), Seq(1.0, 2.0, 3.0, 4.0))).collect().head
+    assert(same.getDouble(0) == 0.0, same)
+    assert(same.getLong(1) == 4L && same.getLong(2) == 4L)
+    val disjoint = Stats.ksDriftCore(
+      frame(Seq(1.0, 2.0), Seq(10.0, 11.0, 12.0))).collect().head
+    assert(disjoint.getDouble(0) == 1.0, disjoint)
+    // half-shifted: KS = 0.5 exactly (half the cur mass beyond ref max)
+    val half = Stats.ksDriftCore(
+      frame(Seq(1.0, 2.0), Seq(1.0, 2.0, 10.0, 11.0))).collect().head
+    assert(half.getDouble(0) == 0.5, half)
+  }
+
   test("ab7 power: zero-mean metric yields null n_per_arm, healthy scales") {
     import spark.implicits._
     // "z": symmetric values -> mean exactly 0 -> mde 0 -> no finite n
