@@ -589,6 +589,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), p.take(2500))
   }
 
+  test("ev20 attribution runs both models on one user exchange, one scan") {
+    val p = plan("ev20_attribution")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+    assert("Exchange hashpartitioning\\(user_id".r.findAllIn(p).size == 1,
+      p.take(2500))
+  }
+
+  test("drift4 scans the stream once; KS runs on the value domain") {
+    val p = plan("drift4_ks")
+    // two scans total: the 1-row t0 bound + the tagged scan (drift1's
+    // acknowledged two-pass shape); no join of events against events
+    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("q23 broadcasts dims; the lag window runs on the monthly frame") {
+    val p = plan("q23_mom_growth")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(2500))
+    // the window's exchange partitions by nation, not by fact keys
+    assert(p.contains("hashpartitioning(n_name"), p.take(2500))
+  }
+
   test("j5 bucketed join needs no exchange below the join") {
     import org.apache.spark.sql.functions.col
     val spark = TestSpark.spark
