@@ -1525,7 +1525,34 @@ object Relational {
     spark.sql(SharedScalarSubquerySql)
   }
 
+  /** Window functions inside the verbatim-shared SQL facade (sql1/sql2's
+    * third leg): rank, share-of-total and running share from one
+    * aggregate + window text both engines parse and execute IDENTICALLY
+    * — the dialect-portability claim extended to the window clause.
+    */
+  private[operators] val SharedWindowSql: String =
+    """SELECT o_orderpriority, n, rnk,
+      |  round(share, 6) AS share,
+      |  round(cum_share, 6) AS cum_share
+      |FROM (
+      |  SELECT o_orderpriority, n,
+      |    row_number() OVER (ORDER BY n DESC, o_orderpriority) AS rnk,
+      |    n / CAST(sum(n) OVER () AS DOUBLE) AS share,
+      |    sum(n) OVER (ORDER BY n DESC, o_orderpriority
+      |      ROWS UNBOUNDED PRECEDING)
+      |      / CAST(sum(n) OVER () AS DOUBLE) AS cum_share
+      |  FROM (
+      |    SELECT o_orderpriority, count(*) AS n
+      |    FROM orders GROUP BY o_orderpriority) a) b
+      |ORDER BY rnk""".stripMargin
+
+  def sql3WindowFacade(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "orders").createOrReplaceTempView("orders")
+    spark.sql(SharedWindowSql)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql3_window_facade" -> sql3WindowFacade,
     "sql1_revenue_by_nation" -> sql1RevenueByNation,
     "sql2_correlated_scalar" -> sql2CorrelatedScalar,
     "p1_pivot_segments" -> p1PivotSegments,
@@ -1586,6 +1613,7 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "sql3_window_facade" -> SharedWindowSql,
     "q23_mom_growth" ->
       """WITH m AS (
         |  SELECT n_name, strftime(o_orderdate::DATE, '%Y-%m') AS month,

@@ -370,7 +370,45 @@ object Lake {
       .orderBy("gen")
   }
 
+  /** lake7 — partition-layout evolution: migrate a day-partitioned
+    * layout to MONTH partitioning (the repartitioning every aging table
+    * eventually needs once daily directories become too granular for
+    * its dominant query grain), and gate the migrated layout physically:
+    * per month, the row count read back from the NEW layout plus the
+    * actual file count from the directory listing — which must be
+    * exactly 1, because the migration shuffles each month wholly into
+    * one writer task (the single-writer-per-partition discipline,
+    * lake4's shape at the coarser grain). The oracle recomputes monthly
+    * counts from raw events, so rows lost or misrouted across the
+    * month boundary break the hash.
+    */
+  def partitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val dayRoot = lakeDir(spark, "events_mig_day")
+    val monthRoot = lakeDir(spark, "events_mig_month")
+    val ev = t(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    ev.write.mode("overwrite").partitionBy("day").parquet(dayRoot)
+    spark.read.parquet(dayRoot)
+      .withColumn("month", date_format(col("day"), "yyyy-MM"))
+      .drop("day")
+      .repartition(col("month"))
+      .write.mode("overwrite").partitionBy("month").parquet(monthRoot)
+    val files = Option(new java.io.File(monthRoot).listFiles())
+      .getOrElse(Array()).filter(_.isDirectory)
+      .map(d => d.getName.stripPrefix("month=") ->
+        d.listFiles().count(_.getName.endsWith(".parquet")).toLong).toMap
+    import spark.implicits._
+    val listing = files.toSeq.sortBy(_._1).toDF("month", "n_files")
+    spark.read.parquet(monthRoot)
+      .groupBy("month").agg(count(lit(1)).as("n_rows"))
+      .join(listing, "month")
+      .select(col("month"), col("n_rows"), col("n_files"))
+      .orderBy("month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake7_partition_evolution" -> partitionEvolution,
     "lake6_schema_evolution" -> schemaEvolution,
     "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
     "lake2_zorder_keys" -> zorderKeys,
@@ -405,6 +443,12 @@ object Lake {
         |WHERE event_type = 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "lake7_partition_evolution" ->
+      """SELECT strftime(CAST(ts AS TIMESTAMP)::DATE, '%Y-%m') AS month,
+        |  count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY month""".stripMargin,
     "lake6_schema_evolution" ->
       """WITH cut AS (SELECT min(ts::DATE) + 15 AS c FROM events)
         |SELECT CASE WHEN ts::DATE <= c THEN 1 ELSE 2 END AS gen,
