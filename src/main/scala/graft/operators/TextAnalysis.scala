@@ -952,7 +952,28 @@ object TextAnalysis {
       .orderBy("bucket")
   }
 
+  /** t25 — language-ID confusion matrix: the heuristic detector's
+    * verdicts cross-tabulated against the corpus's DECLARED `lang`
+    * labels, with per-cell share of the declared language — the
+    * evaluation readout that turns "we have a language detector" into
+    * "here is its accuracy by class" (the diagonal is per-language
+    * recall; off-diagonal mass says which languages it confuses).
+    * One scan, scan-local detection (the same expression tree t4/pipe2
+    * gate), one hash aggregate onto the |langs|² frame.
+    */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = t(spark, dir, "documents")
+      .select(col("lang").as("declared"), langId(col("text")).as("detected"))
+      .groupBy("declared", "detected").agg(count(lit(1)).as("n"))
+    cells.select(col("declared"), col("detected"), col("n"),
+        r6(col("n") / sum(col("n"))
+          .over(Window.partitionBy("declared"))).as("share_of_declared"))
+      .orderBy("declared", "detected")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_langid_confusion" -> langidConfusion,
     "t24_heaps_fit" -> heapsFit,
     "t16_bm25_rank" -> bm25Rank,
     "t17_inverted_index" -> invertedIndex,
@@ -1193,6 +1214,16 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t25_langid_confusion" ->
+      s"""WITH cells AS (
+         |  SELECT lang AS declared, ${sqlLangId("text")} AS detected,
+         |    count(*) AS n
+         |  FROM documents GROUP BY 1, 2)
+         |SELECT declared, detected, n,
+         |  round(n / CAST(sum(n) OVER (PARTITION BY declared) AS DOUBLE),
+         |    6) AS share_of_declared
+         |FROM cells
+         |ORDER BY declared, detected""".stripMargin,
     "t24_heaps_fit" ->
       s"""WITH m AS (SELECT max(doc_id) + 1 AS m FROM documents),
          | tk AS (SELECT doc_id, $sqlTokens AS t FROM documents),
