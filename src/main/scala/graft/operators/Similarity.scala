@@ -670,7 +670,39 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** sim13 — embedding health audit per label: vector count, mean norm,
+    * and the min/max per-dimension standard deviation — the production
+    * QA frame an embedding pipeline watches (a near-zero min-dim σ is a
+    * COLLAPSED dimension, a wildly large max-dim σ a scaling bug, a
+    * drifting mean norm a normalization regression; all three precede
+    * any visible retrieval-quality drop).
+    *
+    * Scale shape: norms are one scan-local fold (sim1's kernel) into a
+    * per-label aggregate; per-dimension σ comes from ONE posexplode hash
+    * aggregate to the (labels × dims) frame (map-side combine) and a
+    * second aggregate over that tiny frame. Two corpus scans total, no
+    * joins against the corpus.
+    */
+  def embeddingHealth(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "embeddings")
+    val norms = e.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        r6(avg(norm(col("embedding")))).as("mean_norm"))
+    val dimStats = e
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(stddev_samp(col("col").cast("double")).as("sd"))
+      .groupBy("label")
+      .agg(r6(min(col("sd"))).as("min_dim_std"),
+        r6(max(col("sd"))).as("max_dim_std"))
+    norms.join(dimStats, "label")
+      .select(col("label"), col("n_vecs"), col("mean_norm"),
+        col("min_dim_std"), col("max_dim_std"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim13_embedding_health" -> embeddingHealth,
     "sim12_silhouette" -> silhouette,
     "sim11_mmr_topk" -> mmrTopK,
     "sim10_mips_topk" -> mipsTopK,
@@ -734,6 +766,23 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim13_embedding_health" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        | norms AS (
+        |  SELECT label, count(*) AS n_vecs,
+        |    round(avg(sqrt(list_dot_product(v, v))), 6) AS mean_norm
+        |  FROM n GROUP BY label),
+        | dims AS (
+        |  SELECT label, i, stddev_samp(v[CAST(i AS INTEGER)]) AS sd
+        |  FROM n, range(1, 65) r(i) GROUP BY label, i),
+        | ds AS (
+        |  SELECT label, round(min(sd), 6) AS min_dim_std,
+        |    round(max(sd), 6) AS max_dim_std
+        |  FROM dims GROUP BY label)
+        |SELECT norms.label, n_vecs, mean_norm, min_dim_std, max_dim_std
+        |FROM norms JOIN ds ON norms.label = ds.label
+        |ORDER BY norms.label""".stripMargin,
     "sim12_silhouette" ->
       """WITH e6 AS (
         |  SELECT vec_id, label,
