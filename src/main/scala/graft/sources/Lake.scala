@@ -407,7 +407,80 @@ object Lake {
       .orderBy("month")
   }
 
+  /** lake8 — vacuum: reclaim files no live snapshot references. A real
+    * table's data directory accumulates three kinds of files — those the
+    * CURRENT manifest lists (live), those only EXPIRED snapshots list
+    * (superseded by a compacting rewrite, kept only for time travel),
+    * and files from ABORTED writes that never committed a manifest at
+    * all. Vacuum is the control-plane diff `listing − live manifest`
+    * followed by deletes; it is the one lake operation whose bug class
+    * is catastrophic (deleting a live file corrupts the table
+    * silently), so the gate is double-sided: the post-vacuum directory
+    * listing must equal the live manifest's file count exactly, AND the
+    * table read back through the live manifest must still reproduce the
+    * full-corpus aggregates — proving nothing live was deleted and
+    * nothing dead survived.
+    *
+    * Construction (all counts oracle-recomputable): v1 writes the first
+    * 15 days round-robin at a 2000-row file budget (`max(2, ceil(n1/
+    * 2000))` files — round-robin fills every partition, so the file
+    * count is exact); v2 is a full compacted rewrite of ALL events into
+    * the same directory (`max(2, ceil(n/2000))` new files) committing a
+    * manifest that lists only them; an aborted job then drops 3 more
+    * uncommitted files (`event_id % 97 = 0` rows, `repartition(3)`).
+    * Retention here expires everything outside the latest manifest;
+    * production systems add an age threshold before a file becomes
+    * eligible — same diff, extra predicate.
+    *
+    * Scale shape: the candidate set comes from a directory listing and
+    * a manifest read (control-plane only — no data I/O); deletes are
+    * per-file metadata ops that at 100 TB fan out as a distributed
+    * foreach over the listing diff. The verification read plans exactly
+    * the manifest's files, lake5's mechanism.
+    */
+  def vacuum(spark: SparkSession, dir: String): DataFrame = {
+    val root = lakeDir(spark, "events_vacuum")
+    val dataDir = s"$root/data"
+    val ev = t(spark, dir, "events")
+      .select(col("ts"), col("user_id"), col("value"))
+      .withColumn("day", to_date(col("ts")))
+    val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
+    def listData(): Set[String] =
+      Option(new java.io.File(dataDir).listFiles()).getOrElse(Array())
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    def budgetFiles(n: Long): Int = math.max(2L, math.ceil(n / 2000.0).toLong).toInt
+    new java.io.File(root).mkdirs()
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(dataDir))
+    // v1 commit: first 15 days. v2 commit: full compacted rewrite (the
+    // OPTIMIZE that supersedes v1's files). Aborted append: no commit.
+    val v1 = ev.filter(col("day") <= lit(cut))
+    v1.repartition(budgetFiles(v1.count())).write.mode("append").parquet(dataDir)
+    val v1Files = listData()
+    ev.repartition(budgetFiles(ev.count())).write.mode("append").parquet(dataDir)
+    val v2Files = listData() -- v1Files
+    t(spark, dir, "events").filter(col("event_id") % 97 === 0)
+      .select(col("ts"), col("user_id"), col("value"))
+      .repartition(3).write.mode("append").parquet(dataDir)
+    // live = the latest committed manifest; everything else is eligible
+    val live = v2Files
+    val orphans = listData() -- live
+    orphans.foreach(p => new java.io.File(p).delete())
+    val after = listData()
+    require(after == live, "vacuum invariant: listing != live manifest")
+    val readBack = spark.read.parquet(live.toSeq.sorted: _*)
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("user_id")).as("n_users"),
+        r2(sum(col("value"))).as("total_value"))
+    readBack.select(
+      lit(live.size.toLong).as("n_live_files"),
+      lit(orphans.size.toLong).as("n_orphans_deleted"),
+      lit(after.size.toLong).as("files_after_vacuum"),
+      col("n_events"), col("n_users"), col("total_value"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "lake8_vacuum" -> vacuum,
     "lake7_partition_evolution" -> partitionEvolution,
     "lake6_schema_evolution" -> schemaEvolution,
     "lake1_partitioned_roundtrip" -> partitionedRoundtrip,
@@ -443,6 +516,21 @@ object Lake {
         |WHERE event_type = 'click'
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "lake8_vacuum" ->
+      """WITH cut AS (SELECT min(ts::DATE) + 15 AS c FROM events),
+        | n1 AS (SELECT count(*) AS v FROM events, cut WHERE ts::DATE <= c),
+        | n AS (SELECT count(*) AS v FROM events),
+        | live AS (SELECT greatest(2, CAST(ceil(v / 2000.0) AS BIGINT)) AS f
+        |   FROM n),
+        | dead AS (SELECT greatest(2, CAST(ceil(v / 2000.0) AS BIGINT)) + 3
+        |   AS f FROM n1)
+        |SELECT (SELECT f FROM live) AS n_live_files,
+        |  (SELECT f FROM dead) AS n_orphans_deleted,
+        |  (SELECT f FROM live) AS files_after_vacuum,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  round(sum(value), 2) AS total_value
+        |FROM events""".stripMargin,
     "lake7_partition_evolution" ->
       """SELECT strftime(CAST(ts AS TIMESTAMP)::DATE, '%Y-%m') AS month,
         |  count(*) AS n_rows, CAST(1 AS BIGINT) AS n_files
