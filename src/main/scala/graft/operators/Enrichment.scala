@@ -396,6 +396,52 @@ object Enrichment {
     winsorizeCore(
       t(spark, dir, "lineitem").select(col("l_extendedprice").as("v")))
 
+  /** d13 — curriculum phases: order the corpus easy → hard for
+    * curriculum training. Difficulty is each document's mean unigram
+    * negative log-probability under the corpus's own unigram model
+    * (rare-word-heavy docs score high — the model-free complement of
+    * t8's bigram surprise and t23's perplexity band). Phase cuts are
+    * mean ± stddev/2 of the ROUNDED per-doc difficulty (dq3's
+    * convention: thresholds derive from rounded values so both engines
+    * classify boundary docs identically); token-free docs land in an
+    * explicit `empty` phase.
+    *
+    * Scale shape: one explode into a vocabulary-sized hash aggregate
+    * (map-side combine), frequencies joined back on the token key, one
+    * per-doc aggregate, and a 1-row stats broadcast for the cuts —
+    * no corpus sort, no window. At 100 TB the vocabulary frame is the
+    * only shuffled artifact and it is Zipf-bounded.
+    */
+  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokensOrdered
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
+    val occ = docs.select(col("doc_id"), explode(col("tk")).as("w"))
+    val freq = occ.groupBy("w").agg(count(lit(1)).as("c"))
+    val totF = freq.agg(sum(col("c")).as("tot"))
+    val scored = occ.join(freq, "w").crossJoin(broadcast(totF))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(col("c").cast("double") / col("tot"))), 4)
+        .as("difficulty"),
+        count(lit(1)).as("n_tokens"))
+    val cuts = scored.agg(
+      round(avg(col("difficulty")) - stddev_samp(col("difficulty")) / 2, 6)
+        .as("lo"),
+      round(avg(col("difficulty")) + stddev_samp(col("difficulty")) / 2, 6)
+        .as("hi"))
+    docs.select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(cuts))
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("difficulty"),
+        when(col("difficulty").isNull, lit("empty"))
+          .when(col("difficulty") <= col("lo"), lit("easy"))
+          .when(col("difficulty") > col("hi"), lit("hard"))
+          .otherwise(lit("medium")).as("phase"))
+      .orderBy("doc_id")
+  }
+
   /** d10 over an explicit single-column frame `v` — DictionarySpec plants
     * a known tail and checks the exact clip counts and the clamped mean.
     */
@@ -463,6 +509,7 @@ object Enrichment {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_leakproof_split" -> leakproofSplit,
+    "d13_curriculum" -> curriculum,
     "d5_mixture_weights" -> mixtureWeights,
     "d8_quality_prune" -> qualityPrune,
     "d10_winsorize" -> winsorize,
@@ -520,6 +567,29 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d13_curriculum" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, unnest(${TextAnalysis.sqlTokens}) AS w
+         |  FROM documents),
+         | freq AS (SELECT w, count(*) AS c FROM occ GROUP BY w),
+         | tot AS (SELECT CAST(sum(c) AS BIGINT) AS t FROM freq),
+         | scored AS (
+         |  SELECT doc_id,
+         |    round(avg(-ln(c / (SELECT t FROM tot))), 4) AS difficulty,
+         |    count(*) AS n_tokens
+         |  FROM occ JOIN freq USING (w) GROUP BY doc_id),
+         | cuts AS (
+         |  SELECT round(avg(difficulty) - stddev_samp(difficulty) / 2, 6)
+         |      AS lo,
+         |    round(avg(difficulty) + stddev_samp(difficulty) / 2, 6) AS hi
+         |  FROM scored)
+         |SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens, s.difficulty,
+         |  CASE WHEN s.difficulty IS NULL THEN 'empty'
+         |    WHEN s.difficulty <= (SELECT lo FROM cuts) THEN 'easy'
+         |    WHEN s.difficulty > (SELECT hi FROM cuts) THEN 'hard'
+         |    ELSE 'medium' END AS phase
+         |FROM documents d LEFT JOIN scored s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "d11_leakproof_split" ->
       s"""WITH f AS (
          |  SELECT doc_id, source,

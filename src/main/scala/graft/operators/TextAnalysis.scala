@@ -1002,7 +1002,7 @@ object TextAnalysis {
 
   // Shared SQL fragments for the oracle (DuckDB dialect), mirroring
   // TextFunctions exactly.
-  private val sqlTokens =
+  private[graft] val sqlTokens =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), x -> x <> '')"
   private def sqlTokenSet(c: String) =
     s"list_distinct(list_filter(regexp_split_to_array(lower($c), '[^a-z]+'), x -> x <> ''))"
