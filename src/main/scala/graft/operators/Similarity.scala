@@ -212,7 +212,20 @@ object Similarity {
     * takes the top-3. Ranking is on the ROUNDED cosine with a vec_id
     * tiebreak, so both engines rank identically.
     */
-  def batchAnn(spark: SparkSession, dir: String): DataFrame = {
+  def batchAnn(spark: SparkSession, dir: String): DataFrame =
+    probeScored(spark, dir)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("qid")
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 3).drop("rk")
+      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
+
+  /** sim4's probe-scored frame `(qid, vec_id, label, cos)` — every
+    * corpus vector colliding with one of the query's Hamming-1 probe
+    * cells, exact-cosine scored. Shared by sim4's top-k and sim14's
+    * hard-negative band.
+    */
+  private def probeScored(spark: SparkSession, dir: String): DataFrame = {
     val b = bitsFor(spark, dir)
     val e = withNorm(spark, dir)
       .withColumn("bucket", signBucket(col("embedding"), b))
@@ -223,16 +236,37 @@ object Similarity {
       col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
     val probes = q.select(col("qid"), col("qv"), col("qn"),
       explode(probeArr).as("pbucket"))
-    val scored = e.join(broadcast(probes),
+    e.join(broadcast(probes),
         col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), col("label"),
         round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("cos"))
-    scored.withColumn("rk", row_number().over(
+  }
+
+  /** sim14 — hard-negative mining for contrastive/embedding training:
+    * per query, the top-5 candidates from the LSH probe set whose exact
+    * cosine falls BELOW the near-dup threshold (0.4, sim3's convention).
+    * Above the bar a candidate is a positive/near-duplicate; just below
+    * it are the "hard" negatives — similar enough to be informative,
+    * dissimilar enough to be true negatives — the pairs an embedding
+    * trainer wants in each batch (in-batch easy negatives teach nothing).
+    * Ranking is on the ROUNDED cosine with a vec_id tiebreak (sim4's
+    * determinism rule).
+    *
+    * Scale shape: identical to sim4 — queries broadcast into one probe
+    * equi-join over the corpus (the corpus never self-joins), the
+    * threshold filter runs scan-side, and the per-query top-5 is a
+    * |Q|-keyed window. Mining negatives for a 100 TB corpus is one pass
+    * per query batch.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame =
+    probeScored(spark, dir)
+      .filter(col("cos") < 0.4)
+      .withColumn("rk", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy("qid")
           .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rk") <= 3).drop("rk")
-      .orderBy(col("qid"), col("cos").desc, col("vec_id"))
-  }
+      .filter(col("rk") <= 5)
+      .select(col("qid"), col("rk"), col("vec_id"), col("label"), col("cos"))
+      .orderBy(col("qid"), col("rk"))
 
   /** sim9 — ANN recall audit: per query, how much of the EXACT top-k the
     * bucketed multi-probe ANN (sim4's probe set) actually returned —
@@ -702,6 +736,7 @@ object Similarity {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim14_hard_negatives" -> hardNegatives,
     "sim13_embedding_health" -> embeddingHealth,
     "sim12_silhouette" -> silhouette,
     "sim11_mmr_topk" -> mmrTopK,
@@ -766,6 +801,27 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim14_hard_negatives" ->
+      s"""WITH $sqlBitsCte,
+         | n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+         |    ${sqlCell("0")} AS bucket FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM n WHERE vec_id <= 2),
+         | probes AS (
+         |  SELECT qid, qv, qb AS pb FROM q
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qb, (1::BIGINT << CAST(i AS INTEGER)))
+         |  FROM q CROSS JOIN (SELECT unnest(range((SELECT b FROM prm))) AS i) r),
+         | scored AS (
+         |  SELECT p.qid, a.vec_id, a.label,
+         |    round(list_dot_product(a.v, p.qv) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(p.qv, p.qv))), 6) AS cos
+         |  FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> p.qid),
+         | rk AS (SELECT qid, vec_id, label, cos,
+         |   row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS r
+         |  FROM scored WHERE cos < 0.4)
+         |SELECT qid, CAST(r AS INTEGER) AS rk, vec_id, label, cos
+         |FROM rk WHERE r <= 5
+         |ORDER BY qid, r""".stripMargin,
     "sim13_embedding_health" ->
       """WITH n AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
