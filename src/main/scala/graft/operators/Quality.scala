@@ -220,7 +220,64 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** dq6 — financial reconciliation: does each order's listed total
+    * agree with the total recomputed from its own line items
+    * (`Σ extendedprice·(1−discount)·(1+tax)`)? The classic
+    * cross-table audit between a header mart and its detail table,
+    * reported as deviation bands (exact ≤ 1¢, within 5%, within 25%,
+    * gross, and headers with no detail rows at all). On the driver
+    * corpus the listed totals are synthetic so the bands EXPOSE the
+    * inconsistency — which is precisely the operator's job.
+    *
+    * Determinism: prices, discounts and taxes all carry exactly 2
+    * decimals, so each line's `cents · (100−disc_bp) · (100+tax_bp)`
+    * is an exact long at the 10⁻⁶ grain and every money sum here is
+    * exact integer arithmetic divided once at the end (q23's
+    * convention — a double-accumulated per-order `round(sum, 2)`
+    * actually LANDED on a half-cent boundary at sf0.1). Band
+    * assignment is then per-row scalar IEEE arithmetic on identical
+    * operands.
+    *
+    * Scale shape: one lineitem hash aggregate keyed on orderkey
+    * (map-side combine), an equi-join to orders on the same key (both
+    * sides shuffle-partitioned by orderkey — co-located), scan-local
+    * band assignment, and a band-cardinality final aggregate. The share
+    * window runs over the ≤ 5-row band frame.
+    */
+  def dq6Reconciliation(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val calc = t(spark, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100.0).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100.0).cast("long")) *
+          (lit(100L) + round(col("l_tax") * 100.0).cast("long"))).as("micro"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("micro")).as("micro"))
+    val banded = t(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .join(calc, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_totalprice"), col("micro"),
+        (col("micro") / 1e6).as("calc"))
+      .select(col("o_totalprice"), col("micro"),
+        when(col("calc").isNull, lit("no_lines"))
+          .when(abs(col("o_totalprice") - col("calc")) <= 0.01, lit("exact"))
+          .when(abs(col("o_totalprice") - col("calc")) / col("o_totalprice")
+            <= 0.05, lit("within_5pct"))
+          .when(abs(col("o_totalprice") - col("calc")) / col("o_totalprice")
+            <= 0.25, lit("within_25pct"))
+          .otherwise(lit("gross")).as("band"))
+    banded.groupBy("band")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(round(col("o_totalprice") * 100).cast("long")) / 100.0, 2)
+          .as("listed_total"),
+        round(sum(col("micro")) / 1e6, 2).as("computed_total"))
+      .withColumn("share", round(col("n_orders").cast("double") /
+        sum(col("n_orders")).over(Window.partitionBy()), 6))
+      .orderBy("band")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq6_reconciliation" -> dq6Reconciliation,
     "dq1_constraint_report" -> dq1ConstraintReport,
     "dq2_accepted_cross_report" -> dq2AcceptedAndCross,
     "dq3_mad_outliers" -> dq3MadOutliers,
@@ -229,6 +286,34 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq6_reconciliation" ->
+      """WITH c AS (
+        |  SELECT l_orderkey,
+        |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+        |      * (100 + CAST(round(l_tax * 100) AS BIGINT))) AS micro
+        |  FROM lineitem GROUP BY 1),
+        | banded AS (
+        |  SELECT o.o_totalprice, c.micro, c.micro / 1000000.0 AS calc
+        |  FROM orders o LEFT JOIN c ON o.o_orderkey = c.l_orderkey),
+        | b2 AS (
+        |  SELECT o_totalprice, micro,
+        |    CASE WHEN calc IS NULL THEN 'no_lines'
+        |      WHEN abs(o_totalprice - calc) <= 0.01 THEN 'exact'
+        |      WHEN abs(o_totalprice - calc) / o_totalprice <= 0.05
+        |        THEN 'within_5pct'
+        |      WHEN abs(o_totalprice - calc) / o_totalprice <= 0.25
+        |        THEN 'within_25pct'
+        |      ELSE 'gross' END AS band
+        |  FROM banded)
+        |SELECT band, count(*) AS n_orders,
+        |  round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2)
+        |    AS listed_total,
+        |  round(sum(micro) / 1000000.0, 2) AS computed_total,
+        |  round(count(*) / (SELECT count(*)::DOUBLE FROM orders), 6) AS share
+        |FROM b2
+        |GROUP BY band
+        |ORDER BY band""".stripMargin,
     "dq1_constraint_report" ->
       """SELECT * FROM (
         |  SELECT 'customer_pk_unique' AS "constraint",
