@@ -140,9 +140,60 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("l_partkey"))
   }
 
+  /** gr3 — link prediction over the co-purchase graph: for every
+    * NON-adjacent part pair sharing at least one co-purchase neighbor,
+    * the common-neighbor count and the Adamic–Adar score
+    * `Σ_y 1/ln(deg(y))` (common neighbors weighted inversely by how
+    * promiscuous they are — the classic "which edge appears next"
+    * baseline, Liben-Nowell & Kleinberg 2003). Top-20 predicted links.
+    * The recommender reading: parts never yet bought together whose
+    * shared basket-mates most strongly suggest they will be.
+    *
+    * Scale shape: runs entirely on gr2's support-pruned edge list
+    * (3.6–3.9 k edges across sf0.01→0.1 — affinity-scale, never the
+    * fact table): symmetrize, one node-sized degree aggregate, one
+    * edge-edge wedge join keyed on the center vertex, an anti-join to
+    * drop existing edges, and a TakeOrdered top-20. A wedge center's
+    * degree is ≥ 2 by construction, so `ln(deg)` never divides by zero.
+    */
+  def linkPrediction(spark: SparkSession, dir: String): DataFrame =
+    linkPredictionCore(t(spark, dir, "lineitem"))
+
+  private[graft] def linkPredictionCore(lineitem: DataFrame): DataFrame = {
+    val li = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val pairs = graft.engine.Caching.scopedPersist(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa"), col("pb")))
+    val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // wedges x—y—z with x < z, y the shared neighbor
+    val wedges = sym.as("e1").join(sym.as("e2"),
+        col("e1.dst") === col("e2.src") && col("e1.src") < col("e2.dst"))
+      .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+        col("e2.dst").as("z"))
+    val open = wedges.join(pairs,
+        col("x") === col("pa") && col("z") === col("pb"), "left_anti")
+    open.join(deg, col("y") === col("src"))
+      .groupBy(col("x"), col("z"))
+      .agg(count(lit(1)).as("n_common"),
+        round(sum(lit(1.0) / log(col("deg").cast("double"))), 6)
+          .as("adamic_adar"))
+      .orderBy(col("adamic_adar").desc, col("n_common").desc,
+        col("x"), col("z"))
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> pagerank,
-    "gr2_triangles" -> triangles
+    "gr2_triangles" -> triangles,
+    "gr3_link_prediction" -> linkPrediction
   )
 
   val oracle: Map[String, String] = {
@@ -156,6 +207,32 @@ object Graph {
          |    0.15 / (SELECT n FROM np) + 0.85 * coalesce(contrib, 0.0) AS r
          |  FROM documents d LEFT JOIN c$k ON d.doc_id = dst),""".stripMargin
     Map(
+      "gr3_link_prediction" ->
+        """WITH li AS (
+          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+          | e AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM li a JOIN li b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          | sym AS (
+          |  SELECT pa AS src, pb AS dst FROM e
+          |  UNION ALL SELECT pb, pa FROM e),
+          | deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+          | wedges AS (
+          |  SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+          |  FROM sym e1 JOIN sym e2
+          |    ON e1.dst = e2.src AND e1.src < e2.dst),
+          | open_w AS (
+          |  SELECT w.* FROM wedges w
+          |  WHERE NOT EXISTS (
+          |    SELECT 1 FROM e WHERE e.pa = w.x AND e.pb = w.z))
+          |SELECT x, z, count(*) AS n_common,
+          |  round(sum(1.0 / ln(deg)), 6) AS adamic_adar
+          |FROM open_w JOIN deg ON y = src
+          |GROUP BY x, z
+          |ORDER BY adamic_adar DESC, n_common DESC, x, z
+          |LIMIT 20""".stripMargin,
       "gr2_triangles" ->
         """WITH li AS (
           |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
