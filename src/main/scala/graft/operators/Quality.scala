@@ -244,16 +244,23 @@ object Quality {
     * band assignment, and a band-cardinality final aggregate. The share
     * window runs over the ≤ 5-row band frame.
     */
-  def dq6Reconciliation(spark: SparkSession, dir: String): DataFrame = {
+  def dq6Reconciliation(spark: SparkSession, dir: String): DataFrame =
+    reconciliationReport(t(spark, dir, "orders"), t(spark, dir, "lineitem"))
+
+  /** dq6 over explicit (orders, lineitem) frames — QualitySpec plants
+    * one order per band and checks the classification and totals.
+    */
+  private[graft] def reconciliationReport(
+      orders: DataFrame, lineitem: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val calc = t(spark, dir, "lineitem")
+    val calc = lineitem
       .select(col("l_orderkey"),
         (round(col("l_extendedprice") * 100.0).cast("long") *
           (lit(100L) - round(col("l_discount") * 100.0).cast("long")) *
           (lit(100L) + round(col("l_tax") * 100.0).cast("long"))).as("micro"))
       .groupBy(col("l_orderkey"))
       .agg(sum(col("micro")).as("micro"))
-    val banded = t(spark, dir, "orders")
+    val banded = orders
       .select(col("o_orderkey"), col("o_totalprice"))
       .join(calc, col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_totalprice"), col("micro"),

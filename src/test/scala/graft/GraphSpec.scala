@@ -51,4 +51,30 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
   }
+
+  test("gr3 link prediction: star leaves and square diagonals, edges excluded") {
+    import spark.implicits._
+    // Each desired EDGE is co-ordered twice (two orders per edge) so it
+    // survives the support>=2 filter; orders carry exactly the edge's
+    // two parts so no accidental edges arise.
+    // Star: 1-{2,3,4}. Open leaf pairs share ONE neighbor (deg 3) ->
+    // aa = 1/ln(3). Square: 10-11-12-13-10. Each diagonal shares TWO
+    // neighbors of degree 2 -> aa = 2/ln(2); the square's own edges are
+    // adjacent and must NOT appear.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+      Seq(100L + 2 * i, 101L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
+    }.toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.linkPredictionCore(li).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val aaStar = BigDecimal(1.0 / math.log(3))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val aaSquare = BigDecimal(2.0 / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(
+      (10L, 12L, 2L, aaSquare), (11L, 13L, 2L, aaSquare),
+      (2L, 3L, 1L, aaStar), (2L, 4L, 1L, aaStar), (3L, 4L, 1L, aaStar)),
+      got.mkString(", "))
+  }
 }

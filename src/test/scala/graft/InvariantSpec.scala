@@ -23,6 +23,37 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("n") > 0)
   }
 
+  test("sim14 hard negatives: all below the near-dup bar, ranks contiguous") {
+    val rows = graft.operators.Similarity.hardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("cos") < 0.4),
+      "a hard negative at/above 0.4 would be a positive")
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    byQ.foreach { case (q, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(ranks == (1 to rs.length), s"qid $q ranks: $ranks")
+      val cs = rs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Double]("cos")).toSeq
+      assert(cs == cs.sorted.reverse, s"qid $q not ranked by cos desc: $cs")
+    }
+  }
+
+  test("d13 curriculum: phases partition the corpus and order by difficulty") {
+    val rows = graft.operators.Enrichment.curriculum(spark, sf).collect()
+    val docs = graft.Tables.t(spark, sf, "documents").count()
+    assert(rows.length == docs, "every document gets exactly one phase")
+    val byPhase = rows.groupBy(_.getAs[String]("phase"))
+    assert(byPhase.keySet.subsetOf(Set("easy", "medium", "hard", "empty")))
+    assert(byPhase.contains("easy") && byPhase.contains("hard"))
+    def diffs(p: String) = byPhase.getOrElse(p, Array())
+      .map(_.getAs[Double]("difficulty"))
+    if (diffs("easy").nonEmpty && diffs("medium").nonEmpty)
+      assert(diffs("easy").max < diffs("medium").min)
+    if (diffs("medium").nonEmpty && diffs("hard").nonEmpty)
+      assert(diffs("medium").max < diffs("hard").min)
+    byPhase.getOrElse("empty", Array()).foreach(r =>
+      assert(r.isNullAt(r.fieldIndex("difficulty"))))
+  }
+
   test("t21 BPE training: planted corpus yields the known merge sequence") {
     import spark.implicits._
     // "thethe","then","the": step 0 ties th/he at 4, label "h+e" < "t+h"

@@ -131,6 +131,26 @@ class QualitySpec extends AnyFunSuite {
     assert(warmup.map(_.getAs[Long]("n_trailing")).toSeq == Seq(0L, 1L, 2L))
   }
 
+  test("dq6 reconciliation classifies one planted order per band") {
+    import spark.implicits._
+    // one line each at price 100.00, disc 0.10, tax 0.20 -> calc 108.00
+    val ord = Seq((1L, 108.00), (2L, 113.40), (3L, 135.00), (4L, 1000.00),
+      (5L, 50.00)).toDF("o_orderkey", "o_totalprice")
+    val li = Seq(1L, 2L, 3L, 4L).map(o => (o, 100.00, 0.10, 0.20))
+      .toDF("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    val got = Quality.reconciliationReport(ord, li).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("exact", "within_5pct", "within_25pct",
+      "gross", "no_lines"), got.keySet)
+    assert(got.values.forall(_.getAs[Long]("n_orders") == 1L))
+    assert(got("exact").getAs[Double]("computed_total") == 108.00)
+    assert(got("within_5pct").getAs[Double]("listed_total") == 113.40)
+    assert(got("gross").getAs[Double]("listed_total") == 1000.00)
+    assert(got("no_lines")
+      .isNullAt(got("no_lines").fieldIndex("computed_total")))
+    assert(got.values.forall(_.getAs[Double]("share") == 0.2))
+  }
+
   test("dq5 reports staleness against the corpus watermark") {
     import spark.implicits._
     val base = 1704067200000L
