@@ -507,7 +507,49 @@ object Enrichment {
           .otherwise("train"))
   }
 
+  /** fe1 — hashing-trick feature encoding (the Weinberger et al. 2009
+    * "hashing trick"): categorical values map to a FIXED feature space
+    * through a hash, so the encoder needs no fitted vocabulary, new
+    * categories cannot grow the schema, and the same code encodes
+    * training and serving rows — the property that matters when the
+    * category set is open-ended at 100 TB. Each customer emits a
+    * long-format `(c_custkey, feature_id, value)` triple per feature:
+    * market segment one-hot into buckets [0,16), nation into [16,32)
+    * (both via the md5 pseudo-hash, D3's determinism convention), and
+    * account balance min-max scaled into [0,1] at feature 32 (bounds
+    * from exact integer cents, so the per-row scale is deterministic
+    * IEEE arithmetic on identical operands).
+    *
+    * Scale shape: one scan, a broadcast nation dimension, a 1-row
+    * min/max broadcast, and a 3-way scan-local explode — no shuffle
+    * except the output sort. The long format IS the sparse-matrix
+    * ingest format a trainer consumes.
+    */
+  def hashedFeatures(spark: SparkSession, dir: String): DataFrame = {
+    def bucket(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c), 1, 8), 16, 10).cast("long") % 16
+    val cust = t(spark, dir, "customer")
+      .join(broadcast(t(spark, dir, "nation")
+        .select(col("n_nationkey"), col("n_name"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"),
+        bucket(col("c_mktsegment")).as("seg_fid"),
+        (bucket(col("n_name")) + 16L).as("nat_fid"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+    val bounds = cust.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+    cust.crossJoin(broadcast(bounds))
+      .select(col("c_custkey"), explode(array(
+        struct(col("seg_fid").as("feature_id"), lit(1.0).as("value")),
+        struct(col("nat_fid").as("feature_id"), lit(1.0).as("value")),
+        struct(lit(32L).as("feature_id"),
+          round((col("cents") - col("mn")).cast("double") /
+            (col("mx") - col("mn")), 6).as("value")))).as("f"))
+      .select(col("c_custkey"), col("f.feature_id"), col("f.value"))
+      .orderBy("c_custkey", "feature_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fe1_hashed_features" -> hashedFeatures,
     "d11_leakproof_split" -> leakproofSplit,
     "d13_curriculum" -> curriculum,
     "d5_mixture_weights" -> mixtureWeights,
@@ -567,6 +609,26 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fe1_hashed_features" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |    ('0x' || substr(md5(c_mktsegment), 1, 8))::BIGINT % 16
+        |      AS seg_fid,
+        |    ('0x' || substr(md5(n_name), 1, 8))::BIGINT % 16 + 16
+        |      AS nat_fid,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+        | b AS (SELECT min(cents) AS mn, max(cents) AS mx FROM cust)
+        |SELECT c_custkey, feature_id, value FROM (
+        |  SELECT c_custkey, seg_fid AS feature_id, 1.0::DOUBLE AS value
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey, nat_fid, 1.0::DOUBLE FROM cust
+        |  UNION ALL
+        |  SELECT c_custkey, CAST(32 AS BIGINT),
+        |    round(CAST(cents - mn AS DOUBLE) / (mx - mn), 6)
+        |  FROM cust, b)
+        |ORDER BY c_custkey, feature_id""".stripMargin,
     "d13_curriculum" ->
       s"""WITH occ AS (
          |  SELECT doc_id, unnest(${TextAnalysis.sqlTokens}) AS w
