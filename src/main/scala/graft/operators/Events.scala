@@ -580,6 +580,36 @@ object Events {
     * island aggregate is another domain-sized hash aggregate. The raw
     * event stream is scanned exactly once.
     */
+  /** ev22 — inactivity/churn readout: per user, last activity, lifetime
+    * event count, whole days inactive at the corpus watermark, and a
+    * churn flag — the per-USER complement of dq5's per-event-type
+    * freshness and the list a re-engagement campaign pulls.
+    * `days_inactive` derives from exact epoch-millisecond integers
+    * (floor of an exact-integer ratio), so the day count and the flag
+    * are engine-exact. The gate runs the bar at 1 day because the
+    * driver corpus is ~1 month of DENSE activity (no user idles past
+    * 2 days — a 14-day bar would gate a vacuous all-false column, the
+    * q22 lesson); InvariantSpec drives the production-style 14-day bar
+    * on a planted stale user.
+    *
+    * Scale shape: one hash aggregate to the user domain (map-side
+    * combine), a 1-row watermark broadcast, scan-local arithmetic.
+    */
+  def churn(spark: SparkSession, dir: String): DataFrame =
+    churnCore(t(spark, dir, "events"), barDays = 1)
+
+  private[graft] def churnCore(ev: DataFrame, barDays: Int): DataFrame = {
+    val per = ev.groupBy(col("user_id"))
+      .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
+    val wm = per.agg(max(col("last_ts")).as("wm"))
+    per.crossJoin(broadcast(wm))
+      .select(col("user_id"), col("last_ts"), col("n_events"),
+        floor((unix_millis(col("wm")) - unix_millis(col("last_ts")))
+          / 86400000.0).cast("long").as("days_inactive"))
+      .withColumn("churned", col("days_inactive") >= barDays)
+      .orderBy("user_id")
+  }
+
   def streaks(spark: SparkSession, dir: String): DataFrame =
     streaksCore(t(spark, dir, "events"))
 
@@ -641,6 +671,7 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev22_churn" -> churn,
     "ev23_ewma" -> ewmaDaily,
     "ev21_streaks" -> streaks,
     "ev20_attribution" -> attribution,
@@ -663,6 +694,19 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    "ev22_churn" ->
+      """WITH per AS (
+        |  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        | d AS (
+        |  SELECT user_id, last_ts, n_events,
+        |    CAST(floor((epoch_ms(max(last_ts) OVER ()) - epoch_ms(last_ts))
+        |      / 86400000.0) AS BIGINT) AS days_inactive
+        |  FROM per)
+        |SELECT user_id, last_ts, n_events, days_inactive,
+        |  days_inactive >= 1 AS churned
+        |FROM d
+        |ORDER BY user_id""".stripMargin,
     "ev23_ewma" ->
       """WITH daily AS (
         |  SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

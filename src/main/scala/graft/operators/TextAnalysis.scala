@@ -972,7 +972,46 @@ object TextAnalysis {
       .orderBy("declared", "detected")
   }
 
+  /** t26 — first-occurrence n-gram novelty: per document, the share of
+    * its DISTINCT word bigrams whose first appearance (minimum doc_id)
+    * is this document — high novelty marks genuinely new content, low
+    * novelty marks documents assembled from already-seen phrasing (the
+    * corpus-relative complement of t5's within-doc repetition; the dd8
+    * span-contamination signal read as a per-doc score). Documents with
+    * fewer than two tokens carry zero bigrams and a null novelty.
+    *
+    * Scale shape: one explode into the distinct (doc, shingle) domain,
+    * a min-aggregate over the shingle domain (map-side combine), one
+    * join back on the shingle key, and a per-doc aggregate — the same
+    * explode-then-hash-aggregate discipline as the rest of the family;
+    * no corpus self-join. At 100 TB "first" stays well-defined because
+    * doc_id is the global ingest order.
+    */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.rawShingles
+    val docs = t(spark, dir, "documents")
+      .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
+    val ds = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        explode(array_distinct(rawShingles(col("tk")))).as("s"))
+    val firsts = ds.groupBy(col("s")).agg(min(col("doc_id")).as("first_doc"))
+    val per = ds.join(firsts, "s")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(col("n_novel").cast("double") / col("n_bigrams"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_ngram_novelty" -> ngramNovelty,
     "t25_langid_confusion" -> langidConfusion,
     "t24_heaps_fit" -> heapsFit,
     "t16_bm25_rank" -> bm25Rank,
@@ -1214,6 +1253,25 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t26_ngram_novelty" ->
+      s"""WITH tk AS (SELECT doc_id, $sqlTokens AS t FROM documents),
+         | ds AS (
+         |  SELECT DISTINCT doc_id, s FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+         |      i -> list_element(t, i) || ' ' || list_element(t, i + 1)))
+         |      AS s
+         |    FROM tk WHERE len(t) >= 2)),
+         | firsts AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s),
+         | per AS (
+         |  SELECT doc_id, count(*) AS n_bigrams,
+         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+         |  FROM ds JOIN firsts USING (s) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(p.n_novel, 0) AS n_novel,
+         |  round(p.n_novel / CAST(p.n_bigrams AS DOUBLE), 6) AS novelty
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "t25_langid_confusion" ->
       s"""WITH cells AS (
          |  SELECT lang AS declared, ${sqlLangId("text")} AS detected,

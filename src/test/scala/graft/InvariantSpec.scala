@@ -23,6 +23,22 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("n") > 0)
   }
 
+  test("ev22 churn: the 14-day production bar splits planted stale/active users") {
+    import spark.implicits._
+    val base = 1704067200000L
+    val ev = Seq(
+      (1L, 10L, new java.sql.Timestamp(base)),                      // stale: 20d behind
+      (2L, 20L, new java.sql.Timestamp(base + 6L * 86400000L)),     // 14d behind: churned (>=)
+      (3L, 30L, new java.sql.Timestamp(base + 7L * 86400000L)),     // 13d behind: active
+      (4L, 40L, new java.sql.Timestamp(base + 20L * 86400000L))     // watermark user
+    ).toDF("event_id", "user_id", "ts")
+    val got = graft.operators.Events.churnCore(ev, barDays = 14).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("days_inactive"), r.getAs[Boolean]("churned"))).toMap
+    assert(got == Map(10L -> (20L, true), 20L -> (14L, true),
+      30L -> (13L, false), 40L -> (0L, false)), got)
+  }
+
   test("sim14 hard negatives: all below the near-dup bar, ranks contiguous") {
     val rows = graft.operators.Similarity.hardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
