@@ -542,8 +542,11 @@ object Enrichment {
         struct(col("seg_fid").as("feature_id"), lit(1.0).as("value")),
         struct(col("nat_fid").as("feature_id"), lit(1.0).as("value")),
         struct(lit(32L).as("feature_id"),
-          round((col("cents") - col("mn")).cast("double") /
-            (col("mx") - col("mn")), 6).as("value")))).as("f"))
+          // degenerate guard: a constant-balance corpus makes the span
+          // 0 and 0/0 a NaN readout — pin the midpoint on both engines
+          when(col("mx") === col("mn"), lit(0.5))
+            .otherwise(round((col("cents") - col("mn")).cast("double") /
+              (col("mx") - col("mn")), 6)).as("value")))).as("f"))
       .select(col("c_custkey"), col("f.feature_id"), col("f.value"))
       .orderBy("c_custkey", "feature_id")
   }
@@ -626,7 +629,8 @@ object Enrichment {
         |  SELECT c_custkey, nat_fid, 1.0::DOUBLE FROM cust
         |  UNION ALL
         |  SELECT c_custkey, CAST(32 AS BIGINT),
-        |    round(CAST(cents - mn AS DOUBLE) / (mx - mn), 6)
+        |    CASE WHEN mx = mn THEN 0.5
+        |      ELSE round(CAST(cents - mn AS DOUBLE) / (mx - mn), 6) END
         |  FROM cust, b)
         |ORDER BY c_custkey, feature_id""".stripMargin,
     "d13_curriculum" ->
