@@ -412,9 +412,16 @@ object Enrichment {
     * no corpus sort, no window. At 100 TB the vocabulary frame is the
     * only shuffled artifact and it is Zipf-bounded.
     */
-  def curriculum(spark: SparkSession, dir: String): DataFrame = {
+  def curriculum(spark: SparkSession, dir: String): DataFrame =
+    curriculumCore(t(spark, dir, "documents"))
+
+  /** d13 over an explicit `(doc_id, text)` frame — InvariantSpec plants
+    * a token-free document (the `empty` arm the all-token driver corpus
+    * cannot reach) and a rarity-ordered pair.
+    */
+  private[graft] def curriculumCore(documents: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.tokensOrdered
-    val docs = t(spark, dir, "documents")
+    val docs = documents
       .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
     val occ = docs.select(col("doc_id"), explode(col("tk")).as("w"))
     val freq = occ.groupBy("w").agg(count(lit(1)).as("c"))

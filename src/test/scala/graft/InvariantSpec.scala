@@ -23,6 +23,23 @@ class InvariantSpec extends AnyFunSuite {
       .filter(col("n") > 0)
   }
 
+  test("d13 curriculum: a token-free doc lands in the empty phase; rarity orders difficulty") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common common common common common"),
+      (2L, "common common common rare"),
+      (3L, "rarer rarest common rare"),
+      (4L, "...")  // no [a-z] tokens at all
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Enrichment.curriculumCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(4L).getAs[String]("phase") == "empty")
+    assert(got(4L).isNullAt(got(4L).fieldIndex("difficulty")))
+    val d = (i: Long) => got(i).getAs[Double]("difficulty")
+    assert(d(1L) < d(2L) && d(2L) < d(3L),
+      s"rarity must order difficulty: ${d(1L)}, ${d(2L)}, ${d(3L)}")
+  }
+
   test("ev22 churn: the 14-day production bar splits planted stale/active users") {
     import spark.implicits._
     val base = 1704067200000L
