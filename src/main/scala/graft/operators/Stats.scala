@@ -493,7 +493,56 @@ object Stats {
         min(col("n_ref")).as("n_ref"), min(col("n_cur")).as("n_cur"))
   }
 
+  /** ab8 — multiple-testing correction over the per-event-type Welch
+    * family: an experimentation platform running one test per metric
+    * must correct for the family or its false-positive rate compounds.
+    * Per hypothesis: the two-sided normal-approximation p-value (large
+    * arms make Welch's t ≈ z; erfc via the Abramowitz–Stegun 7.1.26
+    * polynomial, IDENTICAL coefficient chain on both engines), the
+    * Bonferroni-adjusted p, the Benjamini–Hochberg step-up adjusted p
+    * (`min_{j≥i} m·p_j/j`, a running min from the largest rank), and
+    * the BH verdict at FDR 0.05.
+    *
+    * Determinism: the chain STARTS from ab1's 6-rounded t statistic —
+    * identical inputs by construction — and every decision derives from
+    * 6-ROUNDED p-values (dq3's threshold convention); the one
+    * cross-engine transcendental (`exp`) sits 6 decimals above its ulp.
+    *
+    * Scale shape: everything after ab1's one-pass aggregate runs on the
+    * m-row hypothesis frame (m = event types) — the rank window is
+    * m-sized, never data-sized.
+    */
+  def abFdr(spark: SparkSession, dir: String): DataFrame =
+    abFdrCore(t(spark, dir, "events"))
+
+  private[graft] def abFdrCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val z = abs(col("t_stat")) / sqrt(lit(2.0))
+    val tt = lit(1.0) / (lit(1.0) + lit(0.3275911) * z)
+    val poly = tt * (lit(0.254829592) + tt * (lit(-0.284496736) +
+      tt * (lit(1.421413741) + tt * (lit(-1.453152027) +
+        tt * lit(1.061405429)))))
+    val wAll = Window.partitionBy()
+    val wRank = Window.orderBy(col("p_value"), col("event_type"))
+    val wTail = Window.orderBy(col("i"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    abTestCore(ev)
+      .select(col("event_type"), col("t_stat"),
+        round(poly * exp(-z * z), 6).as("p_value"))
+      .withColumn("i", row_number().over(wRank))
+      .withColumn("m", count(lit(1)).over(wAll))
+      .withColumn("p_bonferroni",
+        round(least(col("m") * col("p_value"), lit(1.0)), 6))
+      .withColumn("p_bh", round(least(
+        min(col("m") * col("p_value") / col("i")).over(wTail), lit(1.0)), 6))
+      .withColumn("significant_bh", col("p_bh") <= 0.05)
+      .select(col("event_type"), col("t_stat"), col("p_value"),
+        col("p_bonferroni"), col("p_bh"), col("significant_bh"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab8_fdr" -> abFdr,
     "drift4_ks" -> ksDrift,
     "ab7_power" -> abPower,
     "ab6_cuped" -> abCuped,
@@ -508,6 +557,53 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "ab8_fdr" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a
+        |  FROM events),
+        | base AS (
+        |  SELECT event_type,
+        |    round((avg(CASE WHEN a THEN value END)
+        |         - avg(CASE WHEN NOT a THEN value END)) /
+        |      sqrt(var_samp(CASE WHEN a THEN value END)
+        |             / count(CASE WHEN a THEN value END)
+        |         + var_samp(CASE WHEN NOT a THEN value END)
+        |             / count(CASE WHEN NOT a THEN value END)), 6) + 0
+        |      AS t_stat
+        |  FROM e GROUP BY event_type),
+        | pv AS (
+        |  SELECT event_type, t_stat,
+        |    round(
+        |      (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0)))) *
+        |      (0.254829592 +
+        |       (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0)))) *
+        |       (-0.284496736 +
+        |        (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0)))) *
+        |        (1.421413741 +
+        |         (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0)))) *
+        |         (-1.453152027 +
+        |          (1.0 / (1.0 + 0.3275911 * (abs(t_stat) / sqrt(2.0)))) *
+        |          1.061405429)))) *
+        |      exp(-(abs(t_stat) / sqrt(2.0)) * (abs(t_stat) / sqrt(2.0))),
+        |      6) AS p_value
+        |  FROM base),
+        | rk AS (
+        |  SELECT event_type, t_stat, p_value,
+        |    row_number() OVER (ORDER BY p_value, event_type) AS i,
+        |    count(*) OVER () AS m
+        |  FROM pv),
+        | adj AS (
+        |  SELECT event_type, t_stat, p_value,
+        |    round(least(m * p_value, 1.0), 6) AS p_bonferroni,
+        |    round(least(min(m * p_value / i) OVER (ORDER BY i
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 1.0), 6)
+        |      AS p_bh
+        |  FROM rk)
+        |SELECT event_type, t_stat, p_value, p_bonferroni, p_bh,
+        |  p_bh <= 0.05 AS significant_bh
+        |FROM adj
+        |ORDER BY event_type""".stripMargin,
     "drift4_ks" ->
       s"""WITH ev AS (
          |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value

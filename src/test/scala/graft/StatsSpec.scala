@@ -42,6 +42,30 @@ class StatsSpec extends AnyFunSuite {
     assert(tOf(frame(13.0, 10.0)) > up)
   }
 
+  test("ab8 FDR: a planted strong effect is BH-significant, a null metric is not") {
+    import spark.implicits._
+    // metric "moved": arms separated by ~10 sigma -> |t| huge, p ~ 0.
+    // metric "flat": identical arm distributions -> t ~ 0, p ~ 1.
+    val df = (armA.take(50).zipWithIndex.flatMap { case (u, i) =>
+      Seq((u, "moved", 20.0 + (i % 7) * 0.1), (u, "flat", 5.0 + (i % 7) * 0.1)) } ++
+      armB.take(50).zipWithIndex.flatMap { case (u, i) =>
+        Seq((u, "moved", 10.0 + (i % 7) * 0.1), (u, "flat", 5.0 + (i % 7) * 0.1)) })
+      .toDF("user_id", "event_type", "value")
+    val got = Stats.abFdrCore(df).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("moved").getAs[Boolean]("significant_bh"),
+      s"planted 10-sigma effect must survive BH: ${got("moved")}")
+    assert(!got("flat").getAs[Boolean]("significant_bh"))
+    assert(got("moved").getAs[Double]("p_value") <
+      got("flat").getAs[Double]("p_value"))
+    // adjusted p never below raw p, Bonferroni never below BH
+    got.values.foreach { r =>
+      assert(r.getAs[Double]("p_bh") >= r.getAs[Double]("p_value") - 1e-9)
+      assert(r.getAs[Double]("p_bonferroni") >=
+        r.getAs[Double]("p_bh") - 1e-9)
+    }
+  }
+
   test("welch effect readout: df inside the Satterthwaite envelope, d scale-invariant") {
     import spark.implicits._
     def frame(scale: Double) =
