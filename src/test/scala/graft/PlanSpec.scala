@@ -629,4 +629,25 @@ class PlanSpec extends AnyFunSuite {
       // The exchange elimination is the shuffle the layout buys.
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("gr3 excludes existing edges map-side and takes top-20 without a global sort") {
+    val p = plan("gr3_link_prediction")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2500))
+    // the existing-edge exclusion must be a hash anti join, never a
+    // filter over a materialized cross product
+    assert(p.contains("LeftAnti"), p.take(2500))
+  }
+
+  test("fe1 broadcasts the nation dimension and the 1-row bounds frame") {
+    val p = plan("fe1_hashed_features")
+    assert("Broadcast".r.findAllIn(p).size >= 2, p.take(2500))
+    assert(!p.contains("SortMergeJoin"), p.take(2500))
+  }
+
+  test("d13 never windows or sorts the corpus; stats ride a 1-row broadcast") {
+    val p = plan("d13_curriculum")
+    // the only Sort is the final output ordering; no Window anywhere
+    assert(!p.contains("Window"), p.take(2500))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(2500))
+  }
 }
