@@ -210,6 +210,13 @@ object Pipelines {
     * checkpointed scan (PlanSpec: the final plan reads no parquet) and
     * conserve tokens (InvariantSpec: per-doc manifest sums equal the
     * survivor's token count).
+    *
+    * Bench budget: 5.2 s at sf0.1 local[32] (BENCH_r11; pipe1 4.6 s) —
+    * the full clean → score → banded-dedup → decontaminate → pack
+    * composition; the banded dedup inside [[curatedSurvivors]] is the
+    * dominant term (matches dd3's standalone ~2.4 s plus verify).
+    * Regression above ~7 s means a stage re-materialized the scan
+    * (PlanSpec's scan-free pin is the structural guard).
     */
   def packedCorpus(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

@@ -411,6 +411,10 @@ object Enrichment {
     * per-doc aggregate, and a 1-row stats broadcast for the cuts —
     * no corpus sort, no window. At 100 TB the vocabulary frame is the
     * only shuffled artifact and it is Zipf-bounded.
+    *
+    * Bench budget: 1.0 s at sf0.1 local[32] (BENCH_r11) — one corpus
+    * scan + Zipf-bounded vocab aggregate; tracks t8's shape and should
+    * stay within ~2x of it.
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame =
     curriculumCore(t(spark, dir, "documents"))
@@ -501,17 +505,26 @@ object Enrichment {
   /** Per-document split assignment (doc_id, source, fp, n_tokens, split);
     * the d11 aggregate and the spec's co-location law both read this.
     */
+  /** d11's split rule as ONE shared expression over the content
+    * fingerprint — the batch aggregate and the streaming twin
+    * ([[graft.streaming.Streams.splitTag]]) both apply exactly this, so
+    * an ingest-time tag and a batch re-derivation can never disagree on
+    * a document (the leakproofness contract: split follows CONTENT, not
+    * arrival).
+    */
+  private[graft] def splitOfFp(fp: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    val bucket = conv(substring(md5(fp), 1, 8), 16, 10).cast("long") % 10
+    when(bucket === 0, "test").when(bucket === 1, "val").otherwise("train")
+  }
+
   private[graft] def leakproofSplitCore(docs: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.{fingerprint, tokenCount}
-    val bucket =
-      conv(substring(md5(col("fp")), 1, 8), 16, 10).cast("long") % 10
     docs
       .select(col("doc_id"), col("source"),
         fingerprint(col("text")).as("fp"),
         tokenCount(col("text")).as("n_tokens"))
-      .withColumn("split",
-        when(bucket === 0, "test").when(bucket === 1, "val")
-          .otherwise("train"))
+      .withColumn("split", splitOfFp(col("fp")))
   }
 
   /** fe1 — hashing-trick feature encoding (the Weinberger et al. 2009
@@ -674,7 +687,8 @@ object Enrichment {
          |    WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
          |  FROM f)
          |SELECT split, source, count(*) AS n_docs,
-         |  count(DISTINCT fp) AS n_unique, sum(n_tokens) AS n_tokens
+         |  count(DISTINCT fp) AS n_unique,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
          |FROM s
          |GROUP BY split, source
          |ORDER BY split, source""".stripMargin,

@@ -19,6 +19,44 @@ object Graph {
   private val Damping = 0.85
   private val Iterations = 3
 
+  /** Hub-basket guard for the co-purchase graph (gr2/gr3): the basket
+    * self-join fans out quadratically PER ORDER — bounded by basket size
+    * (max 7 items on TPC-H) but unbounded on a skewed real corpus, where
+    * one 100k-item "order" (a crawler session, a bulk upload) would emit
+    * 5e9 pairs from a single key. Deterministic cap, [[Dedup.HotBucketCap]]'s
+    * convention: keep only the MaxBasketItems LOWEST part keys per order
+    * (id-order, so both engines and every rerun agree), bounding the
+    * per-order fanout at C(256,2) ≈ 32k pairs. Above-cap items lose only
+    * their co-purchase signal from that one degenerate basket; support
+    * from normal baskets is untouched. GraphSpec plants a hub basket over
+    * the cap and pins the bound.
+    */
+  private[graft] val MaxBasketItems = 256
+
+  /** The cap as a plan transform: the distinct (order, part) frame with
+    * at most [[MaxBasketItems]] parts per order. One window over the
+    * order key — co-partitioned with the pairing self-join that follows,
+    * so AQE plans cap + join in one shuffle exchange.
+    */
+  private[graft] def basketItems(lineitem: DataFrame): DataFrame =
+    lineitem.select(col("l_orderkey"), col("l_partkey")).distinct()
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("l_orderkey").orderBy("l_partkey")))
+      .filter(col("rn") <= MaxBasketItems).drop("rn")
+
+  /** [[basketItems]]'s DuckDB mirror — ONE template for the gr2 and gr3
+    * oracles so the cap rule cannot drift between engines or schemes.
+    */
+  private[graft] val sqlBasketCte: String =
+    s"""li AS (
+       |  SELECT l_orderkey, l_partkey FROM (
+       |    SELECT l_orderkey, l_partkey,
+       |      row_number() OVER (PARTITION BY l_orderkey ORDER BY l_partkey)
+       |        AS rn
+       |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+       |  WHERE rn <= $MaxBasketItems)""".stripMargin
+
   /** pr1 — PageRank over the undirected near-dup graph (nodes = all
     * documents; edges = dd3's verified shingle-Jaccard >= 0.7 pairs, both
     * directions). A FIXED, unrolled 3 power iterations of the classic
@@ -119,8 +157,7 @@ object Graph {
     * support-starved square (no triangles).
     */
   private[graft] def trianglesCore(lineitem: DataFrame): DataFrame = {
-    val li = lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = basketItems(lineitem)
     val pairs = graft.engine.Caching.scopedPersist(
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -155,13 +192,20 @@ object Graph {
     * edge-edge wedge join keyed on the center vertex, an anti-join to
     * drop existing edges, and a TakeOrdered top-20. A wedge center's
     * degree is ≥ 2 by construction, so `ln(deg)` never divides by zero.
+    * The basket self-join feeding the edge list is hub-capped
+    * ([[basketItems]]) so one degenerate order cannot explode the pair
+    * frame.
+    *
+    * Bench budget: 2.2 s at sf0.1 local[32] (BENCH_r11) — dominated by
+    * the lineitem pairing shuffle; the wedge join runs on the ~4k-edge
+    * affinity frame and is noise. Regression above ~3.5 s means the
+    * support filter or the basket cap stopped pruning.
     */
   def linkPrediction(spark: SparkSession, dir: String): DataFrame =
     linkPredictionCore(t(spark, dir, "lineitem"))
 
   private[graft] def linkPredictionCore(lineitem: DataFrame): DataFrame = {
-    val li = lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val li = basketItems(lineitem)
     val pairs = graft.engine.Caching.scopedPersist(
       li.as("a").join(li.as("b"),
           col("a.l_orderkey") === col("b.l_orderkey") &&
@@ -208,8 +252,7 @@ object Graph {
          |  FROM documents d LEFT JOIN c$k ON d.doc_id = dst),""".stripMargin
     Map(
       "gr3_link_prediction" ->
-        """WITH li AS (
-          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        s"""WITH $sqlBasketCte,
           | e AS (
           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
           |  FROM li a JOIN li b
@@ -234,8 +277,7 @@ object Graph {
           |ORDER BY adamic_adar DESC, n_common DESC, x, z
           |LIMIT 20""".stripMargin,
       "gr2_triangles" ->
-        """WITH li AS (
-          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        s"""WITH $sqlBasketCte,
           | e AS (
           |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
           |  FROM li a JOIN li b

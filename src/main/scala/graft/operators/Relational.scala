@@ -786,7 +786,10 @@ object Relational {
       .select($"o_orderkey",
         year($"o_orderdate").cast("long").as("y"),
         month($"o_orderdate").cast("long").as("m"),
-        date_trunc("month", $"o_orderdate").as("month_start"),
+        // cast to date: Spark's date_trunc yields timestamp where
+        // DuckDB's yields date — same VALUE, different arrow kind; the
+        // hardened schema gate (tools/check_oracle.py) pins the kind
+        date_trunc("month", $"o_orderdate").cast("date").as("month_start"),
         substring($"o_orderpriority", 1, 1).as("pri_digit"),
         concat_ws("|", $"o_orderstatus", $"o_orderpriority").as("tag"),
         lower($"o_orderpriority").as("pri_lower"),

@@ -483,10 +483,16 @@ object Stats {
     val w = Window.orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy()
+    // Degenerate-sample guard (ab7's convention): if either window holds
+    // zero observations its ECDF divisor is 0 — Spark's Divide yields
+    // null where DuckDB's IEEE division yields inf/NaN, so BOTH engines
+    // nullif the divisor and report a null ks_stat instead.
+    val nrTot = sum(col("nr")).over(tot)
+    val ncTot = sum(col("nc")).over(tot)
     dom
       .select(col("v"),
-        (sum(col("nr")).over(w) / sum(col("nr")).over(tot)).as("fr"),
-        (sum(col("nc")).over(w) / sum(col("nc")).over(tot)).as("fc"),
+        (sum(col("nr")).over(w) / when(nrTot =!= 0, nrTot)).as("fr"),
+        (sum(col("nc")).over(w) / when(ncTot =!= 0, ncTot)).as("fc"),
         sum(col("nr")).over(tot).as("n_ref"),
         sum(col("nc")).over(tot).as("n_cur"))
       .agg(r6(max(abs(col("fr") - col("fc")))).as("ks_stat"),
@@ -526,7 +532,13 @@ object Stats {
     val wRank = Window.orderBy(col("p_value"), col("event_type"))
     val wTail = Window.orderBy(col("i"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // Null-hypothesis guard: a single-populated or zero-variance arm
+    // yields a null Welch t. Spark sorts nulls FIRST ascending, DuckDB
+    // LAST — a null p in the rank window would shift every BH rank —
+    // so null-t hypotheses are excluded from the family on BOTH engines
+    // (they carry no testable signal; m shrinks accordingly).
     abTestCore(ev)
+      .filter(col("t_stat").isNotNull)
       .select(col("event_type"), col("t_stat"),
         round(poly * exp(-z * z), 6).as("p_value"))
       .withColumn("i", row_number().over(wRank))
@@ -587,7 +599,7 @@ object Stats {
         |          1.061405429)))) *
         |      exp(-(abs(t_stat) / sqrt(2.0)) * (abs(t_stat) / sqrt(2.0))),
         |      6) AS p_value
-        |  FROM base),
+        |  FROM base WHERE t_stat IS NOT NULL),
         | rk AS (
         |  SELECT event_type, t_stat, p_value,
         |    row_number() OVER (ORDER BY p_value, event_type) AS i,
@@ -621,9 +633,9 @@ object Stats {
          | c AS (
          |  SELECT v,
          |    sum(nr) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-         |      / CAST(sum(nr) OVER () AS DOUBLE) AS fr,
+         |      / CAST(nullif(sum(nr) OVER (), 0) AS DOUBLE) AS fr,
          |    sum(nc) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
-         |      / CAST(sum(nc) OVER () AS DOUBLE) AS fc,
+         |      / CAST(nullif(sum(nc) OVER (), 0) AS DOUBLE) AS fc,
          |    sum(nr) OVER () AS n_ref, sum(nc) OVER () AS n_cur
          |  FROM dom)
          |SELECT round(max(abs(fr - fc)), 6) AS ks_stat,

@@ -1264,7 +1264,8 @@ object TextAnalysis {
          | firsts AS (SELECT s, min(doc_id) AS first_doc FROM ds GROUP BY s),
          | per AS (
          |  SELECT doc_id, count(*) AS n_bigrams,
-         |    sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS n_novel
+         |    CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_novel
          |  FROM ds JOIN firsts USING (s) GROUP BY doc_id)
          |SELECT d.doc_id,
          |  coalesce(p.n_bigrams, 0) AS n_bigrams,

@@ -231,6 +231,12 @@ object Lake {
     * listings are control-plane directory reads (no data I/O). At 100 TB
     * this is exactly a table-format OPTIMIZE pass: shuffle by partition,
     * roll at the size budget, swap the directory.
+    *
+    * Bench budget: 5.7 s at sf0.1 local[32] (BENCH_r11) — ~400 fragment
+    * files written + rewritten + two directory listings; cost is file-
+    * system churn by design (the sf-proportional budget above is what
+    * holds it flat across sf), not plan work. Regression above ~7 s
+    * means the fragment budget scaling broke.
     */
   def compactionReport(spark: SparkSession, dir: String): DataFrame = {
     // Budgets scale with the corpus (total/400 rows per fragment file,

@@ -129,6 +129,33 @@ object Streams {
       .dropDuplicatesWithinWatermark("fp")
   }
 
+  /** Streaming split tagging — the streaming twin of d11's leakproof
+    * split (oracle-gated batch aggregate): tag every arriving document
+    * with its train/val/test assignment AT INGEST, using the SAME
+    * fingerprint-hash expression the batch derivation applies
+    * ([[graft.operators.Enrichment.splitOfFp]] over
+    * `fingerprint(text)`). Because the split follows the content
+    * fingerprint — never doc id, arrival order, or batch boundary — a
+    * verbatim re-crawl of a test-split document can only ever land in
+    * the test split again: eval contamination by re-arrival is
+    * impossible by construction, which is the entire point of d11.
+    *
+    * Scale shape: completely STATELESS (a per-row expression map — no
+    * watermark, no state store, no shuffle), so it composes in front of
+    * [[corpusIngest]]'s quality gate at full ingest line rate.
+    *
+    * Input schema: `(doc_id, ts, source, text)`; output adds
+    * `(fp, n_tokens, split)`.
+    */
+  def splitTag(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokenCount}
+    docs
+      .select(col("doc_id"), col("ts"), col("source"),
+        fingerprint(col("text")).as("fp"),
+        tokenCount(col("text")).as("n_tokens"))
+      .withColumn("split", graft.operators.Enrichment.splitOfFp(col("fp")))
+  }
+
   /** Streaming latest-state view — the streaming twin of
     * `Events.latestState` (ev7, oracle-gated): one row per user carrying
     * that user's newest event, re-emitted whenever it changes (update

@@ -77,4 +77,31 @@ class GraphSpec extends AnyFunSuite {
       (2L, 3L, 1L, aaStar), (2L, 4L, 1L, aaStar), (3L, 4L, 1L, aaStar)),
       got.mkString(", "))
   }
+
+  test("hub-basket cap: a degenerate basket is bounded at MaxBasketItems") {
+    import spark.implicits._
+    val cap = graft.operators.Graph.MaxBasketItems
+    // one pathological "order" holding 3x the cap in distinct parts
+    // (the crawler-session / bulk-upload shape), plus a normal basket
+    // whose parts are ABOVE the cap range — its pairs must be untouched.
+    val hub = (1 to 3 * cap).map(p => (1L, p.toLong))
+    val normal = Seq(9001L, 9002L, 9003L).flatMap(p =>
+      Seq((2L, p), (3L, p))) // co-ordered twice -> survives support>=2
+    val li = (hub ++ normal).toDF("l_orderkey", "l_partkey")
+    val kept = graft.operators.Graph.basketItems(li)
+    val perOrder = kept.groupBy("l_orderkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // id-order determinism: exactly the cap LOWEST part keys survive
+    assert(perOrder(1L) == cap.toLong, perOrder)
+    assert(perOrder(2L) == 3L && perOrder(3L) == 3L, perOrder)
+    val keptHub = kept.filter($"l_orderkey" === 1L)
+      .select("l_partkey").as[Long].collect().sorted
+    assert(keptHub.toSeq == (1 to cap).map(_.toLong), keptHub.take(5).toSeq)
+    // downstream bound: the pairing fanout from the hub order is at most
+    // C(cap, 2), not C(3*cap, 2)
+    val pairs = kept.as("a").join(kept.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_partkey" < $"b.l_partkey").count()
+    assert(pairs == cap.toLong * (cap - 1) / 2 + 2 * 3, pairs)
+  }
 }

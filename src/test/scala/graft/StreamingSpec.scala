@@ -481,6 +481,47 @@ class StreamingSpec extends AnyFunSuite {
       out.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("streaming split tag equals the batch d11 assignment per document") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704103200000L
+    def ts(m: Int) = new java.sql.Timestamp(base + m * 60000L)
+    val corpus = Seq(
+      (1L, "web", "the quick brown fox jumps over the lazy dog today"),
+      (2L, "web", "a second document with entirely different words inside"),
+      (3L, "books", "chapter one of a long book about mountains and rivers"),
+      (4L, "books", "the quick brown fox jumps over the lazy dog today"),
+      (5L, "web", "yet another crawl page discussing weather and tides"))
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, String)]
+    val docs = input.toDF().toDF("doc_id", "ts", "source", "text")
+    val q = Streams.splitTag(docs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("split_out")
+      .start()
+    try {
+      // split across two micro-batches: the tag must not depend on
+      // batch boundaries or arrival order
+      input.addData(corpus.take(2).zipWithIndex.map { case ((d, s, t2), i) =>
+        (d, ts(i), s, t2) })
+      q.processAllAvailable()
+      input.addData(corpus.drop(2).zipWithIndex.map { case ((d, s, t2), i) =>
+        (d, ts(10 + i), s, t2) })
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("split_out").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val batch = graft.operators.Enrichment
+      .leakproofSplitCore(corpus.toDF("doc_id", "source", "text"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(streamed.size == 5)
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // leakproofness: docs 1 and 4 share a fingerprint -> same split,
+    // regardless of source or which micro-batch carried them
+    assert(streamed(1L) == streamed(4L))
+  }
+
   test("streaming SCD2 emits exactly the batch ev12 closed rows across a boundary") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
