@@ -571,7 +571,69 @@ object Enrichment {
       .orderBy("c_custkey", "feature_id")
   }
 
+  /** d14 — DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every document by
+    * how much more likely its content is under a TARGET distribution than
+    * under the raw corpus, using hashed unigram features — the
+    * train-data-like-the-eval-set selector that needs no model, only two
+    * n-gram count profiles. Target here = the corpus's English slice
+    * (`lang = 'en'`), the "select data that looks like my reference
+    * domain" reading; the weight is each document's MEAN per-token
+    * log-ratio `ln p_target(b) − ln p_raw(b)` over K=256 hash buckets
+    * with add-one smoothing (mean, not sum, so the weight is
+    * length-invariant and comparable across documents). Sampling
+    * proportional to exp(weight) IS importance resampling; the weight
+    * frame composes directly with d7's weighted sampler.
+    *
+    * Scale shape: one explode into a K-sized hash aggregate (map-side
+    * combine — the bucket frame is 256 rows at ANY corpus size; that
+    * fixed-dimension profile is DSIR's whole point), a broadcast of the
+    * 256-row log-ratio table back onto the token stream, and a per-doc
+    * aggregate. No vocabulary-sized shuffle, no joins between corpora.
+    *
+    * Determinism: buckets ride the md5 pseudo-hash (D3's convention);
+    * the log-ratio's operands are identical exact integers on both
+    * engines, so `ln` differs at most 1 ulp against a 1e-6 grid.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirWeightsCore(t(spark, dir, "documents"))
+
+  /** d14 over an explicit `(doc_id, lang, text)` frame — InvariantSpec
+    * plants a target-only token (positive weight) against a raw-only one
+    * (negative), and an empty document (null weight).
+    */
+  private[graft] def dsirWeightsCore(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokensOrdered
+    val docs = documents
+      .select(col("doc_id"), col("lang"), tokensOrdered(col("text")).as("tk"))
+    val occ = docs
+      .select(col("doc_id"), (col("lang") === "en").as("is_t"),
+        explode(col("tk")).as("w"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
+          .as("b"))
+    val bf = occ.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+    val tot = bf.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    val lam = bf.crossJoin(broadcast(tot))
+      .select(col("b"),
+        (log((col("ct") + 1).cast("double") / (col("t") + 256)) -
+          log((col("cr") + 1).cast("double") / (col("r") + 256))).as("lam"))
+    val per = occ.join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lam")), 6).as("dsir_logratio"))
+    docs.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        col("dsir_logratio"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d14_dsir_weights" -> dsirWeights,
     "fe1_hashed_features" -> hashedFeatures,
     "d11_leakproof_split" -> leakproofSplit,
     "d13_curriculum" -> curriculum,
@@ -632,6 +694,35 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d14_dsir_weights" ->
+      s"""WITH occ AS (
+         |  SELECT doc_id, is_t,
+         |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256 AS b
+         |  FROM (
+         |    SELECT doc_id, lang = 'en' AS is_t,
+         |      unnest(${TextAnalysis.sqlTokens}) AS tok
+         |    FROM documents)),
+         | bf AS (
+         |  SELECT b, count(*) AS cr,
+         |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+         |  FROM occ GROUP BY b),
+         | tot AS (
+         |  SELECT CAST(sum(cr) AS BIGINT) AS r,
+         |    CAST(sum(ct) AS BIGINT) AS t
+         |  FROM bf),
+         | lam AS (
+         |  SELECT b,
+         |    ln((ct + 1)::DOUBLE / (t + 256))
+         |      - ln((cr + 1)::DOUBLE / (r + 256)) AS lam
+         |  FROM bf, tot),
+         | per AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    round(avg(lam), 6) AS dsir_logratio
+         |  FROM occ JOIN lam USING (b) GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
+         |  p.dsir_logratio
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "fe1_hashed_features" ->
       """WITH cust AS (
         |  SELECT c_custkey,

@@ -735,7 +735,55 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** sim15 — exact corpus diversity per label: the mean pairwise cosine
+    * over ALL ordered pairs i≠j of unit-normalized vectors, computed
+    * WITHOUT any pair enumeration via the sum-of-embeddings identity
+    * `mean cos = (|Σu|² − n) / (n(n−1))` (for unit u, Σ_{i≠j} u_i·u_j =
+    * |Σu|² − Σ|u_i|²). Low mean cosine = diverse sample, high = redundant
+    * — the selection-audit metric a curation pipeline reads after
+    * sampling (DSIR/MMR-style selectors optimize against exactly this
+    * quantity). Also reports the centroid norm |Σu|/n (≈0 for isotropic
+    * corpora, →1 for collapsed ones — the embedding-collapse alarm).
+    *
+    * Scale shape: THE reason this is an operator — the naive pairwise
+    * mean is an O(n²) self-join (10^16 pairs at 10^8 vectors); this plan
+    * is ONE posexplode into a (label × dims)-sized hash aggregate
+    * (map-side combine) plus a label-sized fold — exact, not sampled, at
+    * any corpus size, and embarrassingly parallel.
+    *
+    * Determinism: u elements are bit-identical across engines (the
+    * left-to-right double fold convention, [[dot]]); the per-dim sums
+    * carry only association error (~1e-14) against a 1e-6 grid.
+    */
+  def corpusDiversity(spark: SparkSession, dir: String): DataFrame =
+    corpusDiversityCore(t(spark, dir, "embeddings"))
+
+  /** sim15 over an explicit `(label, embedding)` frame — SimilaritySpec
+    * plants identical vectors (mean cos exactly 1), an orthonormal basis
+    * (mean cos exactly 0), and an antipodal pair (−1).
+    */
+  private[graft] def corpusDiversityCore(emb: DataFrame): DataFrame = {
+    val e = emb
+      .select(col("label"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .filter(col("nrm") > 0)
+    val counts = e.groupBy("label").agg(count(lit(1)).as("n"))
+    val dimSums = e
+      .select(col("label"), posexplode(col("embedding")),
+        col("nrm"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("col").cast("double") / col("nrm")).as("sv"))
+      .groupBy("label")
+      .agg(sum(col("sv") * col("sv")).as("ss"))
+    counts.join(dimSums, "label")
+      .select(col("label"), col("n"),
+        round((col("ss") - col("n")) / (col("n") * (col("n") - lit(1.0))), 6)
+          .as("mean_pairwise_cosine"),
+        round(sqrt(col("ss")) / col("n"), 6).as("centroid_norm"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim15_corpus_diversity" -> corpusDiversity,
     "sim14_hard_negatives" -> hardNegatives,
     "sim13_embedding_health" -> embeddingHealth,
     "sim12_silhouette" -> silhouette,
@@ -801,6 +849,26 @@ object Similarity {
   }
 
   val oracle: Map[String, String] = Map(
+    "sim15_corpus_diversity" ->
+      """WITH e AS (
+        |  SELECT label, list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+        |                                   embedding::DOUBLE[]))) AS u
+        |  FROM embeddings
+        |  WHERE list_dot_product(embedding::DOUBLE[],
+        |                         embedding::DOUBLE[]) > 0),
+        | x AS (
+        |  SELECT label, unnest(range(1, len(u) + 1)) AS i,
+        |    unnest(u) AS uv
+        |  FROM e),
+        | s AS (SELECT label, i, sum(uv) AS sv FROM x GROUP BY label, i),
+        | ss AS (SELECT label, sum(sv * sv) AS ss FROM s GROUP BY label),
+        | n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
+        |SELECT n.label, n.n,
+        |  round((ss - n) / (n * (n - 1.0)), 6) AS mean_pairwise_cosine,
+        |  round(sqrt(ss) / n, 6) AS centroid_norm
+        |FROM n JOIN ss USING (label)
+        |ORDER BY label""".stripMargin,
     "sim14_hard_negatives" ->
       s"""WITH $sqlBitsCte,
          | n AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,

@@ -11,6 +11,14 @@ import graft.functions.TextFunctions._
   * ID, fingerprinting. Pure per-row projections — no shuffle except the
   * deterministic output sort / small aggregations — so throughput at 100 TB
   * is scan-bound.
+  *
+  * t1 bench budget: 1.4 s at sf0.1 local[32] single-query (min-of-3,
+  * r12 A/B). BENCH_r11's 2.27 s reading was SESSION NOISE, not a
+  * regression: no code touched t1 since f0767c2 (1.41 s), and the r12
+  * re-measure reproduces the round-8 figure both standalone (1.425 s)
+  * and inside the full 204-query bench session (1.222 s). No
+  * re-tokenization exists across its subtrees (the t18 scope-persist
+  * audit found one token frame feeding all aggregates).
   */
 object TextAnalysis {
 
@@ -1010,7 +1018,60 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t27 — Gopher-style rule-based quality gate (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", table A1): the battery of cheap
+    * structural document rules a pre-training pipeline runs BEFORE any
+    * model-based scoring — word count in [50, 100k], mean word length in
+    * [3, 10], ≥80% of words containing an alphabetic character, and at
+    * least 2 distinct English stopword hits (the "is this prose at all"
+    * test). Emits every rule's measurement plus the per-rule booleans and
+    * the conjunctive verdict, so downstream can audit WHICH rule killed a
+    * document — the reason-tagged output all production filters keep.
+    * Complements t4's weighted quality SCORE with hard REJECTION rules.
+    *
+    * Determinism: mean word length and the alpha fraction are exact
+    * rationals of integers (identical IEEE division on both engines);
+    * thresholds compare the 6-ROUNDED values (dq3's convention).
+    *
+    * Scale shape: pure per-row projection — no shuffle except the output
+    * sort; scan-bound at 100 TB like the rest of the family.
+    */
+  def gopherRules(spark: SparkSession, dir: String): DataFrame =
+    gopherRulesCore(t(spark, dir, "documents"))
+
+  /** t27 over an explicit `(doc_id, text)` frame — TextAnalysisSpec
+    * plants one violator per rule and one passer.
+    */
+  private[graft] def gopherRulesCore(documents: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{stopwordHits, EnStop}
+    val words = split(trim(col("text")), "\\s+")
+    val nWords = tokenCount(col("text"))
+    val sumLen = aggregate(words, lit(0L), (a, w) => a + length(w))
+    val nAlpha = size(filter(words,
+      w => length(regexp_replace(w, "[^A-Za-z]", "")) > 0)).cast("long")
+    documents
+      .select(col("doc_id"), nWords.as("n_words"),
+        when(nWords > 0, round(sumLen.cast("double") / nWords, 6))
+          .as("mean_word_len"),
+        when(nWords > 0, round(nAlpha.cast("double") / nWords, 6))
+          .as("alpha_word_frac"),
+        stopwordHits(col("text"), EnStop).as("stopword_hits"))
+      .withColumn("words_ok",
+        col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("word_len_ok",
+        coalesce(col("mean_word_len") >= 3.0 &&
+          col("mean_word_len") <= 10.0, lit(false)))
+      .withColumn("alpha_ok",
+        coalesce(col("alpha_word_frac") >= 0.8, lit(false)))
+      .withColumn("stop_ok", col("stopword_hits") >= 2)
+      .withColumn("passes",
+        col("words_ok") && col("word_len_ok") && col("alpha_ok") &&
+          col("stop_ok"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_gopher_rules" -> gopherRules,
     "t26_ngram_novelty" -> ngramNovelty,
     "t25_langid_confusion" -> langidConfusion,
     "t24_heaps_fit" -> heapsFit,
@@ -1253,6 +1314,39 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t27_gopher_rules" ->
+      s"""WITH w AS (
+         |  SELECT doc_id,
+         |    regexp_split_to_array(trim(text), '\\s+') AS words,
+         |    ${sqlTokenCount("text")} AS n_words,
+         |    ${sqlHits("text", graft.functions.TextFunctions.EnStop)}
+         |      AS hits
+         |  FROM documents),
+         | m AS (
+         |  SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN round(
+         |      list_sum(list_transform(words, x -> length(x)))::DOUBLE
+         |        / n_words, 6) END AS mean_word_len,
+         |    CASE WHEN n_words > 0 THEN round(
+         |      len(list_filter(words,
+         |        x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+         |        / n_words, 6) END AS alpha_word_frac,
+         |    CAST(hits AS BIGINT) AS stopword_hits
+         |  FROM w)
+         |SELECT doc_id, n_words, mean_word_len, alpha_word_frac,
+         |  stopword_hits,
+         |  n_words >= 50 AND n_words <= 100000 AS words_ok,
+         |  coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+         |    false) AS word_len_ok,
+         |  coalesce(alpha_word_frac >= 0.8, false) AS alpha_ok,
+         |  stopword_hits >= 2 AS stop_ok,
+         |  (n_words >= 50 AND n_words <= 100000)
+         |    AND coalesce(mean_word_len >= 3.0 AND mean_word_len <= 10.0,
+         |      false)
+         |    AND coalesce(alpha_word_frac >= 0.8, false)
+         |    AND stopword_hits >= 2 AS passes
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
     "t26_ngram_novelty" ->
       s"""WITH tk AS (SELECT doc_id, $sqlTokens AS t FROM documents),
          | ds AS (

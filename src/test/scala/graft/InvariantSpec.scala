@@ -40,6 +40,28 @@ class InvariantSpec extends AnyFunSuite {
       s"rarity must order difficulty: ${d(1L)}, ${d(2L)}, ${d(3L)}")
   }
 
+  test("d14 DSIR: target-only tokens weigh positive, raw-only negative, empty null") {
+    import spark.implicits._
+    // doc 1 (en, the target slice) repeats a token the raw-only slice
+    // never uses; doc 2 (de) repeats one the target never uses. With
+    // add-one smoothing the target-only bucket's log-ratio must be
+    // positive and the raw-only one negative; a token-free doc carries
+    // a null weight and n_tokens 0.
+    val docs = Seq(
+      (1L, "en", "target target target target"),
+      (2L, "de", "rawonly rawonly rawonly rawonly"),
+      (3L, "en", "...")
+    ).toDF("doc_id", "lang", "text")
+    val got = graft.operators.Enrichment.dsirWeightsCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val w = (i: Long) => got(i).getAs[Double]("dsir_logratio")
+    assert(got(1L).getAs[Long]("n_tokens") == 4L)
+    assert(w(1L) > 0, s"target-only must be positive: ${w(1L)}")
+    assert(w(2L) < 0, s"raw-only must be negative: ${w(2L)}")
+    assert(got(3L).isNullAt(got(3L).fieldIndex("dsir_logratio")))
+    assert(got(3L).getAs[Long]("n_tokens") == 0L)
+  }
+
   test("ev22 churn: the 14-day production bar splits planted stale/active users") {
     import spark.implicits._
     val base = 1704067200000L

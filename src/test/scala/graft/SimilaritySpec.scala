@@ -234,4 +234,27 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(rel.toSet == Set(1L, 2L), rel)
   }
+
+  test("sim15 diversity: identical=1, orthonormal=0, antipodal=-1; zero vectors dropped") {
+    import spark.implicits._
+    val emb = Seq(
+      // label 0: three copies of one direction -> every pairwise cos 1
+      (0, Seq(2f, 0f, 0f, 0f)), (0, Seq(5f, 0f, 0f, 0f)),
+      (0, Seq(1f, 0f, 0f, 0f)),
+      // label 1: an orthonormal set -> every pairwise cos 0
+      (1, Seq(1f, 0f, 0f, 0f)), (1, Seq(0f, 1f, 0f, 0f)),
+      (1, Seq(0f, 0f, 1f, 0f)), (1, Seq(0f, 0f, 0f, 1f)),
+      // label 2: an antipodal pair -> mean pairwise cos -1; the zero
+      // vector must be dropped, not crash the normalization
+      (2, Seq(3f, 4f, 0f, 0f)), (2, Seq(-3f, -4f, 0f, 0f)),
+      (2, Seq(0f, 0f, 0f, 0f))
+    ).toDF("label", "embedding")
+    val got = graft.operators.Similarity.corpusDiversityCore(emb).collect()
+      .map(r => r.getInt(0) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("mean_pairwise_cosine"),
+          r.getAs[Double]("centroid_norm"))).toMap
+    assert(got(0)._1 == 3L && got(0)._2 == 1.0 && got(0)._3 == 1.0, got(0))
+    assert(got(1)._1 == 4L && got(1)._2 == 0.0 && got(1)._3 == 0.5, got(1))
+    assert(got(2)._1 == 2L && got(2)._2 == -1.0 && got(2)._3 == 0.0, got(2))
+  }
 }

@@ -170,4 +170,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       (0L, 1L, 16L, 88L, 200L),
       (0L, 1L, 24L, 288L, 30L)))
   }
+
+  test("t27 gopher rules: each rule kills its planted violator; prose passes") {
+    import spark.implicits._
+    // 84 words, mean word length ~4.2, stopword-rich prose
+    val prose50 = Seq.fill(7)(
+      "the quick brown foxes and dogs jumped over a lazy hound today")
+      .mkString(" ")
+    val docs = Seq(
+      (1L, prose50),                                   // passes everything
+      (2L, "too short to pass the word count rule"),   // words_ok false
+      (3L, Seq.fill(60)("a").mkString(" ")),           // mean_word_len 1 < 3
+      (4L, Seq.fill(60)("1234 5678").mkString(" ")),   // alpha_word_frac 0
+      (5L, Seq.fill(60)("zumba quorl xylo").mkString(" ")) // no stopwords
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.gopherRulesCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def flag(i: Long, c: String) = got(i).getAs[Boolean](c)
+    assert(flag(1L, "passes"), got(1L).toString)
+    assert(!flag(2L, "words_ok") && !flag(2L, "passes"))
+    assert(!flag(3L, "word_len_ok") && flag(3L, "words_ok") && !flag(3L, "passes"))
+    assert(!flag(4L, "alpha_ok") && !flag(4L, "passes"))
+    assert(got(4L).getAs[Double]("alpha_word_frac") == 0.0)
+    assert(!flag(5L, "stop_ok") && !flag(5L, "passes"))
+    assert(got(1L).getAs[Long]("n_words") == 84L)
+  }
 }
