@@ -632,7 +632,50 @@ object Enrichment {
       .orderBy("doc_id")
   }
 
+  /** fe2 — smoothed target encoding of a categorical feature, in both the
+    * serving form `(Σ_seg y + m·ȳ)/(n_seg + m)` and the LEAVE-ONE-OUT
+    * training form `(Σ_seg y − y_i + m·ȳ)/(n_seg − 1 + m)` (smoothing
+    * m = 10 toward the global mean — the Micci-Barreca 2001 estimator
+    * every tabular feature pipeline ships). The LOO column is the
+    * leakage-proof one: a row never sees its own target, so a model
+    * trained on it cannot memorize singletons — the same
+    * contamination-avoidance stance as d11's leakproof split.
+    * Encodes `c_mktsegment` against the account-balance target.
+    *
+    * Scale shape: one hash aggregate on the category domain (map-side
+    * combine), the category-sized stats frame broadcast back, then pure
+    * row-local arithmetic — no window over the fact table, no
+    * per-category shuffle of rows.
+    *
+    * Determinism: Σ_seg is a parallel double sum, but every output
+    * DIVIDES it by n_seg, shrinking the summation error back under the
+    * 6-decimal grid (the avg-rescue convention, cf. d14).
+    */
+  def targetEncoding(spark: SparkSession, dir: String): DataFrame =
+    targetEncodingCore(t(spark, dir, "customer"))
+
+  /** fe2 over an explicit `(c_custkey, c_mktsegment, c_acctbal)` frame —
+    * InvariantSpec pins LOO-excludes-own-row (a two-row category where
+    * each row's LOO encoding is the OTHER row's target, m = 0 limit
+    * checked algebraically) and smoothing's pull toward the global mean.
+    */
+  private[graft] def targetEncodingCore(cust: DataFrame): DataFrame = {
+    val m = lit(10.0)
+    val seg = cust.groupBy(col("c_mktsegment"))
+      .agg(sum(col("c_acctbal")).as("s"), count(lit(1)).as("n"))
+    val glob = cust.agg(avg(col("c_acctbal")).as("g"))
+    cust.select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      .join(broadcast(seg), "c_mktsegment")
+      .crossJoin(broadcast(glob))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round((col("s") + m * col("g")) / (col("n") + m), 6).as("enc"),
+        round((col("s") - col("c_acctbal") + m * col("g")) /
+          (col("n") - 1 + m), 6).as("loo_enc"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fe2_target_encoding" -> targetEncoding,
     "d14_dsir_weights" -> dsirWeights,
     "fe1_hashed_features" -> hashedFeatures,
     "d11_leakproof_split" -> leakproofSplit,
@@ -694,6 +737,19 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "fe2_target_encoding" ->
+      """WITH seg AS (
+        |  SELECT c_mktsegment, sum(c_acctbal) AS s, count(*) AS n
+        |  FROM customer GROUP BY c_mktsegment),
+        | overall AS (SELECT avg(c_acctbal) AS g FROM customer)
+        |SELECT c_custkey, c.c_mktsegment,
+        |  round((s + 10.0 * g) / (n + 10.0), 6) AS enc,
+        |  round((s - c_acctbal + 10.0 * g) / (n - 1 + 10.0), 6)
+        |    AS loo_enc
+        |FROM customer c
+        |JOIN seg ON c.c_mktsegment = seg.c_mktsegment
+        |CROSS JOIN overall
+        |ORDER BY c_custkey""".stripMargin,
     "d14_dsir_weights" ->
       s"""WITH occ AS (
          |  SELECT doc_id, is_t,

@@ -283,7 +283,74 @@ object Quality {
       .orderBy("band")
   }
 
+  /** The dq7 candidate (determinant → dependent) pairs over `part` — ONE
+    * list drives both the Spark plan and the oracle SQL so they cannot
+    * drift. `p_partkey → p_brand` holds exactly (the key-inference
+    * reading: every column is functionally determined by a key); the
+    * rest are expected near-misses whose violation RATE is the useful
+    * profiling signal.
+    */
+  private val Dq7Pairs = Seq(
+    ("p_partkey", "p_brand"), ("p_brand", "p_type"),
+    ("p_name", "p_brand"), ("p_type", "p_size"))
+
+  /** dq7 — approximate functional-dependency discovery (the profiling
+    * step behind schema normalization and key inference, cf. TANE /
+    * Papenbrock & Naumann 2016): for each candidate pair A → B, the
+    * violation count is `N − Σ_a max_b |{A=a, B=b}|` — the minimum
+    * number of rows whose B must change for the FD to hold exactly —
+    * reported with its rate and the holds verdict.
+    *
+    * Scale shape: per candidate, ONE hash aggregate on the (A,B) value
+    * domain (map-side combine collapses the row domain immediately),
+    * then two domain-sized aggregates — the fact table is scanned once
+    * per pair and never shuffled row-wise. The candidate list is static
+    * and column-metadata-sized, so the unioned report plan carries
+    * one-row frames into the final union (dq1's report discipline).
+    */
+  def dq7FdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    fdDiscoveryCore(t(spark, dir, "part"), Dq7Pairs)
+
+  /** dq7 over an explicit frame and pair list — QualitySpec plants a
+    * held FD, a single-row violation (count exactly 1), and checks the
+    * rate normalization.
+    */
+  private[graft] def fdDiscoveryCore(
+      table: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    pairs.map { case (det, dep) =>
+      table
+        .select(col(det).cast("string").as("det_v"),
+          col(dep).cast("string").as("dep_v"))
+        .groupBy("det_v", "dep_v").agg(count(lit(1)).as("c"))
+        .groupBy("det_v").agg(max(col("c")).as("mx"), sum(col("c")).as("tot"))
+        .agg(sum(col("mx")).as("kept"), sum(col("tot")).as("n"))
+        .select(lit(det).as("determinant"), lit(dep).as("dependent"),
+          col("n").as("n_rows"),
+          (col("n") - col("kept")).as("n_violations"),
+          r6((col("n") - col("kept")).cast("double") / col("n"))
+            .as("violation_rate"),
+          (col("n") === col("kept")).as("holds"))
+    }.reduce(_.unionAll(_)).orderBy("determinant", "dependent")
+
+  /** The dq7 oracle, generated from the SAME pair list as the plan. */
+  private def dq7OracleSql: String =
+    Dq7Pairs.map { case (det, dep) =>
+      s"""SELECT '$det' AS determinant, '$dep' AS dependent,
+         |  CAST(sum(tot) AS BIGINT) AS n_rows,
+         |  CAST(sum(tot) - sum(mx) AS BIGINT) AS n_violations,
+         |  round((sum(tot) - sum(mx))::DOUBLE / sum(tot), 6)
+         |    AS violation_rate,
+         |  sum(tot) = sum(mx) AS holds
+         |FROM (
+         |  SELECT det_v, max(c) AS mx, sum(c) AS tot FROM (
+         |    SELECT $det::VARCHAR AS det_v, $dep::VARCHAR AS dep_v,
+         |      count(*) AS c
+         |    FROM part GROUP BY 1, 2) GROUP BY det_v)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY determinant, dependent")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq7_fd_discovery" -> dq7FdDiscovery,
     "dq6_reconciliation" -> dq6Reconciliation,
     "dq1_constraint_report" -> dq1ConstraintReport,
     "dq2_accepted_cross_report" -> dq2AcceptedAndCross,
@@ -293,6 +360,7 @@ object Quality {
   )
 
   val oracle: Map[String, String] = Map(
+    "dq7_fd_discovery" -> dq7OracleSql,
     "dq6_reconciliation" ->
       """WITH c AS (
         |  SELECT l_orderkey,

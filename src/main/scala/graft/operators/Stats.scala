@@ -553,7 +553,59 @@ object Stats {
       .orderBy("event_type")
   }
 
+  /** ab9 — mixture sequential probability ratio test (mSPRT): the
+    * ALWAYS-VALID p-value of Johari et al. 2017 ("Peeking at A/B
+    * Tests"), the statistic an experimentation platform serves when
+    * analysts peek at a running test — unlike ab1's fixed-horizon t, it
+    * keeps its type-I guarantee under continuous monitoring. Closed
+    * form under the normal mixture prior with tuning variance τ² = 1:
+    * with δ = mean_a − mean_b and V = s²_a/n_a + s²_b/n_b,
+    * `ln Λ = ½·ln(V/(V+τ²)) + δ²τ²/(2V(V+τ²))` and
+    * `p = min(1, exp(−ln Λ))`; the 5% verdict derives from the ROUNDED
+    * p (ab4's convention, so both engines agree on the bit).
+    *
+    * Determinism: same aggregate inputs as ab1 (exact counts +
+    * conditional avg/var of O(10) magnitudes); `ln`/`exp` sit 6
+    * decimals above their ulp (ab8's precedent). A zero-variance or
+    * single-populated arm nulls V and the whole readout nulls through —
+    * the family's degenerate convention.
+    *
+    * Scale shape: identical to ab1 — ONE scan, ONE hash aggregate keyed
+    * on event_type, map-side partials; the sequential-ness is in the
+    * STATISTIC (valid at any stopping time), not in any extra pass.
+    */
+  def abMsprt(spark: SparkSession, dir: String): DataFrame =
+    abMsprtCore(t(spark, dir, "events"))
+
+  /** ab9 over an explicit `(user_id, event_type, value)` frame —
+    * StatsSpec plants a strong effect (reject) against a null one (keep)
+    * and pins the anytime-validity direction: more data under H1 only
+    * shrinks p.
+    */
+  private[graft] def abMsprtCore(ev: DataFrame): DataFrame = {
+    val a = inGroupA(col("user_id"))
+    val va = when(a, col("value"))
+    val vb = when(!a, col("value"))
+    val na = count(va)
+    val nb = count(vb)
+    val dlt = avg(va) - avg(vb)
+    val v = var_samp(va) / na + var_samp(vb) / nb
+    val tau2 = lit(1.0)
+    val lnl = lit(0.5) * log(v / (v + tau2)) +
+      (dlt * dlt * tau2) / (lit(2.0) * v * (v + tau2))
+    val p = least(lit(1.0), exp(-lnl))
+    ev.groupBy(col("event_type"))
+      .agg(
+        na.as("n_a"), nb.as("n_b"),
+        r6s(dlt).as("delta"),
+        r6s(lnl).as("log_lambda"),
+        r6(p).as("p_always_valid"),
+        (round(p, 6) <= 0.05).as("reject_at_05"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ab9_msprt" -> abMsprt,
     "ab8_fdr" -> abFdr,
     "drift4_ks" -> ksDrift,
     "ab7_power" -> abPower,
@@ -569,6 +621,34 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    "ab9_msprt" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    substr(md5(user_id::VARCHAR), 1, 1) < '8' AS a
+        |  FROM events),
+        | s AS (
+        |  SELECT event_type,
+        |    count(CASE WHEN a THEN value END) AS n_a,
+        |    count(CASE WHEN NOT a THEN value END) AS n_b,
+        |    avg(CASE WHEN a THEN value END)
+        |      - avg(CASE WHEN NOT a THEN value END) AS dlt,
+        |    var_samp(CASE WHEN a THEN value END)
+        |        / count(CASE WHEN a THEN value END)
+        |      + var_samp(CASE WHEN NOT a THEN value END)
+        |        / count(CASE WHEN NOT a THEN value END) AS v
+        |  FROM e GROUP BY event_type),
+        | m AS (
+        |  SELECT event_type, n_a, n_b, dlt,
+        |    0.5 * ln(v / (v + 1.0))
+        |      + (dlt * dlt * 1.0) / (2.0 * v * (v + 1.0)) AS lnl
+        |  FROM s)
+        |SELECT event_type, n_a, n_b,
+        |  round(dlt, 6) + 0 AS delta,
+        |  round(lnl, 6) + 0 AS log_lambda,
+        |  round(least(1.0, exp(-lnl)), 6) AS p_always_valid,
+        |  round(least(1.0, exp(-lnl)), 6) <= 0.05 AS reject_at_05
+        |FROM m
+        |ORDER BY event_type""".stripMargin,
     "ab8_fdr" ->
       """WITH e AS (
         |  SELECT event_type, value,

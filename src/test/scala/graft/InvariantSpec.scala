@@ -62,6 +62,27 @@ class InvariantSpec extends AnyFunSuite {
     assert(got(3L).getAs[Long]("n_tokens") == 0L)
   }
 
+  test("fe2 target encoding: LOO excludes own row, smoothing pulls toward global") {
+    import spark.implicits._
+    // segment X: targets 100/200 against a 0-heavy global; the row with
+    // the HIGHER own target must get the LOWER leave-one-out encoding
+    // (it subtracts itself), and the smoothed serving encoding must land
+    // strictly between the segment mean (150) and the global mean.
+    val cust = (Seq((1L, "X", 100.0), (2L, "X", 200.0)) ++
+      (3L to 22L).map(i => (i, "Y", 0.0)))
+      .toDF("c_custkey", "c_mktsegment", "c_acctbal")
+    val got = graft.operators.Enrichment.targetEncodingCore(cust).collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r).toMap
+    val g = 300.0 / 22.0
+    val (e1, e2) = (got(1L).getAs[Double]("loo_enc"),
+      got(2L).getAs[Double]("loo_enc"))
+    assert(e2 < e1, s"higher own target must encode lower under LOO: $e1 vs $e2")
+    assert(math.abs(e1 - (300.0 - 100.0 + 10 * g) / 11.0) < 1e-6)
+    val enc = got(1L).getAs[Double]("enc")
+    assert(enc > g && enc < 150.0, s"smoothing must interpolate: $enc")
+    assert(enc == got(2L).getAs[Double]("enc")) // serving form is per-segment
+  }
+
   test("ev22 churn: the 14-day production bar splits planted stale/active users") {
     import spark.implicits._
     val base = 1704067200000L

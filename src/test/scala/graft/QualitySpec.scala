@@ -164,4 +164,24 @@ class QualitySpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getAs[Double]("hours_behind")).toMap
     assert(got == Map("click" -> 0.0, "view" -> 3.0, "error" -> 4.5))
   }
+
+  test("dq7 FD discovery: a held dependency is clean, a planted violation counts 1") {
+    import spark.implicits._
+    // y -> x holds (each y value maps to one x); x -> y is violated by
+    // exactly one row (x=2 maps to {q,q,r}: one r must change)
+    val tab = Seq(
+      (1, "p", 5), (1, "p", 6), (2, "q", 5), (2, "q", 5), (2, "r", 5)
+    ).toDF("x", "y", "z")
+    val got = Quality.fdDiscoveryCore(tab, Seq(("y", "x"), ("x", "y")))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val hold = got("y")
+    assert(hold.getAs[Boolean]("holds") &&
+      hold.getAs[Long]("n_violations") == 0L &&
+      hold.getAs[Double]("violation_rate") == 0.0)
+    val broken = got("x")
+    assert(!broken.getAs[Boolean]("holds") &&
+      broken.getAs[Long]("n_rows") == 5L &&
+      broken.getAs[Long]("n_violations") == 1L &&
+      broken.getAs[Double]("violation_rate") == 0.2)
+  }
 }

@@ -66,6 +66,33 @@ class StatsSpec extends AnyFunSuite {
     }
   }
 
+  test("ab9 mSPRT: planted effect rejects, null keeps, more H1 data shrinks p") {
+    import spark.implicits._
+    def frame(nPerArm: Int, liftA: Double) =
+      (armA.take(nPerArm).zipWithIndex.flatMap { case (u, i) =>
+        Seq((u, "moved", liftA + (i % 7) * 0.1),
+          (u, "flat", 5.0 + (i % 7) * 0.1)) } ++
+        armB.take(nPerArm).zipWithIndex.flatMap { case (u, i) =>
+          Seq((u, "moved", 10.0 + (i % 7) * 0.1),
+            (u, "flat", 5.0 + (i % 7) * 0.1)) })
+        .toDF("user_id", "event_type", "value")
+    val got = Stats.abMsprtCore(frame(50, 20.0)).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("moved").getAs[Boolean]("reject_at_05"),
+      s"10-sigma effect must reject: ${got("moved")}")
+    assert(got("moved").getAs[Double]("log_lambda") > 0)
+    assert(!got("flat").getAs[Boolean]("reject_at_05"),
+      s"null metric must keep: ${got("flat")}")
+    assert(got("flat").getAs[Double]("p_always_valid") >
+      got("moved").getAs[Double]("p_always_valid"))
+    // anytime validity direction: under H1 the evidence only accumulates
+    val p50 = got("moved").getAs[Double]("p_always_valid")
+    val p100 = Stats.abMsprtCore(frame(100, 20.0)).collect()
+      .find(_.getAs[String]("event_type") == "moved").get
+      .getAs[Double]("p_always_valid")
+    assert(p100 <= p50, s"p must shrink with more H1 data: $p50 -> $p100")
+  }
+
   test("welch effect readout: df inside the Satterthwaite envelope, d scale-invariant") {
     import spark.implicits._
     def frame(scale: Double) =
