@@ -674,7 +674,69 @@ object Enrichment {
       .orderBy("c_custkey")
   }
 
+  /** d15 — UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer
+    * and More Effective Language Sampling"): split a total training
+    * token budget `B = 2·N` across sources as UNIFORMLY as possible
+    * subject to the per-source epoch cap `cap_d = 4·n_d` (no source is
+    * repeated more than 4 epochs) — the water-filling allocation that
+    * replaced temperature sampling (d5/d6) for multilingual
+    * pretraining: temperature still over-samples the head, UniMax gives
+    * every uncapped source the SAME share. Greedy closed form: sort
+    * sources ascending by cap; source at rank i (of D, prefix sum P)
+    * is capped iff `cap_i·(D−i+1) ≤ B−P_{i−1}`, and the capped set is
+    * a prefix by monotonicity; uncapped sources share the leftover
+    * evenly. Emits tokens + epochs per source with the capped flag.
+    *
+    * Determinism: the entire cascade — caps, ranks, prefix sums, the
+    * capped predicate — is EXACT BIGINT arithmetic on token counts;
+    * only the final uncapped share divides, under the 6-grid.
+    *
+    * Scale shape: one explode-free token-count aggregate over documents
+    * (map-side combine to a source-sized frame), then windows over the
+    * SOURCE domain — metadata-sized at any corpus size (the d12/d13
+    * policy-frame convention).
+    */
+  def unimaxAllocation(spark: SparkSession, dir: String): DataFrame =
+    unimaxCore(t(spark, dir, "documents"))
+
+  /** d15 over an explicit `(source, text)` frame — InvariantSpec plants
+    * a tiny source (capped at 4 epochs) against balanced big ones
+    * (uniform leftover split) and checks the budget exactly exhausts.
+    */
+  private[graft] def unimaxCore(documents: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.tokenCount
+    val dom = documents
+      .select(col("source"), tokenCount(col("text")).as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val wAll = Window.partitionBy()
+    val wOrd = Window.orderBy(col("cap"), col("source"))
+    val f = dom
+      .select(col("source"), col("n_tokens"), (col("n_tokens") * 4L).as("cap"))
+      .withColumn("b", sum(col("n_tokens")).over(wAll) * 2L)
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("d", count(lit(1)).over(wAll))
+      .withColumn("pprev", coalesce(sum(col("cap")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("is_capped",
+        col("cap") * (col("d") - col("i") + 1) <= col("b") - col("pprev"))
+    val kf = f.agg(
+      coalesce(max(when(col("is_capped"), col("i"))), lit(0L)).as("k"),
+      coalesce(sum(when(col("is_capped"), col("cap"))), lit(0L)).as("pk"))
+    f.crossJoin(broadcast(kf))
+      .select(col("source"), col("n_tokens"),
+        (col("i") <= col("k")).as("capped"),
+        round(when(col("i") <= col("k"), col("cap").cast("double"))
+          .otherwise((col("b") - col("pk")).cast("double") /
+            (col("d") - col("k"))), 6).as("budget_tokens"),
+        round(when(col("i") <= col("k"), lit(4.0))
+          .otherwise((col("b") - col("pk")).cast("double") /
+            ((col("d") - col("k")) * col("n_tokens"))), 6).as("epochs"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d15_unimax" -> unimaxAllocation,
     "fe2_target_encoding" -> targetEncoding,
     "d14_dsir_weights" -> dsirWeights,
     "fe1_hashed_features" -> hashedFeatures,
@@ -737,6 +799,39 @@ object Enrichment {
       |  WHERE source IS NOT NULL""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d15_unimax" ->
+      s"""WITH dom AS (
+         |  SELECT source,
+         |    CAST(sum(${TextAnalysis.sqlTokenCount("text")}) AS BIGINT)
+         |      AS n_tokens
+         |  FROM documents GROUP BY source),
+         | f AS (
+         |  SELECT source, n_tokens, n_tokens * 4 AS cap,
+         |    CAST(sum(n_tokens) OVER () AS BIGINT) * 2 AS b,
+         |    CAST(row_number() OVER (ORDER BY n_tokens * 4, source)
+         |      AS BIGINT) AS i,
+         |    count(*) OVER () AS d,
+         |    CAST(coalesce(sum(n_tokens * 4) OVER (
+         |      ORDER BY n_tokens * 4, source
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS pprev
+         |  FROM dom),
+         | g AS (
+         |  SELECT *, cap * (d - i + 1) <= b - pprev AS is_capped FROM f),
+         | kf AS (
+         |  SELECT CAST(coalesce(max(CASE WHEN is_capped THEN i END), 0)
+         |      AS BIGINT) AS k,
+         |    CAST(coalesce(sum(CASE WHEN is_capped THEN cap END), 0)
+         |      AS BIGINT) AS pk
+         |  FROM g)
+         |SELECT source, n_tokens, i <= k AS capped,
+         |  round(CASE WHEN i <= k THEN cap::DOUBLE
+         |    ELSE (b - pk)::DOUBLE / (d - k) END, 6) AS budget_tokens,
+         |  round(CASE WHEN i <= k THEN 4.0
+         |    ELSE (b - pk)::DOUBLE / ((d - k) * n_tokens) END, 6)
+         |    AS epochs
+         |FROM g CROSS JOIN kf
+         |ORDER BY source""".stripMargin,
     "fe2_target_encoding" ->
       """WITH seg AS (
         |  SELECT c_mktsegment, sum(c_acctbal) AS s, count(*) AS n

@@ -670,7 +670,50 @@ object Events {
       .orderBy("event_type", "day_ms")
   }
 
+  /** ev24 — time-weighted average value per user (TWAP — the metering /
+    * billing / market-data aggregate): treating each event's value as a
+    * piecewise-constant state held until the user's NEXT event, the
+    * average weighted by holding duration `Σ v·Δt / Σ Δt` — which a
+    * plain mean gets wrong whenever sampling is irregular (a value held
+    * for an hour must weigh 3600× one held for a second; the last event
+    * holds nothing and contributes no weight). Reported next to the
+    * unweighted mean so the gap IS the irregularity readout.
+    *
+    * Scale shape: one lead() window per user (shuffle keyed on user_id
+    * — the same partitioning every ev-family session op uses, reusable
+    * across them in a composed pipeline), then a hash aggregate.
+    * Durations are exact epoch-ms integers; the weighted sum divides by
+    * Σ Δt, shrinking parallel-summation error under the 6-grid (the
+    * avg-rescue convention). A single-event user has no held interval:
+    * null TWAP on both engines (sum-of-empty is null, and the zero-span
+    * divisor is nullif-guarded — drift4's degenerate convention).
+    */
+  def twap(spark: SparkSession, dir: String): DataFrame =
+    twapCore(t(spark, dir, "events"))
+
+  /** ev24 over an explicit `(event_id, user_id, ts, value)` frame —
+    * EventsSpec plants a long-held low value against a briefly-held
+    * spike (TWAP hugs the held value; the plain mean does not) and a
+    * single-event user (null TWAP).
+    */
+  private[graft] def twapCore(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("event_id"))
+    ev.select(col("user_id"), col("event_id"),
+        unix_millis(col("ts")).as("ms"), col("value"))
+      .withColumn("dt", (lead(col("ms"), 1).over(w) - col("ms")).cast("double"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        r6((max(col("ms")) - min(col("ms"))) / lit(1000.0)).as("span_s"),
+        r6(avg(col("value"))).as("mean_value"),
+        r6(sum(col("value") * col("dt")) /
+          when(sum(col("dt")) =!= 0.0, sum(col("dt")))).as("twap"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev24_twap" -> twap,
     "ev22_churn" -> churn,
     "ev23_ewma" -> ewmaDaily,
     "ev21_streaks" -> streaks,
@@ -770,6 +813,23 @@ object Events {
         |  count(CASE WHEN m = 'l' THEN 1 END) AS last_touch_conversions
         |FROM m GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin,
+    "ev24_twap" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    epoch_ms(CAST(ts AS TIMESTAMP)) AS ms, value
+        |  FROM events),
+        | s AS (
+        |  SELECT user_id, ms, value,
+        |    CAST(lead(ms) OVER (
+        |      PARTITION BY user_id ORDER BY ms, event_id) - ms
+        |      AS DOUBLE) AS dt
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |  round((max(ms) - min(ms)) / 1000.0, 6) AS span_s,
+        |  round(avg(value), 6) AS mean_value,
+        |  round(sum(value * dt) / nullif(sum(dt), 0), 6) AS twap
+        |FROM s GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
     "ev19_conversion_lag" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -177,6 +177,59 @@ object Graph {
       .orderBy(col("n_triangles").desc, col("l_partkey"))
   }
 
+  /** gr4 — local clustering coefficient per node on the same
+    * support-pruned co-purchase graph as gr2: `C(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1))` — how close each part's co-purchase
+    * neighborhood is to a clique (Watts & Strogatz 1998), the
+    * community-tightness readout a recommender thresholds on where gr2
+    * gives only the raw triangle count. Nodes of degree < 2 are
+    * excluded (the coefficient is undefined, not zero — emitting 0
+    * would conflate leaf parts with genuinely open neighborhoods).
+    *
+    * Scale shape: everything after the basket pairing runs on gr2's
+    * tiny oriented edge frame (persisted ONCE, feeding both the
+    * triangle enumeration and the degree count — the scoped-persist
+    * discipline); the final join is affinity-scale. The coefficient is
+    * an exact integer ratio, so the 6-decimal grid is exact.
+    */
+  def clusteringCoefficient(spark: SparkSession, dir: String): DataFrame =
+    clusteringCoefficientCore(t(spark, dir, "lineitem"))
+
+  /** gr4 over an explicit `(l_orderkey, l_partkey)` frame — GraphSpec
+    * plants a K4 (every node C=1) against a star (center C=0, leaves
+    * absent: degree 1).
+    */
+  private[graft] def clusteringCoefficientCore(lineitem: DataFrame): DataFrame = {
+    val li = basketItems(lineitem)
+    val pairs = graft.engine.Caching.scopedPersist(
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("pa"), col("pb")))
+    val tri = pairs.as("e1")
+      .join(pairs.as("e2"), col("e1.pb") === col("e2.pa"))
+      .join(pairs.as("e3"),
+        col("e3.pa") === col("e1.pa") && col("e3.pb") === col("e2.pb"))
+      .select(col("e1.pa").as("x"), col("e1.pb").as("y"),
+        col("e2.pb").as("z"))
+    val triPer = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("l_partkey"))
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_triangles"))
+    val deg = pairs.select(col("pa").as("l_partkey"))
+      .unionAll(pairs.select(col("pb").as("l_partkey")))
+      .groupBy("l_partkey").agg(count(lit(1)).as("degree"))
+    deg.join(triPer, Seq("l_partkey"), "left")
+      .filter(col("degree") >= 2)
+      .select(col("l_partkey"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        round(lit(2.0) * coalesce(col("n_triangles"), lit(0L)) /
+          (col("degree") * (col("degree") - 1)), 6).as("clustering"))
+      .orderBy("l_partkey")
+  }
+
   /** gr3 — link prediction over the co-purchase graph: for every
     * NON-adjacent part pair sharing at least one co-purchase neighbor,
     * the common-neighbor count and the Adamic–Adar score
@@ -237,7 +290,8 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pr1_pagerank" -> pagerank,
     "gr2_triangles" -> triangles,
-    "gr3_link_prediction" -> linkPrediction
+    "gr3_link_prediction" -> linkPrediction,
+    "gr4_clustering_coefficient" -> clusteringCoefficient
   )
 
   val oracle: Map[String, String] = {
@@ -251,6 +305,33 @@ object Graph {
          |    0.15 / (SELECT n FROM np) + 0.85 * coalesce(contrib, 0.0) AS r
          |  FROM documents d LEFT JOIN c$k ON d.doc_id = dst),""".stripMargin
     Map(
+      "gr4_clustering_coefficient" ->
+        s"""WITH $sqlBasketCte,
+          | e AS (
+          |  SELECT a.l_partkey AS pa, b.l_partkey AS pb
+          |  FROM li a JOIN li b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+          |  GROUP BY 1, 2 HAVING count(*) >= 2),
+          | tri AS (
+          |  SELECT e1.pa AS x, e1.pb AS y, e2.pb AS z
+          |  FROM e e1 JOIN e e2 ON e1.pb = e2.pa
+          |    JOIN e e3 ON e3.pa = e1.pa AND e3.pb = e2.pb),
+          | tp AS (
+          |  SELECT l_partkey, count(*) AS n_triangles FROM (
+          |    SELECT x AS l_partkey FROM tri
+          |    UNION ALL SELECT y FROM tri
+          |    UNION ALL SELECT z FROM tri) GROUP BY 1),
+          | deg AS (
+          |  SELECT l_partkey, count(*) AS degree FROM (
+          |    SELECT pa AS l_partkey FROM e
+          |    UNION ALL SELECT pb FROM e) GROUP BY 1)
+          |SELECT d.l_partkey, d.degree,
+          |  CAST(coalesce(tp.n_triangles, 0) AS BIGINT) AS n_triangles,
+          |  round(2.0 * coalesce(tp.n_triangles, 0)
+          |    / (d.degree * (d.degree - 1)), 6) AS clustering
+          |FROM deg d LEFT JOIN tp USING (l_partkey)
+          |WHERE d.degree >= 2
+          |ORDER BY l_partkey""".stripMargin,
       "gr3_link_prediction" ->
         s"""WITH $sqlBasketCte,
           | e AS (

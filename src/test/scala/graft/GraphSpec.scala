@@ -104,4 +104,28 @@ class GraphSpec extends AnyFunSuite {
           $"a.l_partkey" < $"b.l_partkey").count()
     assert(pairs == cap.toLong * (cap - 1) / 2 + 2 * 3, pairs)
   }
+
+  test("gr4 clustering: K4 vertices score 1, a star center 0, leaves excluded") {
+    import spark.implicits._
+    // K4 on parts {1..4} (orders 1,2): every vertex deg 3, 3 triangles,
+    // C = 2*3/(3*2) = 1. Star 21-{22,23,24}, each edge co-ordered twice
+    // via its own order pair: center deg 3 with 0 triangles -> C = 0;
+    // leaves have deg 1 -> excluded (undefined, not zero).
+    val k4 = Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p)))
+    val star = Seq((21L, 22L), (21L, 23L), (21L, 24L)).zipWithIndex.flatMap {
+      case ((a, b), i) =>
+        Seq(10L + 2 * i, 11L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
+    }
+    val li = (k4 ++ star).toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.clusteringCoefficientCore(li).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Double]("clustering"))).toMap
+    Seq(1L, 2L, 3L, 4L).foreach { p =>
+      assert(got(p) == ((3L, 3L, 1.0)), s"$p -> ${got(p)}")
+    }
+    assert(got(21L) == ((3L, 0L, 0.0)), got(21L))
+    assert(!got.contains(22L) && !got.contains(23L) && !got.contains(24L),
+      "degree-1 leaves must be excluded")
+  }
 }

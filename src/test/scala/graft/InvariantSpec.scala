@@ -83,6 +83,50 @@ class InvariantSpec extends AnyFunSuite {
     assert(enc == got(2L).getAs[Double]("enc")) // serving form is per-segment
   }
 
+  test("d15 UniMax: a tiny source caps at 4 epochs, the rest split evenly, budget exhausts") {
+    import spark.implicits._
+    // token counts 10/100/100 -> N=210, B=420. Sorted by cap: tiny(40)
+    // is capped (40*3 <= 420); big1 is not (400*2 > 380). Leftover
+    // 380 splits 190/190 -> epochs 1.9 each; 40+190+190 == B exactly.
+    val docs = Seq(
+      ("tiny", Seq.fill(10)("w").mkString(" ")),
+      ("big1", Seq.fill(100)("w").mkString(" ")),
+      ("big2", Seq.fill(100)("w").mkString(" "))
+    ).toDF("source", "text")
+    val got = graft.operators.Enrichment.unimaxCore(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got("tiny").getAs[Boolean]("capped"))
+    assert(got("tiny").getAs[Double]("budget_tokens") == 40.0)
+    assert(got("tiny").getAs[Double]("epochs") == 4.0)
+    Seq("big1", "big2").foreach { s =>
+      assert(!got(s).getAs[Boolean]("capped"))
+      assert(got(s).getAs[Double]("budget_tokens") == 190.0, got(s))
+      assert(got(s).getAs[Double]("epochs") == 1.9)
+    }
+    assert(got.values.map(_.getAs[Double]("budget_tokens")).sum == 420.0)
+  }
+
+  test("ev24 TWAP hugs the long-held value; a single-event user is null") {
+    import spark.implicits._
+    val base = 1704067200000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    // user 1 holds 10 for 900 s, spikes to 100 for 100 s, final event
+    // carries no weight: TWAP = (10*900 + 100*100)/1000 = 19, mean = 40.
+    val ev = Seq(
+      (1L, 1L, ts(0), 10.0), (2L, 1L, ts(900), 100.0),
+      (3L, 1L, ts(1000), 10.0),
+      (4L, 2L, ts(0), 55.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Events.twapCore(ev).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    assert(got(1L).getAs[Double]("twap") == 19.0, got(1L))
+    assert(got(1L).getAs[Double]("mean_value") == 40.0)
+    assert(got(1L).getAs[Double]("span_s") == 1000.0)
+    assert(got(2L).isNullAt(got(2L).fieldIndex("twap")),
+      "single-event user must have null TWAP")
+    assert(got(2L).getAs[Double]("mean_value") == 55.0)
+  }
+
   test("ev22 churn: the 14-day production bar splits planted stale/active users") {
     import spark.implicits._
     val base = 1704067200000L
