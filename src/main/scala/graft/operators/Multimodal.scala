@@ -604,7 +604,70 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class PatchSrcRow(
+    media_id: Long, width: Int, height: Int, bytes: Seq[Int])
+
+  /** mm10 — ViT-style patchification: split each decoded raster into
+    * non-overlapping 2×2 pixel patches (edge remainders truncated, the
+    * standard ViT convention) and emit per-patch token statistics —
+    * byte count, mean and max over the patch's interleaved RGB bytes.
+    * This is the image→token-sequence step a multimodal training
+    * pipeline runs between decode and packing: the (media_id,
+    * patch_row, patch_col) grid IS the patch-token coordinate system,
+    * and the per-patch stats stand in for the projection a real encoder
+    * would apply (the linear patch embedding is a model weight, not an
+    * engine op). The oracle recomputes the grid from the text-derived
+    * payload, so a wrong raster offset or patch index breaks the hash.
+    *
+    * Scale shape: map-only decode (the mm-family batch stage), then the
+    * engine convention — posexplode into a hash aggregate keyed on the
+    * patch grid (map-side combine collapses each patch's ≤12 bytes in
+    * place); payloads never shuffle, patch rows are bounded by raster
+    * size. Sums are exact integers; the one division lands on the
+    * 6-grid.
+    */
+  def patchify(spark: SparkSession, dir: String): DataFrame =
+    patchifyOf(syntheticMedia(spark, dir), spark)
+
+  /** mm10 over an explicit media frame — MultimodalSpec plants a 4×3
+    * raster with position-coded pixels: the truncated third row must
+    * vanish and each patch's mean/max must match the hand grid.
+    */
+  private[graft] def patchifyOf(media: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val src = media
+      .filter(col("kind") === "image")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, payload) =>
+          val img = MediaCodecs.Pnm.parse(payload)
+          PatchSrcRow(id, img.width, img.height,
+            img.pixels.toSeq.map(_ & 0xff))
+        }
+      }
+      .toDF()
+    src
+      .select(col("media_id"), col("width"), col("height"),
+        posexplode(col("bytes")).as(Seq("k", "v")))
+      // all grid arithmetic in explicit floor-division (Spark `/` is
+      // double division; floor of an exact small-int quotient is exact)
+      .withColumn("p", floor(col("k") / 3))
+      .withColumn("y", floor(col("p") / col("width")))
+      .withColumn("x", col("p") % col("width"))
+      .filter(col("y") < lit(2) * floor(col("height") / 2) &&
+        col("x") < lit(2) * floor(col("width") / 2))
+      .groupBy(col("media_id"), floor(col("y") / 2).as("patch_row"),
+        floor(col("x") / 2).as("patch_col"))
+      .agg(count(lit(1)).as("n_bytes"),
+        round(sum(col("v")).cast("double") / count(lit(1)), 6)
+          .as("mean_byte"),
+        max(col("v")).cast("long").as("max_byte"))
+      .orderBy("media_id", "patch_row", "patch_col")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm10_patchify" -> patchify,
     "mm9_audio_resample" -> audioResample,
     "mm8_image_neardups" -> imageNearDups,
     "mm1_media_profile" -> mediaProfile,
@@ -617,6 +680,38 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "mm10_patchify" ->
+      """WITH s AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 0),
+        | d AS (
+        |  SELECT doc_id AS media_id,
+        |    CAST(4 + doc_id % 13 AS INTEGER) AS width,
+        |    CAST(length(st) // (3 * (4 + doc_id % 13)) AS INTEGER) AS height,
+        |    st
+        |  FROM s),
+        | b AS (
+        |  SELECT media_id, width, height, st,
+        |    unnest(range(1, 3 * width * height + 1)) AS i
+        |  FROM d),
+        | v AS (
+        |  SELECT media_id, width, height,
+        |    ((i - 1) // 3) // width AS y,
+        |    ((i - 1) // 3) % width AS x,
+        |    ord(st[i]) AS v
+        |  FROM b),
+        | f AS (
+        |  SELECT * FROM v
+        |  WHERE y < 2 * (height // 2) AND x < 2 * (width // 2))
+        |SELECT media_id,
+        |  CAST(y // 2 AS BIGINT) AS patch_row,
+        |  CAST(x // 2 AS BIGINT) AS patch_col,
+        |  count(*) AS n_bytes,
+        |  round(CAST(sum(v) AS BIGINT) / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_byte,
+        |  CAST(max(v) AS BIGINT) AS max_byte
+        |FROM f GROUP BY media_id, y // 2, x // 2
+        |ORDER BY media_id, patch_row, patch_col""".stripMargin,
     "mm9_audio_resample" ->
       """WITH s AS (
         |  SELECT doc_id AS media_id,

@@ -1070,7 +1070,96 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t28 — out-of-vocabulary rate per document against the corpus's own
+    * top-K token vocabulary (K = 16): the tokenizer-coverage audit run
+    * before committing to a fixed vocab — a document whose tokens
+    * mostly fall outside the head vocabulary will shatter into
+    * fallback/byte tokens and blow up its training token budget (the same
+    * readout HuggingFace's tokenizer analysis reports as unk-rate).
+    * K is deliberately tiny relative to this corpus so the rate is
+    * non-degenerate at every sf.
+    *
+    * Scale shape: ONE token explode feeds both sides — the vocab is a
+    * K-row TakeOrdered off the token-count aggregate (broadcast back as
+    * a left join; K rows at any corpus size), and the per-doc aggregate
+    * is a hash agg on doc_id. The corpus is scanned once, never
+    * self-joined.
+    */
+  def oovRate(spark: SparkSession, dir: String): DataFrame =
+    oovRateCore(t(spark, dir, "documents"))
+
+  /** t28 over an explicit `(doc_id, text)` frame — TextAnalysisSpec
+    * shrinks K's effect by planting a head token and a one-off token:
+    * the one-off must count as OOV, the head must not, an empty doc is
+    * null-rated.
+    */
+  private[graft] def oovRateCore(documents: DataFrame): DataFrame = {
+    val tok = documents
+      .select(col("doc_id"), explode(tokensOrdered(col("text"))).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token"))
+      .limit(16)
+      .select(col("token"), lit(true).as("in_vocab"))
+    val flagged = tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+    documents.select(col("doc_id"))
+      .join(flagged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy("doc_id")
+  }
+
+  /** t29 — classic readability scores: Flesch Reading Ease
+    * `206.835 − 1.015·(W/S) − 84.6·(Y/W)` and the Flesch–Kincaid grade
+    * `0.39·(W/S) + 11.8·(Y/W) − 15.59` (Kincaid et al. 1975) — the
+    * oldest quality features in every text-curation stack, still a
+    * strong cheap prior next to t4's ratio score and t27's hard rules.
+    * Deterministic proxies: sentences = non-blank `[.!?]+` segments,
+    * syllables = vowel-group runs `[aeiouy]+` (the standard heuristic;
+    * exact hyphenation is dictionary-bound and non-portable).
+    *
+    * Scale shape: pure per-row projection over three regex counts — no
+    * shuffle except the output sort; scan-bound at 100 TB (the t1/t27
+    * family discipline). Zero-word or zero-sentence docs null through
+    * (nullif-guarded divisors on both engines).
+    */
+  def readability(spark: SparkSession, dir: String): DataFrame =
+    readabilityCore(t(spark, dir, "documents"))
+
+  /** t29 over an explicit `(doc_id, text)` frame — TextAnalysisSpec pins
+    * hand-counted W/S/Y on punctuated prose and the monosyllabic-easier
+    * direction.
+    */
+  private[graft] def readabilityCore(documents: DataFrame): DataFrame = {
+    val words = tokenCount(col("text"))
+    val sentences = size(filter(split(col("text"), "[.!?]+"),
+      s => length(trim(s)) > 0)).cast("long")
+    val syllables = size(filter(split(lower(col("text")), "[^aeiouy]+"),
+      s => length(s) > 0)).cast("long")
+    val w = col("n_words").cast("double")
+    val s = when(col("n_sentences") =!= 0L, col("n_sentences").cast("double"))
+    val y = col("n_syllables").cast("double")
+    val wNz = when(col("n_words") =!= 0L, w)
+    documents
+      .select(col("doc_id"), words.as("n_words"),
+        sentences.as("n_sentences"), syllables.as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / wNz), 6)
+          .as("flesch_ease"),
+        round(lit(0.39) * (w / s) + lit(11.8) * (y / wNz) - lit(15.59), 6)
+          .as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_readability" -> readability,
+    "t28_oov_rate" -> oovRate,
     "t27_gopher_rules" -> gopherRules,
     "t26_ngram_novelty" -> ngramNovelty,
     "t25_langid_confusion" -> langidConfusion,
@@ -1314,6 +1403,45 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t28_oov_rate" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),
+         | vocab AS (
+         |  SELECT token FROM tok GROUP BY token
+         |  ORDER BY count(*) DESC, token LIMIT 16),
+         | per AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_oov
+         |  FROM tok LEFT JOIN vocab v USING (token)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_tokens, 0) AS n_tokens,
+         |  coalesce(p.n_oov, 0) AS n_oov,
+         |  round(p.n_oov::DOUBLE / p.n_tokens, 6) AS oov_rate
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+    "t29_readability" ->
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    ${sqlTokenCount("text")} AS n_words,
+         |    CAST(len(list_filter(
+         |      regexp_split_to_array(text, '[.!?]+'),
+         |      x -> length(trim(x)) > 0)) AS BIGINT) AS n_sentences,
+         |    CAST(len(list_filter(
+         |      regexp_split_to_array(lower(text), '[^aeiouy]+'),
+         |      x -> length(x) > 0)) AS BIGINT) AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |  round(206.835
+         |    - 1.015 * (n_words::DOUBLE / nullif(n_sentences, 0))
+         |    - 84.6 * (n_syllables::DOUBLE / nullif(n_words, 0)), 6)
+         |    AS flesch_ease,
+         |  round(0.39 * (n_words::DOUBLE / nullif(n_sentences, 0))
+         |    + 11.8 * (n_syllables::DOUBLE / nullif(n_words, 0))
+         |    - 15.59, 6) AS fk_grade
+         |FROM m
+         |ORDER BY doc_id""".stripMargin,
     "t27_gopher_rules" ->
       s"""WITH w AS (
          |  SELECT doc_id,

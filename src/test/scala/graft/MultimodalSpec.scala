@@ -297,4 +297,23 @@ class MultimodalSpec extends AnyFunSuite {
     // pairs: (1,2) identical, (1,3)/(2,3) one flipped comparison bit
     assert(got == Map((1L, 2L) -> 0L, (1L, 3L) -> 1L, (2L, 3L) -> 1L), got)
   }
+
+  test("mm10 patchify: 2x2 grid matches the hand-computed patches, edge row truncated") {
+    // 4x3 raster, pixel (y,x) = 10y + x on all 3 channels: patch (0,0)
+    // holds {0,1,10,11} (mean 5.5, max 11), patch (0,1) {2,3,12,13}
+    // (mean 7.5, max 13); the odd third row (y=2) is truncated.
+    val pixels = (for (y <- 0 until 3; x <- 0 until 4; _ <- 0 until 3)
+      yield (10 * y + x).toByte).toArray
+    val payload = ascii("P6\n4 3\n255\n") ++ pixels
+    import spark.implicits._
+    val media = Seq((9L, "image", payload))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.patchifyOf(media, spark).collect()
+      .map(r => (r.getAs[Long]("patch_row"), r.getAs[Long]("patch_col")) ->
+        (r.getAs[Long]("n_bytes"), r.getAs[Double]("mean_byte"),
+          r.getAs[Long]("max_byte"))).toMap
+    assert(got == Map(
+      (0L, 0L) -> ((12L, 5.5, 11L)),
+      (0L, 1L) -> ((12L, 7.5, 13L))), got)
+  }
 }

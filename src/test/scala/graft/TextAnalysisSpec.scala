@@ -195,4 +195,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(!flag(5L, "stop_ok") && !flag(5L, "passes"))
     assert(got(1L).getAs[Long]("n_words") == 84L)
   }
+
+  test("t28 OOV: head tokens are in-vocab, one-off tail tokens are OOV, empty doc null") {
+    import spark.implicits._
+    // 16 distinct alphabetic head tokens each appear 3x across docs ->
+    // they ARE the top-16 vocab; "rareword" appears once -> OOV.
+    // (tokens must be pure [a-z]: the tokenizer drops digits.)
+    val head = ('a' to 'p').map(c => s"w$c")
+    val docs = Seq(
+      (1L, head.mkString(" ")), (2L, head.mkString(" ")),
+      (3L, head.mkString(" ") + " rareword"),
+      (4L, "  ")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.oovRateCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_oov") == 0L)
+    assert(got(3L).getAs[Long]("n_tokens") == 17L &&
+      got(3L).getAs[Long]("n_oov") == 1L, got(3L))
+    assert(got(3L).getAs[Double]("oov_rate") == 0.058824) // round(1/17, 6)
+    assert(got(4L).getAs[Long]("n_tokens") == 0L &&
+      got(4L).isNullAt(got(4L).fieldIndex("oov_rate")))
+  }
+
+  test("t29 readability: hand-counted prose, monosyllabic text reads easier") {
+    import spark.implicits._
+    // doc 1: "the cat sat. the dog ran!" -> 6 words, 2 sentences,
+    // 6 syllables (each word one vowel group).
+    // doc 2: polysyllabic words, same word/sentence shape -> harder.
+    val docs = Seq(
+      (1L, "the cat sat. the dog ran!"),
+      (2L, "societal anomalies proliferate. bureaucratic inertia dominates!")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.readabilityCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Long]("n_words") == 6L)
+    assert(got(1L).getAs[Long]("n_sentences") == 2L)
+    assert(got(1L).getAs[Long]("n_syllables") == 6L)
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(got(1L).getAs[Double]("flesch_ease") - 119.19) < 1e-6)
+    assert(got(1L).getAs[Double]("flesch_ease") >
+      got(2L).getAs[Double]("flesch_ease"))
+    assert(got(1L).getAs[Double]("fk_grade") <
+      got(2L).getAs[Double]("fk_grade"))
+  }
 }
