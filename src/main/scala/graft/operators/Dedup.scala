@@ -758,7 +758,47 @@ object Dedup {
       .orderBy("eval_doc_id", "train_doc_id")
   }
 
+  /** dd11 — quality-aware canonical selection: dd5 assigns every document
+    * to its near-dup cluster; this picks the member to KEEP — the
+    * highest [[graft.functions.TextFunctions.qualityScore]] in the
+    * cluster (min doc_id on ties) — instead of dd5's min-id convention.
+    * This is how production dedup actually retires duplicates (Lee et
+    * al. 2022 keep-one semantics + a quality prior): deleting by
+    * arrival order throws away the best-written copy whenever the spam
+    * variant crawled first. Emits the full audit row (cluster, score,
+    * keep bit) so the drop set is reviewable before deletion.
+    *
+    * Scale shape: dd5's banded/bucketed cluster machinery unchanged
+    * (shingle → minhash band join with HotBucketCap → label
+    * propagation), one scan-local quality projection, and a row_number
+    * window partitioned by cluster id — clusters hash-partition evenly
+    * (they are near-dup groups, size-bounded in practice by the band
+    * cap), so no skew pathologies at 100 TB.
+    */
+  def qualityCanonical(spark: SparkSession, dir: String): DataFrame =
+    qualityCanonicalCore(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** dd11 over an explicit `(doc_id, text)` corpus — DedupSpec plants a
+    * near-dup pair where the LATER doc is higher quality (it must win)
+    * and a singleton (kept trivially).
+    */
+  private[graft] def qualityCanonicalCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("canonical_doc_id"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    clustersOf(docs)
+      .join(docs.select(col("doc_id"),
+        graft.functions.TextFunctions.qualityScore(col("text")).as("quality")),
+        "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .select(col("doc_id"), col("canonical_doc_id"), col("quality"),
+        (col("rk") === 1).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd11_quality_canonical" -> qualityCanonical,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_jaccard_pairs" -> jaccardPairs,
     "dd3_minhash_lsh" -> minhashLsh,
@@ -885,6 +925,35 @@ object Dedup {
       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    // dd11: dd5's recursive component chain verbatim, then the quality
+    // argmax (t4's shared score template) per component.
+    "dd11_quality_canonical" ->
+      (s"WITH RECURSIVE $dd3Ctes,\n" +
+        s" pairs AS ($dd3PairSelect),\n" +
+        s""" edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+          |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+          | reach(src, dst) AS (
+          |  SELECT src, dst FROM edges
+          |  UNION
+          |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+          | canon AS (
+          |  SELECT d.doc_id,
+          |    CAST(least(coalesce(min(r.dst), d.doc_id), d.doc_id)
+          |      AS BIGINT) AS canonical_doc_id
+          |  FROM documents d LEFT JOIN reach r ON d.doc_id = r.src
+          |  GROUP BY d.doc_id),
+          | q AS (
+          |  SELECT doc_id, ${TextAnalysis.sqlQuality("text")} AS quality
+          |  FROM documents),
+          | rk AS (
+          |  SELECT c.doc_id, c.canonical_doc_id, q.quality,
+          |    row_number() OVER (PARTITION BY canonical_doc_id
+          |      ORDER BY quality DESC, c.doc_id) AS rk
+          |  FROM canon c JOIN q USING (doc_id))
+          |SELECT doc_id, canonical_doc_id, quality, rk = 1 AS keep
+          |FROM rk
+          |ORDER BY doc_id""".stripMargin),
     // dd8: identical window construction (1-based k-token slices joined
     // with ' ', md5'd, per-doc distinct) and the shared cap template with
     // a constant band column.

@@ -471,6 +471,41 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** prof10 — 2-D joint histogram (hour-of-day × value bin) over events:
+    * the heatmap feed behind every "when do which magnitudes happen"
+    * dashboard, and the joint-distribution complement to prof2/prof5's
+    * marginals (prof4 gives one dependence NUMBER; this gives the
+    * surface). Ten equi-width value bins from the global min/max, hour
+    * from pure epoch integer arithmetic (`ms div 3600000 mod 24` — no
+    * timezone codec on either engine), and each cell's share WITHIN its
+    * hour so rows are comparable across traffic volumes.
+    *
+    * Scale shape: one stats aggregate (min/max — a 1-row broadcast),
+    * then ONE fact-table hash aggregate to the ≤ 24×10 cell frame;
+    * the share window runs over that tiny frame (prof4's count-frame
+    * convention). Bin edges are identical IEEE expressions on both
+    * engines; the max value clamps into bin 9 (`least`), and a
+    * constant column degenerates to bin 0 (prof5's width-guard stance).
+    */
+  def prof10JointHistogram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val v = t(spark, dir, "events")
+      .select(expr("unix_millis(ts) div 3600000 % 24").as("hour_of_day"),
+        $"value".as("v"))
+      .filter($"v".isNotNull && !isnan($"v"))
+    val bounds = v.agg(min($"v").as("mn"), max($"v").as("mx"))
+    v.join(broadcast(bounds))
+      .groupBy($"hour_of_day",
+        when($"mx" === $"mn", lit(0L))
+          .otherwise(least(floor(($"v" - $"mn") / ($"mx" - $"mn") * 10),
+            lit(9L))).as("bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("share_of_hour", round($"n_events".cast("double") /
+        sum($"n_events").over(Window.partitionBy($"hour_of_day")), 6))
+      .orderBy("hour_of_day", "bin")
+  }
+
   /** prof9 — Benford first-digit audit over `l_extendedprice`: observed
     * leading-significant-digit frequencies vs Benford's law
     * `log10(1 + 1/d)`, with the per-digit chi-square contribution — the
@@ -1580,6 +1615,7 @@ object Relational {
     "q20_excess_suppliers" -> q20ExcessSuppliers,
     "prof4_mutual_information" -> prof4MutualInformation,
     "prof5_fd_histogram" -> prof5FdHistogram,
+    "prof10_joint_histogram" -> prof10JointHistogram,
     "prof6_spearman" -> prof6Spearman,
     "prof7_profile_sketch" -> prof7ProfileSketch,
     "prof8_equidepth_sketch" -> prof8EquidepthSketch,
@@ -2058,6 +2094,28 @@ object Relational {
         |  CAST(count(DISTINCT x) AS BIGINT) AS nx_distinct,
         |  CAST(count(DISTINCT y) AS BIGINT) AS ny_distinct
         |FROM li JOIN rx USING (x) JOIN ry USING (y)""".stripMargin,
+    "prof10_joint_histogram" ->
+      """WITH v AS (
+        |  SELECT (epoch_ms(CAST(ts AS TIMESTAMP)) // 3600000) % 24
+        |      AS hour_of_day,
+        |    value AS v
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        | bounds AS (SELECT min(v) AS mn, max(v) AS mx FROM v),
+        | cells AS (
+        |  SELECT hour_of_day,
+        |    CASE WHEN mx = mn THEN 0
+        |      ELSE least(CAST(floor((v - mn) / (mx - mn) * 10) AS BIGINT),
+        |        9) END AS bin,
+        |    count(*) AS n_events
+        |  FROM v CROSS JOIN bounds
+        |  GROUP BY 1, 2)
+        |SELECT hour_of_day, bin, n_events,
+        |  round(n_events::DOUBLE /
+        |    sum(n_events) OVER (PARTITION BY hour_of_day), 6)
+        |    AS share_of_hour
+        |FROM cells
+        |ORDER BY hour_of_day, bin""".stripMargin,
     "prof5_fd_histogram" ->
       """WITH v AS (
         |  SELECT value AS v FROM events

@@ -1157,7 +1157,55 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t30 — corpus-level boilerplate detection: a 5-token shingle is
+    * BOILERPLATE when it recurs in ≥ 3 distinct documents (the C4
+    * repeated-line rule lifted to n-grams — nav chrome, license
+    * headers, templated intros), and each document reports what
+    * fraction of its distinct shingles are boilerplate — the signal a
+    * curation pass uses to strip or down-weight templated text.
+    * Within-corpus complement to dd8's cross-corpus span contamination.
+    *
+    * Scale shape: one shingle explode (per-doc distinct) feeds both the
+    * document-frequency aggregate and the per-doc rollup; the frequent
+    * set joins back BY SHINGLE HASH — a shuffle join on the hashed key,
+    * deliberately not a broadcast: the boilerplate vocabulary grows
+    * with the corpus and would OOM a forced broadcast at 100 TB (AQE
+    * still picks broadcast when it genuinely fits).
+    */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    boilerplateCore(t(spark, dir, "documents"))
+
+  /** t30 over an explicit `(doc_id, text)` frame — TextAnalysisSpec
+    * plants one 5-gram shared by 3 docs (boilerplate) against a 2-doc
+    * one (not), and a short doc with no shingles at all.
+    */
+  private[graft] def boilerplateCore(documents: DataFrame): DataFrame = {
+    val k = 5
+    val tk = documents.select(col("doc_id"), tokensOrdered(col("text")).as("t"))
+    val sh = tk.filter(size(col("t")) >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - (k - 1)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(k)))))).as("h"))
+      .distinct()
+    val freq = sh.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 3)
+      .select(col("h"), lit(true).as("boiler"))
+    val per = sh.join(freq, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler"))
+    documents.select(col("doc_id"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(col("n_boiler").cast("double") / col("n_shingles"), 6)
+          .as("boilerplate_rate"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_boilerplate" -> boilerplate,
     "t29_readability" -> readability,
     "t28_oov_rate" -> oovRate,
     "t27_gopher_rules" -> gopherRules,
@@ -1403,6 +1451,29 @@ object TextAnalysis {
        |LIMIT 10""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t30_boilerplate" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, $sqlTokens AS t FROM documents),
+         | sh AS (
+         |  SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, len(t) - 3),
+         |    i -> md5(array_to_string(list_slice(t, i, i + 4), ' ')))))
+         |    AS h
+         |  FROM tk WHERE len(t) >= 5),
+         | freq AS (
+         |  SELECT h FROM sh GROUP BY h HAVING count(*) >= 3),
+         | per AS (
+         |  SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN f.h IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_boiler
+         |  FROM sh LEFT JOIN freq f USING (h)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  coalesce(p.n_shingles, 0) AS n_shingles,
+         |  coalesce(p.n_boiler, 0) AS n_boiler,
+         |  round(p.n_boiler::DOUBLE / p.n_shingles, 6) AS boilerplate_rate
+         |FROM documents d LEFT JOIN per p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "t28_oov_rate" ->
       s"""WITH tok AS (
          |  SELECT doc_id, unnest($sqlTokens) AS token FROM documents),

@@ -302,4 +302,27 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(r =>
       r.getAs[Long]("doc_id") == r.getAs[Long]("canonical_doc_id")))
   }
+
+  test("dd11: the higher-quality member wins its cluster even with a later id") {
+    import spark.implicits._
+    // docs 1 and 2 share every a-z token (identical shingles -> same
+    // cluster); doc 1 carries a punctuation payload that tanks its
+    // alpha/punct quality terms. The keep bit must land on 2, not on
+    // the min-id canonical. Doc 3 is a singleton: kept trivially.
+    val prose = "the quick brown fox and the lazy dog were walking over " +
+      "the old bridge while it was raining all day in the valley"
+    val docs = Seq(
+      (1L, prose + " !!!!!!!!!! ?????????? ,,,,,,,,,, .........."),
+      (2L, prose),
+      (3L, "an entirely different document about spark physical plans " +
+        "and shuffle exchanges that shares nothing with the others")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.qualityCanonicalCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_doc_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L, got) // same cluster, min-id label
+    assert(!got(1L)._2, "punctuation-spam copy must be dropped")
+    assert(got(2L)._2, "clean copy must be kept despite the later id")
+    assert(got(3L) == ((3L, true)), got(3L))
+  }
 }

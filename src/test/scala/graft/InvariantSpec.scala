@@ -127,6 +127,27 @@ class InvariantSpec extends AnyFunSuite {
     assert(got(2L).getAs[Double]("mean_value") == 55.0)
   }
 
+  test("prof10 joint histogram: bins bounded, hour shares normalize, counts conserve") {
+    val rows = graft.operators.Relational
+      .prof10JointHistogram(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hour_of_day")
+      val b = r.getAs[Long]("bin")
+      assert(h >= 0 && h <= 23 && b >= 0 && b <= 9, r.toString)
+    }
+    val byHour = rows.groupBy(_.getAs[Long]("hour_of_day"))
+    byHour.values.foreach { hr =>
+      val s = hr.map(_.getAs[Double]("share_of_hour")).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"hour shares must sum to 1: $s")
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val expected = graft.Tables.t(spark, sf, "events")
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .count()
+    assert(total == expected, s"$total vs $expected")
+  }
+
   test("ev22 churn: the 14-day production bar splits planted stale/active users") {
     import spark.implicits._
     val base = 1704067200000L

@@ -217,6 +217,30 @@ class TextAnalysisSpec extends AnyFunSuite {
       got(4L).isNullAt(got(4L).fieldIndex("oov_rate")))
   }
 
+  test("t30 boilerplate: a 3-doc shingle flags, a 2-doc one does not, short docs empty") {
+    import spark.implicits._
+    // "alpha beta gamma delta epsilon" recurs in docs 1-3 -> boilerplate
+    // (df=3). "zeta eta theta iota kappa" only in docs 1-2 -> df=2, not
+    // boilerplate. Doc 4 has < 5 tokens -> zero shingles, null rate.
+    val boiler = "alpha beta gamma delta epsilon"
+    val pair = "zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"$boiler one $pair"),
+      (2L, s"$boiler two $pair"),
+      (3L, s"$boiler three unrelated trailing words here now"),
+      (4L, "too short here")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.boilerplateCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 3: 11 tokens -> 7 shingles, exactly one of them (the leading
+    // boiler 5-gram) recurs corpus-wide
+    assert(got(3L).getAs[Long]("n_shingles") == 7L, got(3L))
+    assert(got(3L).getAs[Long]("n_boiler") == 1L, got(3L))
+    assert(got(1L).getAs[Long]("n_boiler") == 1L, got(1L))
+    assert(got(4L).getAs[Long]("n_shingles") == 0L &&
+      got(4L).isNullAt(got(4L).fieldIndex("boilerplate_rate")))
+  }
+
   test("t29 readability: hand-counted prose, monosyllabic text reads easier") {
     import spark.implicits._
     // doc 1: "the cat sat. the dog ran!" -> 6 words, 2 sentences,
