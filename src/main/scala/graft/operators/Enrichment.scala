@@ -623,7 +623,9 @@ object Enrichment {
     val per = occ.join(broadcast(lam), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
-        round(avg(col("lam")), 6).as("dsir_logratio"))
+        // r6s: a mean log-ratio rounding to zero must be +0.0 on both
+        // engines (the sf0.1 corpus hits exactly this on one doc)
+        (round(avg(col("lam")), 6) + lit(0)).as("dsir_logratio"))
     docs.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -868,7 +870,7 @@ object Enrichment {
          |  FROM bf, tot),
          | per AS (
          |  SELECT doc_id, count(*) AS n_tokens,
-         |    round(avg(lam), 6) AS dsir_logratio
+         |    round(avg(lam), 6) + 0 AS dsir_logratio
          |  FROM occ JOIN lam USING (b) GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(p.n_tokens, 0) AS n_tokens,
          |  p.dsir_logratio

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{t, r2, r2s, r6}
+import graft.Tables.{t, r2, r2s, r6, r6s}
 
 /** Windowed aggregation over the `events` stream table, batch mode
   * (north-star extension, SURVEY.md §2.5 "Streaming"). These are the
@@ -706,8 +706,8 @@ object Events {
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_events"),
         r6((max(col("ms")) - min(col("ms"))) / lit(1000.0)).as("span_s"),
-        r6(avg(col("value"))).as("mean_value"),
-        r6(sum(col("value") * col("dt")) /
+        r6s(avg(col("value"))).as("mean_value"),
+        r6s(sum(col("value") * col("dt")) /
           when(sum(col("dt")) =!= 0.0, sum(col("dt")))).as("twap"))
       .orderBy("user_id")
   }
@@ -826,8 +826,8 @@ object Events {
         |  FROM e)
         |SELECT user_id, count(*) AS n_events,
         |  round((max(ms) - min(ms)) / 1000.0, 6) AS span_s,
-        |  round(avg(value), 6) AS mean_value,
-        |  round(sum(value * dt) / nullif(sum(dt), 0), 6) AS twap
+        |  round(avg(value), 6) + 0 AS mean_value,
+        |  round(sum(value * dt) / nullif(sum(dt), 0), 6) + 0 AS twap
         |FROM s GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
     "ev19_conversion_lag" ->

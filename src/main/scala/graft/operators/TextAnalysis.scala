@@ -1150,10 +1150,10 @@ object TextAnalysis {
         sentences.as("n_sentences"), syllables.as("n_syllables"))
       .select(col("doc_id"), col("n_words"), col("n_sentences"),
         col("n_syllables"),
-        round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / wNz), 6)
-          .as("flesch_ease"),
-        round(lit(0.39) * (w / s) + lit(11.8) * (y / wNz) - lit(15.59), 6)
-          .as("fk_grade"))
+        (round(lit(206.835) - lit(1.015) * (w / s) - lit(84.6) * (y / wNz), 6)
+          + lit(0)).as("flesch_ease"),
+        (round(lit(0.39) * (w / s) + lit(11.8) * (y / wNz) - lit(15.59), 6)
+          + lit(0)).as("fk_grade"))
       .orderBy("doc_id")
   }
 
@@ -1506,11 +1506,11 @@ object TextAnalysis {
          |SELECT doc_id, n_words, n_sentences, n_syllables,
          |  round(206.835
          |    - 1.015 * (n_words::DOUBLE / nullif(n_sentences, 0))
-         |    - 84.6 * (n_syllables::DOUBLE / nullif(n_words, 0)), 6)
+         |    - 84.6 * (n_syllables::DOUBLE / nullif(n_words, 0)), 6) + 0
          |    AS flesch_ease,
          |  round(0.39 * (n_words::DOUBLE / nullif(n_sentences, 0))
          |    + 11.8 * (n_syllables::DOUBLE / nullif(n_words, 0))
-         |    - 15.59, 6) AS fk_grade
+         |    - 15.59, 6) + 0 AS fk_grade
          |FROM m
          |ORDER BY doc_id""".stripMargin,
     "t27_gopher_rules" ->
