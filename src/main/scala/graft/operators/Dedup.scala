@@ -797,7 +797,53 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** dd12 — order-invariant "bag" fingerprint dedup: fingerprint each
+    * document by the md5 of its SORTED token list, so copies that merely
+    * shuffle sentence/word order (scraped listicles, template
+    * re-renderings, column-reordered tables serialized to text) collapse
+    * into one group — the gap between dd1's normalized-whitespace exact
+    * match and dd2's shingle Jaccard (token-order permutations destroy
+    * most shingles, so heavy reorders can slip BELOW the Jaccard
+    * threshold while being trivially the same bag of words). Each doc
+    * reports its bag-canonical (min id), group size, and whether it is
+    * an exact dup (same dd1 fingerprint as the canonical) or a
+    * reorder-only dup (same bag, different exact fingerprint).
+    *
+    * Scale shape: a per-row projection (sort ≤ doc-length tokens in
+    * place, one md5) plus ONE window over bag groups — the same
+    * hash-partition-by-fingerprint shape as dd1; no candidate
+    * generation, no joins.
+    */
+  def bagFingerprint(spark: SparkSession, dir: String): DataFrame =
+    bagFingerprintCore(
+      t(spark, dir, "documents").select(col("doc_id"), col("text")))
+
+  /** dd12 over an explicit `(doc_id, text)` frame — DedupSpec plants a
+    * word-shuffled copy (reorder-only), a whitespace variant (exact),
+    * and a singleton.
+    */
+  private[graft] def bagFingerprintCore(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextFunctions.{fingerprint, tokensOrdered}
+    val f = docs.select(col("doc_id"),
+      fingerprint(col("text")).as("fp"),
+      md5(concat_ws(" ", array_sort(tokensOrdered(col("text"))))).as("bag_fp"))
+    val w = Window.partitionBy(col("bag_fp"))
+    val wOrd = w.orderBy(col("doc_id"))
+    f.select(col("doc_id"),
+        min(col("doc_id")).over(w).as("bag_canonical_id"),
+        count(lit(1)).over(w).as("n_members"),
+        col("fp"), first(col("fp")).over(wOrd).as("canon_fp"))
+      .select(col("doc_id"), col("bag_canonical_id"), col("n_members"),
+        (col("n_members") > 1 && col("doc_id") =!= col("bag_canonical_id") &&
+          col("fp") === col("canon_fp")).as("is_exact_dup"),
+        (col("n_members") > 1 && col("doc_id") =!= col("bag_canonical_id") &&
+          col("fp") =!= col("canon_fp")).as("is_reorder_dup"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd12_bag_fingerprint" -> bagFingerprint,
     "dd11_quality_canonical" -> qualityCanonical,
     "dd1_exact_dedup" -> exactDedup,
     "dd2_jaccard_pairs" -> jaccardPairs,
@@ -925,6 +971,28 @@ object Dedup {
       |     - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.7""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd12_bag_fingerprint" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.sqlFp("text")} AS fp,
+         |    md5(array_to_string(list_sort(${TextAnalysis.sqlTokens}), ' '))
+         |      AS bag_fp
+         |  FROM documents),
+         | wdw AS (
+         |  SELECT doc_id,
+         |    min(doc_id) OVER (PARTITION BY bag_fp) AS bag_canonical_id,
+         |    count(*) OVER (PARTITION BY bag_fp) AS n_members,
+         |    fp,
+         |    first_value(fp) OVER (PARTITION BY bag_fp ORDER BY doc_id)
+         |      AS canon_fp
+         |  FROM f)
+         |SELECT doc_id, bag_canonical_id, n_members,
+         |  n_members > 1 AND doc_id <> bag_canonical_id
+         |    AND fp = canon_fp AS is_exact_dup,
+         |  n_members > 1 AND doc_id <> bag_canonical_id
+         |    AND fp <> canon_fp AS is_reorder_dup
+         |FROM wdw
+         |ORDER BY doc_id""".stripMargin,
     // dd11: dd5's recursive component chain verbatim, then the quality
     // argmax (t4's shared score template) per component.
     "dd11_quality_canonical" ->

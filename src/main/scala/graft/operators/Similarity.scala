@@ -782,7 +782,112 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** sim16 — top principal component of the embedding corpus by 8
+    * unrolled power-iteration steps over the exact covariance matrix:
+    * per dimension the mean, variance, and top-component loading, plus
+    * the dominant eigenvalue and its explained-variance ratio — the
+    * anisotropy/collapse audit (Mu & Viswanath 2018's "all-but-the-top"
+    * preprocessing starts exactly here: a large explained ratio means
+    * one direction dominates every similarity score and should be
+    * projected out; sim13/sim15 flag collapse scalar-wise, this names
+    * the DIRECTION).
+    *
+    * Scale shape: covariance via ONE explode into a (d·(d+1)/2)-sized
+    * hash aggregate (map-side combine — the shuffled artifact is ~2 k
+    * rows at ANY corpus size for d = 64, the d14 fixed-profile
+    * discipline); every power-iteration step is a join+aggregate over
+    * the d²-row covariance frame and a d-row vector — driver-free,
+    * data-size-free. The pair explode costs d²/2 rows per vector in the
+    * map stage only; for d ≫ 100 the same plan holds with the explode
+    * swapped for a Gramian accumulate, which is a map-side detail, not
+    * a plan change.
+    *
+    * Determinism: the only cross-engine difference is parallel-sum
+    * order in the covariance aggregates (~1 ulp relative); power
+    * iteration CONTRACTS perturbations toward the dominant eigenvector
+    * rather than amplifying them, and the fixed all-positive init pins
+    * the sign, so 8 steps stay far inside the 6-grid (r6s throughout).
+    */
+  def pcaTop(spark: SparkSession, dir: String): DataFrame =
+    pcaTopCore(t(spark, dir, "embeddings"))
+
+  /** sim16 over an explicit `(embedding)` frame — SimilaritySpec plants
+    * a corpus whose variance lives entirely on axis 0 (loading exactly
+    * (1,0,…), eigenvalue = the axis variance, explained ratio 1).
+    */
+  private[graft] def pcaTopCore(emb: DataFrame): DataFrame = {
+    // NO scopedPersist here, by necessity: this operator checkpoints its
+    // iteration vectors (below), and an eager localCheckpoint job is a
+    // completed action that CONSUMES any scoped cache it reads — the
+    // listener then unpersists those blocks non-blocking while the next
+    // step is re-planning against them, which can surface as silently
+    // empty cached reads (reproduced in-session; ZDebug bisect: scoped
+    // alone fine, checkpoint alone fine, the MIX returns 0 rows). The
+    // shared frames are dims-sized, so they are localCheckpoint'd too —
+    // materialized once, lineage-free, listener-free; only the raw scan
+    // is read more than once (twice), which at any scale is the cheap
+    // part of this plan next to the d²/2 pair explode.
+    val e = emb.select(
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val n1 = e.agg(count(lit(1)).cast("double").as("n"))
+    val mu = e.select(posexplode(col("v")).as(Seq("i", "xi")))
+      .groupBy("i").agg(sum(col("xi")).as("sx"))
+      .crossJoin(broadcast(n1))
+      .select(col("i").cast("long").as("i"), (col("sx") / col("n")).as("mu"))
+      .localCheckpoint()
+    val pairs = e.select(explode(flatten(transform(
+        sequence(lit(0), size(col("v")) - 1), a =>
+          transform(sequence(a, size(col("v")) - 1), b =>
+            struct(a.cast("long").as("i"), b.cast("long").as("j"),
+              (col("v")(a) * col("v")(b)).as("xx")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xx").as("xx"))
+    val m = pairs.groupBy("i", "j").agg(sum(col("xx")).as("sxx"))
+      .crossJoin(broadcast(n1))
+      .select(col("i"), col("j"), (col("sxx") / col("n")).as("m"))
+    val c0 = m.join(mu.select(col("i"), col("mu").as("mu_i")), "i")
+      .join(mu.select(col("i").as("j"), col("mu").as("mu_j")), "j")
+      .select(col("i"), col("j"), (col("m") - col("mu_i") * col("mu_j")).as("c"))
+      .localCheckpoint()
+    val cSym = c0.unionAll(c0.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("c")))
+    val dCnt = mu.agg(count(lit(1)).cast("double").as("d"))
+    def matvec(vec: DataFrame): DataFrame =
+      cSym.join(vec.select(col("i").as("j"), col("val")), "j")
+        .groupBy("i").agg(sum(col("c") * col("val")).as("w"))
+    // Per-step localCheckpoint (t21's anti-exponential-lineage measure):
+    // without it each of the 8 steps embeds the full prior chain twice
+    // (once under the norm aggregate, once under the vector), and
+    // Catalyst's optimization time blows up exponentially. The
+    // checkpointed frame is d rows — the cut costs one trivial job.
+    var v = mu.crossJoin(broadcast(dCnt))
+      .select(col("i"), (lit(1.0) / sqrt(col("d"))).as("val"))
+      .localCheckpoint()
+    for (_ <- 1 to 8) {
+      val w = matvec(v)
+      val nm = w.agg(sqrt(sum(col("w") * col("w"))).as("nm"))
+      v = w.crossJoin(broadcast(nm))
+        .select(col("i"), (col("w") / col("nm")).as("val"))
+        .localCheckpoint()
+    }
+    val lam = matvec(v).join(v, "i")
+      .agg(sum(col("w") * col("val")).as("lam"))
+    val tr = c0.filter(col("i") === col("j")).agg(sum(col("c")).as("trace"))
+    mu.join(c0.filter(col("i") === col("j"))
+        .select(col("i"), col("c").as("variance")), "i")
+      .join(v, "i")
+      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .select(col("i").as("dim"),
+        (round(col("mu"), 6) + lit(0)).as("mu"),
+        (round(col("variance"), 6) + lit(0)).as("variance"),
+        (round(col("val"), 6) + lit(0)).as("loading"),
+        (round(col("lam"), 6) + lit(0)).as("eigenvalue"),
+        (round(col("lam") / when(col("trace") =!= 0.0, col("trace")), 6)
+          + lit(0)).as("explained_ratio"))
+      .orderBy("dim")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim16_pca_top" -> pcaTop,
     "sim15_corpus_diversity" -> corpusDiversity,
     "sim14_hard_negatives" -> hardNegatives,
     "sim13_embedding_health" -> embeddingHealth,
@@ -848,7 +953,64 @@ object Similarity {
        |SELECT rank, vec_id, rel, mmr FROM sel$MmrK ORDER BY rank""".stripMargin
   }
 
+  /** The sim16 power-iteration CTE chain, unrolled k steps (pr1's
+    * iteration-template precedent).
+    */
+  private def sqlPcaIter(k: Int): String =
+    s""" w$k AS MATERIALIZED (
+       |  SELECT cs.i, sum(c * val) AS w
+       |  FROM cs JOIN v${k - 1} ON cs.j = v${k - 1}.i GROUP BY cs.i),
+       | n$k AS MATERIALIZED (SELECT sqrt(sum(w * w)) AS nm FROM w$k),
+       | v$k AS MATERIALIZED (
+       |  SELECT i, w / (SELECT nm FROM n$k) AS val FROM w$k),""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "sim16_pca_top" ->
+      (s"""WITH e AS MATERIALIZED (
+         |  SELECT embedding::DOUBLE[] AS v FROM embeddings),
+         | nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM e),
+         | x AS (
+         |  SELECT unnest(range(0, len(v))) AS i, unnest(v) AS xi FROM e),
+         | mu AS MATERIALIZED (
+         |  SELECT i, sum(xi) / (SELECT n FROM nn) AS mu FROM x GROUP BY i),
+         | p AS (
+         |  SELECT unnest(flatten(list_transform(range(0, len(v)), a ->
+         |    list_transform(range(a, len(v)), b ->
+         |      struct_pack(i := a, j := b, xx := v[a + 1] * v[b + 1])))))
+         |    AS s
+         |  FROM e),
+         | m AS MATERIALIZED (
+         |  SELECT s.i AS i, s.j AS j, sum(s.xx) / (SELECT n FROM nn) AS m
+         |  FROM p GROUP BY 1, 2),
+         | c0 AS MATERIALIZED (
+         |  SELECT m.i, m.j, m.m - a.mu * b.mu AS c
+         |  FROM m JOIN mu a ON m.i = a.i JOIN mu b ON m.j = b.i),
+         | cs AS MATERIALIZED (
+         |  SELECT i, j, c FROM c0
+         |  UNION ALL SELECT j, i, c FROM c0 WHERE i <> j),
+         | dd AS (SELECT count(*)::DOUBLE AS d FROM mu),
+         | v0 AS (SELECT i, 1.0 / sqrt((SELECT d FROM dd)) AS val FROM mu),
+         |""".stripMargin +
+        (1 to 8).map(sqlPcaIter).mkString("\n") +
+        s"""
+          | w9 AS (
+          |  SELECT cs.i, sum(c * val) AS w
+          |  FROM cs JOIN v8 ON cs.j = v8.i GROUP BY cs.i),
+          | lam AS (
+          |  SELECT sum(w9.w * v8.val) AS lam
+          |  FROM w9 JOIN v8 ON w9.i = v8.i),
+          | tr AS (SELECT sum(c) AS trace FROM c0 WHERE i = j),
+          | diag AS (SELECT i, c AS variance FROM c0 WHERE i = j)
+          |SELECT mu.i AS dim,
+          |  round(mu.mu, 6) + 0 AS mu,
+          |  round(diag.variance, 6) + 0 AS variance,
+          |  round(v8.val, 6) + 0 AS loading,
+          |  round((SELECT lam FROM lam), 6) + 0 AS eigenvalue,
+          |  round((SELECT lam FROM lam)
+          |    / nullif((SELECT trace FROM tr), 0), 6) + 0
+          |    AS explained_ratio
+          |FROM mu JOIN diag ON mu.i = diag.i JOIN v8 ON mu.i = v8.i
+          |ORDER BY dim""".stripMargin),
     "sim15_corpus_diversity" ->
       """WITH e AS (
         |  SELECT label, list_transform(embedding::DOUBLE[],

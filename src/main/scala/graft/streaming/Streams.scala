@@ -224,6 +224,75 @@ private[streaming] object LatestStateUpdate {
   }
 }
 
+/** Typed event for the streaming TWAP meter. */
+final case class TEvent(
+    user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+
+/** One user's running time-weighted snapshot — ev24's exact output
+  * shape (`twap` None until the user has held any interval).
+  */
+final case class TwapRow(
+    user_id: Long, n_events: Long, span_s: Double, mean_value: Double,
+    twap: Option[Double])
+
+/** Per-user accumulator carried between micro-batches: the last held
+  * (ms, value) plus the closed-interval sums — O(1) state per user, the
+  * whole point of metering at ingest instead of re-scanning history.
+  */
+final case class TwapState(
+    n: Long, minMs: Long, maxMs: Long, sumV: Double,
+    lastMs: Long, lastV: Double, sumVDt: Double, sumDt: Double)
+
+/** Streaming twin of ev24 ([[graft.operators.Events.twap]]): a
+  * `mapGroupsWithState` meter holding, per user, only the last event and
+  * the closed-interval sums. Each micro-batch folds its (sorted) events
+  * into the accumulator and emits the user's refreshed snapshot.
+  *
+  * Agreement contract (StreamingSpec): for in-order arrivals — every
+  * event's (ts, event_id) at or after the state's last — the final
+  * snapshot equals the batch ev24 row exactly, including the r6
+  * rounding and the null TWAP for a user with no held interval, for ANY
+  * micro-batch slicing (the fold is associative over time-ordered
+  * slices). Out-of-order cross-batch events would need the ev10-style
+  * buffered variant; this meter targets the in-order CDC/metering feed.
+  */
+object TwapStream {
+  def twap(events: Dataset[TEvent]): Dataset[TwapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  private[streaming] def update(
+      userId: Long,
+      events: Iterator[TEvent],
+      state: GroupState[TwapState]): TwapRow = {
+    val sorted = events.toList.sortBy(e => (e.ts.getTime, e.event_id))
+    val st0 = state.getOption.getOrElse {
+      val h = sorted.head
+      TwapState(0L, h.ts.getTime, h.ts.getTime, 0.0,
+        h.ts.getTime, h.value, 0.0, 0.0)
+    }
+    val st = sorted.foldLeft(st0) { (s, e) =>
+      val ms = e.ts.getTime
+      val dt = (ms - s.lastMs).toDouble
+      TwapState(s.n + 1, math.min(s.minMs, ms), math.max(s.maxMs, ms),
+        s.sumV + e.value, ms, e.value,
+        // the very first event opens no interval (n == 0 guard)
+        if (s.n == 0) 0.0 else s.sumVDt + s.lastV * dt,
+        if (s.n == 0) 0.0 else s.sumDt + dt)
+    }
+    state.update(st)
+    TwapRow(userId, st.n, r6((st.maxMs - st.minMs) / 1000.0),
+      r6(st.sumV / st.n),
+      if (st.sumDt > 0) Some(r6(st.sumVDt / st.sumDt)) else None)
+  }
+}
+
 /** Typed full event for the anomaly monitor. */
 final case class MEvent(
     user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

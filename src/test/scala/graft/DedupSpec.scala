@@ -303,6 +303,25 @@ class DedupSpec extends AnyFunSuite {
       r.getAs[Long]("doc_id") == r.getAs[Long]("canonical_doc_id")))
   }
 
+  test("dd12 bag fingerprint: reorder-only vs exact dup vs singleton") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),   // same bag, different order
+      (3L, "alpha  beta   gamma delta"), // whitespace variant: exact dup
+      (4L, "an entirely different text")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.bagFingerprintCore(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("bag_canonical_id"), r.getAs[Long]("n_members"),
+          r.getAs[Boolean]("is_exact_dup"),
+          r.getAs[Boolean]("is_reorder_dup"))).toMap
+    assert(got(1L) == ((1L, 3L, false, false)), got(1L)) // canonical itself
+    assert(got(2L) == ((1L, 3L, false, true)), got(2L))  // word shuffle
+    assert(got(3L) == ((1L, 3L, true, false)), got(3L))  // whitespace only
+    assert(got(4L) == ((4L, 1L, false, false)), got(4L))
+  }
+
   test("dd11: the higher-quality member wins its cluster even with a later id") {
     import spark.implicits._
     // docs 1 and 2 share every a-z token (identical shingles -> same

@@ -235,6 +235,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rel.toSet == Set(1L, 2L), rel)
   }
 
+  test("sim16 PCA: axis-0 variance corpus recovers loading (1,0,..), ratio 1") {
+    import spark.implicits._
+    // mean-zero corpus whose variance lives entirely on axis 0:
+    // covariance = diag(5, 0, 0, 0) -> eigenvalue 5, loading e0 with
+    // POSITIVE sign (all-positive init), explained ratio exactly 1.
+    val emb = Seq(
+      Seq(3f, 0f, 0f, 0f), Seq(-3f, 0f, 0f, 0f),
+      Seq(1f, 0f, 0f, 0f), Seq(-1f, 0f, 0f, 0f)
+    ).map(Tuple1(_)).toDF("embedding")
+    val got = graft.operators.Similarity.pcaTopCore(emb).collect()
+      .map(r => r.getAs[Long]("dim") -> r).toMap
+    assert(got.size == 4)
+    assert(got(0L).getAs[Double]("loading") == 1.0, got(0L))
+    assert(got(0L).getAs[Double]("variance") == 5.0)
+    assert(got(0L).getAs[Double]("eigenvalue") == 5.0)
+    assert(got(0L).getAs[Double]("explained_ratio") == 1.0)
+    (1L to 3L).foreach { d =>
+      assert(got(d).getAs[Double]("loading") == 0.0, got(d))
+      assert(got(d).getAs[Double]("mu") == 0.0)
+    }
+  }
+
   test("sim15 diversity: identical=1, orthonormal=0, antipodal=-1; zero vectors dropped") {
     import spark.implicits._
     val emb = Seq(

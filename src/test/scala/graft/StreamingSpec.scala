@@ -689,6 +689,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == fin)
   }
 
+  test("TWAP stream: in-order micro-batches converge to the batch ev24 rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TEvent, TwapStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = 1704067200000L
+    def ev(u: Long, id: Long, sec: Long, v: Double) =
+      TEvent(u, id, new java.sql.Timestamp(base + sec * 1000), v)
+    // user 1: 10 held 900 s, spike 100 held 100 s, final event weightless
+    // (TWAP 19, mean 40); user 2: single event (null TWAP). The batch
+    // boundary splits user 1's hold mid-interval.
+    val all = Seq(ev(1, 1, 0, 10.0), ev(1, 2, 900, 100.0),
+      ev(1, 3, 1000, 10.0), ev(2, 4, 0, 55.0))
+    val input = MemoryStream[TEvent]
+    val q = TwapStream.twap(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("twap_out")
+      .start()
+    try {
+      input.addData(all.take(1): _*)
+      q.processAllAvailable()
+      input.addData(all.drop(1): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode re-emits per batch; the max-n_events row per user is
+    // the final snapshot
+    val fin = spark.table("twap_out").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+    val batch = graft.operators.Events
+      .twapCore(all.toDF("user_id", "event_id", "ts", "value"))
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    Seq(1L, 2L).foreach { u =>
+      val (s, b) = (fin(u), batch(u))
+      assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"))
+      assert(s.getAs[Double]("span_s") == b.getAs[Double]("span_s"))
+      assert(s.getAs[Double]("mean_value") == b.getAs[Double]("mean_value"))
+      assert(s.isNullAt(s.fieldIndex("twap")) == b.isNullAt(b.fieldIndex("twap")))
+      if (!s.isNullAt(s.fieldIndex("twap")))
+        assert(s.getAs[Double]("twap") == b.getAs[Double]("twap"),
+          s"user $u: stream=${s.getAs[Double]("twap")} batch=${b.getAs[Double]("twap")}")
+    }
+    assert(fin(1L).getAs[Double]("twap") == 19.0)
+  }
+
   test("funnel stream: stage advances across micro-batches match batch ev6") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
