@@ -712,7 +712,54 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** ev25 — volume-weighted average price per (event_type, day): ev24's
+    * sibling for TRADED aggregates — each event carries a price (`value`)
+    * and a quantity (`props.k`, the j2 JSON field), and the daily VWAP
+    * `Σ p·q / Σ q` weighs each price by how much actually traded, which
+    * the plain mean gets wrong whenever large trades cluster at one price
+    * (the execution-quality / fair-transfer-price readout; reported next
+    * to the unweighted mean so the gap IS the size-concentration signal).
+    *
+    * Scale shape: a pure scan → project (from_json is codegen'd) → hash
+    * aggregate with map-side combine — no window, no join, one shuffle
+    * on the tiny (type, day) key space. The price·quantity sum
+    * accumulates as EXACT integer cent·units (`round(value·100)` is
+    * exact for the 2-decimal price domain; dq6's convention), so the
+    * only double op is the final division — association-order-proof at
+    * any parallelism. Zero total quantity on a group (all k=0) yields a
+    * null VWAP via the nullif guard, not a division error.
+    */
+  def vwap(spark: SparkSession, dir: String): DataFrame =
+    vwapCore(t(spark, dir, "events"))
+
+  /** ev25 over an explicit events-shaped frame — InvariantSpec plants a
+    * small order dwarfed by a large one at a far price (VWAP hugs the
+    * traded size; the mean does not) and an all-zero-quantity day
+    * (null VWAP via the guard).
+    */
+  private[graft] def vwapCore(events: DataFrame): DataFrame = {
+    val ev = events
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).as("day"),
+        round(col("value") * 100).cast("long").as("cents"),
+        from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("qty"))
+    ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("qty")).as("total_qty"),
+        r6s(sum(col("cents")).cast("double") /
+          (lit(100.0) * count(lit(1)))).as("mean_value"),
+        r6s(sum(col("cents") * col("qty")).cast("double") /
+          (lit(100.0) * when(sum(col("qty")) =!= 0L, sum(col("qty")))))
+          .as("vwap"))
+      .select(col("event_type"), unix_millis(col("day")).as("day_ms"),
+        col("n_events"), col("total_qty"), col("mean_value"), col("vwap"))
+      .orderBy("event_type", "day_ms")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev25_vwap" -> vwap,
     "ev24_twap" -> twap,
     "ev22_churn" -> churn,
     "ev23_ewma" -> ewmaDaily,
@@ -813,6 +860,21 @@ object Events {
         |  count(CASE WHEN m = 'l' THEN 1 END) AS last_touch_conversions
         |FROM m GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin,
+    "ev25_vwap" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    epoch_ms(date_trunc('day', CAST(ts AS TIMESTAMP))) AS day_ms,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(CAST(props->>'$.k' AS INTEGER) AS BIGINT) AS qty
+        |  FROM events)
+        |SELECT event_type, day_ms, count(*) AS n_events,
+        |  CAST(sum(qty) AS BIGINT) AS total_qty,
+        |  round(CAST(sum(cents) AS DOUBLE) / (100.0 * count(*)), 6) + 0
+        |    AS mean_value,
+        |  round(CAST(sum(cents * qty) AS DOUBLE)
+        |    / (100.0 * nullif(CAST(sum(qty) AS BIGINT), 0)), 6) + 0 AS vwap
+        |FROM e GROUP BY 1, 2
+        |ORDER BY event_type, day_ms""".stripMargin,
     "ev24_twap" ->
       """WITH e AS (
         |  SELECT user_id, event_id,

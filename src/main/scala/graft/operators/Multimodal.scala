@@ -604,6 +604,107 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  final case class VadFrameRow(media_id: Long, frame_idx: Long, sq: Long)
+
+  /** 10 ms VAD frames: 80 samples at the corpus's planted 8 kHz rate. */
+  private val VadFrameSamples = 80
+  private val VadFrameMs = 10L
+
+  /** Energy gate sitting at the observed frame-RMS median (41–49 across
+    * the corpus), so both verdicts appear in the gated output — mm6's
+    * threshold convention. Frame energies are carried as EXACT integer
+    * MICRO-rms (`round(rms·10⁶)` — sim7's integer micro-unit convention):
+    * the threshold compare and the segment-mean sum are integer-exact on
+    * both engines, leaving sqrt and one final division as the only float
+    * ops (single correctly-rounded IEEE ops — no accumulation-order
+    * sensitivity; an avg over per-frame ROUNDED doubles measurably
+    * straddled a half-ulp at sf0.1).
+    */
+  private val VadThresholdMicroRms = 45000000L
+
+  /** mm11 — energy-based voice-activity segments over the PCM stream:
+    * chop each clip into 10 ms frames (80 samples at 8 kHz), score each
+    * frame's RMS deviation from the 8-bit midpoint (mm5's loudness
+    * proxy), and merge consecutive above-threshold frames into speech
+    * segments — one row per segment with its frame span, millisecond
+    * span and mean energy. The segmentation an audio curation pipeline
+    * runs FIRST: everything expensive downstream (transcription,
+    * speaker embedding) reads only active segments, so the VAD's recall
+    * bounds the whole pipeline. Tail samples short of a full frame are
+    * truncated (mm10's edge convention); a clip with no active frames
+    * emits no rows.
+    *
+    * Scale shape: map-only decode emitting one row per FRAME (output is
+    * corpus-samples/80 sized — statistics, never PCM), then the classic
+    * gaps-and-islands: one window over (media_id, frame_idx) assigns
+    * `frame_idx − row_number()` island keys, one hash aggregate folds
+    * islands into segments — a single shuffle keyed on media_id, the
+    * same partitioning every mm-family per-clip op uses. Frame energy
+    * sums are exact integers carried as micro-rms units end-to-end
+    * (see [[VadThresholdMicroRms]]), so no cross-frame float
+    * accumulation exists anywhere in the plan.
+    *
+    * The oracle recomputes every frame's energy from the text column
+    * (one byte per char by construction), so a mis-strided frame walk
+    * or an off-by-one island boundary breaks the hash.
+    */
+  def vadSegments(spark: SparkSession, dir: String): DataFrame =
+    vadSegmentsOf(syntheticMedia(spark, dir), spark)
+
+  /** mm11 over an explicit media frame — MultimodalSpec plants a
+    * loud–quiet–loud clip (two segments split exactly at the quiet
+    * island) and an all-quiet clip (no rows).
+    */
+  private[graft] def vadSegmentsOf(media: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fr = media
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, payload) =>
+          val wav = MediaCodecs.Wav.parse(payload)
+          val nf = wav.data.length / VadFrameSamples
+          (0 until nf).iterator.map { f =>
+            var sq = 0L
+            var j = 0
+            while (j < VadFrameSamples) {
+              val d = (wav.data(f * VadFrameSamples + j) & 0xff) - 128
+              sq += d.toLong * d
+              j += 1
+            }
+            VadFrameRow(id, f.toLong, sq)
+          }
+        }
+      }
+      .toDF()
+    val act = fr
+      .withColumn("rms_u",
+        round(sqrt(col("sq").cast("double") / VadFrameSamples) * 1e6)
+          .cast("long"))
+      .filter(col("rms_u") > VadThresholdMicroRms)
+    val wOrd = Window.partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    val seg = act
+      .withColumn("grp", col("frame_idx") - row_number().over(wOrd))
+      .groupBy(col("media_id"), col("grp"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        max(col("frame_idx")).as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        round(sum(col("rms_u")).cast("double") /
+          (lit(1e6) * count(lit(1))), 6).as("mean_rms"))
+    seg
+      .withColumn("seg_idx", row_number().over(
+        Window.partitionBy(col("media_id")).orderBy(col("start_frame")))
+        .cast("long"))
+      .select(col("media_id"), col("seg_idx"), col("start_frame"),
+        col("end_frame"), col("n_frames"),
+        (col("start_frame") * VadFrameMs).as("start_ms"),
+        ((col("end_frame") + 1L) * VadFrameMs).as("end_ms"),
+        col("mean_rms"))
+      .orderBy("media_id", "seg_idx")
+  }
+
   final case class PatchSrcRow(
     media_id: Long, width: Int, height: Int, bytes: Seq[Int])
 
@@ -667,6 +768,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm11_vad_segments" -> vadSegments,
     "mm10_patchify" -> patchify,
     "mm9_audio_resample" -> audioResample,
     "mm8_image_neardups" -> imageNearDups,
@@ -680,6 +782,45 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // Frame energies recomputed from the text: frame f covers chars
+    // [f*80+1, f*80+80]; islands re-derived with the same row_number
+    // difference, so a shifted frame or boundary breaks the hash.
+    "mm11_vad_segments" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | f AS (SELECT media_id, st, length(st) // 80 AS frames
+        |       FROM s WHERE length(st) >= 80),
+        | fr AS (SELECT media_id, st, unnest(range(0, frames)) AS frame_idx
+        |        FROM f),
+        | r AS (
+        |  SELECT media_id, frame_idx,
+        |    CAST(round(sqrt(CAST(list_aggregate(list_transform(range(1, 81),
+        |      j -> (ord(st[CAST(frame_idx * 80 + j AS BIGINT)]) - 128)
+        |         * (ord(st[CAST(frame_idx * 80 + j AS BIGINT)]) - 128)),
+        |      'sum') AS DOUBLE) / 80) * 1e6) AS BIGINT) AS rms_u
+        |  FROM fr),
+        | act AS (
+        |  SELECT media_id, frame_idx, rms_u,
+        |    frame_idx - row_number() OVER (
+        |      PARTITION BY media_id ORDER BY frame_idx) AS grp
+        |  FROM r WHERE rms_u > 45000000),
+        | seg AS (
+        |  SELECT media_id, grp,
+        |    min(frame_idx) AS start_frame, max(frame_idx) AS end_frame,
+        |    count(*) AS n_frames,
+        |    round(CAST(sum(rms_u) AS DOUBLE) / (1e6 * count(*)), 6)
+        |      AS mean_rms
+        |  FROM act GROUP BY 1, 2)
+        |SELECT media_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY media_id ORDER BY start_frame) AS BIGINT) AS seg_idx,
+        |  start_frame, end_frame, n_frames,
+        |  start_frame * 10 AS start_ms, (end_frame + 1) * 10 AS end_ms,
+        |  mean_rms
+        |FROM seg
+        |ORDER BY media_id, seg_idx""".stripMargin,
     "mm10_patchify" ->
       """WITH s AS (
         |  SELECT doc_id, regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st

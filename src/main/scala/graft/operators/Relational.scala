@@ -1589,7 +1589,61 @@ object Relational {
     spark.sql(SharedWindowSql)
   }
 
+  /** seg1 — RFM customer segmentation: per customer the recency (days
+    * since last order at the corpus watermark), frequency (order count)
+    * and monetary value (lifetime spend), each scored into quintiles by
+    * `ntile(5)` over a TOTAL order (metric + custkey tiebreak — ntile's
+    * bucket boundaries are deterministic only under a total order, the
+    * ab8 nulls lesson applied to ranking), plus the classic segment
+    * labels the lifecycle-marketing playbook keys campaigns on
+    * (champion / loyal / new / at-risk / hibernating). The north-star
+    * reading: the same recency-frequency-volume triage, applied to data
+    * SOURCES, prioritizes which feeds a crawl scheduler revisits.
+    *
+    * Scale shape: one shuffle on o_custkey (hash aggregate with map-side
+    * combine), then three window ranks over the CUSTOMER-domain frame —
+    * at 100 TB the aggregate shrinks the fact table to the customer
+    * dimension before any window sorts it, and a single global ntile
+    * sort of a dimension-sized frame is the standard quantile-scoring
+    * pass (or swap approx_percentile cuts, d10's documented trade).
+    * Recency counts exact integer days in pure DATE arithmetic (no
+    * timezone codec on either engine — the orders column is NTZ);
+    * spend accumulates exact integer cents (dq6's convention).
+    */
+  def seg1Rfm(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = t(spark, dir, "orders")
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
+        sum(col("cents")).as("sum_cents"))
+      .withColumn("recency_days",
+        datediff(max(col("last_d")).over(Window.partitionBy()),
+          col("last_d")).cast("long"))
+    val scored = per
+      .withColumn("r_score", ntile(5).over(Window.orderBy(
+        col("recency_days").desc, col("o_custkey").desc)).cast("long"))
+      .withColumn("f_score", ntile(5).over(Window.orderBy(
+        col("frequency").asc, col("o_custkey").asc)).cast("long"))
+      .withColumn("m_score", ntile(5).over(Window.orderBy(
+        col("sum_cents").asc, col("o_custkey").asc)).cast("long"))
+    scored
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        r2(col("sum_cents") / 100.0).as("monetary"),
+        col("r_score"), col("f_score"), col("m_score"),
+        when(col("r_score") >= 4 && col("f_score") >= 4 &&
+          col("m_score") >= 4, "champion")
+          .when(col("f_score") >= 4, "loyal")
+          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
+          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
+          .when(col("r_score") <= 2, "hibernating")
+          .otherwise("regular").as("segment"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "seg1_rfm" -> seg1Rfm,
     "sql3_window_facade" -> sql3WindowFacade,
     "sql1_revenue_by_nation" -> sql1RevenueByNation,
     "sql2_correlated_scalar" -> sql2CorrelatedScalar,
@@ -1652,6 +1706,40 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    "seg1_rfm" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM orders GROUP BY 1),
+        | rec AS (
+        |  SELECT *, CAST(date_diff('day', last_d, max(last_d) OVER ())
+        |    AS BIGINT) AS recency_days
+        |  FROM per),
+        | sc AS (
+        |  SELECT *,
+        |    CAST(ntile(5) OVER (
+        |      ORDER BY recency_days DESC, o_custkey DESC) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (
+        |      ORDER BY frequency ASC, o_custkey ASC) AS BIGINT) AS f_score,
+        |    CAST(ntile(5) OVER (
+        |      ORDER BY sum_cents ASC, o_custkey ASC) AS BIGINT) AS m_score
+        |  FROM rec)
+        |SELECT o_custkey, recency_days, frequency,
+        |  round(sum_cents / 100.0, 2) AS monetary,
+        |  r_score, f_score, m_score,
+        |  CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+        |      THEN 'champion'
+        |    WHEN f_score >= 4 THEN 'loyal'
+        |    WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+        |    WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+        |    WHEN r_score <= 2 THEN 'hibernating'
+        |    ELSE 'regular' END AS segment
+        |FROM sc
+        |ORDER BY o_custkey""".stripMargin,
     "sql3_window_facade" -> SharedWindowSql,
     "q23_mom_growth" ->
       """WITH m AS (

@@ -326,6 +326,91 @@ object Similarity {
       .orderBy("qid")
   }
 
+  /** Quantized DCG position weights `round(10⁶ / log₂(i+1))` for ranks
+    * 1..10: the ONE place the transcendental is evaluated (in Scala, at
+    * class-init) — both the Spark plan and the generated oracle SQL embed
+    * these integer constants, so no engine ever computes a log in the
+    * scoring path and the DCG sums are exact integer arithmetic
+    * (the sim7/mm11 micro-unit convention applied to NDCG).
+    */
+  private[graft] val DcgWeightsMicro: Seq[Long] =
+    (1 to 10).map(i => math.round(1e6 / (math.log(i + 1.0) / math.log(2.0))))
+
+  /** sim17 — ANN ranking-quality audit (NDCG@10): sim9 measures set
+    * overlap (recall — did the probe set FIND the true neighbors); this
+    * measures rank quality with graded relevance — how much of the ideal
+    * cosine mass the sign-LSH multi-probe ranking actually surfaces, and
+    * at which positions. `DCG = Σ rel_i · w(i)` over the probe ranking's
+    * top-10 with rel = exact cosine in integer micro-units, `IDCG` the
+    * same sum over the brute-force ideal ranking, `NDCG = DCG/IDCG` —
+    * the standard retrieval-evaluation readout (Järvelin & Kekäläinen
+    * 2002) an embedding-serving stack tracks per index build. A hit
+    * found but buried at rank 9 credits less than at rank 2, which
+    * recall cannot see.
+    *
+    * Scale shape: identical to sim9 (queries broadcast, Hamming-1
+    * multi-probe candidate join, rank-≤-10 map-side WindowGroupLimit);
+    * the only additions are two K-row weighted aggregates. All sums are
+    * exact integers ([[DcgWeightsMicro]]); the two final divisions are
+    * single IEEE ops under the 6-grid. A query whose probe cells are
+    * empty reports 0 retrieved with null dcg/ndcg (the nullif-guard
+    * convention); negative-cosine tail grades can legitimately push a
+    * degenerate ndcg below 0 — documented, not clamped.
+    */
+  def ndcgAudit(spark: SparkSession, dir: String): DataFrame =
+    ndcgCore(
+      t(spark, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      bitsFor(spark, dir), maxQid = 2L, k = 10)
+
+  /** sim17 over an explicit (vec_id, embedding) frame — SimilaritySpec
+    * plants a probe set that finds the true top-2 in swapped order
+    * (recall@2 = 1 but ndcg < 1: rank quality is the thing recall
+    * misses).
+    */
+  private[graft] def ndcgCore(
+      emb: DataFrame, b: Int, maxQid: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k <= DcgWeightsMicro.size)
+    val e = emb
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+      .withColumn("bucket", signBucket(col("embedding"), b))
+    val q = e.filter(col("vec_id") <= maxQid)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("nrm").as("qn"), col("bucket").as("qbucket"))
+    val relU = round(
+      dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")) * 1e6)
+      .cast("long")
+    val w = Window.partitionBy("qid").orderBy(col("rel_u").desc, col("vec_id"))
+    val wgt = element_at(
+      array(DcgWeightsMicro.map(lit): _*), col("rk").cast("int"))
+    val idcg = e
+      .join(broadcast(q.select(col("qid"), col("qv"), col("qn"))),
+        col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), relU.as("rel_u"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(col("rel_u") * wgt).as("idcg_u"))
+    val probeArr = array((col("qbucket") +: (0 until b).map(i =>
+      col("qbucket").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = q.select(col("qid"), col("qv"), col("qn"),
+      explode(probeArr).as("pbucket"))
+    val dcg = e
+      .join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), relU.as("rel_u"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_retrieved"), sum(col("rel_u") * wgt).as("dcg_u"))
+    idcg.join(dcg, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_retrieved"), lit(0L)).as("n_retrieved"),
+        r6s(col("dcg_u").cast("double") / 1e12).as("dcg"),
+        r6s(col("idcg_u").cast("double") / 1e12).as("idcg"),
+        r6s(col("dcg_u").cast("double") /
+          when(col("idcg_u") =!= 0L, col("idcg_u"))).as("ndcg"))
+      .orderBy("qid")
+  }
+
   /** IVF (inverted-file) ANN with DATA-DEPENDENT centroids — the FAISS
     * IVFFlat search shape, complementing sim2's data-independent sign-LSH
     * cells: K corpus vectors chosen by the md5 pseudo-permutation (D3's
@@ -902,6 +987,7 @@ object Similarity {
     "sim4_batch_ann" -> batchAnn,
     "sim5_ivf_ann" -> ivfAnn,
     "sim9_ann_recall" -> annRecallAudit,
+    "sim17_ndcg" -> ndcgAudit,
     "sim6_semantic_clusters" -> semanticClusters
   )
 
@@ -1224,6 +1310,55 @@ object Similarity {
          |FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> 0
          |ORDER BY cos DESC, a.vec_id
          |LIMIT 5""".stripMargin,
+    // The integer micro-weights are interpolated from the SAME Scala val
+    // the plan uses (DcgWeightsMicro) — one source of truth, no log2 in
+    // either engine's scoring path.
+    "sim17_ndcg" ->
+      s"""WITH $sqlBitsCte,
+         | n AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |    ${sqlCell("0")} AS bucket FROM embeddings),
+         | q AS (SELECT vec_id AS qid, v AS qv, bucket AS qb FROM n
+         |  WHERE vec_id <= 2),
+         | sx AS (
+         |  SELECT q.qid, a.vec_id,
+         |    CAST(round(list_dot_product(a.v, q.qv) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(q.qv, q.qv))) * 1e6) AS BIGINT) AS rel_u
+         |  FROM n a JOIN q ON a.vec_id <> q.qid),
+         | ex AS (
+         |  SELECT qid, rel_u, row_number() OVER (
+         |    PARTITION BY qid ORDER BY rel_u DESC, vec_id) AS rk FROM sx),
+         | idcg AS (
+         |  SELECT qid, CAST(sum(rel_u * list_element(
+         |      [${DcgWeightsMicro.mkString(", ")}]::BIGINT[],
+         |      CAST(rk AS INTEGER))) AS BIGINT) AS idcg_u
+         |  FROM ex WHERE rk <= 10 GROUP BY qid),
+         | probes AS (
+         |  SELECT qid, qv, qb AS pb FROM q
+         |  UNION ALL
+         |  SELECT qid, qv, xor(qb, (1::BIGINT << CAST(i AS INTEGER)))
+         |  FROM q CROSS JOIN (SELECT unnest(range((SELECT b FROM prm))) AS i) r),
+         | sa AS (
+         |  SELECT p.qid, a.vec_id,
+         |    CAST(round(list_dot_product(a.v, p.qv) /
+         |      (sqrt(list_dot_product(a.v, a.v)) *
+         |       sqrt(list_dot_product(p.qv, p.qv))) * 1e6) AS BIGINT) AS rel_u
+         |  FROM n a JOIN probes p ON a.bucket = p.pb AND a.vec_id <> p.qid),
+         | ap AS (
+         |  SELECT qid, rel_u, row_number() OVER (
+         |    PARTITION BY qid ORDER BY rel_u DESC, vec_id) AS rk FROM sa),
+         | dcg AS (
+         |  SELECT qid, count(*) AS n_retrieved,
+         |    CAST(sum(rel_u * list_element(
+         |      [${DcgWeightsMicro.mkString(", ")}]::BIGINT[],
+         |      CAST(rk AS INTEGER))) AS BIGINT) AS dcg_u
+         |  FROM ap WHERE rk <= 10 GROUP BY qid)
+         |SELECT i.qid, coalesce(d.n_retrieved, 0) AS n_retrieved,
+         |  round(CAST(d.dcg_u AS DOUBLE) / 1e12, 6) + 0 AS dcg,
+         |  round(CAST(i.idcg_u AS DOUBLE) / 1e12, 6) + 0 AS idcg,
+         |  round(CAST(d.dcg_u AS DOUBLE) / nullif(i.idcg_u, 0), 6) + 0 AS ndcg
+         |FROM idcg i LEFT JOIN dcg d USING (qid)
+         |ORDER BY qid""".stripMargin,
     "sim9_ann_recall" ->
       s"""WITH $sqlBitsCte,
          | n AS (SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{r6, t}
+import graft.Tables.{r6, r6s, t}
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table (north-star
@@ -563,7 +563,20 @@ object TextAnalysis {
   /** t22 over an explicit `(doc_id, text)` frame — InvariantSpec replays
     * the planted t21 corpus and checks the hand-computed segmentation.
     */
-  private[graft] def bpeEncodeCore(docs: DataFrame, k: Int): DataFrame = {
+  private[graft] def bpeEncodeCore(docs: DataFrame, k: Int): DataFrame =
+    bpeDocUnits(docs, k)
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_units"),
+        when(col("n_chars") > 0,
+          round(col("n_units").cast("double") / col("n_chars"), 6))
+          .as("compression"))
+      .orderBy("doc_id")
+
+  /** The shared t22/t31 per-document segmentation frame `(doc_id,
+    * n_tokens, n_chars, n_units)`, un-ordered: train the k-merge table,
+    * encode the DISTINCT-token vocabulary, tag occurrences, aggregate
+    * per doc.
+    */
+  private[graft] def bpeDocUnits(docs: DataFrame, k: Int): DataFrame = {
     import graft.functions.TextFunctions.tokensOrdered
     val merges = bpeTrainRaw(
       docs.select(explode(tokensOrdered(col("text"))).as("token"))
@@ -581,11 +594,40 @@ object TextAnalysis {
       .agg(count(col("tok")).as("n_tokens"),
         coalesce(sum(length(col("tok")).cast("long")), lit(0L)).as("n_chars"),
         coalesce(sum(col("units")), lit(0L)).as("n_units"))
-      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_units"),
-        when(col("n_chars") > 0,
-          round(col("n_units").cast("double") / col("n_chars"), 6))
+  }
+
+  /** t31 — tokenizer fertility by language: BPE units per WORD under the
+    * t21-trained tokenizer, aggregated per declared language — the
+    * under-served-language audit (a language whose fertility runs far
+    * above the corpus norm pays proportionally more context budget per
+    * word, the signal multilingual tokenizer work reports and rebalances
+    * on — cf. the NLLB / XLM-R fertility analyses). Reported beside the
+    * chars-per-unit compression so "long words" and "bad merges" are
+    * distinguishable.
+    *
+    * Scale shape: t22's per-doc segmentation frame ([[bpeDocUnits]] —
+    * vocab-sized merge application, one occurrence join, one per-doc
+    * aggregate) joined to the documents' language column and re-agged to
+    * the LANGUAGE domain: the second aggregate is language-cardinality,
+    * map-side combined. All sums are exact integers; the two divisions
+    * are final, nullif-guarded single IEEE ops.
+    */
+  def fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select(col("doc_id"), col("lang"))
+      .join(bpeDocUnits(docs, BpeTrainSteps), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_words"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(col("n_units")).as("total_units"),
+        r6s(sum(col("n_units")).cast("double") /
+          when(sum(col("n_tokens")) > 0, sum(col("n_tokens"))))
+          .as("fertility"),
+        r6s(sum(col("n_units")).cast("double") /
+          when(sum(col("n_chars")) > 0, sum(col("n_chars"))))
           .as("compression"))
-      .orderBy("doc_id")
+      .orderBy("lang")
   }
 
   /** t12 — TF-IDF keyword extraction: the top-3 most distinctive terms per
@@ -1227,6 +1269,7 @@ object TextAnalysis {
     "t15_bpe_step" -> bpeStep,
     "t21_bpe_train" -> bpeTrain,
     "t22_bpe_encode" -> bpeEncode,
+    "t31_fertility" -> fertility,
     "t7_redact" -> redact,
     "t8_lm_surprise" -> lmSurprise,
     "t23_perplexity_filter" -> perplexityFilter,
@@ -1349,7 +1392,11 @@ object TextAnalysis {
     * applied (nested scalar-subquery replaces, step order) over the
     * distinct-token frame and summed per document.
     */
-  private def sqlBpeEncode(k: Int): String = {
+  /** The shared t22/t31 oracle mid-chain: the train CTEs plus the
+    * occurrence, vocab-encode and per-doc `agg` CTEs ([[bpeDocUnits]]'s
+    * mirror — one template, two schemes).
+    */
+  private def sqlBpeDocUnits(k: Int): String = {
     val enc = (0 until k).foldLeft("tok")((e, i) =>
       s"replace($e, (SELECT rp FROM top$i), '$i')")
     sqlBpeTrainChain(k) +
@@ -1362,7 +1409,12 @@ object TextAnalysis {
          |  SELECT occ.doc_id, count(*) AS n_tokens,
          |    CAST(sum(length(occ.tok)) AS BIGINT) AS n_chars,
          |    CAST(sum(units) AS BIGINT) AS n_units
-         |  FROM occ JOIN venc ON occ.tok = vt GROUP BY 1)
+         |  FROM occ JOIN venc ON occ.tok = vt GROUP BY 1)""".stripMargin
+  }
+
+  private def sqlBpeEncode(k: Int): String = {
+    sqlBpeDocUnits(k) +
+      s"""
          |SELECT d.doc_id,
          |  CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
          |  CAST(coalesce(agg.n_chars, 0) AS BIGINT) AS n_chars,
@@ -1750,6 +1802,24 @@ object TextAnalysis {
          |""".stripMargin + sqlPackTail("tk")),
     "t21_bpe_train" -> sqlBpeTrain(BpeTrainSteps),
     "t22_bpe_encode" -> sqlBpeEncode(BpeTrainSteps),
+    "t31_fertility" -> (sqlBpeDocUnits(BpeTrainSteps) +
+      """,
+        | pd AS (
+        |  SELECT d.lang,
+        |    coalesce(agg.n_tokens, 0) AS n_tokens,
+        |    coalesce(agg.n_chars, 0) AS n_chars,
+        |    coalesce(agg.n_units, 0) AS n_units
+        |  FROM documents d LEFT JOIN agg USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_words,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_units) AS BIGINT) AS total_units,
+        |  round(CAST(sum(n_units) AS DOUBLE)
+        |    / nullif(CAST(sum(n_tokens) AS BIGINT), 0), 6) + 0 AS fertility,
+        |  round(CAST(sum(n_units) AS DOUBLE)
+        |    / nullif(CAST(sum(n_chars) AS BIGINT), 0), 6) + 0 AS compression
+        |FROM pd GROUP BY 1
+        |ORDER BY lang""".stripMargin),
     "t11_bpe_merge_pairs" ->
       s"""WITH $sqlBpePairCtes
          |SELECT pair, count(*) AS n_occurrences

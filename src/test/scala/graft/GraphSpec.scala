@@ -128,4 +128,32 @@ class GraphSpec extends AnyFunSuite {
     assert(!got.contains(22L) && !got.contains(23L) && !got.contains(24L),
       "degree-1 leaves must be excluded")
   }
+
+  test("gr5 components: disjoint cliques converge; a diameter-4 chain does not") {
+    import spark.implicits._
+    // Two K3s (orders 1,2 on {1,2,3}; orders 3,4 on {11,12,13}): every
+    // edge survives support>=2; diameter 1 -> labels settle at the clique
+    // min well inside 3 rounds. Chain 31-32-33-34-35, each edge its own
+    // order pair: min-label reaches 3 hops, so node 35 reads 32 (not 31)
+    // after round 3 and its label is still moving -> converged = false.
+    val k3a = Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L).map(p => (o, p)))
+    val k3b = Seq(3L, 4L).flatMap(o => Seq(11L, 12L, 13L).map(p => (o, p)))
+    val chain = Seq((31L, 32L), (32L, 33L), (33L, 34L), (34L, 35L))
+      .zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq(100L + 2 * i, 101L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
+      }
+    val li = (k3a ++ k3b ++ chain).toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Graph.componentsCore(li).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("component"), r.getAs[Long]("component_size"),
+          r.getAs[Boolean]("converged"))).toMap
+    Seq(1L, 2L, 3L).foreach(p => assert(got(p) == ((1L, 3L, true)), got(p)))
+    Seq(11L, 12L, 13L).foreach(p =>
+      assert(got(p) == ((11L, 3L, true)), got(p)))
+    // 3-hop bound: 35 sees only down to 32; 34 just received 31 this round
+    assert(got(35L) == ((32L, 1L, false)), got(35L))
+    assert(got(34L) == ((31L, 4L, false)), got(34L))
+    Seq(31L, 32L, 33L).foreach(p =>
+      assert(got(p)._1 == 31L && got(p)._3, s"$p -> ${got(p)}"))
+  }
 }

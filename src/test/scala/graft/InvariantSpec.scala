@@ -127,6 +127,84 @@ class InvariantSpec extends AnyFunSuite {
     assert(got(2L).getAs[Double]("mean_value") == 55.0)
   }
 
+  test("ev25 VWAP hugs the traded size; an all-zero-quantity day is null") {
+    import spark.implicits._
+    val base = 1704067200000L
+    def ts(s: Long) = new java.sql.Timestamp(base + s * 1000)
+    // 1 unit at 10.00 vs 9 units at 100.00: VWAP = 910/10 = 91, mean 55.
+    // The 'free' type trades zero quantity all day -> null VWAP, mean 60.
+    val ev = Seq(
+      ("buy", ts(0), 10.0, """{"k": 1}"""),
+      ("buy", ts(60), 100.0, """{"k": 9}"""),
+      ("free", ts(0), 50.0, """{"k": 0}"""),
+      ("free", ts(60), 70.0, """{"k": 0}""")
+    ).toDF("event_type", "ts", "value", "props")
+    val got = graft.operators.Events.vwapCore(ev).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(got("buy").getAs[Double]("vwap") == 91.0, got("buy"))
+    assert(got("buy").getAs[Double]("mean_value") == 55.0)
+    assert(got("buy").getAs[Long]("total_qty") == 10L)
+    assert(got("free").isNullAt(got("free").fieldIndex("vwap")),
+      "zero traded quantity must yield null VWAP")
+    assert(got("free").getAs[Double]("mean_value") == 60.0)
+    assert(got.values.forall(_.getAs[Long]("day_ms") == base))
+  }
+
+  test("t31 fertility equals t22's per-doc frame re-aggregated by language") {
+    import org.apache.spark.sql.functions._
+    // The shared-core law: the language report must be EXACTLY the t22
+    // per-doc segmentation grouped by lang — if the two paths ever use
+    // different tokenizers or merge tables, this diverges.
+    val docs = graft.Tables.t(spark, sf, "documents")
+    val fromDocs = docs.select(col("doc_id"), col("lang"))
+      .join(graft.operators.TextAnalysis
+        .bpeEncodeCore(docs, graft.operators.TextAnalysis.BpeTrainSteps)
+        .drop("compression"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_words"),
+        sum("n_units").as("total_units"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val got = graft.operators.TextAnalysis.fertility(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nd, tw, tu) = fromDocs(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") == nd)
+      assert(r.getAs[Long]("total_words") == tw)
+      assert(r.getAs[Long]("total_units") == tu)
+      assert(math.abs(r.getAs[Double]("fertility") - tu.toDouble / tw) < 1e-6,
+        r.toString)
+    }
+  }
+
+  test("seg1 RFM: quintiles balanced, scores bounded, segments follow the rule") {
+    val rows = graft.operators.Relational.seg1Rfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val sizes = rows.groupBy(_.getAs[Long](c)).map { case (s, g) =>
+        assert(s >= 1 && s <= 5, s"$c out of range: $s"); g.size
+      }
+      assert(sizes.max - sizes.min <= 1, s"$c buckets unbalanced: $sizes")
+    }
+    assert(rows.map(_.getAs[Long]("recency_days")).min == 0L,
+      "the most recent customer anchors recency at 0")
+    rows.foreach { r =>
+      val (rs, fs) = (r.getAs[Long]("r_score"), r.getAs[Long]("f_score"))
+      val ms = r.getAs[Long]("m_score")
+      val expect =
+        if (rs >= 4 && fs >= 4 && ms >= 4) "champion"
+        else if (fs >= 4) "loyal"
+        else if (rs >= 4 && fs <= 2) "new"
+        else if (rs <= 2 && fs >= 3) "at_risk"
+        else if (rs <= 2) "hibernating"
+        else "regular"
+      assert(r.getAs[String]("segment") == expect, r.toString)
+      assert(r.getAs[Double]("monetary") > 0)
+    }
+    assert(n == rows.map(_.getAs[Long]("o_custkey")).distinct.length)
+  }
+
   test("prof10 joint histogram: bins bounded, hour shares normalize, counts conserve") {
     val rows = graft.operators.Relational
       .prof10JointHistogram(spark, sf).collect()

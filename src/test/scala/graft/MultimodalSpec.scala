@@ -316,4 +316,29 @@ class MultimodalSpec extends AnyFunSuite {
       (0L, 0L) -> ((12L, 5.5, 11L)),
       (0L, 1L) -> ((12L, 7.5, 13L))), got)
   }
+
+  test("mm11 VAD: loud-quiet-loud splits at the quiet island; all-quiet emits nothing") {
+    import spark.implicits._
+    // Frame = 80 samples. Byte 32 holds rms |32-128| = 96 > 45 (loud);
+    // byte 128 holds rms 0 (quiet). Clip 1: frames [loud, loud, quiet,
+    // loud] -> segments (0..1) and (3..3). Clip 2: two quiet frames plus
+    // a 40-sample loud TAIL that a full-frame walk must truncate -> no
+    // rows at all.
+    val loud = Array.fill[Byte](80)(32)
+    val quiet = Array.fill[Byte](80)(128.toByte)
+    val clip1 = loud ++ loud ++ quiet ++ loud
+    val clip2 = quiet ++ quiet ++ Array.fill[Byte](40)(32)
+    val media = Seq(
+      (1L, "audio", wavBytes(clip1, oddChunk = false)),
+      (2L, "audio", wavBytes(clip2, oddChunk = false)))
+      .toDF("media_id", "kind", "payload")
+    val got = Multimodal.vadSegmentsOf(media, spark).collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Long]("seg_idx")) ->
+        (r.getAs[Long]("start_frame"), r.getAs[Long]("end_frame"),
+          r.getAs[Long]("n_frames"), r.getAs[Long]("start_ms"),
+          r.getAs[Long]("end_ms"), r.getAs[Double]("mean_rms"))).toMap
+    assert(got == Map(
+      (1L, 1L) -> ((0L, 1L, 2L, 0L, 20L, 96.0)),
+      (1L, 2L) -> ((3L, 3L, 1L, 30L, 40L, 96.0))), got)
+  }
 }

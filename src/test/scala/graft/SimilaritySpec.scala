@@ -165,6 +165,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(full(0).getAs[Double]("recall") == 1.0)
   }
 
+  test("sim17 NDCG prices the Hamming-2 miss that recall merely counts") {
+    import spark.implicits._
+    // Same planted corpus as sim9: v1 sits 2 sign flips away (outside
+    // the probe set) but holds top-rank cosine mass — the probe ranking
+    // loses v1's gain at position 1 and every survivor shifts up a rank,
+    // so dcg < idcg strictly. With v1 removed the probe ranking IS the
+    // ideal ranking and ndcg must be exactly 1.
+    val emb = Seq(
+      0L -> Array(1f, 1f, 1f, 1f, 10f, 10f, 10f, 10f),
+      1L -> Array(-1f, -1f, 1f, 1f, 10f, 10f, 10f, 10f),
+      2L -> Array(1f, 1f, 1f, 1f, 9f, 9f, 9f, 9f),
+      3L -> Array(1f, 1f, -1f, 1f, 8f, 8f, 8f, 8f),
+      4L -> Array(1f, 1f, 1f, 1f, -5f, 5f, -5f, 5f)
+    ).toDF("vec_id", "embedding")
+    val row = graft.operators.Similarity
+      .ndcgCore(emb, b = 4, maxQid = 0L, k = 3).collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_retrieved") == 3L)
+    val (dcg, idcg, ndcg) = (row(0).getAs[Double]("dcg"),
+      row(0).getAs[Double]("idcg"), row(0).getAs[Double]("ndcg"))
+    assert(dcg < idcg, s"$dcg vs $idcg")
+    assert(ndcg > 0 && ndcg < 1, ndcg.toString)
+    val full = graft.operators.Similarity
+      .ndcgCore(emb.filter($"vec_id" =!= 1L), b = 4, maxQid = 0L, k = 3)
+      .collect()
+    assert(full(0).getAs[Double]("ndcg") == 1.0, full(0).toString)
+    assert(full(0).getAs[Double]("dcg") == full(0).getAs[Double]("idcg"))
+  }
+
   test("sim10 MIPS order equals augmented-cosine order (the scale reduction)") {
     // The norm-augmentation argument sim10 relies on at 100 TB: append
     // sqrt(M^2 - |x|^2) to every corpus vector (M = max corpus norm) and
