@@ -758,7 +758,73 @@ object Events {
       .orderBy("event_type", "day_ms")
   }
 
+  /** Regularity bar for ev26, sitting near the corpus's observed CV
+    * median (0.77–1.28 across users at sf0.01) so both verdicts appear
+    * in the gated output — mm6's threshold convention. A Poisson
+    * (human-ish) arrival process has CV ≈ 1; scripted clients sit far
+    * below. The production bar is ~0.3 (a real scheduler's jitter), and
+    * the spec drives that bar on a planted metronome.
+    */
+  private[graft] val BotCvBar = 0.95
+
+  /** ev26 — bot / scripted-client detection by inter-arrival regularity:
+    * per user, the coefficient of variation of second-granularity gaps
+    * between consecutive events. A human's gaps are bursty (CV ≈ 1,
+    * the exponential's signature); a cron-driven scraper fires on a
+    * schedule (CV → 0). The classic first-pass traffic-quality filter a
+    * training-data pipeline runs before trusting engagement signals.
+    *
+    * Exactness: gaps floor to whole seconds (the granularity bot
+    * cadence lives at), so ΣG and ΣG² are exact BIGINTs and
+    * `CV = √(n·ΣG² − (ΣG)²) / ΣG` needs exactly one sqrt and one
+    * division — no float accumulation anywhere (n·ΣG² fits 2⁶³ through
+    * ~10⁵ events/user at day-scale gaps; beyond that the production
+    * swap is per-user Welford on the sorted stream, documented not
+    * built). Degenerates: < 2 gaps → null CV, null verdict (not
+    * enough evidence); ΣG = 0 with ≥ 2 gaps (a duplicate-timestamp
+    * burst) → null CV but verdict TRUE — maximal regularity.
+    *
+    * Scale shape: one lag() window per user (the ev-family session
+    * partitioning, reusable across ops in a composed pipeline) into a
+    * per-user hash aggregate; tied timestamps need no tiebreak — the
+    * gap MULTISET is invariant under tie order, so the sums are too.
+    */
+  def botScore(spark: SparkSession, dir: String): DataFrame =
+    botScoreCore(t(spark, dir, "events"))
+
+  /** ev26 over an explicit events-shaped frame — StreamingSpec-style
+    * plant in InvariantSpec: a metronome user (CV 0 → bot at any bar),
+    * a geometric-burst user (CV > 1 → clean), a duplicate-timestamp
+    * burst (null CV, flagged), and a 2-event user (null verdict).
+    */
+  private[graft] def botScoreCore(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ms"))
+    val g = events
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("gap_s",
+        floor((col("ms") - lag(col("ms"), 1).over(w)) / lit(1000L)))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum(col("gap_s")).as("s"),
+        sum(col("gap_s") * col("gap_s")).as("s2"))
+    g.select(col("user_id"), (col("n_gaps") + 1).as("n_events"),
+        col("n_gaps"),
+        r6(col("s").cast("double") / col("n_gaps")).as("mean_gap_s"),
+        when(col("n_gaps") >= 2 && col("s") > 0,
+          round(sqrt((col("n_gaps") * col("s2") - col("s") * col("s"))
+            .cast("double")) / col("s"), 6)).as("cv"),
+        col("s"))
+      .withColumn("suspected_bot",
+        when(col("n_gaps") < 2, lit(null).cast("boolean"))
+          .otherwise(col("s") === 0 || col("cv") < BotCvBar))
+      .drop("s")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ev26_bot_score" -> botScore,
     "ev25_vwap" -> vwap,
     "ev24_twap" -> twap,
     "ev22_churn" -> churn,
@@ -860,6 +926,33 @@ object Events {
         |  count(CASE WHEN m = 'l' THEN 1 END) AS last_touch_conversions
         |FROM m GROUP BY touch_type
         |ORDER BY touch_type""".stripMargin,
+    "ev26_bot_score" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ms(CAST(ts AS TIMESTAMP)) AS ms
+        |  FROM events),
+        | g AS (
+        |  SELECT user_id,
+        |    CAST(floor((ms - lag(ms) OVER (
+        |      PARTITION BY user_id ORDER BY ms)) / 1000.0) AS BIGINT)
+        |      AS gap_s
+        |  FROM e),
+        | p AS (
+        |  SELECT user_id, count(*) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS s,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) AS s2
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps + 1 AS n_events, n_gaps,
+        |  round(CAST(s AS DOUBLE) / n_gaps, 6) AS mean_gap_s,
+        |  CASE WHEN n_gaps >= 2 AND s > 0
+        |    THEN round(sqrt(CAST(n_gaps * s2 - s * s AS DOUBLE)) / s, 6)
+        |    END AS cv,
+        |  CASE WHEN n_gaps < 2 THEN NULL
+        |    ELSE s = 0 OR (CASE WHEN n_gaps >= 2 AND s > 0
+        |      THEN round(sqrt(CAST(n_gaps * s2 - s * s AS DOUBLE)) / s, 6)
+        |      END) < 0.95
+        |  END AS suspected_bot
+        |FROM p
+        |ORDER BY user_id""".stripMargin,
     "ev25_vwap" ->
       """WITH e AS (
         |  SELECT event_type,

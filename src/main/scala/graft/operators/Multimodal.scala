@@ -705,6 +705,78 @@ object Multimodal {
       .orderBy("media_id", "seg_idx")
   }
 
+  final case class AudioFpRow(
+      media_id: Long, n_frames: Long, n_bits: Long, fp: Long)
+
+  /** mm12 — audio fingerprinting: the energy-delta sign signature (bit i
+    * set iff frame i+1 is louder than frame i, over the clip's first 32
+    * VAD frames) — the Haitsma–Kalker / Shazam-family shape reduced to
+    * its deterministic core: a time-warp-tolerant, amplitude-ordinal
+    * fingerprint that matches re-encoded or re-leveled copies of the
+    * same recording. Clips grouped by (n_bits, fp) with the group's
+    * minimum media id as canonical — dd1's exact-dedup contract on the
+    * AUDIO modality (mm8 is the image analogue; the near-match extension
+    * is mm8's banded Hamming walk, documented not duplicated).
+    *
+    * Scale shape: map-only decode emitting one 4-field row per CLIP
+    * (energies fold in place; no per-frame rows, no PCM shuffles), then
+    * one window over the fingerprint key — the dd1 plan shape exactly.
+    * Everything is exact integer arithmetic end-to-end; the oracle
+    * recomputes every energy bit from the text payload, so an off-by-one
+    * frame stride or bit index breaks the hash.
+    */
+  def audioFingerprint(spark: SparkSession, dir: String): DataFrame =
+    audioFingerprintOf(syntheticMedia(spark, dir), spark)
+
+  /** mm12 over an explicit media frame — MultimodalSpec plants a clip
+    * and its re-leveled copy (same ordinal pattern at different volume →
+    * same fingerprint, one group) against a reversed-profile clip
+    * (different fingerprint).
+    */
+  private[graft] def audioFingerprintOf(media: DataFrame, spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rows = media
+      .filter(col("kind") === "audio")
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val wav = MediaCodecs.Wav.parse(payload)
+          val nf = wav.data.length / VadFrameSamples
+          val en = new Array[Long](nf)
+          var f = 0
+          while (f < nf) {
+            var sq = 0L
+            var j = 0
+            while (j < VadFrameSamples) {
+              val d = (wav.data(f * VadFrameSamples + j) & 0xff) - 128
+              sq += d.toLong * d
+              j += 1
+            }
+            en(f) = sq
+            f += 1
+          }
+          val nBits = math.min(math.max(nf - 1, 0), 31)
+          var fp = 0L
+          var i = 0
+          while (i < nBits) {
+            if (en(i + 1) > en(i)) fp |= 1L << i
+            i += 1
+          }
+          AudioFpRow(id, nf.toLong, nBits.toLong, fp)
+        }
+      }
+      .toDF()
+    val w = Window.partitionBy(col("n_bits"), col("fp"))
+    rows
+      .withColumn("canonical_id", min(col("media_id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select(col("media_id"), col("n_frames"), col("n_bits"), col("fp"),
+        col("canonical_id"), col("group_size"))
+      .orderBy("media_id")
+  }
+
   final case class PatchSrcRow(
     media_id: Long, width: Int, height: Int, bytes: Seq[Int])
 
@@ -768,6 +840,7 @@ object Multimodal {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm12_audio_fingerprint" -> audioFingerprint,
     "mm11_vad_segments" -> vadSegments,
     "mm10_patchify" -> patchify,
     "mm9_audio_resample" -> audioResample,
@@ -782,6 +855,39 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    // Frame energies and every fingerprint bit recomputed from the text;
+    // group stats re-derived with a window over the same key.
+    "mm12_audio_fingerprint" ->
+      """WITH s AS (
+        |  SELECT doc_id AS media_id,
+        |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS st
+        |  FROM documents WHERE doc_id % 3 = 1),
+        | f AS (SELECT media_id, st,
+        |    CAST(length(st) // 80 AS BIGINT) AS n_frames FROM s),
+        | en AS (
+        |  SELECT media_id, n_frames,
+        |    list_transform(range(0, n_frames), fi ->
+        |      list_aggregate(list_transform(range(1, 81),
+        |        j -> (ord(st[CAST(fi * 80 + j AS BIGINT)]) - 128)
+        |           * (ord(st[CAST(fi * 80 + j AS BIGINT)]) - 128)),
+        |        'sum')) AS e
+        |  FROM f),
+        | fp AS (
+        |  SELECT media_id, n_frames,
+        |    least(greatest(n_frames - 1, 0), 31) AS n_bits,
+        |    coalesce(CAST(list_sum(list_transform(
+        |      range(0, least(greatest(n_frames - 1, 0), 31)),
+        |      i -> CASE WHEN e[CAST(i + 2 AS BIGINT)]
+        |                   > e[CAST(i + 1 AS BIGINT)]
+        |        THEN (1::BIGINT << CAST(i AS INTEGER))
+        |        ELSE 0::BIGINT END)) AS BIGINT), 0) AS fp
+        |  FROM en)
+        |SELECT media_id, n_frames, n_bits, fp,
+        |  min(media_id) OVER (PARTITION BY n_bits, fp) AS canonical_id,
+        |  CAST(count(*) OVER (PARTITION BY n_bits, fp) AS BIGINT)
+        |    AS group_size
+        |FROM fp
+        |ORDER BY media_id""".stripMargin,
     // Frame energies recomputed from the text: frame f covers chars
     // [f*80+1, f*80+80]; islands re-derived with the same row_number
     // difference, so a shifted frame or boundary breaks the hash.

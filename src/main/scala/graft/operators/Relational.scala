@@ -1589,6 +1589,52 @@ object Relational {
     spark.sql(SharedWindowSql)
   }
 
+  /** sql4's verbatim-shared text — the FOURTH facade, and the first to
+    * exercise `WITH RECURSIVE` (Spark 4.1 and DuckDB both run this exact
+    * string): the region→nation→customer hierarchy walked as a
+    * parent-child edge list from each region root, rolling up node
+    * counts and account-balance mass per depth. The recursion is
+    * structurally ACYCLIC (edges only descend the 3-level star), so the
+    * UNION ALL recursion terminates at depth 2 with no cycle guard —
+    * the shape every org-chart / BOM / category-tree rollup takes.
+    * Balance accumulates as exact integer cents (dq6's convention)
+    * inside the recursion; the single division lands on the 2-grid.
+    *
+    * Scale shape: each recursive step is one equi-join of the frontier
+    * against the edge list plus a union — exactly the iterated-join plan
+    * gr5/pr1 unroll by hand, here delegated to the engine's recursion
+    * operator (Spark plans it as a UnionLoop). Frontier rows carry only
+    * (root, node, depth, cents); the edge list would be broadcast or
+    * bucketed at scale.
+    */
+  private[operators] val SharedRecursiveSql: String =
+    """WITH RECURSIVE
+      | edges AS (
+      |  SELECT 'R' || r_regionkey AS parent, 'N' || n_nationkey AS child,
+      |    CAST(0 AS BIGINT) AS cents
+      |  FROM nation JOIN region ON n_regionkey = r_regionkey
+      |  UNION ALL
+      |  SELECT 'N' || c_nationkey, 'C' || c_custkey,
+      |    CAST(round(c_acctbal * 100) AS BIGINT)
+      |  FROM customer),
+      | walk(root, node, depth, cents) AS (
+      |  SELECT 'R' || r_regionkey, 'R' || r_regionkey, CAST(0 AS BIGINT),
+      |    CAST(0 AS BIGINT)
+      |  FROM region
+      |  UNION ALL
+      |  SELECT w.root, e.child, w.depth + 1, e.cents
+      |  FROM walk w JOIN edges e ON e.parent = w.node)
+      |SELECT root, depth, count(*) AS n_nodes,
+      |  round(CAST(sum(cents) AS DOUBLE) / 100, 2) AS balance
+      |FROM walk GROUP BY root, depth
+      |ORDER BY root, depth""".stripMargin
+
+  def sql4RecursiveRollup(spark: SparkSession, dir: String): DataFrame = {
+    Seq("region", "nation", "customer")
+      .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))
+    spark.sql(SharedRecursiveSql)
+  }
+
   /** seg1 — RFM customer segmentation: per customer the recency (days
     * since last order at the corpus watermark), frequency (order count)
     * and monetary value (lifetime spend), each scored into quintiles by
@@ -1644,6 +1690,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seg1_rfm" -> seg1Rfm,
+    "sql4_recursive_rollup" -> sql4RecursiveRollup,
     "sql3_window_facade" -> sql3WindowFacade,
     "sql1_revenue_by_nation" -> sql1RevenueByNation,
     "sql2_correlated_scalar" -> sql2CorrelatedScalar,
@@ -1740,6 +1787,7 @@ object Relational {
         |    ELSE 'regular' END AS segment
         |FROM sc
         |ORDER BY o_custkey""".stripMargin,
+    "sql4_recursive_rollup" -> SharedRecursiveSql,
     "sql3_window_facade" -> SharedWindowSql,
     "q23_mom_growth" ->
       """WITH m AS (
