@@ -17,6 +17,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE may re-coalesce cached-plan output partitioning (see
+      // GraftSession) — without it every scopedPersist'd affinity-scale
+      // frame pins downstream stages at `cpus` near-empty tasks.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

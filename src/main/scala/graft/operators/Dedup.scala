@@ -728,6 +728,12 @@ object Dedup {
     * run the scan+tokenize+md5 subtree once per branch (measured at
     * sf0.1 warm min-of-3: 2.5 s two-subtree vs 2.0 s one-pass, and half
     * the corpus scans — the version that matters at 100 TB).
+    *
+    * Bench budget: 1.7–1.9 s at sf0.1 local[32] (r13 single-query
+    * min-of-3). BENCH_r12's 4.49 s was re-measured in isolation at
+    * 1.74 s with zero code change — full-suite contention, the t1/r11
+    * precedent; the 230-query suite runs dd8 amid the heavy t-family
+    * tail. Regression above ~3 s in a SINGLE-query run is real.
     */
   def spanContamination(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanTokens

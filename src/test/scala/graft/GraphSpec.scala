@@ -103,6 +103,20 @@ class GraphSpec extends AnyFunSuite {
         $"a.l_orderkey" === $"b.l_orderkey" &&
           $"a.l_partkey" < $"b.l_partkey").count()
     assert(pairs == cap.toLong * (cap - 1) / 2 + 2 * 3, pairs)
+    // the array form (the shipped plan since r13) pins the same cap and
+    // the same i<j orientation: the hub yields C(cap,2) raw pairs; after
+    // support>=2 only the twice-co-ordered normal pairs survive.
+    val arr = graft.operators.Graph.basketArrays(li)
+      .filter($"l_orderkey" === 1L)
+      .selectExpr("size(parts) AS n", "parts[0] AS lo",
+        "parts[size(parts)-1] AS hi").collect().head
+    assert(arr.getInt(0) == cap && arr.getLong(1) == 1L &&
+      arr.getLong(2) == cap.toLong, arr)
+    val sp = graft.operators.Graph.supportPairs(li)
+      .orderBy("pa", "pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sp.toSeq == Seq((9001L, 9002L), (9001L, 9003L), (9002L, 9003L)),
+      sp.toSeq)
   }
 
   test("gr4 clustering: K4 vertices score 1, a star center 0, leaves excluded") {
