@@ -1647,26 +1647,60 @@ object Relational {
     * SOURCES, prioritizes which feeds a crawl scheduler revisits.
     *
     * Scale shape: one shuffle on o_custkey (hash aggregate with map-side
-    * combine), then three window ranks over the CUSTOMER-domain frame —
-    * at 100 TB the aggregate shrinks the fact table to the customer
-    * dimension before any window sorts it, and a single global ntile
-    * sort of a dimension-sized frame is the standard quantile-scoring
-    * pass (or swap approx_percentile cuts, d10's documented trade).
+    * combine), then three window ranks over the CUSTOMER-domain frame.
+    * This exact form is the ORACLE-SEMANTICS twin: its three global
+    * ntile sorts are single-partition by definition, so the deployable
+    * path is [[seg1RfmApproxCore]] — percentile_approx cuts broadcast
+    * into scan-local CASE scoring, no global sort anywhere (the
+    * prof2/prof8 exact-vs-sketch convention; InvariantSpec pins
+    * tie-free agreement).
     * Recency counts exact integer days in pure DATE arithmetic (no
     * timezone codec on either engine — the orders column is NTZ);
     * spend accumulates exact integer cents (dq6's convention).
     */
-  def seg1Rfm(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val per = t(spark, dir, "orders")
+  /** Per-customer RFM metric frame shared by the exact ([[seg1Rfm]]) and
+    * production ([[seg1RfmApproxCore]]) paths: ONE shuffle on o_custkey
+    * (hash aggregate, map-side combine), recency against a BROADCAST
+    * one-row watermark — no partition-less Window (the old global-max
+    * window moved the whole customer frame to one partition before a
+    * single ntile even ran). Scoped-persisted: the watermark aggregate
+    * and the scoring pass both consume it, and either path's cut/rank
+    * stage reads it again.
+    */
+  private[graft] def rfmPerCustomer(orders: DataFrame): DataFrame = {
+    val per = graft.engine.Caching.scopedPersist(orders
       .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
         round(col("o_totalprice") * 100).cast("long").as("cents"))
       .groupBy("o_custkey")
       .agg(max(col("d")).as("last_d"), count(lit(1)).as("frequency"),
-        sum(col("cents")).as("sum_cents"))
+        sum(col("cents")).as("sum_cents")))
+    val wm = per.agg(max(col("last_d")).as("wm"))
+    per.crossJoin(broadcast(wm))
       .withColumn("recency_days",
-        datediff(max(col("last_d")).over(Window.partitionBy()),
-          col("last_d")).cast("long"))
+        datediff(col("wm"), col("last_d")).cast("long"))
+      .drop("wm")
+  }
+
+  /** The lifecycle-marketing segment rulebook, shared verbatim by both
+    * scoring paths so they cannot drift.
+    */
+  private def rfmSegment(r: Column, f: Column, m: Column): Column =
+    when(r >= 4 && f >= 4 && m >= 4, "champion")
+      .when(f >= 4, "loyal")
+      .when(r >= 4 && f <= 2, "new")
+      .when(r <= 2 && f >= 3, "at_risk")
+      .when(r <= 2, "hibernating")
+      .otherwise("regular")
+
+  def seg1Rfm(spark: SparkSession, dir: String): DataFrame =
+    seg1RfmCore(t(spark, dir, "orders"))
+
+  /** seg1 over an explicit orders-shaped frame — InvariantSpec plants a
+    * tie-free 10-customer frame and pins exact-vs-approx agreement.
+    */
+  private[graft] def seg1RfmCore(orders: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = rfmPerCustomer(orders)
     val scored = per
       .withColumn("r_score", ntile(5).over(Window.orderBy(
         col("recency_days").desc, col("o_custkey").desc)).cast("long"))
@@ -1678,18 +1712,66 @@ object Relational {
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         r2(col("sum_cents") / 100.0).as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),
-        when(col("r_score") >= 4 && col("f_score") >= 4 &&
-          col("m_score") >= 4, "champion")
-          .when(col("f_score") >= 4, "loyal")
-          .when(col("r_score") >= 4 && col("f_score") <= 2, "new")
-          .when(col("r_score") <= 2 && col("f_score") >= 3, "at_risk")
-          .when(col("r_score") <= 2, "hibernating")
-          .otherwise("regular").as("segment"))
+        rfmSegment(col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
+      .orderBy("o_custkey")
+  }
+
+  /** seg1's PRODUCTION scale path — the prof2-vs-prof8 exact-vs-sketch
+    * twin convention applied to quintile scoring: instead of three
+    * partition-less `ntile(5)` windows (each a single-partition sort of
+    * the ENTIRE customer domain — fine at sf0.1, three serialized
+    * global sorts at 100 TB), derive the 4 quintile cut values per
+    * metric from ONE `percentile_approx` aggregate, broadcast the
+    * 1-row cut frame, and score scan-locally by counting cuts below
+    * each value (`size(filter(cuts, c => x > c))` — codegen'd array
+    * scan over 4 elements). Shuffles: the o_custkey aggregate and the
+    * two customer-frame passes the broadcast serves — nothing ever
+    * leaves hash partitioning, no global sort anywhere.
+    *
+    * Divergence contract vs the exact path: `percentile_approx` returns
+    * ACTUAL data values at each quantile rank, so on a frame with
+    * distinct metric values and n divisible by 5 the scores agree
+    * EXACTLY (InvariantSpec pins this on a planted 10-customer frame);
+    * under heavy ties the rank-based ntile splits tied customers across
+    * buckets by the custkey tiebreak while the value-based CASE keeps
+    * ties together — the usual sketch-vs-exact trade, documented not
+    * hidden. Rows-only gate (prof8's convention): the sketch's cut
+    * placement has no cross-engine mirror; the exact twin carries the
+    * hash gate.
+    */
+  def seg1RfmApprox(spark: SparkSession, dir: String): DataFrame =
+    seg1RfmApproxCore(t(spark, dir, "orders"))
+
+  private[graft] def seg1RfmApproxCore(orders: DataFrame): DataFrame = {
+    val per = rfmPerCustomer(orders)
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val acc = lit(100000)
+    val cuts = per.agg(
+      percentile_approx(col("recency_days"), qs, acc).as("rc"),
+      percentile_approx(col("frequency"), qs, acc).as("fc"),
+      percentile_approx(col("sum_cents"), qs, acc).as("mc"))
+    // ascending score: 1 + number of cuts strictly below the value
+    def asc(x: Column, c: Column): Column =
+      (size(filter(c, cut => x > cut)) + lit(1)).cast("long")
+    val scored = per.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        r2(col("sum_cents") / 100.0).as("monetary"),
+        // recency ranks DESCENDING in the exact path (stalest = 1)
+        (lit(6) - asc(col("recency_days"), col("rc"))).as("r_score"),
+        asc(col("frequency"), col("fc")).as("f_score"),
+        asc(col("sum_cents"), col("mc")).as("m_score"))
+    scored
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        col("monetary"), col("r_score"), col("f_score"), col("m_score"),
+        rfmSegment(col("r_score"), col("f_score"), col("m_score"))
+          .as("segment"))
       .orderBy("o_custkey")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seg1_rfm" -> seg1Rfm,
+    "seg1_rfm_approx" -> seg1RfmApprox,
     "sql4_recursive_rollup" -> sql4RecursiveRollup,
     "sql3_window_facade" -> sql3WindowFacade,
     "sql1_revenue_by_nation" -> sql1RevenueByNation,

@@ -861,8 +861,12 @@ object Similarity {
       .agg(sum(col("sv") * col("sv")).as("ss"))
     counts.join(dimSums, "label")
       .select(col("label"), col("n"),
-        (round((col("ss") - col("n")) / (col("n") * (col("n") - lit(1.0))), 6)
-          + lit(0)).as("mean_pairwise_cosine"),
+        // n == 1 has no pairs: null, explicitly — unguarded 0/0 is a
+        // Spark-NULL vs DuckDB-NaN divergence (the ev24/ev25/drift4
+        // nullif convention).
+        when(col("n") > 1,
+          round((col("ss") - col("n")) / (col("n") * (col("n") - lit(1.0))), 6)
+            + lit(0)).as("mean_pairwise_cosine"),
         round(sqrt(col("ss")) / col("n"), 6).as("centroid_norm"))
       .orderBy("label")
   }
@@ -1113,7 +1117,8 @@ object Similarity {
         | ss AS (SELECT label, sum(sv * sv) AS ss FROM s GROUP BY label),
         | n AS (SELECT label, count(*) AS n FROM e GROUP BY label)
         |SELECT n.label, n.n,
-        |  round((ss - n) / (n * (n - 1.0)), 6) + 0 AS mean_pairwise_cosine,
+        |  round((ss - n) / nullif(n * (n - 1.0), 0), 6) + 0
+        |    AS mean_pairwise_cosine,
         |  round(sqrt(ss) / n, 6) AS centroid_norm
         |FROM n JOIN ss USING (label)
         |ORDER BY label""".stripMargin,

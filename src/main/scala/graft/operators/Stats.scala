@@ -566,9 +566,11 @@ object Stats {
     *
     * Determinism: same aggregate inputs as ab1 (exact counts +
     * conditional avg/var of O(10) magnitudes); `ln`/`exp` sit 6
-    * decimals above their ulp (ab8's precedent). A zero-variance or
-    * single-populated arm nulls V and the whole readout nulls through —
-    * the family's degenerate convention.
+    * decimals above their ulp (ab8's precedent). V is guarded strictly
+    * positive on BOTH engines (v = 0 — both arms zero-variance — would
+    * be Spark log(0) = null vs a DuckDB ln(0) ERROR): a V of zero or a
+    * single-populated arm (var_samp null) nulls V and the whole readout
+    * nulls through — the family's degenerate convention.
     *
     * Scale shape: identical to ab1 — ONE scan, ONE hash aggregate keyed
     * on event_type, map-side partials; the sequential-ness is in the
@@ -589,11 +591,19 @@ object Stats {
     val na = count(va)
     val nb = count(vb)
     val dlt = avg(va) - avg(vb)
-    val v = var_samp(va) / na + var_samp(vb) / nb
+    // V must be strictly positive: v = 0 (both arms zero-variance) would
+    // feed log(0) — Spark nulls it but DuckDB ln(0) ERRORS the whole
+    // query, and the delta²/(2V(V+1)) term diverges null-vs-inf. The
+    // guard makes the scaladoc's "nulls V" contract literal: v <= 0 or
+    // single-populated arms (var_samp null) null V and the readout
+    // nulls through (p included — Spark/DuckDB `least` both IGNORE
+    // nulls, so p needs its own guard, not just lnl's null).
+    val vRaw = var_samp(va) / na + var_samp(vb) / nb
+    val v = when(vRaw > 0, vRaw)
     val tau2 = lit(1.0)
     val lnl = lit(0.5) * log(v / (v + tau2)) +
       (dlt * dlt * tau2) / (lit(2.0) * v * (v + tau2))
-    val p = least(lit(1.0), exp(-lnl))
+    val p = when(lnl.isNotNull, least(lit(1.0), exp(-lnl)))
     ev.groupBy(col("event_type"))
       .agg(
         na.as("n_a"), nb.as("n_b"),
@@ -639,14 +649,16 @@ object Stats {
         |  FROM e GROUP BY event_type),
         | m AS (
         |  SELECT event_type, n_a, n_b, dlt,
-        |    0.5 * ln(v / (v + 1.0))
-        |      + (dlt * dlt * 1.0) / (2.0 * v * (v + 1.0)) AS lnl
+        |    CASE WHEN v > 0 THEN 0.5 * ln(v / (v + 1.0))
+        |      + (dlt * dlt * 1.0) / (2.0 * v * (v + 1.0)) END AS lnl
         |  FROM s)
         |SELECT event_type, n_a, n_b,
         |  round(dlt, 6) + 0 AS delta,
         |  round(lnl, 6) + 0 AS log_lambda,
-        |  round(least(1.0, exp(-lnl)), 6) AS p_always_valid,
-        |  round(least(1.0, exp(-lnl)), 6) <= 0.05 AS reject_at_05
+        |  CASE WHEN lnl IS NULL THEN NULL
+        |    ELSE round(least(1.0, exp(-lnl)), 6) END AS p_always_valid,
+        |  CASE WHEN lnl IS NULL THEN NULL
+        |    ELSE round(least(1.0, exp(-lnl)), 6) <= 0.05 END AS reject_at_05
         |FROM m
         |ORDER BY event_type""".stripMargin,
     "ab8_fdr" ->

@@ -205,6 +205,40 @@ class InvariantSpec extends AnyFunSuite {
     assert(n == rows.map(_.getAs[Long]("o_custkey")).distinct.length)
   }
 
+  test("seg1 approx twin: cut-based scores equal ntile scores on a tie-free frame") {
+    import spark.implicits._
+    // 10 customers, metrics pairwise distinct, n divisible by 5:
+    // customer i has i orders (frequency i), last order at day i
+    // (recency 10 - i), lifetime spend i * 100.00 (monetary i * 100).
+    val base = java.time.LocalDate.of(2024, 1, 1)
+    val orders = (1 to 10).flatMap { i =>
+      val last = (i.toLong, java.sql.Date.valueOf(base.plusDays(i)),
+        i * 100.0)
+      val earlier = (1 until i).map(k =>
+        (i.toLong, java.sql.Date.valueOf(base), 0.0))
+      earlier :+ last
+    }.toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val exact = graft.operators.Relational.seg1RfmCore(orders)
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    val approx = graft.operators.Relational.seg1RfmApproxCore(orders)
+      .collect().map(r => r.getAs[Long]("o_custkey") -> r).toMap
+    assert(exact.keySet == (1L to 10L).toSet && approx.keySet == exact.keySet)
+    (1L to 10L).foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      Seq("recency_days", "frequency", "r_score", "f_score", "m_score")
+        .foreach(col => assert(e.getAs[Long](col) == a.getAs[Long](col),
+          s"customer $c $col: exact=$e approx=$a"))
+      assert(e.getAs[Double]("monetary") == a.getAs[Double]("monetary"))
+      assert(e.getAs[String]("segment") == a.getAs[String]("segment"),
+        s"customer $c: exact=$e approx=$a")
+    }
+    // and the approx path's scores are balanced quintiles here too
+    Seq("r_score", "f_score", "m_score").foreach { col =>
+      val sizes = approx.values.groupBy(_.getAs[Long](col)).values.map(_.size)
+      assert(sizes.toSeq == Seq(2, 2, 2, 2, 2), s"$col: $sizes")
+    }
+  }
+
   test("prof10 joint histogram: bins bounded, hour shares normalize, counts conserve") {
     val rows = graft.operators.Relational
       .prof10JointHistogram(spark, sf).collect()
@@ -220,10 +254,39 @@ class InvariantSpec extends AnyFunSuite {
       assert(math.abs(s - 1.0) < 1e-4, s"hour shares must sum to 1: $s")
     }
     val total = rows.map(_.getAs[Long]("n_events")).sum
+    // mirror the operator's full value predicate (NOT NULL AND NOT NaN) —
+    // an isNotNull-only expectation breaks on corpora with NaN values.
     val expected = graft.Tables.t(spark, sf, "events")
-      .filter(org.apache.spark.sql.functions.col("value").isNotNull)
+      .filter(org.apache.spark.sql.functions.col("value").isNotNull &&
+        !org.apache.spark.sql.functions.isnan(
+          org.apache.spark.sql.functions.col("value")))
       .count()
     assert(total == expected, s"$total vs $expected")
+  }
+
+  test("ev26 bot score: metronome flagged, burst clean, dup-burst flagged, 2-event null") {
+    import spark.implicits._
+    val base = 1704067200000L
+    def ev(u: Long, offsetsMs: Seq[Long]) =
+      offsetsMs.map(o => (u, new java.sql.Timestamp(base + o)))
+    val events = (
+      ev(1L, Seq(0L, 10000L, 20000L, 30000L, 40000L)) ++ // metronome: CV 0
+      ev(2L, Seq(0L, 1000L, 3000L, 7000L, 207000L)) ++   // geometric burst: CV > 1
+      ev(3L, Seq(0L, 0L, 0L)) ++                         // dup-timestamp burst
+      ev(4L, Seq(0L, 5000L))                             // 2 events: 1 gap
+    ).toDF("user_id", "ts")
+    val got = graft.operators.Events.botScoreCore(events)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[java.lang.Double]("cv")),
+          Option(r.getAs[java.lang.Boolean]("suspected_bot")))).toMap
+    val (cv1, bot1) = got(1L)
+    assert(cv1.contains(0.0) && bot1.contains(true), got(1L))   // CV = 0 -> bot
+    val (cv2, bot2) = got(2L)
+    assert(cv2.exists(_ > 1.0) && bot2.contains(false), got(2L)) // bursty -> clean
+    val (cv3, bot3) = got(3L)
+    assert(cv3.isEmpty && bot3.contains(true), got(3L)) // s = 0: null CV, flagged
+    val (cv4, bot4) = got(4L)
+    assert(cv4.isEmpty && bot4.isEmpty, got(4L))        // 1 gap: no evidence
   }
 
   test("ev22 churn: the 14-day production bar splits planted stale/active users") {

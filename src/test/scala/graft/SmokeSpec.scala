@@ -39,11 +39,13 @@ class SmokeSpec extends AnyFunSuite {
   test("every query has oracle SQL or is a documented rows-only check") {
     // an entry in `queries` without oracle SQL downgrades the driver's
     // gate to rows-only — keep that set explicit and intentional: ONLY
-    // the sketch-path queries, whose HLL/KLL internals no cross-engine
-    // oracle can hash-match (their accuracy contracts live in SketchSpec)
+    // the sketch-path queries, whose HLL/KLL/GK internals no cross-engine
+    // oracle can hash-match (accuracy contracts live in SketchSpec, and
+    // seg1_rfm_approx's cut placement is pinned against its exact twin
+    // in InvariantSpec)
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(rowsOnly == Set("prof7_profile_sketch", "prof8_equidepth_sketch",
-      "drift3_psi_sketch"),
+      "drift3_psi_sketch", "seg1_rfm_approx"),
       s"undeclared rows-only queries: ${rowsOnly.toSeq.sorted.mkString(", ")}")
     // and no orphaned oracle SQL for queries that no longer exist
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
