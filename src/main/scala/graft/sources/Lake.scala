@@ -28,8 +28,46 @@ object Lake {
     * construction).
     */
   private def lakeDir(spark: SparkSession, name: String): String =
-    new java.io.File(sys.props("user.dir"),
-      s"target/lake/${spark.sparkContext.applicationId}/$name").getAbsolutePath
+    s"${sys.props("user.dir")}/target/lake/" +
+      s"${spark.sparkContext.applicationId}/$name"
+
+  /** Control-plane filesystem handle for a layout path — the Hadoop
+    * `FileSystem` API (the round-6 Workbook/Artifacts convention), so
+    * every manifest / listing / vacuum below works identically against
+    * `file:`, `hdfs:` or `s3a:` stores. Data-plane I/O already goes
+    * through `spark.read`/`write`; this closes the control-plane gap.
+    */
+  private def hfs(
+      spark: SparkSession,
+      path: String): (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Parquet part files directly under `dir`, as fully-qualified path
+    * strings (empty when the directory does not exist yet). One listing
+    * RPC — never a recursive tree walk.
+    */
+  private def listParquet(
+      spark: SparkSession, dir: String): Set[String] = {
+    val (fs, p) = hfs(spark, dir)
+    if (!fs.exists(p)) Set.empty
+    else fs.listStatus(p).filter(_.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).toSet
+  }
+
+  /** Per-partition-directory parquet file counts under `root`, keyed by
+    * the directory name with `prefix` stripped (`day=`/`month=`).
+    */
+  private def filesPerPartition(
+      spark: SparkSession, root: String, prefix: String): Map[String, Long] = {
+    val (fs, p) = hfs(spark, root)
+    fs.listStatus(p).filter(_.isDirectory)
+      .map(d => d.getPath.getName.stripPrefix(prefix) ->
+        fs.listStatus(d.getPath)
+          .count(_.getPath.getName.endsWith(".parquet")).toLong)
+      .toMap
+  }
 
   /** Spec access to the layout root (comparison layouts live beside the
     * library-written ones).
@@ -260,13 +298,8 @@ object Lake {
       .repartition(col("day"))
       .write.mode("overwrite").partitionBy("day")
       .option("maxRecordsPerFile", target).parquet(compacted)
-    def filesPerDay(root: String): Map[String, Long] =
-      new java.io.File(root).listFiles().filter(_.isDirectory)
-        .map(d => d.getName.stripPrefix("day=") ->
-          d.listFiles().count(f => f.getName.endsWith(".parquet")).toLong)
-        .toMap
-    val before = filesPerDay(frag)
-    val after = filesPerDay(compacted)
+    val before = filesPerPartition(spark, frag, "day=")
+    val after = filesPerPartition(spark, compacted, "day=")
     import spark.implicits._
     val listing = before.keys.toSeq.sorted
       .map(d => (java.sql.Date.valueOf(d), before(d), after(d)))
@@ -300,33 +333,38 @@ object Lake {
   def timeTravel(spark: SparkSession, dir: String): DataFrame = {
     val root = lakeDir(spark, "events_versions")
     val dataDir = s"$root/data"
-    val manifestDir = new java.io.File(root, "_manifests")
+    val (fs, rootP) = hfs(spark, root)
+    val manifestDir = new org.apache.hadoop.fs.Path(rootP, "_manifests")
     val ev = t(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
     val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
-    def listData(): Set[String] =
-      Option(new java.io.File(dataDir).listFiles()).getOrElse(Array())
-        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    def listData(): Set[String] = listParquet(spark, dataDir)
     // v1 commit: first 15 days; v2 commit: append the remainder
-    new java.io.File(root).mkdirs()
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(dataDir))
+    fs.mkdirs(rootP)
+    fs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
     ev.filter(col("day") <= lit(cut)).write.mode("append").parquet(dataDir)
     val v1Files = listData()
     ev.filter(col("day") > lit(cut)).write.mode("append").parquet(dataDir)
     val v2Files = listData()
-    manifestDir.mkdirs()
-    def commit(v: Int, files: Set[String]): Unit =
-      java.nio.file.Files.writeString(
-        manifestDir.toPath.resolve(s"v$v.json"),
-        files.toSeq.sorted.mkString("[\"", "\",\"", "\"]"))
+    fs.mkdirs(manifestDir)
+    def commit(v: Int, files: Set[String]): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(manifestDir, s"v$v.json"), true)
+      try out.write(files.toSeq.sorted.mkString("[\"", "\",\"", "\"]")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
     commit(1, v1Files)
     commit(2, v2Files)
     def asOf(v: Int): DataFrame = {
-      val files = java.nio.file.Files
-        .readString(manifestDir.toPath.resolve(s"v$v.json"))
-        .stripPrefix("[\"").stripSuffix("\"]").split("\",\"").toSeq
+      val in = fs.open(new org.apache.hadoop.fs.Path(manifestDir, s"v$v.json"))
+      val txt =
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      val files = txt.stripPrefix("[\"").stripSuffix("\"]")
+        .split("\",\"").toSeq
       spark.read.parquet(files: _*)
     }
     def report(v: Int): DataFrame = asOf(v)
@@ -359,8 +397,8 @@ object Lake {
     val ev = t(spark, dir, "events")
       .withColumn("day", to_date(col("ts")))
     val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(root))
+    val (fs, rootP) = hfs(spark, root)
+    fs.delete(rootP, true)
     ev.filter(col("day") <= lit(cut))
       .select(col("event_id"), col("ts"), col("user_id"), col("value"))
       .write.parquet(s"$root/gen=1")
@@ -400,10 +438,7 @@ object Lake {
       .drop("day")
       .repartition(col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(monthRoot)
-    val files = Option(new java.io.File(monthRoot).listFiles())
-      .getOrElse(Array()).filter(_.isDirectory)
-      .map(d => d.getName.stripPrefix("month=") ->
-        d.listFiles().count(_.getName.endsWith(".parquet")).toLong).toMap
+    val files = filesPerPartition(spark, monthRoot, "month=")
     import spark.implicits._
     val listing = files.toSeq.sortBy(_._1).toDF("month", "n_files")
     spark.read.parquet(monthRoot)
@@ -451,13 +486,11 @@ object Lake {
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
     val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
-    def listData(): Set[String] =
-      Option(new java.io.File(dataDir).listFiles()).getOrElse(Array())
-        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSet
+    val (fs, rootP) = hfs(spark, root)
+    def listData(): Set[String] = listParquet(spark, dataDir)
     def budgetFiles(n: Long): Int = math.max(2L, math.ceil(n / 2000.0).toLong).toInt
-    new java.io.File(root).mkdirs()
-    org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(dataDir))
+    fs.mkdirs(rootP)
+    fs.delete(new org.apache.hadoop.fs.Path(dataDir), true)
     // v1 commit: first 15 days. v2 commit: full compacted rewrite (the
     // OPTIMIZE that supersedes v1's files). Aborted append: no commit.
     val v1 = ev.filter(col("day") <= lit(cut))
@@ -471,7 +504,10 @@ object Lake {
     // live = the latest committed manifest; everything else is eligible
     val live = v2Files
     val orphans = listData() -- live
-    orphans.foreach(p => new java.io.File(p).delete())
+    // per-file metadata deletes; at 100 TB this fans out as a
+    // distributed foreach over the listing diff (same FS API per task)
+    orphans.foreach(p =>
+      fs.delete(new org.apache.hadoop.fs.Path(p), false))
     val after = listData()
     require(after == live, "vacuum invariant: listing != live manifest")
     val readBack = spark.read.parquet(live.toSeq.sorted: _*)
