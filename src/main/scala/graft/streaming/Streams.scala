@@ -293,6 +293,70 @@ object TwapStream {
   }
 }
 
+/** Typed traded event for the streaming VWAP meter: price (`value`) and
+  * quantity already projected (the batch ev25 extracts `qty` from the
+  * `props` JSON; a metering feed does that once at ingest).
+  */
+final case class VEvent(
+    event_type: String, ts: java.sql.Timestamp, value: Double, qty: Long)
+
+/** One (event_type, day) running VWAP snapshot — ev25's exact output
+  * shape (`vwap` None while the day's traded quantity is zero).
+  */
+final case class VwapRow(
+    event_type: String, day_ms: Long, n_events: Long, total_qty: Long,
+    mean_value: Double, vwap: Option[Double])
+
+/** Per-(type, day) accumulator: everything is an exact integer sum
+  * (count, quantity, cents, cent·units), so the fold is associative AND
+  * commutative — unlike the TWAP meter, agreement with batch holds for
+  * ANY micro-batch slicing in ANY arrival order.
+  */
+final case class VwapState(n: Long, qty: Long, cents: Long, centsQty: Long)
+
+/** Streaming twin of ev25 ([[graft.operators.Events.vwap]]): a
+  * `mapGroupsWithState` meter keyed by (event_type, UTC day). Each
+  * micro-batch folds its events' exact integer sums into the
+  * accumulator and emits the group's refreshed snapshot; the two float
+  * divisions happen only at emission, off the same integer sums the
+  * batch aggregate divides — so the rounded snapshot is bit-equal to
+  * the batch row at every prefix (StreamingSpec pins the final one
+  * across an arbitrary split, including the out-of-order case the TWAP
+  * meter must exclude).
+  */
+object VwapStream {
+  private val DayMs = 86400000L
+
+  def vwap(events: Dataset[VEvent]): Dataset[VwapRow] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(e =>
+        (e.event_type, e.ts.getTime - Math.floorMod(e.ts.getTime, DayMs)))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
+  }
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+  private[streaming] def update(
+      key: (String, Long),
+      events: Iterator[VEvent],
+      state: GroupState[VwapState]): VwapRow = {
+    val st = events.foldLeft(state.getOption.getOrElse(VwapState(0, 0, 0, 0))) {
+      (s, e) =>
+        // exact for the 2-decimal price domain — the batch round(v*100)
+        val cents = Math.round(e.value * 100)
+        VwapState(s.n + 1, s.qty + e.qty, s.cents + cents,
+          s.centsQty + cents * e.qty)
+    }
+    state.update(st)
+    VwapRow(key._1, key._2, st.n, st.qty,
+      r6(st.cents.toDouble / (100.0 * st.n)),
+      if (st.qty != 0) Some(r6(st.centsQty.toDouble / (100.0 * st.qty)))
+      else None)
+  }
+}
+
 /** Typed full event for the anomaly monitor. */
 final case class MEvent(
     user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)

@@ -169,5 +169,19 @@ class GraphSpec extends AnyFunSuite {
     assert(got(34L) == ((31L, 4L, false)), got(34L))
     Seq(31L, 32L, 33L).foreach(p =>
       assert(got(p)._1 == 31L && got(p)._3, s"$p -> ${got(p)}"))
+    // the production fixpoint loop converges the SAME chain fully: one
+    // component labeled 31 of size 5, converged everywhere, in the
+    // O(diameter) round budget (4 label rounds + 1 no-change round).
+    val fix = graft.operators.Graph.componentsFixpoint(li).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("component"), r.getAs[Long]("component_size"),
+          r.getAs[Boolean]("converged"), r.getAs[Long]("rounds"))).toMap
+    Seq(31L, 32L, 33L, 34L, 35L).foreach(p =>
+      assert(fix(p)._1 == 31L && fix(p)._2 == 5L && fix(p)._3,
+        s"$p -> ${fix(p)}"))
+    Seq(1L, 2L, 3L).foreach(p => assert(fix(p)._1 == 1L && fix(p)._2 == 3L))
+    Seq(11L, 12L, 13L).foreach(p =>
+      assert(fix(p)._1 == 11L && fix(p)._2 == 3L))
+    assert(fix(31L)._4 <= 5L, s"rounds: ${fix(31L)._4}")
   }
 }

@@ -734,6 +734,57 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(1L).getAs[Double]("twap") == 19.0)
   }
 
+  test("VWAP stream: out-of-order micro-batches converge to the batch ev25 rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{VEvent, VwapStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val day0 = 1704067200000L // 2024-01-01T00:00Z
+    def ev(tpe: String, offMs: Long, price: Double, qty: Long) =
+      VEvent(tpe, new java.sql.Timestamp(day0 + offMs), price, qty)
+    // "trade" day 1: small order at 10.00 dwarfed by a big one at 40.00
+    // (VWAP hugs 40, mean 25); "trade" day 2: single fill; "ping":
+    // all-zero quantity -> null VWAP. Batch 2 delivers an EARLIER
+    // timestamp than batch 1 (out-of-order across the boundary) — the
+    // integer-sum fold is order-proof, unlike the TWAP meter.
+    val b1 = Seq(ev("trade", 3600000L, 40.0, 99L),
+      ev("ping", 1000L, 5.0, 0L), ev("trade", 86400000L + 60000L, 7.5, 4L))
+    val b2 = Seq(ev("trade", 60000L, 10.0, 1L), ev("ping", 2000L, 6.0, 0L))
+    val input = MemoryStream[VEvent]
+    val q = VwapStream.vwap(input.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("vwap_out")
+      .start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      input.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val fin = spark.table("vwap_out").collect()
+      .groupBy(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_ms")))
+      .map { case (k, rows) => k -> rows.maxBy(_.getAs[Long]("n_events")) }
+    val batch = graft.operators.Events.vwapCore(
+        (b1 ++ b2).map(e => (e.event_type, e.ts, e.value,
+          s"""{"k":${e.qty}}""")).toDF("event_type", "ts", "value", "props"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day_ms")) -> r)
+      .toMap
+    assert(fin.keySet == batch.keySet, s"${fin.keySet} vs ${batch.keySet}")
+    fin.foreach { case (k, s) =>
+      val b = batch(k)
+      assert(s.getAs[Long]("n_events") == b.getAs[Long]("n_events"), k)
+      assert(s.getAs[Long]("total_qty") == b.getAs[Long]("total_qty"), k)
+      assert(s.getAs[Double]("mean_value") == b.getAs[Double]("mean_value"), k)
+      assert(s.isNullAt(s.fieldIndex("vwap")) == b.isNullAt(b.fieldIndex("vwap")), k)
+      if (!s.isNullAt(s.fieldIndex("vwap")))
+        assert(s.getAs[Double]("vwap") == b.getAs[Double]("vwap"),
+          s"$k: stream=${s.getAs[Double]("vwap")} batch=${b.getAs[Double]("vwap")}")
+    }
+    val d1 = fin(("trade", day0))
+    assert(d1.getAs[Double]("vwap") == 39.7 && d1.getAs[Double]("mean_value") == 25.0)
+  }
+
   test("funnel stream: stage advances across micro-batches match batch ev6") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
