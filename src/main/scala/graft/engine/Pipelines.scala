@@ -211,7 +211,8 @@ object Pipelines {
     * conserve tokens (InvariantSpec: per-doc manifest sums equal the
     * survivor's token count).
     *
-    * Bench budget: 5.2 s at sf0.1 local[32] (BENCH_r11; pipe1 4.6 s) —
+    * Bench budget: 5.2 s at sf0.1 local[32] (re-measured r13 min-of-3:
+    * pipe3 5.2 s, pipe1 5.3 s) —
     * the full clean → score → banded-dedup → decontaminate → pack
     * composition; the banded dedup inside [[curatedSurvivors]] is the
     * dominant term (matches dd3's standalone ~2.4 s plus verify).

@@ -38,7 +38,13 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   *
   * Per-query budget (round-8 closure, sf0.1 local[32] warm min-of-3 in
   * one session): dd2 1.6 s, dd3 2.4 s, dd4 1.4 s, dd5 3.6 s, dd7 2.3 s,
-  * dd8 2.3 s, dd9 0.4 s. Each query re-tokenizes/re-signatures because
+  * dd8 2.3 s, dd9 0.4 s. r13 note: the session-wide cached-plan
+  * re-coalescing (GraftSession) moved dd3 1.65 → ~2.4 s in the suite —
+  * at sf0.1 its shingle cache coalesces below CPU parallelism and the
+  * Jaccard-verify stage serializes; measured trade accepted (the same
+  * config bought the suite −18% on the common set, and at production
+  * frame sizes the cache stays wide). A 64k minPartitionSize A/B
+  * recovered dd3 (1.9 s) but cost gr5 3× — not taken. Each query re-tokenizes/re-signatures because
   * bench queries are deliberately independent; WITHIN each query the
   * token/shingle/signature frames are computed once (scoped persists and
   * the one-pass side emissions above), every persist decision carries its
@@ -729,7 +735,7 @@ object Dedup {
     * sf0.1 warm min-of-3: 2.5 s two-subtree vs 2.0 s one-pass, and half
     * the corpus scans — the version that matters at 100 TB).
     *
-    * Bench budget: 1.7–1.9 s at sf0.1 local[32] (r13 single-query
+    * Bench budget: 1.5–1.9 s at sf0.1 local[32] (r13 single-query
     * min-of-3). BENCH_r12's 4.49 s was re-measured in isolation at
     * 1.74 s with zero code change — full-suite contention, the t1/r11
     * precedent; the 230-query suite runs dd8 amid the heavy t-family
@@ -780,6 +786,11 @@ object Dedup {
     * window partitioned by cluster id — clusters hash-partition evenly
     * (they are near-dup groups, size-bounded in practice by the band
     * cap), so no skew pathologies at 100 TB.
+    *
+    * Bench budget: 4.3 s at sf0.1 local[32] (r13 min-of-3) — dd5's
+    * cluster build (the dd3 band-route-and-verify machinery) plus one
+    * quality pass; tracks dd5's own cost, not a regression signal of
+    * its own unless the gap to dd5 grows.
     */
   def qualityCanonical(spark: SparkSession, dir: String): DataFrame =
     qualityCanonicalCore(

@@ -137,7 +137,9 @@ object Graph {
     // the one materialization below. A/B at sf0.1/local[32] (contended
     // box, single-query runs): ~25% CPU drop (2m59s -> 2m11s) and the
     // redundant pipeline stages disappear from the UI; bench-line delta
-    // 7.6 -> 5.9 s against a noisier background.
+    // 7.6 -> 5.9 s against a noisier background. Budget: 3.9 s (r13
+    // min-of-3 in the flagged set; 4.0 s r12 suite — stable, the cost
+    // is the band-route-and-verify pair build, shared with dd3).
     val pairs = graft.engine.Caching.scopedPersist(
       Dedup.verifiedPairsOf(
           graft.engine.Caching.scopedPersist(Dedup.shingledOf(docs)))
@@ -327,7 +329,8 @@ object Graph {
     * combined min aggregate on the edge partitioning, which bucketing the
     * edge list by src makes shuffle-free across rounds.
     *
-    * Bench budget: 3.6 s at sf0.1 local[32] (r13, suite-context min-of-3;
+    * Bench budget: 2.6 s at sf0.1 local[32] (r13 min-of-3 in the
+    * 10-query flagged set;
     * r12's 7.9 s was root-caused to three compounding costs, each fixed:
     * l3 consumed twice unpersisted, cached plans pinned at 32 near-empty
     * partitions — see GraftSession's

@@ -1629,6 +1629,10 @@ object Relational {
       |FROM walk GROUP BY root, depth
       |ORDER BY root, depth""".stripMargin
 
+  /** Bench budget: 1.0 s at sf0.1 local[32] (r13 min-of-3) — UnionLoop
+    * over the 3-level region→nation→customer walk; cost is the loop's
+    * fixed per-iteration planning, not data.
+    */
   def sql4RecursiveRollup(spark: SparkSession, dir: String): DataFrame = {
     Seq("region", "nation", "customer")
       .foreach(n => t(spark, dir, n).createOrReplaceTempView(n))

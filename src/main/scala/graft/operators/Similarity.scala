@@ -896,6 +896,11 @@ object Similarity {
     * iteration CONTRACTS perturbations toward the dominant eigenvector
     * rather than amplifying them, and the fixed all-positive init pins
     * the sign, so 8 steps stay far inside the 6-grid (r6s throughout).
+    *
+    * Bench budget: 3.4 s at sf0.1 local[32] (r13 min-of-3) — the
+    * covariance explode dominates; the 8 checkpointed power steps run
+    * on d-sized frames. Regression above ~5 s means a step started
+    * re-materializing the covariance.
     */
   def pcaTop(spark: SparkSession, dir: String): DataFrame =
     pcaTopCore(t(spark, dir, "embeddings"))

@@ -367,6 +367,10 @@ object TextAnalysis {
     * explode), then a hash aggregate with map-side partial combine and a
     * TakeOrderedAndProject top-k; the shuffle carries distinct pairs
     * (bounded by 26² here), not occurrences.
+    *
+    * Bench budget: 0.5 s at sf0.1 local[32] (r13 min-of-3, warm parquet
+    * cache; 4.6 s cold in the r12 230-query suite — the tokenize explode
+    * is scan-bound, so the cold/warm spread is I/O, not plan work).
     */
   /** The (>= 2-char) token stream and its adjacent character-pair counts —
     * ONE definition shared by t11 (the top-50 listing) and t15 (the merge

@@ -270,7 +270,8 @@ object Lake {
     * this is exactly a table-format OPTIMIZE pass: shuffle by partition,
     * roll at the size budget, swap the directory.
     *
-    * Bench budget: 5.7 s at sf0.1 local[32] (BENCH_r11) — ~400 fragment
+    * Bench budget: 5.5 s at sf0.1 local[32] (r13 min-of-3; 5.7 s r11 —
+    * stable) — ~400 fragment
     * files written + rewritten + two directory listings; cost is file-
     * system churn by design (the sf-proportional budget above is what
     * holds it flat across sf), not plan work. Regression above ~7 s
