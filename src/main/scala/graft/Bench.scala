@@ -22,6 +22,9 @@ object Bench {
       // frame pins downstream stages at `cpus` near-empty tasks.
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
+      // Dev A/B knob for AQE's coalescing floor (default = Spark's 1m).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -270,12 +270,12 @@ object Lake {
     * this is exactly a table-format OPTIMIZE pass: shuffle by partition,
     * roll at the size budget, swap the directory.
     *
-    * Bench budget: 5.5 s at sf0.1 local[32] (r13 min-of-3; 5.7 s r11 —
-    * stable) — ~400 fragment
-    * files written + rewritten + two directory listings; cost is file-
-    * system churn by design (the sf-proportional budget above is what
-    * holds it flat across sf), not plan work. Regression above ~7 s
-    * means the fragment budget scaling broke.
+    * Bench budget: 2.1 s at sf0.1 local[32] (r13 min-of-3 after the
+    * numeric-width writer fix below; 5.5–5.7 s before it, when AQE's
+    * bytes-based coalescing serialized the file churn onto one writer
+    * task) — ~400 fragment files written + rewritten + two directory
+    * listings. Regression above ~4 s means the writer width or the
+    * fragment budget scaling broke.
     */
   def compactionReport(spark: SparkSession, dir: String): DataFrame = {
     // Budgets scale with the corpus (total/400 rows per fragment file,
@@ -290,13 +290,19 @@ object Lake {
     val ev = t(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
+    // NUMERIC repartition: days still land wholly in one partition
+    // (hash on day), so single-writer-per-day and the per-day file
+    // counts are unchanged — but the writers run `defaultParallelism`
+    // wide instead of letting AQE's bytes-based coalescing serialize
+    // the file churn (measured: 5.8 → ~2 s at sf0.1 local[32]).
+    val writers = spark.sparkContext.defaultParallelism
     val frag = lakeDir(spark, "events_frag")
-    ev.repartition(col("day"))
+    ev.repartition(writers, col("day"))
       .write.mode("overwrite").partitionBy("day")
       .option("maxRecordsPerFile", fragTarget).parquet(frag)
     val compacted = lakeDir(spark, "events_compact")
     spark.read.parquet(frag)
-      .repartition(col("day"))
+      .repartition(writers, col("day"))
       .write.mode("overwrite").partitionBy("day")
       .option("maxRecordsPerFile", target).parquet(compacted)
     val before = filesPerPartition(spark, frag, "day=")
@@ -437,7 +443,9 @@ object Lake {
     spark.read.parquet(dayRoot)
       .withColumn("month", date_format(col("day"), "yyyy-MM"))
       .drop("day")
-      .repartition(col("month"))
+      // numeric width, hash on month: each month still lands wholly in
+      // one writer (the n_files == 1 gate), writers run wide (lake4 note)
+      .repartition(spark.sparkContext.defaultParallelism, col("month"))
       .write.mode("overwrite").partitionBy("month").parquet(monthRoot)
     val files = filesPerPartition(spark, monthRoot, "month=")
     import spark.implicits._
