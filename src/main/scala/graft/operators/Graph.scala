@@ -393,6 +393,14 @@ object Graph {
     * `maxRounds` is the runaway bound for a pathological graph (a path
     * of length > 2^maxRounds cannot exist in any real corpus); hitting
     * it emits `converged = false` honestly rather than looping.
+    *
+    * Why no shared recursive-SQL oracle (probed r13): the terminating
+    * fixpoint form needs UNION-distinct recursion (`reach(node, lbl)`
+    * grown to a FIXED POINT of the label-reachability set), and Spark
+    * 4.1 raises UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE — UNION ALL
+    * recursion never terminates on a cyclic graph. sql4's DAG walk
+    * remains the engine's recursive-SQL seam; this loop stays
+    * spec-gated until Spark grows distinct recursion.
     */
   private[graft] def componentsFixpoint(
       lineitem: DataFrame, maxRounds: Int = 64): DataFrame = {
