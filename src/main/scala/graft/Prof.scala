@@ -7,7 +7,9 @@ import org.apache.spark.sql.SparkSession
   * per-action stage/task/task-time accounting.
   *
   * `runMain graft.Prof <query>[,<query>...]` (env `SPARK_GRAFT_SF_DIR`,
-  * `SPARK_GRAFT_CPUS` as in [[Bench]]; 3 timed runs each, min reported).
+  * `SPARK_GRAFT_CPUS`, `SPARK_GRAFT_MIN_PART_SIZE` as in [[Bench]] —
+  * SAME names, so an A/B profiles under the floor it benched; 3 timed
+  * runs each printed, read the later ones as the warm numbers).
   *
   * Why task counts and not just seconds: on a contended box a Spark task
   * carries a large fixed launch cost, so a "slow query" is very often a
@@ -35,7 +37,7 @@ object Prof {
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         "true")
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("PROF_MIN_PART_SIZE", "1m"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

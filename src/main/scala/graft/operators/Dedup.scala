@@ -315,13 +315,6 @@ object Dedup {
     * tripled dd3's bench cost. MIN is duplicate-insensitive, so the
     * signature path loses nothing by consuming the distinct shingles.
     */
-  /** Candidate generation + exact-Jaccard verification over an (already
-    * cached) shingle frame — the reusable core of dd3, consumed by dd5's
-    * edge build and pipe1's dedup stage. Returns the LAZY pair plan:
-    * persistence is the CALLER's decision, made at each call site where
-    * the consumption shape is visible ([[minhashLsh]], [[clustersOf]]) —
-    * not buried here where one policy must fit all consumers.
-    */
   /** Explicit verify-stage parallelism: candidate pair frames are
     * KB-sized in BYTES but each row costs an expensive kernel
     * (array_intersect over shingle sets, banded Levenshtein), so AQE's
@@ -337,6 +330,13 @@ object Dedup {
     cand.repartition(
       cand.sparkSession.sparkContext.defaultParallelism, col("doc_a"))
 
+  /** Candidate generation + exact-Jaccard verification over an (already
+    * cached) shingle frame — the reusable core of dd3, consumed by dd5's
+    * edge build and pipe1's dedup stage. Returns the LAZY pair plan:
+    * persistence is the CALLER's decision, made at each call site where
+    * the consumption shape is visible ([[minhashLsh]], [[clustersOf]]) —
+    * not buried here where one policy must fit all consumers.
+    */
   private[graft] def verifiedPairsOf(sh: DataFrame): DataFrame = {
     val bb = capHotBuckets(bandBuckets(signatures(sh)), "band", "bucket")
     val cand = spreadVerify(bb.alias("x").join(bb.alias("y"),

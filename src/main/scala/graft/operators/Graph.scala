@@ -408,13 +408,20 @@ object Graph {
     val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
+    // ONE eager action touches the scoped-persisted pairs frame: the
+    // adjacency checkpoint. Everything after (the l0 seed included)
+    // derives from the checkpoint — its self-loop rows ARE the node
+    // set — because scopedPersist releases the pairs cache after the
+    // first completed action, so a second action on the pairs lineage
+    // would re-run the corpus-scale basket pairing from scratch.
     val adj = sym.unionAll(
       nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
     def step(prev: DataFrame): DataFrame =
       adj.as("a").join(prev.as("p"), col("a.dst") === col("p.id"))
         .groupBy(col("a.src").as("id")).agg(min(col("p.lbl")).as("lbl"))
-    var labels = nodes.select(col("id"), col("id").as("lbl"))
+    var labels = adj.filter(col("src") === col("dst"))
+      .select(col("src").as("id"), col("src").as("lbl"))
       .localCheckpoint()
     var rounds = 0
     var changed = 1L

@@ -344,8 +344,11 @@ object VwapStream {
       state: GroupState[VwapState]): VwapRow = {
     val st = events.foldLeft(state.getOption.getOrElse(VwapState(0, 0, 0, 0))) {
       (s, e) =>
-        // exact for the 2-decimal price domain — the batch round(v*100)
-        val cents = Math.round(e.value * 100)
+        // HALF_UP like the batch `round(value*100)` — Math.round is
+        // half-CEILING and diverges on negative half-cents (-12.5 -> -12
+        // vs the batch's -13; rebates/adjustments are negative prices)
+        val cents = BigDecimal(e.value * 100)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         VwapState(s.n + 1, s.qty + e.qty, s.cents + cents,
           s.centsQty + cents * e.qty)
     }

@@ -749,7 +749,10 @@ class StreamingSpec extends AnyFunSuite {
     // integer-sum fold is order-proof, unlike the TWAP meter.
     val b1 = Seq(ev("trade", 3600000L, 40.0, 99L),
       ev("ping", 1000L, 5.0, 0L), ev("trade", 86400000L + 60000L, 7.5, 4L))
-    val b2 = Seq(ev("trade", 60000L, 10.0, 1L), ev("ping", 2000L, 6.0, 0L))
+    // day-2 rebate at -0.125: a negative HALF-cent — cents must round
+    // HALF_UP (-12.5 -> -13) on both engines, the Math.round trap
+    val b2 = Seq(ev("trade", 60000L, 10.0, 1L), ev("ping", 2000L, 6.0, 0L),
+      ev("trade", 86400000L + 120000L, -0.125, 4L))
     val input = MemoryStream[VEvent]
     val q = VwapStream.vwap(input.toDS())
       .writeStream.outputMode("update")
@@ -783,6 +786,9 @@ class StreamingSpec extends AnyFunSuite {
     }
     val d1 = fin(("trade", day0))
     assert(d1.getAs[Double]("vwap") == 39.7 && d1.getAs[Double]("mean_value") == 25.0)
+    // day 2: (750*4 - 13*4) cent-units / (8 qty * 100) = 3.685 exactly —
+    // only if the rebate's -12.5 cents rounded to -13 in the stream too
+    assert(fin(("trade", day0 + 86400000L)).getAs[Double]("vwap") == 3.685)
   }
 
   test("funnel stream: stage advances across micro-batches match batch ev6") {

@@ -36,6 +36,16 @@ def main():
     old_q, old_t = load(sys.argv[1])
     new_q, new_t = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    # Bench records failed queries as -1.0 — split them out BEFORE any
+    # ratio math (a newly-broken query must never rank as a "win").
+    broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
+    fixed = sorted(q for q in new_q if new_q[q] >= 0 and old_q.get(q, 0) < 0)
+    old_q = {q: v for q, v in old_q.items() if v >= 0}
+    new_q = {q: v for q, v in new_q.items() if v >= 0}
+    if broke:
+        print(f"NEWLY FAILING (was ok, now -1.0): {', '.join(broke)}")
+    if fixed:
+        print(f"newly passing (was -1.0): {', '.join(fixed)}")
     common = sorted(set(old_q) & set(new_q))
     print(f"old: {len(old_q)} queries total={old_t}; "
           f"new: {len(new_q)} queries total={new_t}; common: {len(common)}")
@@ -57,4 +67,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BrokenPipeError:  # e.g. piped into `head`
+        pass
