@@ -884,23 +884,28 @@ object Similarity {
     * Scale shape: covariance via ONE explode into a (d·(d+1)/2)-sized
     * hash aggregate (map-side combine — the shuffled artifact is ~2 k
     * rows at ANY corpus size for d = 64, the d14 fixed-profile
-    * discipline); every power-iteration step is a join+aggregate over
-    * the d²-row covariance frame and a d-row vector — driver-free,
-    * data-size-free. The pair explode costs d²/2 rows per vector in the
-    * map stage only; for d ≫ 100 the same plan holds with the explode
+    * discipline); the 8 power-iteration steps then run on the DRIVER
+    * over the collected triangle (MLlib's
+    * RowMatrix.computePrincipalComponents precedent — the corpus-scale
+    * work is the covariance aggregate, the eigen-solve is O(d²) local
+    * floats). The pair explode costs d²/2 rows per vector in the map
+    * stage only; for d ≫ 100 the same plan holds with the explode
     * swapped for a Gramian accumulate, which is a map-side detail, not
     * a plan change.
     *
-    * Determinism: the only cross-engine difference is parallel-sum
-    * order in the covariance aggregates (~1 ulp relative); power
-    * iteration CONTRACTS perturbations toward the dominant eigenvector
-    * rather than amplifying them, and the fixed all-positive init pins
-    * the sign, so 8 steps stay far inside the 6-grid (r6s throughout).
+    * Determinism: the only cross-engine difference is summation order
+    * (~1 ulp relative) in the covariance aggregates and the local
+    * matvec folds; power iteration CONTRACTS perturbations toward the
+    * dominant eigenvector rather than amplifying them, and the fixed
+    * all-positive init pins the sign, so 8 steps stay far inside the
+    * 6-grid (every emitted number rounds on it inside the Spark
+    * projection).
     *
-    * Bench budget: 3.4 s at sf0.1 local[32] (r13 min-of-3) — the
-    * covariance explode dominates; the 8 checkpointed power steps run
-    * on d-sized frames. Regression above ~5 s means a step started
-    * re-materializing the covariance.
+    * Bench budget: 2.0 s at sf0.1 local[32] (r13 min-of-3 after the
+    * driver-side solve; 3.8 s when the steps ran as ~70 stages of
+    * d-row distributed joins — pure scheduling latency). The
+    * covariance explode dominates. Regression above ~3.5 s means the
+    * explode or the collect grew.
     */
   def pcaTop(spark: SparkSession, dir: String): DataFrame =
     pcaTopCore(t(spark, dir, "embeddings"))
@@ -910,17 +915,18 @@ object Similarity {
     * (1,0,…), eigenvalue = the axis variance, explained ratio 1).
     */
   private[graft] def pcaTopCore(emb: DataFrame): DataFrame = {
-    // NO scopedPersist here, by necessity: this operator checkpoints its
-    // iteration vectors (below), and an eager localCheckpoint job is a
-    // completed action that CONSUMES any scoped cache it reads — the
-    // listener then unpersists those blocks non-blocking while the next
-    // step is re-planning against them, which can surface as silently
-    // empty cached reads (reproduced in-session; ZDebug bisect: scoped
-    // alone fine, checkpoint alone fine, the MIX returns 0 rows). The
-    // shared frames are dims-sized, so they are localCheckpoint'd too —
-    // materialized once, lineage-free, listener-free; only the raw scan
-    // is read more than once (twice), which at any scale is the cheap
-    // part of this plan next to the d²/2 pair explode.
+    // NO scopedPersist here, by necessity: this operator runs eager
+    // actions mid-build (the mu/c0 localCheckpoints and the triangle
+    // collect), and an eager job is a completed action that CONSUMES
+    // any scoped cache it reads — the listener then unpersists those
+    // blocks non-blocking while the next step is re-planning against
+    // them, which can surface as silently empty cached reads
+    // (reproduced in-session; ZDebug bisect: scoped alone fine,
+    // checkpoint alone fine, the MIX returns 0 rows). The shared
+    // frames are dims-sized, so they are localCheckpoint'd —
+    // materialized once, lineage-free, listener-free; only the raw
+    // scan is read more than once (twice), which at any scale is the
+    // cheap part of this plan next to the d²/2 pair explode.
     val e = emb.select(
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val n1 = e.agg(count(lit(1)).cast("double").as("n"))
@@ -942,40 +948,50 @@ object Similarity {
       .join(mu.select(col("i").as("j"), col("mu").as("mu_j")), "j")
       .select(col("i"), col("j"), (col("m") - col("mu_i") * col("mu_j")).as("c"))
       .localCheckpoint()
-    val cSym = c0.unionAll(c0.filter(col("i") =!= col("j"))
-      .select(col("j").as("i"), col("i").as("j"), col("c")))
-    val dCnt = mu.agg(count(lit(1)).cast("double").as("d"))
-    def matvec(vec: DataFrame): DataFrame =
-      cSym.join(vec.select(col("i").as("j"), col("val")), "j")
-        .groupBy("i").agg(sum(col("c") * col("val")).as("w"))
-    // Per-step localCheckpoint (t21's anti-exponential-lineage measure):
-    // without it each of the 8 steps embeds the full prior chain twice
-    // (once under the norm aggregate, once under the vector), and
-    // Catalyst's optimization time blows up exponentially. The
-    // checkpointed frame is d rows — the cut costs one trivial job.
-    var v = mu.crossJoin(broadcast(dCnt))
-      .select(col("i"), (lit(1.0) / sqrt(col("d"))).as("val"))
-      .localCheckpoint()
+    // Power iteration + eigenvalue readouts on the DRIVER over the
+    // collected covariance triangle — MLlib's
+    // RowMatrix.computePrincipalComponents precedent: the corpus-scale
+    // work IS the covariance aggregate above; the eigen-solve is O(d²)
+    // local floats (the collected triangle is d(d+1)/2 doubles —
+    // control-plane size at ANY corpus scale, t21's winner-readback
+    // convention). r13 rework: the previous 8 distributed
+    // join+aggregate rounds scheduled ~70 stages of d-row work — pure
+    // orchestration overhead (measured 3.8 s at sf0.1, ~2/3 of it
+    // stage latency). Summation-order drift vs the old per-partition
+    // sums is the SAME class the cross-engine gate already absorbs:
+    // power iteration contracts perturbations, and every emitted
+    // number still rounds on the r6 grid inside the Spark projection
+    // below (identical round/guard expressions, now over literals).
+    val tri = c0.collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    val d = if (tri.isEmpty) 0 else tri.iterator.map(_._2).max + 1
+    val cM = Array.ofDim[Double](d, d)
+    tri.foreach { case (i, j, c) => cM(i)(j) = c; cM(j)(i) = c }
+    var vv = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    def matvecLocal(x: Array[Double]): Array[Double] =
+      Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((s, j) =>
+        s + cM(i)(j) * x(j)))
     for (_ <- 1 to 8) {
-      val w = matvec(v)
-      val nm = w.agg(sqrt(sum(col("w") * col("w"))).as("nm"))
-      v = w.crossJoin(broadcast(nm))
-        .select(col("i"), (col("w") / col("nm")).as("val"))
-        .localCheckpoint()
+      val w = matvecLocal(vv)
+      val nm = math.sqrt(w.foldLeft(0.0)((s, x) => s + x * x))
+      vv = w.map(_ / nm)
     }
-    val lam = matvec(v).join(v, "i")
-      .agg(sum(col("w") * col("val")).as("lam"))
-    val tr = c0.filter(col("i") === col("j")).agg(sum(col("c")).as("trace"))
+    val wFin = matvecLocal(vv)
+    val lam = (0 until d).foldLeft(0.0)((s, i) => s + wFin(i) * vv(i))
+    val trace = (0 until d).foldLeft(0.0)((s, i) => s + cM(i)(i))
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val vDf = vv.toSeq.zipWithIndex
+      .map { case (x, i) => (i.toLong, x) }.toDF("i", "val")
     mu.join(c0.filter(col("i") === col("j"))
         .select(col("i"), col("c").as("variance")), "i")
-      .join(v, "i")
-      .crossJoin(broadcast(lam)).crossJoin(broadcast(tr))
+      .join(broadcast(vDf), "i")
       .select(col("i").as("dim"),
         (round(col("mu"), 6) + lit(0)).as("mu"),
         (round(col("variance"), 6) + lit(0)).as("variance"),
         (round(col("val"), 6) + lit(0)).as("loading"),
-        (round(col("lam"), 6) + lit(0)).as("eigenvalue"),
-        (round(col("lam") / when(col("trace") =!= 0.0, col("trace")), 6)
+        (round(lit(lam), 6) + lit(0)).as("eigenvalue"),
+        (round(lit(lam) / when(lit(trace) =!= 0.0, lit(trace)), 6)
           + lit(0)).as("explained_ratio"))
       .orderBy("dim")
   }
