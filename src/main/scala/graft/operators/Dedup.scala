@@ -39,12 +39,14 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   * Per-query budget (round-8 closure, sf0.1 local[32] warm min-of-3 in
   * one session): dd2 1.6 s, dd3 2.4 s, dd4 1.4 s, dd5 3.6 s, dd7 2.3 s,
   * dd8 2.3 s, dd9 0.4 s. r13 note: the session-wide cached-plan
-  * re-coalescing (GraftSession) moved dd3 1.65 → ~2.4 s in the suite —
-  * at sf0.1 its shingle cache coalesces below CPU parallelism and the
-  * Jaccard-verify stage serializes; measured trade accepted (the same
-  * config bought the suite −18% on the common set, and at production
-  * frame sizes the cache stays wide). A 64k minPartitionSize A/B
-  * recovered dd3 (1.9 s) but cost gr5 3× — not taken. Each query re-tokenizes/re-signatures because
+  * re-coalescing (GraftSession) initially moved dd3 1.65 → ~2.4 s in
+  * the suite — at sf0.1 the KB-sized candidate frame coalesced below
+  * CPU parallelism and the Jaccard-verify stage serialized. Closed by
+  * [[spreadVerify]] (explicit numeric repartition before the verify
+  * kernels): dd3 1.3 s, dd10 1.1 s in the final r13 suite, with the
+  * re-coalescing's suite-wide win kept. A global 64k
+  * minPartitionSize floor was A/B'd first and rejected (recovered dd3
+  * but cost gr5 3×; the knob remains in Bench for future A/Bs). Each query re-tokenizes/re-signatures because
   * bench queries are deliberately independent; WITHIN each query the
   * token/shingle/signature frames are computed once (scoped persists and
   * the one-pass side emissions above), every persist decision carries its
