@@ -30,6 +30,14 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Inter-query hygiene (Bench's reclaim, same rationale): drop the
+      // localCheckpoint / leftover-cache blocks a query leaves in the
+      // block manager so the 231-query sweep doesn't tax late queries'
+      // storage pool — only GC + ContextCleaner reclaim them otherwise.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
