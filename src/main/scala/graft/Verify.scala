@@ -24,20 +24,25 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // Inter-query hygiene (Bench's reclaim, same rationale): drop the
-      // localCheckpoint / leftover-cache blocks a query leaves in the
-      // block manager so the 231-query sweep doesn't tax late queries'
-      // storage pool — only GC + ContextCleaner reclaim them otherwise.
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
+    SparkEntry.queries.filter(kv => selected(kv._1)).zipWithIndex.foreach {
+      case ((name, fn), i) =>
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        // Inter-query hygiene (Bench's reclaim, same rationale): drop the
+        // localCheckpoint / leftover-cache blocks a query leaves in the
+        // block manager so the 231-query sweep doesn't tax late queries'
+        // storage pool — only GC + ContextCleaner reclaim them otherwise.
+        // Unlike Bench (whose per-query times must track isolated cost),
+        // Verify only needs the debris BOUNDED, and it runs under the
+        // driver's wall-clock budget — so the full GC runs every 4th
+        // query (~0.3 s each; per-query it cost the sf0.01 sweep +80 s).
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = false))
+        if (i % 4 == 3) System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
