@@ -56,23 +56,11 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter(kv => names.contains(kv._1)))
     // Inter-query hygiene (OUTSIDE the timed window): queries are
-    // independent jobs, but `localCheckpoint` blocks (pipe1/pipe3/sim16/
-    // gr5's fixpoint) and broadcast pieces are only reclaimed when the
-    // JVM garbage-collects their RDD/Broadcast handles and ContextCleaner
-    // drains the reference queue — scopedPersist caches release
-    // themselves, these do not. Left alone across a 231-query suite they
-    // pin several GB of the 8 GB heap's storage pool, and late-alphabet
-    // queries pay the eviction/GC tax: pipe1 measured 21.5 s in-suite vs
-    // 7.7 s isolated at sf0.1/local[32] before this cleanup. Dropping
-    // leftover persistent RDDs explicitly + one System.gc() per query
-    // keeps every query's measurement as close to its isolated cost as a
-    // shared JVM allows.
-    def reclaim(): Unit = {
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      System.gc()
-    }
+    // independent jobs, and [[graft.engine.Caching.releaseAll]] between
+    // them keeps every query's measurement as close to its isolated cost
+    // as a shared JVM allows — see releaseAll's scaladoc for the debris
+    // mechanics and the measured pipe1 in-suite-vs-isolated gap.
+    def reclaim(): Unit = graft.engine.Caching.releaseAll(spark)
     reclaim() // the warm-up leaves q1's debris too
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>

@@ -31,14 +31,15 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
-        // Inter-query hygiene (Bench's reclaim, same rationale): drop the
+        // Inter-query hygiene (Caching.releaseAll's rationale): drop the
         // localCheckpoint / leftover-cache blocks a query leaves in the
         // block manager so the 231-query sweep doesn't tax late queries'
         // storage pool — only GC + ContextCleaner reclaim them otherwise.
         // Unlike Bench (whose per-query times must track isolated cost),
         // Verify only needs the debris BOUNDED, and it runs under the
         // driver's wall-clock budget — so the full GC runs every 4th
-        // query (~0.3 s each; per-query it cost the sf0.01 sweep +80 s).
+        // query (~0.3 s each; per-query it cost the sf0.01 sweep +80 s)
+        // and the cheap unpersist sweep runs on the other three.
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = false))

@@ -51,6 +51,34 @@ object Caching {
   /** Number of scoped-cache listeners currently registered (test hook). */
   def outstanding: Int = live.get()
 
+  /** Session-hygiene release for long-lived sessions: drop every block
+    * the engine's operators may have left in the block manager —
+    * leftover cached frames and `localCheckpoint` blocks (the composed
+    * pipelines, PCA's per-step checkpoints, the components fixpoint),
+    * which Spark reclaims only when the JVM garbage-collects their RDD
+    * handles and ContextCleaner drains its reference queue. Left alone,
+    * a session running many graft jobs accumulates them: across a
+    * 231-query sweep they pinned several GB of an 8 GB heap's storage
+    * pool and taxed every later query's memory budget (pipe1 measured
+    * 21.5 s in-suite vs 7.7 s isolated before Bench adopted this).
+    *
+    * Call BETWEEN jobs, never mid-plan: unpersisting a scoped cache
+    * whose consuming action has not run yet is correctness-safe (the
+    * consumer recomputes from lineage) but forfeits the reuse, and a
+    * `localCheckpoint`ed frame whose lineage was truncated CANNOT
+    * recompute — a still-pending plan that references one fails rather
+    * than recomputes. The `System.gc()` is what lets ContextCleaner
+    * actually collect broadcast pieces and RDD metadata promptly; for a
+    * latency-sensitive caller that only needs the storage blocks gone,
+    * the unpersist sweep alone already releases those.
+    */
+  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+    System.gc()
+  }
+
   def scopedPersist(
       df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {

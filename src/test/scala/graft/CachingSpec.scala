@@ -58,6 +58,21 @@ class CachingSpec extends AnyFunSuite {
     assert(cached.storageLevel == StorageLevel.NONE)
   }
 
+  test("releaseAll drops leftover cached frames and localCheckpoint blocks") {
+    val cached = spark.range(300).toDF("id").persist()
+    assert(cached.count() == 300) // materialize the cache
+    val checkpointed = spark.range(200).toDF("id").localCheckpoint()
+    assert(checkpointed.count() == 200)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Caching.releaseAll(spark)
+    // unpersist is non-blocking: poll until the block registry drains
+    val deadline = System.currentTimeMillis() + 20000
+    while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+    assert(cached.storageLevel == StorageLevel.NONE)
+  }
+
   test("an abandoned plan expires after unrelated actions instead of leaking") {
     val baseline = drainedBaseline()
     val abandoned = Caching.scopedPersist(
