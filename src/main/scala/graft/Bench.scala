@@ -71,6 +71,13 @@ object Bench {
           -1.0
         }
       }
+      // Deliberately NOT between samples: a later sample may catch a
+      // scoped cache whose async release hasn't fired yet, making
+      // min-of-N a WARM measurement — which is the convention every
+      // prior round's published numbers used (no reclaim existed at
+      // all), so reclaiming mid-query would read as a regression where
+      // only the measurement got stricter. The reclaim exists to stop
+      // CROSS-query debris, not to cool intra-query samples.
       reclaim()
       // Any failed attempt poisons the query: never report a lucky
       // successful sample alongside a crash.

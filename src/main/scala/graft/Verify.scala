@@ -40,10 +40,8 @@ object Verify {
         // driver's wall-clock budget — so the full GC runs every 4th
         // query (~0.3 s each; per-query it cost the sf0.01 sweep +80 s)
         // and the cheap unpersist sweep runs on the other three.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        if (i % 4 == 3) System.gc()
+        graft.engine.Caching.releaseAll(spark, gc = i % 4 == 3,
+          blocking = false)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -68,15 +68,24 @@ object Caching {
     * `localCheckpoint`ed frame whose lineage was truncated CANNOT
     * recompute — a still-pending plan that references one fails rather
     * than recomputes. The `System.gc()` is what lets ContextCleaner
-    * actually collect broadcast pieces and RDD metadata promptly; for a
-    * latency-sensitive caller that only needs the storage blocks gone,
-    * the unpersist sweep alone already releases those.
+    * actually collect broadcast pieces and RDD metadata promptly; a
+    * caller that only needs the storage blocks gone (Verify's cheap
+    * between-queries sweep) passes `gc = false` and skips the ~0.3 s
+    * collection pause. `blocking` controls whether unpersist waits for
+    * block removal: a caller about to TIME the next job (Bench) blocks
+    * so removal cost lands in the untimed gap instead of bleeding into
+    * the next sample; a throughput caller (Verify) doesn't — the
+    * blocking round-trips cost its sf0.01 sweep ~150 s of wall clock
+    * for no benefit when nothing downstream is being measured.
     */
-  def releaseAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+  def releaseAll(
+      spark: org.apache.spark.sql.SparkSession,
+      gc: Boolean = true,
+      blocking: Boolean = true): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
-    System.gc()
+      .foreach(_.unpersist(blocking))
+    if (gc) System.gc()
   }
 
   def scopedPersist(
