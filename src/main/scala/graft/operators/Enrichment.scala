@@ -460,7 +460,10 @@ object Enrichment {
     // ONE percentile aggregate for both cuts: Spark's exact percentile
     // builds a per-partition value-counts map, and two separate calls
     // build and merge that map twice — the array form halves the
-    // dominant cost (measured 4.3 s → ~2 s at sf0.1/local[32])
+    // dominant cost (measured 4.3 s → ~2 s at sf0.1/local[32]; r13
+    // re-measure on a ~1.3× slower box: 2.6-2.8 s isolated min-of-3,
+    // up to ~3.5 s in-suite — CPU-bound exact percentile, scales with
+    // the box, regression only if the ratio to q1 moves)
     val cuts = v.agg(expr("percentile(v, array(0.01, 0.99))").as("pcts"))
       .select(round(element_at(col("pcts"), 1), 4).as("lo_cut"),
         round(element_at(col("pcts"), 2), 4).as("hi_cut"))

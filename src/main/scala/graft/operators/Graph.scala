@@ -193,6 +193,12 @@ object Graph {
     * shape holds with the support threshold as the knob; the classic
     * degree-ordered orientation is exactly this plan with rank instead
     * of id order.
+    *
+    * Bench budget: 2.4-2.9 s isolated min-of-3 / 1.7-2.9 s in-suite at
+    * sf0.1 local[32] (r13 — dominated by the shared [[supportPairs]]
+    * basket pairing, the gr family's fixed cost; the triangle joins on
+    * the cached edge frame are noise). Regression matters only if gr2
+    * moves WITHOUT gr3/gr4/gr5 moving with it.
     */
   def triangles(spark: SparkSession, dir: String): DataFrame =
     trianglesCore(t(spark, dir, "lineitem"))
