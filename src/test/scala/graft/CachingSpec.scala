@@ -73,6 +73,16 @@ class CachingSpec extends AnyFunSuite {
     assert(cached.storageLevel == StorageLevel.NONE)
   }
 
+  test("releaseAll before a scoped cache's consuming action is correctness-safe") {
+    // releaseAll's documented contract: dropping a scoped cache whose
+    // consuming action has not run yet forfeits the reuse but never the
+    // result — the consumer recomputes from lineage.
+    val pending = Caching.scopedPersist(
+      spark.range(400).toDF("id").withColumn("z", col("id") % 7))
+    Caching.releaseAll(spark)
+    assert(pending.filter(col("z") === 0).count() == 58)
+  }
+
   test("an abandoned plan expires after unrelated actions instead of leaking") {
     val baseline = drainedBaseline()
     val abandoned = Caching.scopedPersist(

@@ -184,4 +184,46 @@ class GraphSpec extends AnyFunSuite {
       assert(fix(p)._1 == 11L && fix(p)._2 == 3L))
     assert(fix(31L)._4 <= 5L, s"rounds: ${fix(31L)._4}")
   }
+
+  test("componentsFixpoint matches union-find on pseudo-random co-purchase graphs") {
+    // DedupSpec pins componentsOf this way; the gr5 production loop gets
+    // the same treatment — seeded random edge sets cover cycles, stars
+    // and merged blobs beyond the planted cliques/chain above. Each edge
+    // rides its own TWO orders, so it survives support>=2 exactly and the
+    // co-purchase graph equals the generated edge set.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val n = 20 + rnd.nextInt(30)
+      val edges = (1 to n).map { _ =>
+        val a = 1L + rnd.nextInt(n)
+        val b = 1L + rnd.nextInt(n)
+        if (a == b) (a, b + n) else (a, b) // keep edges off the diagonal
+      }
+      val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
+        Seq(1000L + 2 * i, 1001L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
+      }.toDF("l_orderkey", "l_partkey")
+      val touched = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+      val parent = scala.collection.mutable.Map(touched.map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = touched.map(i => i -> find(i)).toMap
+      val sizes = expected.values.groupBy(identity).map { case (c, g) => c -> g.size.toLong }
+      val fix = graft.operators.Graph.componentsFixpoint(li).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("component"), r.getAs[Long]("component_size"),
+            r.getAs[Boolean]("converged"))).toMap
+      assert(fix.keySet == expected.keySet, s"trial $trial: node sets differ")
+      expected.foreach { case (id, c) =>
+        assert(fix(id)._1 == c, s"trial $trial node $id: ${fix(id)._1} != $c")
+        assert(fix(id)._2 == sizes(c), s"trial $trial node $id size")
+        assert(fix(id)._3, s"trial $trial node $id not converged")
+      }
+    }
+  }
 }
