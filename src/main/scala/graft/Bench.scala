@@ -11,6 +11,29 @@ object Bench {
     */
   private def run(df: DataFrame): Unit =
     df.write.mode("overwrite").format("noop").save()
+
+  /** Fixed deterministic calibration probe: a 20M-row range scan into a
+    * 1000-key shuffle aggregate — CPU plus one exchange, zero data
+    * dependence, zero cache footprint. Timed min-of-2 (the per-query
+    * convention, so probe-vs-query ratios are measured identically) at
+    * suite START and END and emitted on the contract line as
+    * `probe_start_s` / `probe_end_s`. Purpose: make a contended run
+    * detectable from the artifact alone — r13's official bench was
+    * inflated ~15% by a co-tenant burst (pipe1 18.0 s vs 6.74 s on the
+    * same box 25 min later) and only a manual re-run could prove it.
+    * With the probes, `tools/compare_bench.py` box-normalizes per-query
+    * ratios by the probe ratio and flags a run whose end/start probe
+    * drift exceeds 1.3× as contention-suspect.
+    */
+  private def probe(spark: SparkSession): Double =
+    (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      run(spark.range(0, 20000000L, 1, 32)
+        .selectExpr("id % 1000 AS k", "id AS v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v").as("s")))
+      (System.nanoTime() - t0) / 1e9
+    }.min
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -60,8 +83,17 @@ object Bench {
     // them keeps every query's measurement as close to its isolated cost
     // as a shared JVM allows — see releaseAll's scaladoc for the debris
     // mechanics and the measured pipe1 in-suite-vs-isolated gap.
-    def reclaim(): Unit = graft.engine.Caching.releaseAll(spark)
+    // Own try/catch (per-query error-isolation convention): a reclaim
+    // failure after a query broke the context must not abort main before
+    // the contract line prints — a bench with per-query -1.0s and a total
+    // beats a bench with no output at all.
+    def reclaim(): Unit =
+      try graft.engine.Caching.releaseAll(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] reclaim failed: ${e.getMessage}")
+      }
     reclaim() // the warm-up leaves q1's debris too
+    val probeStart = probe(spark)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
@@ -83,6 +115,7 @@ object Bench {
       // successful sample alongside a crash.
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }.toMap
+    val probeEnd = probe(spark)
     // Times rounded to ms — sub-ms digits are noise and bloat the line.
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -98,8 +131,9 @@ object Bench {
     // the block survives the window is then always the most expensive
     // queries, sitting immediately above the tiny contract line; a
     // full-size window recovers the entire map by concatenating parts
-    // 1..N. The contract line stays LAST and sub-100-byte with no map on
-    // it (BENCH_r04–r06 lost its prefix when the map rode along).
+    // 1..N. The contract line stays LAST and small (~140 bytes: totals
+    // plus the two calibration probes) with no map on it (BENCH_r04–r06
+    // lost its prefix when the map rode along).
     val asc = results.toSeq
       .sortBy { case (n, v) => (if (v < 0) Double.MaxValue else v, n) }
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -111,7 +145,7 @@ object Bench {
     parts.zipWithIndex.foreach { case (p, i) =>
       println(s"""{"metric":"per-query","part":${i + 1},"parts":${parts.size},"order":"asc-time","unit":"sec","sf":"$sfDir","queries":${p.mkString("{", ",", "}")}}""")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)}}""")
     spark.stop()
   }
 }

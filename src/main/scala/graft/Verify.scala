@@ -40,8 +40,15 @@ object Verify {
         // driver's wall-clock budget — so the full GC runs every 4th
         // query (~0.3 s each; per-query it cost the sf0.01 sweep +80 s)
         // and the cheap unpersist sweep runs on the other three.
-        graft.engine.Caching.releaseAll(spark, gc = i % 4 == 3,
+        // Own try/catch (per-query error-isolation convention): a reclaim
+        // failure after a query fatally broke the context must not abort
+        // main before oracle_sql.json is written — that would zero the
+        // round's correctness instead of failing the one query.
+        try graft.engine.Caching.releaseAll(spark, gc = i % 4 == 3,
           blocking = false)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] reclaim after $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -77,14 +77,26 @@ object Caching {
     * the next sample; a throughput caller (Verify) doesn't — the
     * blocking round-trips cost its sf0.01 sweep ~150 s of wall clock
     * for no benefit when nothing downstream is being measured.
+    *
+    * Ordering matters for the blocking contract: SQL-cached plans
+    * register their `cachedColumnBuffers` RDD in `persistentRdds` at
+    * persist time, but `clearCache()` removes them ASYNCHRONOUSLY
+    * (Spark 4.1's CachedRDDBuilder.clearCache defaults blocking=false)
+    * while synchronously dropping them from the registry — so a
+    * clearCache-first sweep would leave cache-block removal bleeding
+    * into the next timed sample. The unpersist pass therefore runs
+    * FIRST, while the cached plans' RDDs are still registered, giving
+    * `blocking` coverage of BOTH cached frames and localCheckpoint
+    * blocks; clearCache() then only clears the (already-unpersisted)
+    * CacheManager entries so later identical plans re-cache cleanly.
     */
   def releaseAll(
       spark: org.apache.spark.sql.SparkSession,
       gc: Boolean = true,
       blocking: Boolean = true): Unit = {
-    spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking))
+    spark.catalog.clearCache()
     if (gc) System.gc()
   }
 

@@ -603,33 +603,69 @@ object Enrichment {
 
   /** d14 over an explicit `(doc_id, lang, text)` frame — InvariantSpec
     * plants a target-only token (positive weight) against a raw-only one
-    * (negative), and an empty document (null weight).
+    * (negative), and an empty document (null weight). Factored through
+    * the mergeable-profile pieces below so the streaming twin
+    * ([[graft.streaming.DsirStream]]) maintains the SAME 256-row profile
+    * incrementally and the spec can assert bit-equality of the final
+    * weights across a micro-batch split.
     */
   private[graft] def dsirWeightsCore(documents: DataFrame): DataFrame = {
+    val occ = dsirOcc(documents)
+    dsirWeightsFrom(documents, dsirLogRatio(dsirProfileOf(occ)), occ)
+  }
+
+  /** The per-token-occurrence stream `(doc_id, is_t, b)`: every token of
+    * every document mapped to its 256-way md5 hash bucket, flagged with
+    * target membership (`lang = 'en'`). Shared by the batch path and the
+    * streaming twin's per-micro-batch delta so the bucketing cannot
+    * drift between them.
+    */
+  private[graft] def dsirOcc(documents: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.tokensOrdered
-    val docs = documents
-      .select(col("doc_id"), col("lang"), tokensOrdered(col("text")).as("tk"))
-    val occ = docs
+    documents
       .select(col("doc_id"), (col("lang") === "en").as("is_t"),
-        explode(col("tk")).as("w"))
+        explode(tokensOrdered(col("text"))).as("w"))
       .select(col("doc_id"), col("is_t"),
         (conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long") % 256)
           .as("b"))
-    val bf = occ.groupBy("b").agg(
+  }
+
+  /** The DSIR profile: raw/target token counts per hash bucket — at most
+    * 256 rows at ANY corpus size, and ALGEBRAIC (counts merge by
+    * addition), which is what makes the profile maintainable on an
+    * ingest stream (DsirStream full-outer-merges per-batch partials).
+    */
+  private[graft] def dsirProfileOf(occ: DataFrame): DataFrame =
+    occ.groupBy("b").agg(
       count(lit(1)).as("cr"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
-    val tot = bf.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
-    val lam = bf.crossJoin(broadcast(tot))
+
+  /** Add-one-smoothed log-ratio table from a `(b, cr, ct)` profile. The
+    * operands are exact integers, so the same profile yields bit-equal
+    * `lam` whether the profile was built in one batch pass or merged
+    * incrementally.
+    */
+  private[graft] def dsirLogRatio(profile: DataFrame): DataFrame = {
+    val tot = profile.agg(sum(col("cr")).as("r"), sum(col("ct")).as("t"))
+    profile.crossJoin(broadcast(tot))
       .select(col("b"),
         (log((col("ct") + 1).cast("double") / (col("t") + 256)) -
           log((col("cr") + 1).cast("double") / (col("r") + 256))).as("lam"))
+  }
+
+  /** Per-document mean log-ratio weights from a `(b, lam)` table and the
+    * documents' token-occurrence stream: one broadcast of the ≤256-row
+    * table onto the token stream plus one per-doc aggregate.
+    */
+  private[graft] def dsirWeightsFrom(
+      documents: DataFrame, lam: DataFrame, occ: DataFrame): DataFrame = {
     val per = occ.join(broadcast(lam), "b")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         // r6s: a mean log-ratio rounding to zero must be +0.0 on both
         // engines (the sf0.1 corpus hits exactly this on one doc)
         (round(avg(col("lam")), 6) + lit(0)).as("dsir_logratio"))
-    docs.select(col("doc_id"))
+    documents.select(col("doc_id"))
       .join(per, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),

@@ -568,6 +568,56 @@ object VolumeMonitor {
   }
 }
 
+/** Streaming twin of d14's DSIR profile: maintain the 256-bucket hashed
+  * unigram raw/target count profile across micro-batches of an ingest
+  * stream of `(doc_id, lang, text)` documents. The profile is algebraic
+  * (two counts per bucket, merging by addition), so each micro-batch
+  * costs one batch-local hash aggregate (map-side combine — the delta is
+  * ≤256 rows whatever the batch size) plus one bucket-keyed full-outer
+  * merge into the store, RollupStream's scheme exactly, eagerly
+  * `localCheckpoint`ed so lineage stays one merge deep (in production
+  * the checkpoint is the profile-table overwrite). This is the curation
+  * head most likely to actually run on an ingest stream: the corpus
+  * profile must track arrivals continuously, while the log-ratio table
+  * and per-document weights are derived on demand from the ≤256-row
+  * store ([[graft.operators.Enrichment.dsirLogRatio]] — exact-integer
+  * operands, so a merged profile yields BIT-EQUAL weights to the batch
+  * pass; StreamingSpec splits the corpus mid-bucket across micro-batches
+  * and asserts exactly that).
+  */
+object DsirStream {
+
+  /** Algebraic merge of two `(b, cr, ct)` profile partials: counts add;
+    * a bucket present on one side only passes through via coalesce-to-0
+    * (counts, unlike RollupStream's `sv`, have no null-preserving case —
+    * an absent bucket means zero occurrences, not unknown).
+    */
+  private[graft] def mergeProfiles(store: DataFrame, delta: DataFrame): DataFrame =
+    store.select(col("b"), col("cr").as("cr_a"), col("ct").as("ct_a"))
+      .join(delta.select(col("b"), col("cr").as("cr_b"), col("ct").as("ct_b")),
+        Seq("b"), "full_outer")
+      .select(col("b"),
+        (coalesce(col("cr_a"), lit(0L)) + coalesce(col("cr_b"), lit(0L))).as("cr"),
+        (coalesce(col("ct_a"), lit(0L)) + coalesce(col("ct_b"), lit(0L))).as("ct"))
+
+  /** Maintain the profile store from a streaming `(doc_id, lang, text)`
+    * frame; `onProfile` receives the merged ≤256-row store after every
+    * micro-batch (in production: the profile-table overwrite).
+    */
+  def ingest(docs: DataFrame)(onProfile: (Long, DataFrame) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var store: DataFrame = null
+    docs.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val delta = graft.operators.Enrichment.dsirProfileOf(
+          graft.operators.Enrichment.dsirOcc(batch))
+        store = (if (store == null) delta else mergeProfiles(store, delta))
+          .localCheckpoint()
+        onProfile(id, store)
+      }
+  }
+}
+
 /** Typed event for stateful processing. */
 final case class SEvent(user_id: Long, ts: java.sql.Timestamp, value: Double)
 

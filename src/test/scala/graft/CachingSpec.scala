@@ -65,7 +65,9 @@ class CachingSpec extends AnyFunSuite {
     assert(checkpointed.count() == 200)
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     Caching.releaseAll(spark)
-    // unpersist is non-blocking: poll until the block registry drains
+    // releaseAll(blocking=true) waits for block removal of everything in
+    // persistentRdds, but clearCache()'s own CacheManager-entry teardown
+    // is async — poll so the assert never races the listener-bus thread.
     val deadline = System.currentTimeMillis() + 20000
     while (spark.sparkContext.getPersistentRDDs.nonEmpty &&
         System.currentTimeMillis() < deadline) Thread.sleep(50)

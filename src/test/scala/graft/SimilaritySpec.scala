@@ -308,4 +308,56 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got(1)._1 == 4L && got(1)._2 == 0.0 && got(1)._3 == 0.5, got(1))
     assert(got(2)._1 == 2L && got(2)._2 == -1.0 && got(2)._3 == 0.0, got(2))
   }
+
+  test("sim6 matches union-find over the verified-pair graph on seeded random clusters") {
+    // GraphSpec pins componentsFixpoint and DedupSpec pins componentsOf
+    // this way; sim6 shares the label-propagation loop but rides a
+    // different graph (sim3's banded embedding pairs), so the property
+    // test runs END-TO-END: seeded random embedding clusters → the real
+    // band/cap/verify pair machinery → semanticClusters, asserted against
+    // union-find over the pairs that machinery ACTUALLY verified (not the
+    // planted intent — banding may split a borderline pair, and the
+    // clusters must agree with the graph as built).
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val dim = 64
+      val vecs = scala.collection.mutable.ArrayBuffer[(Long, String, Seq[Float])]()
+      var id = 0L
+      for (c <- 0 until 5 + rnd.nextInt(5)) {
+        // cluster center + tight noise: members near-dup each other with
+        // high cosine; distinct random centers are near-orthogonal at 64
+        // dims, so cross-cluster pairs stay far below the 0.4 bar
+        val center = Array.fill(dim)(rnd.nextGaussian().toFloat)
+        for (_ <- 0 to rnd.nextInt(4)) {
+          vecs += ((id, s"c$c",
+            center.map(x => x + rnd.nextGaussian().toFloat * 0.05f).toSeq))
+          id += 1
+        }
+      }
+      val dir = java.nio.file.Files.createTempDirectory("graft-sim6-prop").toString
+      vecs.toSeq.toDF("vec_id", "label", "embedding")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      val pairs = Similarity.nearDupPairsOf(spark, dir)
+        .select(col("vec_a"), col("vec_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.Map((0L until id).map(i => i -> i): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x
+        else { val r = find(parent(x)); parent(x) = r; r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0L until id).map(i => i -> find(i)).toMap
+      val got = Similarity.semanticClusters(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"trial $trial: assignment != union-find")
+      // the planted structure must actually exercise merging (some
+      // multi-member components) AND leave some singletons
+      val nComponents = expected.values.toSet.size
+      assert(nComponents < id, s"trial $trial: no pairs verified at all")
+      assert(pairs.nonEmpty, s"trial $trial degenerate")
+    }
+  }
 }

@@ -340,6 +340,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(alarms == Set("2024-01-11", "2024-01-12"))
   }
 
+  test("dsir stream: merged 256-bucket profile yields bit-equal batch weights") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = Seq(
+      (1L, "en", "the quick brown fox jumps over the lazy dog"),
+      (2L, "en", "training data quality matters for the model"),
+      (3L, "de", "der schnelle braune fuchs springt quick the"),
+      (4L, "fr", "le renard brun rapide data the quick"),
+      (5L, "en", ""), // empty doc: 0 tokens, null weight
+      (6L, "de", "model data training the fox dog"))
+    // 3 micro-batches; the shared tokens ("the", "quick", "data", "fox")
+    // land the SAME buckets in multiple batches, so the store must MERGE
+    // counts, not just append bucket rows
+    val chunks = all.grouped(2).toSeq
+    var last: org.apache.spark.sql.DataFrame = null
+    var batches = 0
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DsirStream.ingest(
+      input.toDF().toDF("doc_id", "lang", "text")) { (_, store) =>
+      last = store; batches += 1
+    }.start()
+    try { chunks.foreach { c => input.addData(c); q.processAllAvailable() } }
+    finally q.stop()
+    assert(batches == chunks.size)
+    val docs = all.toDF("doc_id", "lang", "text")
+    // the maintained store IS the one-pass batch profile (set-compare:
+    // both frames are bucket-keyed)
+    val batchProfile = graft.operators.Enrichment
+      .dsirProfileOf(graft.operators.Enrichment.dsirOcc(docs))
+    assert(last.collect().map(_.toSeq).toSet ==
+      batchProfile.collect().map(_.toSeq).toSet)
+    // and weights derived FROM the merged store are bit-equal to the
+    // batch d14 path: the log-ratio operands are exact integers, so the
+    // profile's construction order cannot perturb a single ulp
+    val streamed = graft.operators.Enrichment.dsirWeightsFrom(
+        docs, graft.operators.Enrichment.dsirLogRatio(last),
+        graft.operators.Enrichment.dsirOcc(docs))
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Enrichment.dsirWeightsCore(docs)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    // planted structure: the empty doc has 0 tokens and a null weight,
+    // every other doc has a finite one
+    val byId = streamed.map(r => r.head.asInstanceOf[Long] -> r).toMap
+    assert(byId(5L)(1) == 0L && byId(5L)(2) == null)
+    assert(all.map(_._1).filter(_ != 5L).forall(id => byId(id)(2) != null))
+  }
+
   test("rollup merge keeps an all-null-value group's sum null, as batch does") {
     import spark.implicits._
     // batch sum(value) over an all-null group is null; the incremental

@@ -6,17 +6,30 @@ Usage: python3 tools/compare_bench.py <old> <new> [threshold_ratio]
 
 Accepts either the driver's BENCH_r{N}.json (reads the chunked per-query
 maps out of its captured tail) or a file of raw bench stdout lines.
+
+Box normalization: when both files carry the contract line's calibration
+probes (`probe_start_s` / `probe_end_s`, emitted by Bench since r14),
+per-query ratios are ALSO reported divided by the probe ratio
+(new-box-speed / old-box-speed), so a uniformly slower box doesn't read
+as a wall of regressions. A file whose end/start probe drift exceeds
+1.3x is flagged CONTENTION-SUSPECT — the box's speed changed mid-suite
+(another tenant's burst), so its per-query numbers are not trustworthy
+without a re-run (this is exactly what happened to BENCH_r13).
+
 Dev tool only — not part of the shipped library.
 """
 import json
 import re
 import sys
 
+DRIFT_LIMIT = 1.3
+
 
 def load(path):
     text = open(path).read()
     queries = {}
     total = None
+    probes = (None, None)
     # chunk lines are JSON objects with a "queries" map (possibly escaped
     # inside the driver's "tail" capture)
     for m in re.finditer(r'\{"metric":"per-query".*?\}\}', text.replace('\\"', '"')):
@@ -26,16 +39,45 @@ def load(path):
             pass
     for m in re.finditer(r'\{"metric":"total".*?\}', text.replace('\\"', '"')):
         try:
-            total = json.loads(m.group(0))["value"]
+            obj = json.loads(m.group(0))
+            total = obj["value"]
+            if "probe_start_s" in obj and "probe_end_s" in obj:
+                probes = (obj["probe_start_s"], obj["probe_end_s"])
         except (json.JSONDecodeError, KeyError):
             pass
-    return queries, total
+    return queries, total, probes
+
+
+def probe_speed(path, probes):
+    """Mean probe time (the file's box-speed estimate), with the drift
+    check that makes a contended run self-incriminating."""
+    start, end = probes
+    if start is None or start <= 0 or end is None or end <= 0:
+        print(f"{path}: no calibration probes (pre-r14 bench) — "
+              "box-normalized deltas unavailable")
+        return None
+    drift = max(end / start, start / end)
+    tag = ""
+    if drift > DRIFT_LIMIT:
+        tag = (f"  ** CONTENTION-SUSPECT: probe drift {drift:.2f}x exceeds "
+               f"{DRIFT_LIMIT}x — box speed changed mid-suite, re-run **")
+    print(f"{path}: probe start={start:.3f}s end={end:.3f}s "
+          f"(drift {drift:.2f}x){tag}")
+    return (start + end) / 2.0
 
 
 def main():
-    old_q, old_t = load(sys.argv[1])
-    new_q, new_t = load(sys.argv[2])
+    old_q, old_t, old_p = load(sys.argv[1])
+    new_q, new_t, new_p = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    old_speed = probe_speed(sys.argv[1], old_p)
+    new_speed = probe_speed(sys.argv[2], new_p)
+    # box factor >1 means the NEW run's box is slower; dividing new times
+    # by it re-expresses them in old-box seconds.
+    box = (new_speed / old_speed) if old_speed and new_speed else None
+    if box:
+        print(f"box factor (new probe / old probe): {box:.2f}x — "
+              "normalized columns divide new times by this")
     # Bench records failed queries as -1.0 — split them out BEFORE any
     # ratio math (a newly-broken query must never rank as a "win").
     broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
@@ -49,18 +91,28 @@ def main():
     common = sorted(set(old_q) & set(new_q))
     print(f"old: {len(old_q)} queries total={old_t}; "
           f"new: {len(new_q)} queries total={new_t}; common: {len(common)}")
-    print(f"common-sum old={sum(old_q[q] for q in common):.1f} "
-          f"new={sum(new_q[q] for q in common):.1f}")
-    regress = [(new_q[q] / max(old_q[q], 1e-9), q) for q in common
-               if new_q[q] > 0.5 and new_q[q] / max(old_q[q], 1e-9) >= thr]
-    improve = [(old_q[q] / max(new_q[q], 1e-9), q) for q in common
-               if old_q[q] > 0.5 and old_q[q] / max(new_q[q], 1e-9) >= thr]
-    print(f"\nregressions (new >= {thr}x old, new > 0.5s):")
+    com_old = sum(old_q[q] for q in common)
+    com_new = sum(new_q[q] for q in common)
+    norm = f" (box-normalized new: {com_new / box:.1f})" if box else ""
+    print(f"common-sum old={com_old:.1f} new={com_new:.1f}{norm}")
+
+    def adj(t):
+        return t / box if box else t
+    regress = [(adj(new_q[q]) / max(old_q[q], 1e-9), q) for q in common
+               if new_q[q] > 0.5 and adj(new_q[q]) / max(old_q[q], 1e-9) >= thr]
+    improve = [(old_q[q] / max(adj(new_q[q]), 1e-9), q) for q in common
+               if old_q[q] > 0.5 and old_q[q] / max(adj(new_q[q]), 1e-9) >= thr]
+    label = "box-normalized " if box else ""
+    print(f"\nregressions ({label}new >= {thr}x old, new > 0.5s):")
     for r, q in sorted(regress, reverse=True):
-        print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}  ({r:.1f}x)")
-    print(f"\nimprovements (old >= {thr}x new, old > 0.5s):")
+        print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}"
+              + (f" [norm {adj(new_q[q]):.2f}]" if box else "")
+              + f"  ({r:.1f}x)")
+    print(f"\nimprovements (old >= {thr}x {label}new, old > 0.5s):")
     for r, q in sorted(improve, reverse=True):
-        print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}  ({r:.1f}x)")
+        print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}"
+              + (f" [norm {adj(new_q[q]):.2f}]" if box else "")
+              + f"  ({r:.1f}x)")
     only_new = sorted(set(new_q) - set(old_q))
     if only_new:
         print(f"\nnew-only: {', '.join(f'{q}={new_q[q]:.2f}' for q in only_new)}")
