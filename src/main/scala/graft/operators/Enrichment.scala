@@ -412,9 +412,10 @@ object Enrichment {
     * no corpus sort, no window. At 100 TB the vocabulary frame is the
     * only shuffled artifact and it is Zipf-bounded.
     *
-    * Bench budget: 1.0 s at sf0.1 local[32] (BENCH_r11) — one corpus
-    * scan + Zipf-bounded vocab aggregate; tracks t8's shape and should
-    * stay within ~2x of it.
+    * Bench budget: 1.0 s at sf0.1 local[32] (BENCH_r11 — r11 box,
+    * in-suite; later boxes run ~1.3-1.4× slower, normalize via the r14+
+    * bench probe) — one corpus scan + Zipf-bounded vocab aggregate;
+    * tracks t8's shape and should stay within ~2x of it.
     */
   def curriculum(spark: SparkSession, dir: String): DataFrame =
     curriculumCore(t(spark, dir, "documents"))

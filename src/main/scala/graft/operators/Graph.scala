@@ -195,7 +195,8 @@ object Graph {
     * of id order.
     *
     * Bench budget: 2.4-2.9 s isolated min-of-3 / 1.7-2.9 s in-suite at
-    * sf0.1 local[32] (r13 — dominated by the shared [[supportPairs]]
+    * sf0.1 local[32] (r13 box, normalize cross-box via the r14+ bench
+    * probe — dominated by the shared [[supportPairs]]
     * basket pairing, the gr family's fixed cost; the triangle joins on
     * the cached edge frame are noise). Regression matters only if gr2
     * moves WITHOUT gr3/gr4/gr5 moving with it.
@@ -284,7 +285,8 @@ object Graph {
     * ([[basketItems]]) so one degenerate order cannot explode the pair
     * frame.
     *
-    * Bench budget: 2.2 s at sf0.1 local[32] (BENCH_r11) — dominated by
+    * Bench budget: 2.2 s at sf0.1 local[32] (BENCH_r11 — r11 box,
+    * in-suite; normalize cross-box via the r14+ bench probe) — dominated by
     * the lineitem pairing shuffle; the wedge join runs on the ~4k-edge
     * affinity frame and is noise. Regression above ~3.5 s means the
     * support filter or the basket cap stopped pruning.
@@ -336,7 +338,7 @@ object Graph {
     * edge list by src makes shuffle-free across rounds.
     *
     * Bench budget: 3.0 s isolated min-of-3 / ~2.6 s in-suite at sf0.1
-    * local[32] (r13;
+    * local[32] (r13 box, normalize cross-box via the r14+ bench probe;
     * r12's 7.9 s was root-caused to three compounding costs, each fixed:
     * l3 consumed twice unpersisted, cached plans pinned at 32 near-empty
     * partitions — see GraftSession's

@@ -1629,7 +1629,8 @@ object Relational {
       |FROM walk GROUP BY root, depth
       |ORDER BY root, depth""".stripMargin
 
-  /** Bench budget: 1.0 s at sf0.1 local[32] (r13 min-of-3) — UnionLoop
+  /** Bench budget: 1.0 s at sf0.1 local[32] (r13 box, in-suite
+    * min-of-3; normalize cross-box via the r14+ bench probe) — UnionLoop
     * over the 3-level region→nation→customer walk; cost is the loop's
     * fixed per-iteration planning, not data.
     */

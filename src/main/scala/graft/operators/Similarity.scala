@@ -901,7 +901,8 @@ object Similarity {
     * 6-grid (every emitted number rounds on it inside the Spark
     * projection).
     *
-    * Bench budget: 2.0 s at sf0.1 local[32] (r13 min-of-3 after the
+    * Bench budget: 2.0 s at sf0.1 local[32] (r13 box, in-suite
+    * min-of-3 — normalize cross-box via the r14+ bench probe — after the
     * driver-side solve; 3.8 s when the steps ran as ~70 stages of
     * d-row distributed joins — pure scheduling latency). The
     * covariance explode dominates. Regression above ~3.5 s means the

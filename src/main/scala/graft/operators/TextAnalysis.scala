@@ -13,7 +13,9 @@ import graft.functions.TextFunctions._
   * is scan-bound.
   *
   * t1 bench budget: 1.4 s at sf0.1 local[32] single-query (min-of-3,
-  * r12 A/B). BENCH_r11's 2.27 s reading was SESSION NOISE, not a
+  * r12 A/B; the r13/r14 box runs ~1.3-1.4× slower suite-wide — r14+
+  * bench contract lines carry a calibration probe, normalize by it
+  * before cross-round compares). BENCH_r11's 2.27 s reading was SESSION NOISE, not a
   * regression: no code touched t1 since f0767c2 (1.41 s), and the r12
   * re-measure reproduces the round-8 figure both standalone (1.425 s)
   * and inside the full 204-query bench session (1.222 s). No
@@ -368,9 +370,10 @@ object TextAnalysis {
     * TakeOrderedAndProject top-k; the shuffle carries distinct pairs
     * (bounded by 26² here), not occurrences.
     *
-    * Bench budget: 0.5 s at sf0.1 local[32] (r13 min-of-3, warm parquet
-    * cache; 4.6 s cold in the r12 230-query suite — the tokenize explode
-    * is scan-bound, so the cold/warm spread is I/O, not plan work).
+    * Bench budget: 0.5 s at sf0.1 local[32] (r13 box, min-of-3, warm
+    * parquet cache; 4.6 s cold in the r12 230-query suite — the tokenize
+    * explode is scan-bound, so the cold/warm spread is I/O, not plan
+    * work; normalize cross-box via the r14+ bench probe).
     */
   /** The (>= 2-char) token stream and its adjacent character-pair counts —
     * ONE definition shared by t11 (the top-50 listing) and t15 (the merge

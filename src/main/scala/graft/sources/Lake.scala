@@ -270,7 +270,8 @@ object Lake {
     * this is exactly a table-format OPTIMIZE pass: shuffle by partition,
     * roll at the size budget, swap the directory.
     *
-    * Bench budget: 2.1 s at sf0.1 local[32] (r13 min-of-3 after the
+    * Bench budget: 2.1 s at sf0.1 local[32] (r13 box, in-suite
+    * min-of-3 — normalize cross-box via the r14+ bench probe — after the
     * numeric-width writer fix below; 5.5–5.7 s before it, when AQE's
     * bytes-based coalescing serialized the file churn onto one writer
     * task) — ~400 fragment files written + rewritten + two directory
