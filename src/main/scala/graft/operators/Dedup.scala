@@ -531,16 +531,20 @@ object Dedup {
     val adj = pairs.union(pairs.select(col("pb"), col("pa")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Lazy checkpoint (dd5's trick, applied to the SEED too): block
-    // materialization folds into round 1's convergence count instead of
-    // paying its own eager action — one fewer scheduler round-trip per
-    // invocation. Within that first count's job the checkpoint's
-    // persistence level is already set, so the two consumers (neighbor
-    // aggregate + path-halving join) share one computation of the seed.
+    // EAGER seed checkpoint — the lazy form (dd5's trick, folding block
+    // materialization into round 1's convergence count to save one
+    // scheduler round-trip) was A/B'd in r14 and REJECTED: round 1
+    // consumes the seed in two subtrees (neighbor aggregate +
+    // path-halving join), and without an eager materialization both
+    // compute the edges-sized seed aggregate concurrently before its
+    // blocks land — measured same-box min-of-2 at sf0.1/local[32]:
+    // sim6 1.89 → 2.37 s, pipe3 6.60 → 7.70 s, pipe1 7.26 → 7.80 s
+    // lazy-vs-eager. The saved action is worth less than the duplicated
+    // aggregate at every scale (the seed is |edges|-shaped).
     var labels = adj.groupBy(col("src").as("nid"))
       .agg(min(col("dst")).as("m"))
       .select(col("nid"), least(col("nid"), col("m")).as("canon"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 50) {
