@@ -54,6 +54,15 @@ class PlanSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("d14 joins the 256-row log-ratio table via broadcast, never shuffling the token stream on the bucket key") {
+    val p = plan("d14_dsir_weights")
+    // the lam table is <=256 rows at ANY corpus size; the per-token
+    // occurrence stream must probe it broadcast-side — a shuffle join on
+    // `b` would exchange the corpus-sized token stream over 256 keys
+    assert(p.contains("BroadcastHashJoin [b"), p.take(3000))
+    assert(!p.contains("SortMergeJoin [b"), "token stream shuffled on bucket key")
+  }
+
   test("dedup scans prune documents to the columns they need") {
     val p = plan("dd3_minhash_lsh")
     // the minhash pipeline needs doc_id + text only

@@ -389,6 +389,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.map(_._1).filter(_ != 5L).forall(id => byId(id)(2) != null))
   }
 
+  test("dsir stream: empty and token-free micro-batches leave the store unchanged") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // batch 1 plants real counts; batch 2 has ONE doc with zero tokens
+    // (punctuation-only text) — its delta is a 0-row profile, and the
+    // full-outer merge must pass the store through intact, not null it
+    val chunks = Seq(
+      Seq((1L, "en", "alpha beta gamma"), (2L, "de", "beta delta")),
+      Seq((3L, "en", "?!…")))
+    var stores = Vector.empty[Set[Seq[Any]]]
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.DsirStream.ingest(
+      input.toDF().toDF("doc_id", "lang", "text")) { (_, store) =>
+      stores :+= store.collect().map(_.toSeq).toSet
+    }.start()
+    try { chunks.foreach { c => input.addData(c); q.processAllAvailable() } }
+    finally q.stop()
+    assert(stores.size == 2)
+    assert(stores(0).nonEmpty)
+    assert(stores(1) == stores(0), "token-free batch must not perturb the store")
+  }
+
   test("rollup merge keeps an all-null-value group's sum null, as batch does") {
     import spark.implicits._
     // batch sum(value) over an all-null group is null; the incremental
