@@ -75,6 +75,21 @@ class CachingSpec extends AnyFunSuite {
     assert(cached.storageLevel == StorageLevel.NONE)
   }
 
+  test("releaseAll(blocking=true) synchronously drains cached-frame blocks") {
+    // Pins the r14 ordering fix: the unpersist pass runs BEFORE
+    // clearCache(), while the SQL cache's cachedColumnBuffers RDD is
+    // still registered in persistentRdds, so blocking=true waits for its
+    // block removal too (clearCache alone removes cache blocks async).
+    // No polling here — the registry must be empty ON RETURN. Suites run
+    // sequentially in the forked test JVM and concurrent listener-bus
+    // releases can only REMOVE entries, so the assert cannot race an add.
+    val cached = spark.range(1234).toDF("id").cache()
+    assert(cached.count() == 1234)
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    Caching.releaseAll(spark, gc = false)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("releaseAll before a scoped cache's consuming action is correctness-safe") {
     // releaseAll's documented contract: dropping a scoped cache whose
     // consuming action has not run yet forfeits the reuse but never the
