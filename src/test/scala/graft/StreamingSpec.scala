@@ -389,6 +389,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(all.map(_._1).filter(_ != 5L).forall(id => byId(id)(2) != null))
   }
 
+  test("dsir stream: random corpora, random splits, shuffled arrival — store equals batch profile") {
+    // The fixed fixture above proves the mechanism; this proves the
+    // ALGEBRA on seeded random structure: any partition of any corpus
+    // into micro-batches, arriving in any order, must merge to the
+    // one-pass profile (count addition is associative AND commutative,
+    // so arrival order is immaterial — the property an ingest stream
+    // actually relies on).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rnd = new scala.util.Random(1213)
+    val words = Vector("data", "model", "train", "eval", "der", "quick",
+      "le", "und", "the", "corpus", "token", "hash", "merge", "spark")
+    for (trial <- 1 to 2) {
+      val n = 12 + rnd.nextInt(12)
+      val all = (1L to n).map(i => (i,
+        Seq("en", "de", "fr")(rnd.nextInt(3)),
+        Seq.fill(1 + rnd.nextInt(8))(words(rnd.nextInt(words.size))).mkString(" ")))
+      // random chunk sizes, then SHUFFLED arrival order
+      val chunks = rnd.shuffle(
+        Iterator.unfold(all) { rest =>
+          if (rest.isEmpty) None
+          else Some(rest.splitAt(1 + rnd.nextInt(5)))
+        }.toSeq)
+      var last: org.apache.spark.sql.DataFrame = null
+      val input = MemoryStream[(Long, String, String)]
+      val q = graft.streaming.DsirStream.ingest(
+        input.toDF().toDF("doc_id", "lang", "text")) { (_, store) => last = store }
+        .start()
+      try { chunks.foreach { c => input.addData(c); q.processAllAvailable() } }
+      finally q.stop()
+      val batchProfile = graft.operators.Enrichment.dsirProfileOf(
+        graft.operators.Enrichment.dsirOcc(all.toDF("doc_id", "lang", "text")))
+      assert(last.collect().map(_.toSeq).toSet ==
+        batchProfile.collect().map(_.toSeq).toSet, s"trial $trial")
+    }
+  }
+
   test("dsir stream: empty and token-free micro-batches leave the store unchanged") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
