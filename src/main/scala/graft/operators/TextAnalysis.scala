@@ -1220,6 +1220,15 @@ object TextAnalysis {
     * deliberately not a broadcast: the boilerplate vocabulary grows
     * with the corpus and would OOM a forced broadcast at 100 TB (AQE
     * still picks broadcast when it genuinely fits).
+    *
+    * The shingle frame is deliberately NOT cache-bounded even though two
+    * subtrees consume it (no ReusedExchange fires — the df aggregate
+    * exchanges on h, the distinct on (doc_id, h)): a scopedPersist was
+    * A/B'd in r14 at sf0.1/local[32] isolated min-of-3 and measured a
+    * slight LOSS (2.12 s unpersisted vs 2.17 s persisted, probes 0.49 vs
+    * 0.44) — the duplicated scan+explode is embarrassingly parallel and
+    * cheaper than the materialization barrier. Re-measure before caching
+    * if the shingle pipeline ever gains per-row cost.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplateCore(t(spark, dir, "documents"))
