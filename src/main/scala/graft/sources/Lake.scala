@@ -246,7 +246,7 @@ object Lake {
     // (empty data-column ReadSchema), one value ships to the driver
     val wm = spark.read.parquet(out)
       .select(col("day")).distinct()
-      .agg(date_add(min(col("day")), 14)).head.getDate(0)
+      .agg(date_add(min(col("day")), 14)).head().getDate(0)
     spark.read.parquet(out).filter(col("day") > lit(wm))
   }
 
@@ -346,7 +346,7 @@ object Lake {
     val ev = t(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
-    val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
+    val cut = ev.agg(date_add(min(col("day")), 15)).head().getDate(0)
     def listData(): Set[String] = listParquet(spark, dataDir)
     // v1 commit: first 15 days; v2 commit: append the remainder
     fs.mkdirs(rootP)
@@ -404,7 +404,7 @@ object Lake {
     val root = lakeDir(spark, "events_evolving")
     val ev = t(spark, dir, "events")
       .withColumn("day", to_date(col("ts")))
-    val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
+    val cut = ev.agg(date_add(min(col("day")), 15)).head().getDate(0)
     val (fs, rootP) = hfs(spark, root)
     fs.delete(rootP, true)
     ev.filter(col("day") <= lit(cut))
@@ -495,7 +495,7 @@ object Lake {
     val ev = t(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
-    val cut = ev.agg(date_add(min(col("day")), 15)).head.getDate(0)
+    val cut = ev.agg(date_add(min(col("day")), 15)).head().getDate(0)
     val (fs, rootP) = hfs(spark, root)
     def listData(): Set[String] = listParquet(spark, dataDir)
     def budgetFiles(n: Long): Int = math.max(2L, math.ceil(n / 2000.0).toLong).toInt
