@@ -8,29 +8,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `.csv` via `pd.read_csv(low_memory=False)` (whole-file schema inference),
   * `.xlsx` via `pd.read_excel`, anything else raises
   * (`preprocess.py:15-26`). Here: csv (header + inferSchema for parity),
-  * parquet, json; unknown extensions throw `IllegalArgumentException`.
+  * parquet, json, xlsx (via [[Xlsx]]); unknown extensions throw
+  * `IllegalArgumentException`.
   *
   * S2/S7 ([[WorkbookSource]]/[[WorkbookSink]]): the reference's multi-sheet
   * Excel workbook is a `{sheet name → table}` namespace
-  * (`preprocess.py:17-20`, `mapper.py:123-136`). Binary xlsx needs an
-  * external library (unavailable offline), so the workbook abstraction is a
-  * DIRECTORY of single-table files — sheet name = file base name — which is
-  * also the only representation that scales: each "sheet" is a splittable
-  * parquet/csv dataset instead of a single-node binary blob. The sink keeps
-  * the reference's 31-character sheet-name truncation rule (`mapper.py:134`,
-  * Excel's limit) as a documented naming transform.
+  * (`preprocess.py:17-20`, `mapper.py:123-136`). TWO implementations share
+  * the seam:
+  *   - [[XlsxWorkbookSource]]/[[XlsxWorkbookSink]] — the reference's actual
+  *     binary `.xlsx` blob, via the dependency-free [[Xlsx]] codec
+  *     (report-scale by Excel's own 1,048,576-row cap);
+  *   - [[DirWorkbookSource]]/[[WorkbookSink]] — a DIRECTORY of single-table
+  *     files (sheet name = file base name), the representation that scales:
+  *     each "sheet" is a splittable parquet/csv dataset instead of a
+  *     single-node binary blob.
+  * Both keep the reference's 31-character sheet-name truncation rule
+  * (`mapper.py:134`, Excel's limit) through one [[WorkbookSink.sheetNames]]
+  * transform, collision-safe where the reference silently overwrites.
   */
 object Loader {
 
-  /** S1/S3: extension-dispatched load. */
+  /** S1/S3: extension-dispatched load. For `.xlsx` the reference returns a
+    * `{sheet → DataFrame}` dict; this single-table entry point unwraps a
+    * one-sheet workbook and refuses a multi-sheet one with a pointer to
+    * [[XlsxWorkbookSource]] (the dict-shaped S2 API) rather than guessing
+    * which sheet the caller meant.
+    */
   def load(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".csv"))
       spark.read.option("header", "true").option("inferSchema", "true").csv(path)
     else if (lower.endsWith(".parquet")) spark.read.parquet(path)
     else if (lower.endsWith(".json")) spark.read.json(path)
+    else if (lower.endsWith(".xlsx")) {
+      val sheets = Xlsx.read(spark, path)
+      sheets.values.toSeq match {
+        case Seq(only) => only
+        case _ => throw new IllegalArgumentException(
+          s"Workbook $path has ${sheets.size} sheets; use XlsxWorkbookSource.load " +
+            "for the {sheet -> DataFrame} namespace")
+      }
+    }
     else throw new IllegalArgumentException(
-      s"Unsupported file format: $path (expected .csv, .parquet or .json)")
+      s"Unsupported file format: $path (expected .csv, .parquet, .json or .xlsx)")
   }
 }
 

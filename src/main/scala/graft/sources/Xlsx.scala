@@ -1,0 +1,460 @@
+package graft.sources
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Binary `.xlsx` workbook codec — dependency-free SpreadsheetML over the
+  * JDK's `java.util.zip` + StAX, closing the S2/S7 binary halves
+  * (reference `preprocess.py:17-20` `pd.read_excel(sheet_name=None)`,
+  * `mapper.py:123-136` `pd.ExcelWriter` one-sheet-per-table). Earlier
+  * rounds marked the binary codec environment-blocked ("no xlsx library
+  * offline"); the block was illusory — an xlsx file is a ZIP of XML
+  * parts, both of which the JDK parses natively, so the same
+  * dependency-free-parser approach that produced
+  * [[graft.operators.MediaCodecs]] (PNM/RIFF-WAVE) applies here.
+  *
+  * Format notes (ECMA-376 SpreadsheetML, the parts every producer emits):
+  *   - `[Content_Types].xml`, `_rels/.rels` → `xl/workbook.xml` →
+  *     `xl/_rels/workbook.xml.rels` → `xl/worksheets/sheetN.xml`.
+  *   - The WRITER emits inline strings (`<c t="inlineStr"><is><t>`) —
+  *     self-contained rows, no shared-strings table to coordinate, valid
+  *     per spec and read by Excel/pandas/LibreOffice alike.
+  *   - The READER additionally handles the `t="s"` shared-strings
+  *     indirection, `t="b"`, `t="str"` (formula caches) and bare numeric
+  *     cells, plus sparse rows via the `r="D7"` cell references — i.e.
+  *     files produced by Excel itself, not just by this writer. The
+  *     independent-producer contract is pinned by a committed fixture
+  *     written by `tools/check_xlsx.py`'s SEPARATE Python-stdlib
+  *     implementation (XlsxSpec), the strongest cross-check available
+  *     in a zero-egress sandbox.
+  *
+  * Scale stance (why driver-side I/O is CORRECT here, not a shortcut): a
+  * workbook is one non-splittable binary blob with a hard 1,048,576-row
+  * sheet cap — Excel's own format makes it a report/control-plane
+  * artifact, never a data-scale dataset. The writer streams
+  * `toLocalIterator()` (one partition resident at a time) and fails
+  * loudly at the Excel cap; the reader caps decompressed part sizes
+  * (zip-bomb guard) and materializes via `spark.createDataFrame` with
+  * `parallelize`. Data-scale "sheets" belong in [[DirWorkbookSource]]'s
+  * directory-of-parquet representation — both implement the same
+  * [[WorkbookSource]] seam, so pipelines choose per artifact.
+  */
+object Xlsx {
+
+  /** Excel's hard per-sheet row capacity (2^20, header row included). */
+  val MaxRows: Int = 1048576
+
+  /** Zip-bomb / driver-heap guard: decompressed size cap per zip part.
+    * Generous for any real report workbook (a 256 MB sheet XML is ~1M
+    * rows of wide text) while bounding a hostile crafted file.
+    */
+  val MaxPartBytes: Long = 256L * 1024 * 1024
+
+  // ---------------------------------------------------------------- write
+
+  private def esc(s: String): String = {
+    val b = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '&' => b.append("&amp;")
+      case '<' => b.append("&lt;")
+      case '>' => b.append("&gt;")
+      case '"' => b.append("&quot;")
+      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+        // Bare C0 controls are ill-formed XML 1.0; drop them (the same
+        // values are unrepresentable in any spreadsheet UI anyway).
+        ()
+      case c => b.append(c)
+    }
+    b.toString
+  }
+
+  /** A1-style column letters for 0-based index (0→A, 25→Z, 26→AA). */
+  private[graft] def colRef(i: Int): String = {
+    var n = i + 1
+    val b = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; b.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    b.toString
+  }
+
+  private def cellXml(ref: String, dt: DataType, v: Any): String = v match {
+    case null => ""
+    case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
+    case n: Byte => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: java.math.BigDecimal => s"""<c r="$ref"><v>${n.toPlainString}</v></c>"""
+    case other =>
+      // Strings, dates, timestamps, anything else: inline string of the
+      // value's canonical ISO-8601 text — lossless text round-trip
+      // without the 1900-epoch serial + styles number-format machinery,
+      // a documented divergence from Excel's native date serials.
+      // Timestamps are canonicalized explicitly: java.sql.Timestamp's
+      // toString appends ".0" for whole seconds, which is neither ISO
+      // nor what any reader expects back.
+      val s = other match {
+        case ts: java.sql.Timestamp =>
+          val base = ts.toLocalDateTime.format(
+            java.time.format.DateTimeFormatter.ofPattern("uuuu-MM-dd HH:mm:ss"))
+          val frac = if (ts.getNanos == 0) ""
+            else "." + "%09d".format(ts.getNanos).reverse.dropWhile(_ == '0').reverse
+          base + frac
+        case _ => other.toString
+      }
+      val sp = if (s != s.trim) """ xml:space="preserve"""" else ""
+      s"""<c r="$ref" t="inlineStr"><is><t$sp>${esc(s)}</t></is></c>"""
+  }
+
+  private def sheetXml(df: DataFrame, table: String): Array[Byte] = {
+    val out = new ByteArrayOutputStream(64 * 1024)
+    val w = new java.io.OutputStreamWriter(out, UTF_8)
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    val names = df.schema.fieldNames
+    w.write("<row r=\"1\">")
+    names.zipWithIndex.foreach { case (n, i) =>
+      w.write(s"""<c r="${colRef(i)}1" t="inlineStr"><is><t>${esc(n)}</t></is></c>""")
+    }
+    w.write("</row>")
+    val dts = df.schema.fields.map(_.dataType)
+    var r = 1 // header consumed row 1
+    val it = df.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      r += 1
+      if (r > MaxRows) throw new IllegalArgumentException(
+        s"Table '$table' exceeds Excel's $MaxRows-row sheet capacity; " +
+          "use WorkbookSink's directory-of-parquet representation for data-scale tables")
+      w.write(s"""<row r="$r">""")
+      var i = 0
+      while (i < names.length) {
+        w.write(cellXml(s"${colRef(i)}$r", dts(i), if (row.isNullAt(i)) null else row.get(i)))
+        i += 1
+      }
+      w.write("</row>")
+    }
+    w.write("</sheetData></worksheet>")
+    w.flush()
+    out.toByteArray
+  }
+
+  /** Write `tables` as one `.xlsx` at `path` (any Hadoop-reachable URI).
+    * Sheet order and `~N` collision handling follow
+    * [[WorkbookSink.sheetNames]] — sorted table name order, same rule as
+    * the directory sink, so the two representations never disagree on
+    * naming.
+    */
+  def write(tables: Map[String, DataFrame], path: String, spark: SparkSession): Unit = {
+    require(tables.nonEmpty, "refusing to write an empty workbook (Excel requires >=1 sheet)")
+    val names = WorkbookSink.sheetNames(tables.keys.toSeq)
+    val ordered = tables.toSeq.sortBy(_._1)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    val zip = new ZipOutputStream(os, UTF_8)
+    def part(name: String, bytes: Array[Byte]): Unit = {
+      zip.putNextEntry(new ZipEntry(name)); zip.write(bytes); zip.closeEntry()
+    }
+    try {
+      val n = ordered.size
+      part("[Content_Types].xml",
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+          """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+          """<Default Extension="xml" ContentType="application/xml"/>""" +
+          """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+          (1 to n).map(i =>
+            s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""").mkString +
+          """</Types>""").getBytes(UTF_8))
+      part("_rels/.rels",
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+          """</Relationships>""").getBytes(UTF_8))
+      part("xl/workbook.xml",
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
+          ordered.zipWithIndex.map { case ((t, _), i) =>
+            s"""<sheet name="${esc(names(t))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+          }.mkString +
+          """</sheets></workbook>""").getBytes(UTF_8))
+      part("xl/_rels/workbook.xml.rels",
+        ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+          """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+          (1 to n).map(i =>
+            s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
+          """</Relationships>""").getBytes(UTF_8))
+      ordered.zipWithIndex.foreach { case ((t, df), i) =>
+        part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df, t))
+      }
+    } finally { zip.close() }
+  }
+
+  // ----------------------------------------------------------------- read
+
+  private def readParts(in: java.io.InputStream): Map[String, Array[Byte]] = {
+    val zip = new ZipInputStream(in, UTF_8)
+    val parts = mutable.Map.empty[String, Array[Byte]]
+    try {
+      var e = zip.getNextEntry
+      while (e != null) {
+        if (!e.isDirectory) {
+          val buf = new ByteArrayOutputStream(8192)
+          val chunk = new Array[Byte](8192)
+          var read = zip.read(chunk)
+          while (read >= 0) {
+            buf.write(chunk, 0, read)
+            if (buf.size() > MaxPartBytes) throw new IllegalArgumentException(
+              s"xlsx part ${e.getName} exceeds the $MaxPartBytes-byte decompressed cap")
+            read = zip.read(chunk)
+          }
+          parts(e.getName) = buf.toByteArray
+        }
+        e = zip.getNextEntry
+      }
+    } finally { zip.close() }
+    parts.toMap
+  }
+
+  private def stax(bytes: Array[Byte]): javax.xml.stream.XMLStreamReader = {
+    val f = javax.xml.stream.XMLInputFactory.newInstance()
+    // No DTDs / external entities in OOXML parts; disabling both closes
+    // the XXE surface of parsing untrusted workbooks.
+    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(javax.xml.stream.XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f.createXMLStreamReader(new ByteArrayInputStream(bytes))
+  }
+
+  /** Collect the text of the current element subtree (handles `<is>` rich
+    * runs: concatenates every nested `<t>`; plain `<v>`/`<t>` fall out as
+    * the single-text case).
+    */
+  private def subtreeText(r: javax.xml.stream.XMLStreamReader): String = {
+    val b = new StringBuilder
+    var depth = 1
+    while (depth > 0 && r.hasNext) {
+      r.next() match {
+        case javax.xml.stream.XMLStreamConstants.START_ELEMENT => depth += 1
+        case javax.xml.stream.XMLStreamConstants.END_ELEMENT => depth -= 1
+        case javax.xml.stream.XMLStreamConstants.CHARACTERS |
+            javax.xml.stream.XMLStreamConstants.CDATA => b.append(r.getText)
+        case _ => ()
+      }
+    }
+    b.toString
+  }
+
+  private def sharedStrings(parts: Map[String, Array[Byte]]): IndexedSeq[String] = {
+    parts.get("xl/sharedStrings.xml").fold(IndexedSeq.empty[String]) { bytes =>
+      val r = stax(bytes)
+      val out = mutable.ArrayBuffer.empty[String]
+      try {
+        while (r.hasNext) {
+          if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "si") out += subtreeText(r)
+        }
+      } finally { r.close() }
+      out.toIndexedSeq
+    }
+  }
+
+  /** `"D7"` → 0-based column index 3. */
+  private[graft] def refCol(ref: String): Int = {
+    var i = 0; var n = 0
+    while (i < ref.length && ref.charAt(i).isLetter) {
+      n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+    }
+    n - 1
+  }
+
+  /** One parsed cell: 0-based column, raw text, cell type attribute. */
+  private case class Cell(col: Int, text: String, t: String)
+
+  private def sheetRows(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[Seq[Any]] = {
+    val r = stax(bytes)
+    val rows = mutable.ArrayBuffer.empty[Seq[Any]]
+    try {
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "row") {
+          val cells = mutable.ArrayBuffer.empty[Cell]
+          var nextCol = 0
+          var depth = 1
+          while (depth > 0 && r.hasNext) {
+            r.next() match {
+              case javax.xml.stream.XMLStreamConstants.START_ELEMENT if r.getLocalName == "c" =>
+                val ref = Option(r.getAttributeValue(null, "r"))
+                val t = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                val col = ref.map(refCol).getOrElse(nextCol)
+                nextCol = col + 1
+                // subtreeText over <c> concatenates its <v> (or <is> runs);
+                // formula cells contribute their cached <v>, and the <f>
+                // formula text is excluded by reading only v/is subtrees.
+                var text = ""
+                var cdepth = 1
+                while (cdepth > 0 && r.hasNext) {
+                  r.next() match {
+                    case javax.xml.stream.XMLStreamConstants.START_ELEMENT
+                        if r.getLocalName == "v" || r.getLocalName == "is" =>
+                      text += subtreeText(r)
+                    case javax.xml.stream.XMLStreamConstants.START_ELEMENT => cdepth += 1
+                    case javax.xml.stream.XMLStreamConstants.END_ELEMENT => cdepth -= 1
+                    case _ => ()
+                  }
+                }
+                // the <c> subtree (incl. its END_ELEMENT) is fully consumed
+                // above, so row depth is unchanged here
+                cells += Cell(col, text, t)
+              case javax.xml.stream.XMLStreamConstants.START_ELEMENT => depth += 1
+              case javax.xml.stream.XMLStreamConstants.END_ELEMENT => depth -= 1
+              case _ => ()
+            }
+          }
+          val width = cells.map(_.col).maxOption.fold(0)(_ + 1)
+          val arr = Array.fill[Any](width)(null)
+          cells.foreach { c =>
+            val v: Any = c.t match {
+              case "s" => shared(c.text.trim.toInt)
+              case "inlineStr" | "str" => c.text
+              case "b" => c.text.trim == "1" || c.text.trim.equalsIgnoreCase("true")
+              case _ => if (c.text.isEmpty) null else c.text // numeric kept as text; typed later
+            }
+            if (c.col < width) arr(c.col) = v
+          }
+          rows += arr.toSeq
+        }
+      }
+    } finally { r.close() }
+    rows.toSeq
+  }
+
+  /** Column typing over the header-stripped body: all-boolean →
+    * BooleanType; all numeric-text → LongType when every value is
+    * integral in Long range, else DoubleType; anything mixed → StringType
+    * (mirrors the csv-source inference family the S1 loader already
+    * uses). Null cells are type-transparent.
+    */
+  private def typed(header: Seq[String], body: Seq[Seq[Any]]): (StructType, Seq[Row]) = {
+    val width = header.length
+    def at(row: Seq[Any], i: Int): Any = if (i < row.length) row(i) else null
+    val dts = (0 until width).map { i =>
+      val vs = body.map(at(_, i)).filter(_ != null)
+      if (vs.isEmpty) StringType
+      else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
+      else if (vs.forall { case s: String => scala.util.Try(s.trim.toDouble).isSuccess; case _ => false }) {
+        if (vs.forall { case s: String => scala.util.Try(s.trim.toLong).isSuccess; case _ => false }) LongType
+        else DoubleType
+      } else StringType
+    }
+    val schema = StructType(header.zip(dts).map { case (n, t) => StructField(n, t, nullable = true) })
+    val rows = body.map { row =>
+      Row.fromSeq((0 until width).map { i =>
+        at(row, i) match {
+          case null => null
+          case s: String => dts(i) match {
+            case LongType => s.trim.toLong
+            case DoubleType => s.trim.toDouble
+            case _ => s
+          }
+          case b: Boolean => b
+          case other => other.toString
+        }
+      })
+    }
+    (schema, rows)
+  }
+
+  /** Read every sheet of the workbook at `path` (any Hadoop-reachable
+    * URI) as `{sheet name → DataFrame}` — `pd.read_excel(sheet_name=None)`
+    * semantics: row 1 is the header, blank header cells get the pandas
+    * `Unnamed: N` placeholder, sheets keep workbook order in the returned
+    * (insertion-ordered) map.
+    */
+  def read(spark: SparkSession, path: String): Map[String, DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts =
+      try readParts(fs.open(p))
+      catch { case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(s"No such workbook: $path")
+      }
+    val wb = parts.getOrElse("xl/workbook.xml",
+      throw new IllegalArgumentException(s"Not an xlsx workbook (no xl/workbook.xml): $path"))
+    // sheet name → relationship id, in workbook order
+    val sheets = {
+      val r = stax(wb)
+      val out = mutable.ArrayBuffer.empty[(String, String)]
+      try {
+        while (r.hasNext) {
+          if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "sheet") {
+            val name = r.getAttributeValue(null, "name")
+            val rid = (0 until r.getAttributeCount)
+              .find(i => r.getAttributeLocalName(i) == "id")
+              .map(r.getAttributeValue).getOrElse("")
+            out += ((name, rid))
+          }
+        }
+      } finally { r.close() }
+      out.toSeq
+    }
+    // relationship id → worksheet part path
+    val rels = parts.get("xl/_rels/workbook.xml.rels").fold(Map.empty[String, String]) { bytes =>
+      val r = stax(bytes)
+      val out = mutable.Map.empty[String, String]
+      try {
+        while (r.hasNext) {
+          if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+            val target = r.getAttributeValue(null, "Target")
+            val norm = if (target.startsWith("/")) target.drop(1) else "xl/" + target
+            out(r.getAttributeValue(null, "Id")) = norm
+          }
+        }
+      } finally { r.close() }
+      out.toMap
+    }
+    val shared = sharedStrings(parts)
+    val result = mutable.LinkedHashMap.empty[String, DataFrame]
+    sheets.zipWithIndex.foreach { case ((name, rid), i) =>
+      // Fall back to positional naming when rels are absent (some minimal
+      // producers omit them and rely on the sheetN convention).
+      val partName = rels.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml")
+      parts.get(partName).foreach { bytes =>
+        val all = sheetRows(bytes, shared)
+        val headerRow = all.headOption.getOrElse(Seq.empty)
+        val header = headerRow.zipWithIndex.map {
+          case (null, j) => s"Unnamed: $j"
+          case (v, _) => v.toString
+        }
+        val (schema, rows) = typed(header, all.drop(1))
+        result(name) = spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size / 10000 + 1, 32))),
+          schema)
+      }
+    }
+    result.toMap
+  }
+}
+
+/** S2's binary half: `{sheet → DataFrame}` from one `.xlsx` blob, same
+  * [[WorkbookSource]] seam as [[DirWorkbookSource]].
+  */
+object XlsxWorkbookSource extends WorkbookSource {
+  override def load(spark: SparkSession, path: String): Map[String, DataFrame] =
+    Xlsx.read(spark, path)
+}
+
+/** S7's binary half: one sheet per table into a single `.xlsx` file. */
+object XlsxWorkbookSink {
+  def save(tables: Map[String, DataFrame], path: String, spark: SparkSession): Unit =
+    Xlsx.write(tables, path, spark)
+}

@@ -1,0 +1,162 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Xlsx, XlsxWorkbookSink, XlsxWorkbookSource}
+
+/** Binary xlsx codec (SURVEY.md §2.1 S2/S7 binary halves).
+  *
+  * Two independent-validation axes, the strongest available offline:
+  *   1. Scala round-trip: the Scala reader must reproduce what the Scala
+  *      writer emitted, schema and values, across every cell type.
+  *   2. Independent producer: `src/test/resources/interop_fixture.xlsx`
+  *      was written by `tools/check_xlsx.py`'s SEPARATE Python-stdlib
+  *      SpreadsheetML implementation and exercises the parts the Scala
+  *      writer never emits (sharedStrings + rich-text runs, `t="s"`
+  *      cells, sparse rows/headers via `r=` gaps, a formula cell with a
+  *      cached value, a rel-less positional sheet). The reverse direction
+  *      (Python reads a Scala-written file) is run as a dev check —
+  *      `python3 tools/check_xlsx.py read <file>` — and its output is
+  *      recorded in SURVEY §8.
+  */
+class XlsxSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory("graft-xlsx").resolve(name).toString
+
+  test("multi-sheet multi-type workbook round-trips losslessly") {
+    import spark.implicits._
+    val facts = Seq(
+      (1L, 12.5, true, "plain"),
+      (2L, -0.25, false, "  padded  "),
+      (3L, 1e9, true, "specials <&> \"quoted\" и 汉字")
+    ).toDF("id", "ratio", "flag", "label")
+    val dims = Seq(("eu", 7L), ("ap", 9L)).toDF("region", "n")
+    // Deterministic location (not tmp): every test run refreshes the
+    // artifact the manual reverse-interop check reads —
+    //   python3 tools/check_xlsx.py read target/xlsx-interop/roundtrip.xlsx
+    val path = "target/xlsx-interop/roundtrip.xlsx"
+    XlsxWorkbookSink.save(Map("facts" -> facts, "dims" -> dims), path, spark)
+
+    val back = XlsxWorkbookSource.load(spark, path)
+    assert(back.keySet == Set("facts", "dims"))
+    assert(back("facts").schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("id" -> "long", "ratio" -> "double", "flag" -> "boolean", "label" -> "string"))
+    assert(back("facts").orderBy("id").collect().map(_.toSeq).toSeq ==
+      facts.orderBy("id").collect().map(_.toSeq).toSeq)
+    assert(back("dims").orderBy("region").collect().map(_.toSeq).toSeq ==
+      dims.orderBy("region").collect().map(_.toSeq).toSeq)
+  }
+
+  test("nulls survive as typed nulls; all-null columns read as string") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Option.empty[String], Option.empty[Double]),
+      (Option.empty[Long], Some("x"), Option.empty[Double])
+    ).toDF("a", "b", "c")
+    val path = tmp("nulls.xlsx")
+    XlsxWorkbookSink.save(Map("t" -> df), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)("t")
+    assert(back.schema.map(_.dataType.typeName) == Seq("long", "string", "string"))
+    val rows = back.orderBy("a").collect()
+    assert(rows(0).toSeq == Seq(null, "x", null)) // nulls sort first
+    assert(rows(1).toSeq == Seq(1L, null, null))
+  }
+
+  test("31-char sheet-name truncation and ~N collisions apply to xlsx sheets") {
+    import spark.implicits._
+    val a = "t" + ("x" * 35) + "_alpha"
+    val b = "t" + ("x" * 35) + "_beta"
+    val path = tmp("collide.xlsx")
+    XlsxWorkbookSink.save(
+      Map(a -> Seq((1, "a")).toDF("id", "v"), b -> Seq((2, "b")).toDF("id", "v")),
+      path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)
+    // Both tables survive (the reference's mapper.py:134 would have
+    // silently kept one) under distinct <=31-char sheet names.
+    assert(back.size == 2)
+    assert(back.keys.forall(_.length <= 31))
+    assert(back.values.flatMap(_.collect().map(_.getString(1))).toSet == Set("a", "b"))
+  }
+
+  test("independent Python-stdlib producer fixture parses correctly") {
+    val path = getClass.getResource("/interop_fixture.xlsx").getPath
+    val back = XlsxWorkbookSource.load(spark, path)
+    assert(back.keySet == Set("metrics", "notes & caveats"))
+
+    val m = back("metrics")
+    // sharedStrings headers (incl. a rich-text <r>-run value in the body),
+    // a sparse D1 gap -> pandas-style placeholder, E1 present
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("region", "revenue", "ok", "Unnamed: 3", "extra"))
+    assert(m.schema.map(_.dataType.typeName) ==
+      Seq("string", "double", "boolean", "string", "string"))
+    assert(m.orderBy("region").collect().map(_.toSeq).toSeq == Seq(
+      Seq("ap-south", null, false, null, null),   // sparse row: B3 absent
+      Seq("computed", 12.5, true, null, null),    // formula cell cached <v>
+      Seq("eu-west", 12.5, true, null, null)))    // rich-text shared string
+
+    val n = back("notes & caveats")
+    assert(n.schema.fieldNames.toSeq == Seq("note"))
+    // sheet2 has no r= attributes and no rels entry beyond the standard
+    // one; XML entities decode through the escape round-trip
+    assert(n.collect().map(_.getString(0)).toSeq == Seq("7 < 9 & \"q\""))
+  }
+
+  test("date and timestamp columns round-trip as ISO-8601 text") {
+    import spark.implicits._
+    val df = Seq("2026-08-15", "1999-12-31").toDF("s")
+      .selectExpr("cast(s as date) AS d", "cast(concat(s, ' 10:30:00') as timestamp) AS ts")
+    val path = tmp("dates.xlsx")
+    XlsxWorkbookSink.save(Map("t" -> df), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)("t")
+    // documented divergence: text, not Excel 1900-epoch serials
+    assert(back.schema.map(_.dataType.typeName) == Seq("string", "string"))
+    assert(back.orderBy("d").collect().map(_.toSeq).toSeq == Seq(
+      Seq("1999-12-31", "1999-12-31 10:30:00"),
+      Seq("2026-08-15", "2026-08-15 10:30:00")))
+  }
+
+  test("empty workbooks, missing files and non-xlsx bytes fail loudly") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      XlsxWorkbookSink.save(Map.empty, tmp("empty.xlsx"), spark)
+    }
+    intercept[IllegalArgumentException] {
+      XlsxWorkbookSource.load(spark, "/no/such/graft/workbook.xlsx")
+    }
+    val junk = java.nio.file.Files.createTempFile("graft-junk", ".xlsx")
+    java.nio.file.Files.write(junk, "not a zip at all".getBytes)
+    intercept[IllegalArgumentException] {
+      XlsxWorkbookSource.load(spark, junk.toString)
+    }
+  }
+
+  test("Loader dispatches .xlsx: unwraps one sheet, refuses ambiguity") {
+    import spark.implicits._
+    val one = tmp("one.xlsx")
+    XlsxWorkbookSink.save(Map("t" -> Seq((1L, "a")).toDF("id", "v")), one, spark)
+    val df = graft.sources.Loader.load(spark, one)
+    assert(df.collect().map(_.toSeq).toSeq == Seq(Seq(1L, "a")))
+
+    val two = tmp("two.xlsx")
+    XlsxWorkbookSink.save(
+      Map("t1" -> Seq((1L, "a")).toDF("id", "v"),
+        "t2" -> Seq((2L, "b")).toDF("id", "v")), two, spark)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.Loader.load(spark, two)
+    }
+    assert(e.getMessage.contains("XlsxWorkbookSource"))
+  }
+
+  test("column reference arithmetic covers the multi-letter range") {
+    assert(Xlsx.colRef(0) == "A")
+    assert(Xlsx.colRef(25) == "Z")
+    assert(Xlsx.colRef(26) == "AA")
+    assert(Xlsx.colRef(701) == "ZZ")
+    assert(Xlsx.colRef(702) == "AAA")
+    for (i <- Seq(0, 25, 26, 701, 702, 16383))
+      assert(Xlsx.refCol(Xlsx.colRef(i) + "17") == i)
+  }
+}
