@@ -81,7 +81,13 @@ object Pipelines {
   }
 
   /** EP3: schema-map a cleaned frame onto a destination star schema and
-    * vertically partition; optionally sink one dataset per table.
+    * vertically partition; optionally sink one dataset per table. A
+    * `sinkPath` ending in `.xlsx` writes the reference's actual artifact
+    * — one binary workbook, one sheet per table (`mapper.py:123-136`) —
+    * via [[graft.sources.Xlsx]]; any other path gets the data-scale
+    * directory-of-parquet form. Either way an empty mapping sinks
+    * nothing (Excel has no zero-sheet workbook; the dir sink likewise
+    * creates no files).
     */
   def mapPipeline(
       df: DataFrame,
@@ -93,7 +99,11 @@ object Pipelines {
       mapper.mapColumns(cleaned.columns.toSeq, destSchema)
         .collect { case (src, Some(cm)) => src -> cm }
     val tables = SchemaMap.verticalPartition(cleaned, mapping)
-    sinkPath.foreach(p => WorkbookSink.save(tables, p))
+    sinkPath.filter(_ => tables.nonEmpty).foreach { p =>
+      if (p.toLowerCase.endsWith(".xlsx"))
+        graft.sources.Xlsx.write(tables, p, df.sparkSession)
+      else WorkbookSink.save(tables, p)
+    }
     tables
   }
 

@@ -63,6 +63,22 @@ class PipelinesSpec extends AnyFunSuite {
     assert(loaded("DIM_Trip").count() == tables("DIM_Trip").count())
   }
 
+  test("EP3 with an .xlsx sinkPath writes the reference's binary workbook") {
+    val df = graft.sources.Loader.load(spark, csvPath)
+    val dest = Map(
+      "FACT_Expense" -> Seq("amount_clean", "merchant"),
+      "DIM_Trip" -> Seq("trip_date"))
+    val sink = Files.createTempDirectory("graft-wb-x").toString + "/report.xlsx"
+    val tables = Pipelines.mapPipeline(df, dest, sinkPath = Some(sink))
+    // one binary file, one sheet per destination table, readable back
+    // through the xlsx half of the workbook seam
+    val loaded = graft.sources.XlsxWorkbookSource.load(spark, sink)
+    assert(loaded.keySet == Set("FACT_Expense", "DIM_Trip"))
+    assert(loaded("DIM_Trip").count() == tables("DIM_Trip").count())
+    assert(loaded("FACT_Expense").columns.sorted.toSeq ==
+      Seq("amount_clean", "merchant"))
+  }
+
   test("S6 CSV sink roundtrip through the extension-dispatched loader") {
     val df = graft.sources.Loader.load(spark, csvPath)
     val cleaned = Pipelines.cleanPipeline(spark, csvPath).df
