@@ -81,20 +81,25 @@ object Cleaning {
         col("ship_date_ms").asc_nulls_first, col("note").asc_nulls_first)
   }
 
-  /** S2/S7 workbook namespace, oracle-gated end to end: write nation+region
-    * into a directory-of-tables workbook via [[graft.sources.WorkbookSink]],
-    * load the namespace back via [[graft.sources.DirWorkbookSource]], and
-    * aggregate across the two sheets — the oracle recomputes the same
-    * answer straight from the original tables, so any loss or corruption in
-    * the sink→source roundtrip breaks the hash.
+  /** S2/S7 workbook namespace, oracle-gated end to end — BOTH forms of the
+    * seam in one hash: nation round-trips through the binary `.xlsx` codec
+    * ([[graft.sources.XlsxWorkbookSink]]/[[graft.sources.XlsxWorkbookSource]]
+    * — 25 rows of real table data through zip + SpreadsheetML and back),
+    * region through the directory-of-tables form
+    * ([[graft.sources.WorkbookSink]]/[[graft.sources.DirWorkbookSource]]),
+    * and the two reloaded namespaces join — the oracle recomputes the same
+    * answer straight from the original parquet tables, so any loss or
+    * corruption in EITHER sink→source roundtrip breaks the hash.
     */
   def workbookRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = s"$FixtureDir/workbook"
+    graft.sources.XlsxWorkbookSink.save(
+      Map("nation" -> t(spark, dir, "nation")), s"$path.xlsx", spark)
     graft.sources.WorkbookSink.save(
-      Map("nation" -> t(spark, dir, "nation"), "region" -> t(spark, dir, "region")),
-      path)
+      Map("region" -> t(spark, dir, "region")), path)
+    val xwb = graft.sources.XlsxWorkbookSource.load(spark, s"$path.xlsx")
     val wb = graft.sources.DirWorkbookSource.load(spark, path)
-    wb("nation")
+    xwb("nation")
       .join(broadcast(wb("region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"))
       .agg(count(lit(1)).as("n_nations"))

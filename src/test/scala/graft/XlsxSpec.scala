@@ -150,6 +150,58 @@ class XlsxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("XlsxWorkbookSource"))
   }
 
+  test("property: random schemas and values round-trip exactly (seeded trials)") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(41)
+    // Letters guarantee a string column never reads back as numeric
+    // (read_excel-style inference is part of the contract under test).
+    val alphabet = "abλдZ字 <>&\"'\t" // incl. XML specials + whitespace
+    def randString(): String =
+      "s" + Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    for (trial <- 1 to 5) {
+      val width = 1 + rnd.nextInt(5)
+      val dts: Seq[DataType] = Seq.fill(width)(rnd.nextInt(4) match {
+        case 0 => LongType
+        case 1 => DoubleType
+        case 2 => BooleanType
+        case 3 => StringType
+      })
+      val schema = StructType(dts.zipWithIndex.map { case (t, i) =>
+        StructField(s"col $i &<${i}>", t, nullable = true)
+      })
+      val nRows = rnd.nextInt(40)
+      val data: Seq[Row] = Seq.fill(nRows)(Row.fromSeq(dts.map { t =>
+        if (rnd.nextInt(5) == 0) null
+        else t match {
+          case LongType => rnd.nextLong()
+          case DoubleType => rnd.nextDouble() * math.pow(10, rnd.nextInt(9)) - 500
+          case BooleanType => rnd.nextBoolean()
+          case StringType => randString()
+        }
+      }))
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(data, 2), schema)
+      val path = tmp(s"prop$trial.xlsx")
+      XlsxWorkbookSink.save(Map("t" -> df), path, spark)
+      val back = XlsxWorkbookSource.load(spark, path)("t")
+      assert(back.schema.fieldNames.toSeq == schema.fieldNames.toSeq,
+        s"trial $trial header")
+      // All-null and empty columns legitimately read back as string; any
+      // column with >=1 value must keep its exact type.
+      dts.zipWithIndex.foreach { case (t, i) =>
+        val hasValue = data.exists(_.get(i) != null)
+        val got = back.schema.fields(i).dataType
+        assert(if (hasValue) got == t else got == StringType,
+          s"trial $trial col $i: wrote $t (hasValue=$hasValue), read $got")
+      }
+      // row multisets equal (no ordering guarantee through parallelize)
+      def key(r: Row) = r.toSeq.map(v => if (v == null) " " else v.toString).mkString("|")
+      assert(back.collect().map(key).sorted.toSeq == data.map(key).sorted,
+        s"trial $trial values")
+    }
+  }
+
   test("column reference arithmetic covers the multi-letter range") {
     assert(Xlsx.colRef(0) == "A")
     assert(Xlsx.colRef(25) == "Z")
