@@ -325,6 +325,7 @@ object Xlsx {
               case "s" => shared(c.text.trim.toInt)
               case "inlineStr" | "str" => c.text
               case "b" => c.text.trim == "1" || c.text.trim.equalsIgnoreCase("true")
+              case "e" => null // error cells (#DIV/0!, #N/A, ...) — no value
               case _ => if (c.text.isEmpty) null else c.text // numeric kept as text; typed later
             }
             if (c.col < width) arr(c.col) = v

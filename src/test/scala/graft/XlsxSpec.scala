@@ -95,6 +95,7 @@ class XlsxSpec extends AnyFunSuite {
     assert(m.orderBy("region").collect().map(_.toSeq).toSeq == Seq(
       Seq("ap-south", null, false, null, null),   // sparse row: B3 absent
       Seq("computed", 12.5, true, null, null),    // formula cell cached <v>
+      Seq("errored", null, false, null, null),    // t="e" error cell -> null
       Seq("eu-west", 12.5, true, null, null)))    // rich-text shared string
 
     val n = back("notes & caveats")

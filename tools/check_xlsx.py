@@ -125,6 +125,7 @@ def write(path):
         '<row r="2"><c r="A2" t="s"><v>3</v></c><c r="B2"><v>12.5</v></c><c r="C2" t="b"><v>1</v></c></row>'
         '<row r="3"><c r="A3" t="inlineStr"><is><t>ap-south</t></is></c><c r="C3" t="b"><v>0</v></c></row>'
         '<row r="4"><c r="A4" t="str"><v>computed</v></c><c r="B4"><f>SUM(B2:B3)</f><v>12.5</v></c><c r="C4" t="b"><v>1</v></c></row>'
+        '<row r="5"><c r="A5" t="inlineStr"><is><t>errored</t></is></c><c r="B5" t="e"><v>#DIV/0!</v></c><c r="C5" t="b"><v>0</v></c></row>'
         "</sheetData></worksheet>",
     )
     # sheet2: minimal inline sheet, no r= attributes at all
