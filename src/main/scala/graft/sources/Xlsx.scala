@@ -26,9 +26,15 @@ import org.apache.spark.sql.types._
   *     self-contained rows, no shared-strings table to coordinate, valid
   *     per spec and read by Excel/pandas/LibreOffice alike.
   *   - The READER additionally handles the `t="s"` shared-strings
-  *     indirection, `t="b"`, `t="str"` (formula caches) and bare numeric
-  *     cells, plus sparse rows via the `r="D7"` cell references — i.e.
-  *     files produced by Excel itself, not just by this writer. The
+  *     indirection, `t="b"`, `t="str"` (formula caches), `t="e"` error
+  *     cells (→ null) and bare numeric cells, plus sparse rows via the
+  *     `r="D7"` cell references, plus Excel-native DATE cells: a numeric
+  *     cell whose `s=` style resolves to a date/time number format
+  *     (builtin ids or the y/m/d/h/s custom-code heuristic) has its
+  *     serial decoded to ISO text under the 1900 system — phantom-day
+  *     boundary included — or the 1904 system when `workbookPr
+  *     date1904` says so. I.e. files produced by Excel itself, not
+  *     just by this writer. The
   *     independent-producer contract is pinned by a committed fixture
   *     written by `tools/check_xlsx.py`'s SEPARATE Python-stdlib
   *     implementation (XlsxSpec), the strongest cross-check available
@@ -266,6 +272,90 @@ object Xlsx {
     }
   }
 
+  // -------------------------------------------------- date-serial decode
+
+  /** Style indices (cellXfs order) whose number format renders as a date
+    * or time — the only way Excel marks a date cell, since the stored
+    * value is just a serial number. Builtin ids 14–22/27–36/45–47/50–58
+    * are date/time formats; a custom format is date-like when its code
+    * contains a y/m/d/h/s token outside quoted literals and `[...]`
+    * sections (the same heuristic POI's `isADateFormat` uses).
+    */
+  private def dateStyles(parts: Map[String, Array[Byte]]): IndexedSeq[Boolean] =
+    parts.get("xl/styles.xml").fold(IndexedSeq.empty[Boolean]) { bytes =>
+      val r = stax(bytes)
+      val custom = mutable.Map.empty[Int, String]
+      val xfIds = mutable.ArrayBuffer.empty[Int]
+      var inCellXfs = false
+      try {
+        while (r.hasNext) {
+          r.next() match {
+            case javax.xml.stream.XMLStreamConstants.START_ELEMENT =>
+              r.getLocalName match {
+                case "numFmt" =>
+                  custom(r.getAttributeValue(null, "numFmtId").toInt) =
+                    Option(r.getAttributeValue(null, "formatCode")).getOrElse("")
+                case "cellXfs" => inCellXfs = true
+                case "xf" if inCellXfs =>
+                  xfIds += Option(r.getAttributeValue(null, "numFmtId"))
+                    .map(_.toInt).getOrElse(0)
+                case _ => ()
+              }
+            case javax.xml.stream.XMLStreamConstants.END_ELEMENT
+                if r.getLocalName == "cellXfs" => inCellXfs = false
+            case _ => ()
+          }
+        }
+      } finally { r.close() }
+      def dateLike(id: Int): Boolean =
+        (id >= 14 && id <= 22) || (id >= 27 && id <= 36) ||
+          (id >= 45 && id <= 47) || (id >= 50 && id <= 58) ||
+          custom.get(id).exists { code =>
+            val stripped = code
+              .replaceAll("\"[^\"]*\"", "") // quoted literals
+              .replaceAll("\\[[^\\]]*\\]", "") // colors/conditions/elapsed
+              .replaceAll("\\\\.", "") // escaped chars
+            stripped.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+          }
+      xfIds.map(dateLike).toIndexedSeq
+    }
+
+  /** Whether `xl/workbook.xml` declares the legacy Mac 1904 date system. */
+  private def is1904(wb: Array[Byte]): Boolean = {
+    val r = stax(wb)
+    try {
+      while (r.hasNext) {
+        if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "workbookPr") {
+          val v = Option(r.getAttributeValue(null, "date1904")).getOrElse("false")
+          return v == "1" || v.equalsIgnoreCase("true")
+        }
+      }
+      false
+    } finally { r.close() }
+  }
+
+  /** Excel serial → the codec's ISO text convention: date-only when the
+    * time-of-day fraction is zero, else `yyyy-MM-dd HH:mm:ss` (rounded to
+    * the second — serials carry ~microsecond noise from binary fractions).
+    * 1900 system epoch is 1899-12-30 for serials ≥ 61; 1..60 sit before
+    * Lotus's phantom 1900-02-29 and shift by one (1899-12-31). The 1904
+    * system has no phantom day.
+    */
+  private[graft] def serialToIso(serial: Double, date1904: Boolean): String = {
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400L)
+    val epochDays =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1).toEpochDay
+      else if (days >= 61) java.time.LocalDate.of(1899, 12, 30).toEpochDay
+      else java.time.LocalDate.of(1899, 12, 31).toEpochDay
+    val carry = secs / 86400 // rounding can tip into the next day
+    val d = java.time.LocalDate.ofEpochDay(epochDays + days + carry)
+    val s = secs % 86400
+    if (s == 0) d.toString
+    else "%s %02d:%02d:%02d".format(d, s / 3600, (s % 3600) / 60, s % 60)
+  }
+
   /** `"D7"` → 0-based column index 3. */
   private[graft] def refCol(ref: String): Int = {
     var i = 0; var n = 0
@@ -275,10 +365,14 @@ object Xlsx {
     n - 1
   }
 
-  /** One parsed cell: 0-based column, raw text, cell type attribute. */
-  private case class Cell(col: Int, text: String, t: String)
+  /** One parsed cell: 0-based column, raw text, cell type attribute,
+    * style index (−1 when absent).
+    */
+  private case class Cell(col: Int, text: String, t: String, style: Int)
 
-  private def sheetRows(bytes: Array[Byte], shared: IndexedSeq[String]): Seq[Seq[Any]] = {
+  private def sheetRows(
+      bytes: Array[Byte], shared: IndexedSeq[String],
+      dateFlags: IndexedSeq[Boolean], date1904: Boolean): Seq[Seq[Any]] = {
     val r = stax(bytes)
     val rows = mutable.ArrayBuffer.empty[Seq[Any]]
     try {
@@ -293,6 +387,8 @@ object Xlsx {
               case javax.xml.stream.XMLStreamConstants.START_ELEMENT if r.getLocalName == "c" =>
                 val ref = Option(r.getAttributeValue(null, "r"))
                 val t = Option(r.getAttributeValue(null, "t")).getOrElse("")
+                val style = Option(r.getAttributeValue(null, "s"))
+                  .flatMap(_.toIntOption).getOrElse(-1)
                 val col = ref.map(refCol).getOrElse(nextCol)
                 nextCol = col + 1
                 // subtreeText over <c> concatenates its <v> (or <is> runs);
@@ -312,7 +408,7 @@ object Xlsx {
                 }
                 // the <c> subtree (incl. its END_ELEMENT) is fully consumed
                 // above, so row depth is unchanged here
-                cells += Cell(col, text, t)
+                cells += Cell(col, text, t, style)
               case javax.xml.stream.XMLStreamConstants.START_ELEMENT => depth += 1
               case javax.xml.stream.XMLStreamConstants.END_ELEMENT => depth -= 1
               case _ => ()
@@ -326,7 +422,15 @@ object Xlsx {
               case "inlineStr" | "str" => c.text
               case "b" => c.text.trim == "1" || c.text.trim.equalsIgnoreCase("true")
               case "e" => null // error cells (#DIV/0!, #N/A, ...) — no value
-              case _ => if (c.text.isEmpty) null else c.text // numeric kept as text; typed later
+              case _ =>
+                if (c.text.isEmpty) null
+                // A numeric cell whose style carries a date/time number
+                // format IS a date: decode the serial to the codec's ISO
+                // text convention. Everything else stays text; typed later.
+                else if (c.style >= 0 && c.style < dateFlags.length &&
+                  dateFlags(c.style) && c.text.trim.toDoubleOption.isDefined)
+                  serialToIso(c.text.trim.toDouble, date1904)
+                else c.text
             }
             if (c.col < width) arr(c.col) = v
           }
@@ -424,13 +528,15 @@ object Xlsx {
       out.toMap
     }
     val shared = sharedStrings(parts)
+    val dateFlags = dateStyles(parts)
+    val date1904 = is1904(wb)
     val result = mutable.LinkedHashMap.empty[String, DataFrame]
     sheets.zipWithIndex.foreach { case ((name, rid), i) =>
       // Fall back to positional naming when rels are absent (some minimal
       // producers omit them and rely on the sheetN convention).
       val partName = rels.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml")
       parts.get(partName).foreach { bytes =>
-        val all = sheetRows(bytes, shared)
+        val all = sheetRows(bytes, shared, dateFlags, date1904)
         val headerRow = all.headOption.getOrElse(Seq.empty)
         val header = headerRow.zipWithIndex.map {
           case (null, j) => s"Unnamed: $j"

@@ -83,7 +83,7 @@ class XlsxSpec extends AnyFunSuite {
   test("independent Python-stdlib producer fixture parses correctly") {
     val path = getClass.getResource("/interop_fixture.xlsx").getPath
     val back = XlsxWorkbookSource.load(spark, path)
-    assert(back.keySet == Set("metrics", "notes & caveats"))
+    assert(back.keySet == Set("metrics", "notes & caveats", "dates"))
 
     val m = back("metrics")
     // sharedStrings headers (incl. a rich-text <r>-run value in the body),
@@ -103,6 +103,32 @@ class XlsxSpec extends AnyFunSuite {
     // sheet2 has no r= attributes and no rels entry beyond the standard
     // one; XML entities decode through the escape round-trip
     assert(n.collect().map(_.getString(0)).toSeq == Seq("7 < 9 & \"q\""))
+
+    // sheet3: styled numeric cells are Excel-native date serials — the
+    // builtin date format (14) and a custom datetime format both decode
+    // to the codec's ISO text convention, while the UNstyled serial in
+    // the same row stays a number. A datetime-formatted serial with a
+    // zero time fraction reads date-only (documented heuristic).
+    val d = back("dates")
+    assert(d.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq("day" -> "string", "at" -> "string", "serial" -> "long"))
+    assert(d.orderBy("day").collect().map(_.toSeq).toSeq == Seq(
+      Seq("1999-12-31", "1999-12-31", 36525L),
+      Seq("2026-08-15", "2026-08-15 10:30:00", 46249L)))
+  }
+
+  test("date-serial decode: epoch rules, phantom-day boundary, 1904 system") {
+    // 1900 system: serial 61 = 1900-03-01 (post-phantom epoch 1899-12-30);
+    // serials 1..60 shift one day (1 = 1900-01-01)
+    assert(Xlsx.serialToIso(61, date1904 = false) == "1900-03-01")
+    assert(Xlsx.serialToIso(1, date1904 = false) == "1900-01-01")
+    assert(Xlsx.serialToIso(59, date1904 = false) == "1900-02-28")
+    // 1904 system: serial 0 = 1904-01-01, no phantom day
+    assert(Xlsx.serialToIso(0, date1904 = true) == "1904-01-01")
+    assert(Xlsx.serialToIso(366, date1904 = true) == "1905-01-01")
+    // time fractions round to the second; .999999 of a day carries over
+    assert(Xlsx.serialToIso(46249.4375, date1904 = false) == "2026-08-15 10:30:00")
+    assert(Xlsx.serialToIso(46249.9999999, date1904 = false) == "2026-08-16")
   }
 
   test("date and timestamp columns round-trip as ISO-8601 text") {

@@ -83,7 +83,9 @@ def write(path):
         '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
         '<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         '<Override PartName="/xl/worksheets/sheet2.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
+        '<Override PartName="/xl/worksheets/sheet3.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>'
         '<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>'
+        '<Override PartName="/xl/styles.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.styles+xml"/>'
         "</Types>"
     )
     part(z, "[Content_Types].xml", ct)
@@ -99,6 +101,7 @@ def write(path):
         'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>'
         '<sheet name="metrics" sheetId="1" r:id="rId1"/>'
         '<sheet name="notes &amp; caveats" sheetId="2" r:id="rId2"/>'
+        '<sheet name="dates" sheetId="3" r:id="rId3"/>'
         "</sheets></workbook>",
     )
     part(
@@ -106,7 +109,19 @@ def write(path):
         '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
         '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>'
         '<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/>'
+        '<Relationship Id="rId3" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet3.xml"/>'
         "</Relationships>",
+    )
+    # styles: xf 0 = general, xf 1 = builtin date (14), xf 2 = custom datetime
+    part(
+        z, "xl/styles.xml",
+        '<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd hh:mm:ss"/></numFmts>'
+        '<cellXfs count="3">'
+        '<xf numFmtId="0" fontId="0" fillId="0" borderId="0"/>'
+        '<xf numFmtId="14" fontId="0" fillId="0" borderId="0" applyNumberFormat="1"/>'
+        '<xf numFmtId="164" fontId="0" fillId="0" borderId="0" applyNumberFormat="1"/>'
+        "</cellXfs></styleSheet>",
     )
     # shared strings: the indirection the Scala writer never emits
     part(
@@ -126,6 +141,18 @@ def write(path):
         '<row r="3"><c r="A3" t="inlineStr"><is><t>ap-south</t></is></c><c r="C3" t="b"><v>0</v></c></row>'
         '<row r="4"><c r="A4" t="str"><v>computed</v></c><c r="B4"><f>SUM(B2:B3)</f><v>12.5</v></c><c r="C4" t="b"><v>1</v></c></row>'
         '<row r="5"><c r="A5" t="inlineStr"><is><t>errored</t></is></c><c r="B5" t="e"><v>#DIV/0!</v></c><c r="C5" t="b"><v>0</v></c></row>'
+        "</sheetData></worksheet>",
+    )
+    # sheet3: Excel-native date serials — styled numeric cells (builtin
+    # date format 14 and a custom datetime format), plus an UNstyled
+    # numeric that must stay a number. Serials computed for the 1900
+    # system: 46249 = 2026-08-15, 36525 = 1999-12-31, .4375 = 10:30:00.
+    part(
+        z, "xl/worksheets/sheet3.xml",
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>day</t></is></c><c r="B1" t="inlineStr"><is><t>at</t></is></c><c r="C1" t="inlineStr"><is><t>serial</t></is></c></row>'
+        '<row r="2"><c r="A2" s="1"><v>46249</v></c><c r="B2" s="2"><v>46249.4375</v></c><c r="C2"><v>46249</v></c></row>'
+        '<row r="3"><c r="A3" s="1"><v>36525</v></c><c r="B3" s="2"><v>36525</v></c><c r="C3"><v>36525</v></c></row>'
         "</sheetData></worksheet>",
     )
     # sheet2: minimal inline sheet, no r= attributes at all
