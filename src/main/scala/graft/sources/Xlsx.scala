@@ -119,9 +119,14 @@ object Xlsx {
       s"""<c r="$ref" t="inlineStr"><is><t$sp>${esc(s)}</t></is></c>"""
   }
 
-  private def sheetXml(df: DataFrame, table: String): Array[Byte] = {
-    val out = new ByteArrayOutputStream(64 * 1024)
-    val w = new java.io.OutputStreamWriter(out, UTF_8)
+  /** Stream one sheet's XML straight into the (already-opened) zip entry
+    * — never materialized as a whole: at the 1,048,576-row cap a buffered
+    * sheet XML would be hundreds of driver-heap MB, while this path holds
+    * one `toLocalIterator` partition plus the writer's buffer.
+    */
+  private def sheetXml(df: DataFrame, table: String, out: java.io.OutputStream): Unit = {
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(out, UTF_8), 64 * 1024)
     w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
     w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
     val names = df.schema.fieldNames
@@ -148,8 +153,7 @@ object Xlsx {
       w.write("</row>")
     }
     w.write("</sheetData></worksheet>")
-    w.flush()
-    out.toByteArray
+    w.flush() // flush the writer, but the zip entry/stream stays open for the caller
   }
 
   /** Write `tables` as one `.xlsx` at `path` (any Hadoop-reachable URI).
@@ -199,7 +203,9 @@ object Xlsx {
             s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""").mkString +
           """</Relationships>""").getBytes(UTF_8))
       ordered.zipWithIndex.foreach { case ((t, df), i) =>
-        part(s"xl/worksheets/sheet${i + 1}.xml", sheetXml(df, t))
+        zip.putNextEntry(new ZipEntry(s"xl/worksheets/sheet${i + 1}.xml"))
+        sheetXml(df, t, zip)
+        zip.closeEntry()
       }
     } finally { zip.close() }
   }
