@@ -117,10 +117,19 @@ object WorkbookSink {
     * from the reference, whose `mapper.py:134` truncation silently
     * overwrites earlier sheets — data loss a sink must never commit.
     */
-  def sheetNames(tables: Seq[String]): Map[String, String] = {
+  def sheetNames(tables: Seq[String]): Map[String, String] =
+    sheetNames(tables, identity)
+
+  /** As above with a pre-transform applied before truncation — e.g.
+    * [[Xlsx.sanitizeSheetName]]'s forbidden-character mapping. Collision
+    * handling runs on the TRANSFORMED names, so two tables that collide
+    * only after the transform still get distinct `~N` suffixes, keyed by
+    * their original names.
+    */
+  def sheetNames(tables: Seq[String], prep: String => String): Map[String, String] = {
     val used = scala.collection.mutable.Set.empty[String]
     tables.sorted.map { t =>
-      val base = sheetName(t)
+      val base = sheetName(prep(t))
       val name =
         if (!used(base)) base
         else Iterator.from(1)

@@ -56,11 +56,14 @@ object Xlsx {
   /** Excel's hard per-sheet row capacity (2^20, header row included). */
   val MaxRows: Int = 1048576
 
-  /** Zip-bomb / driver-heap guard: decompressed size cap per zip part.
-    * Generous for any real report workbook (a 256 MB sheet XML is ~1M
-    * rows of wide text) while bounding a hostile crafted file.
+  /** Zip-bomb / driver-heap guards: decompressed size caps per zip part
+    * and across the whole archive. Generous for any real report workbook
+    * (a 256 MB sheet XML is ~1M rows of wide text) while bounding a
+    * hostile crafted file — per-part alone would still admit a
+    * thousand-part bomb.
     */
   val MaxPartBytes: Long = 256L * 1024 * 1024
+  val MaxTotalBytes: Long = 1024L * 1024 * 1024
 
   // ---------------------------------------------------------------- write
 
@@ -156,15 +159,26 @@ object Xlsx {
     w.flush() // flush the writer, but the zip entry/stream stays open for the caller
   }
 
+  /** Characters Excel rejects in sheet names (plus the apostrophe rule:
+    * a leading/trailing `'` breaks workbook-scope references). Mapped to
+    * `_` BEFORE the shared truncation/collision pass, so two tables that
+    * sanitize to the same name still get distinct `~N` suffixes.
+    */
+  private[graft] def sanitizeSheetName(table: String): String = {
+    val s = table.map(c => if (":\\/?*[]".indexOf(c) >= 0) '_' else c)
+    val t = (if (s.startsWith("'")) "_" + s.drop(1) else s)
+    if (t.endsWith("'")) t.dropRight(1) + "_" else t
+  }
+
   /** Write `tables` as one `.xlsx` at `path` (any Hadoop-reachable URI).
     * Sheet order and `~N` collision handling follow
     * [[WorkbookSink.sheetNames]] — sorted table name order, same rule as
     * the directory sink, so the two representations never disagree on
-    * naming.
+    * naming — applied AFTER Excel's forbidden-character sanitation.
     */
   def write(tables: Map[String, DataFrame], path: String, spark: SparkSession): Unit = {
     require(tables.nonEmpty, "refusing to write an empty workbook (Excel requires >=1 sheet)")
-    val names = WorkbookSink.sheetNames(tables.keys.toSeq)
+    val names = WorkbookSink.sheetNames(tables.keys.toSeq, sanitizeSheetName)
     val ordered = tables.toSeq.sortBy(_._1)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -215,6 +229,7 @@ object Xlsx {
   private def readParts(in: java.io.InputStream): Map[String, Array[Byte]] = {
     val zip = new ZipInputStream(in, UTF_8)
     val parts = mutable.Map.empty[String, Array[Byte]]
+    var total = 0L
     try {
       var e = zip.getNextEntry
       while (e != null) {
@@ -224,8 +239,11 @@ object Xlsx {
           var read = zip.read(chunk)
           while (read >= 0) {
             buf.write(chunk, 0, read)
+            total += read
             if (buf.size() > MaxPartBytes) throw new IllegalArgumentException(
               s"xlsx part ${e.getName} exceeds the $MaxPartBytes-byte decompressed cap")
+            if (total > MaxTotalBytes) throw new IllegalArgumentException(
+              s"xlsx archive exceeds the $MaxTotalBytes-byte total decompressed cap")
             read = zip.read(chunk)
           }
           parts(e.getName) = buf.toByteArray

@@ -229,6 +229,21 @@ class XlsxSpec extends AnyFunSuite {
     }
   }
 
+  test("forbidden sheet-name characters sanitize; post-sanitize collisions stay distinct") {
+    import spark.implicits._
+    assert(Xlsx.sanitizeSheetName("a:b\\c/d?e*f[g]h") == "a_b_c_d_e_f_g_h")
+    assert(Xlsx.sanitizeSheetName("'quoted'") == "_quoted_")
+    // "a/b" and "a:b" both sanitize to "a_b" — distinct sheets required
+    val path = tmp("sanitize.xlsx")
+    XlsxWorkbookSink.save(
+      Map("a/b" -> Seq((1L, "x")).toDF("id", "v"),
+        "a:b" -> Seq((2L, "y")).toDF("id", "v")), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)
+    assert(back.size == 2)
+    assert(back.keySet.exists(_.startsWith("a_b")))
+    assert(back.values.flatMap(_.collect().map(_.getString(1))).toSet == Set("x", "y"))
+  }
+
   test("column reference arithmetic covers the multi-letter range") {
     assert(Xlsx.colRef(0) == "A")
     assert(Xlsx.colRef(25) == "Z")
