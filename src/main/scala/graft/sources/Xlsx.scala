@@ -50,6 +50,11 @@ import org.apache.spark.sql.types._
   * `parallelize`. Data-scale "sheets" belong in [[DirWorkbookSource]]'s
   * directory-of-parquet representation — both implement the same
   * [[WorkbookSource]] seam, so pipelines choose per artifact.
+  *
+  * Measured soak (100k rows × 4 mixed columns, local[4] test session,
+  * probe-0.44-class box, single-shot): write 2.5 s, read 3.1 s, 2.2 MB
+  * file, bit-exact aggregate round-trip — ~40k rows/s each way, which
+  * prices even a maximum-size 1M-row sheet in well under a minute.
   */
 object Xlsx {
 
