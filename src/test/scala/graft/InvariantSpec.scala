@@ -365,6 +365,52 @@ class InvariantSpec extends AnyFunSuite {
     assert(r.getDouble(4) == math.rint(4.0 / 13.0 * 1e6) / 1e6)
   }
 
+  test("t21 BPE training equals a naive in-memory trainer on random corpora") {
+    import spark.implicits._
+    // Naive mirror of the distributed trainer's exact semantics: weighted
+    // OVERLAPPING 2-gram counts over the distinct-token vocab, election by
+    // (count desc, decoded label asc), leftmost non-overlapping replace of
+    // the raw pair with the step's sentinel digit, drop merged-away
+    // tokens. Random corpora in the dd5/gr5/sim6 property convention.
+    def naive(tokens: Seq[String], k: Int): Seq[(Long, String, String, Long)] = {
+      var vocab = tokens.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+      val units = scala.collection.mutable.LinkedHashMap[Char, String]()
+      def dec(c: Char): String = units.getOrElse(c, c.toString)
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var dry = false
+      for (i <- 0 until k if !dry) {
+        val counts = scala.collection.mutable.Map.empty[String, Long]
+        vocab.foreach { case (t, w) =>
+          t.sliding(2).filter(_.length == 2).foreach(rp =>
+            counts(rp) = counts.getOrElse(rp, 0L) + w)
+        }
+        if (counts.isEmpty) dry = true
+        else {
+          val (rp, n) = counts.toSeq
+            .map { case (rp, n) => (rp, n, dec(rp(0)) + "+" + dec(rp(1))) }
+            .sortBy { case (_, n, label) => (-n, label) }
+            .map { case (rp, n, _) => (rp, n) }.head
+          out += ((i.toLong, dec(rp(0)) + "+" + dec(rp(1)), dec(rp(0)) + dec(rp(1)), n))
+          units += (('0' + i).toChar -> (dec(rp(0)) + dec(rp(1))))
+          vocab = vocab.toSeq
+            .map { case (t, w) => t.replace(rp, i.toString) -> w }
+            .filter(_._1.length >= 2)
+            .groupBy(_._1).map { case (t, g) => t -> g.map(_._2).sum }
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      val alphabet = "abcd"
+      val tokens = Seq.fill(60)(
+        Seq.fill(2 + rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val got = TextAnalysis.bpeTrainSteps(tokens.toDF("token"), 6).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(got == naive(tokens, 6), s"trial $trial, corpus $tokens")
+    }
+  }
+
   test("t21 BPE training: elected counts are monotone non-increasing (real corpus)") {
     // a merge only removes old adjacencies, and every new pair contains
     // the new unit (count ≤ the elected count) — so the elected maximum
