@@ -114,6 +114,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.length >= batch.length - nUsers)
   }
 
+  test("sessionization == naive gap fold on seeded random in-order streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Random corpora in the dd5/gr5/t21 property convention. In-order
+    // arrival (batches sliced from the globally ts-sorted stream) means
+    // no late drops, so EVERY naive session must be emitted once two
+    // sentinel batches push the watermark past all real sessions' gaps
+    // (the timeout fires on the batch AFTER the watermark advances).
+    val rnd = new scala.util.Random(17)
+    val base = 1704103200000L
+    val gap = Sessionize.DefaultGapMs
+    for (trial <- 1 to 3) {
+      val events = (1L to 4L).flatMap { u =>
+        rnd.shuffle((0 until 400).toList).take(10 + rnd.nextInt(11))
+          .map(min => SEvent(u, new java.sql.Timestamp(base + min * 60000L),
+            math.rint(rnd.nextDouble() * 100) / 4))
+      }.sortBy(_.ts.getTime)
+      // naive per-user gap fold over the sorted history
+      val naive = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val sorted = evs.sortBy(_.ts.getTime)
+        val out = Seq.newBuilder[(Long, Long, Long, Long, Double)]
+        var (start, last, n, tot) = (0L, Long.MinValue, 0L, 0.0)
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          if (n == 0L) { start = ms; last = ms; n = 1; tot = e.value }
+          else if (ms < last + gap) { last = math.max(last, ms); n += 1; tot += e.value }
+          else {
+            out += ((u, start, last + gap, n, tot))
+            start = ms; last = ms; n = 1; tot = e.value
+          }
+        }
+        if (n > 0) out += ((u, start, last + gap, n, tot))
+        out.result()
+      }.toSet
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(3)(rnd.nextInt(events.length + 1))).distinct.sorted
+      val input = MemoryStream[SEvent]
+      val q = Sessionize.sessions(input.toDS())
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"rand_sessions_$trial")
+        .start()
+      try {
+        cuts.sliding(2).foreach { case Seq(a, b) =>
+          if (b > a) { input.addData(events.slice(a, b)); q.processAllAvailable() }
+        }
+        val far = events.last.ts.getTime + 120 * 60000L
+        input.addData(SEvent(999L, new java.sql.Timestamp(far), 0.0))
+        q.processAllAvailable()
+        input.addData(SEvent(999L, new java.sql.Timestamp(far + 60000L), 0.0))
+        q.processAllAvailable()
+      } finally q.stop()
+      val emitted = spark.table(s"rand_sessions_$trial").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_ms"),
+          r.getAs[Long]("session_end_ms"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))
+        .filter(_._1 != 999L).toSet
+      assert(emitted == naive, s"trial $trial: " +
+        s"missing ${naive -- emitted}, extra ${emitted -- naive}")
+    }
+  }
+
   test("stream-stream interval join == batch interval join") {
     // single file -> single micro-batch: both sides' state sees all rows,
     // so the join must emit exactly the batch result (multi-file runs shed
