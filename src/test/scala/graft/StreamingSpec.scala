@@ -1007,6 +1007,57 @@ class StreamingSpec extends AnyFunSuite {
       s"$streamCounts vs $batchCounts")
   }
 
+  test("funnel stream == batch funnelCore on seeded random in-order streams") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Random event histories (distinct seconds per user, so in-order
+    // slicing preserves per-user order), random micro-batch cuts: the
+    // streamed stage advances must be strictly monotone per user and
+    // their stage counts must equal the oracle-gated batch funnel's.
+    val rnd = new scala.util.Random(29)
+    val types = Seq("view", "click", "purchase", "noise")
+    for (trial <- 1 to 3) {
+      val events = (1L to 6L).flatMap { u =>
+        rnd.shuffle((0 until 300).toList).take(8 + rnd.nextInt(10))
+          .map(s => graft.streaming.FEvent(u, u * 1000 + s,
+            new java.sql.Timestamp(1700000000000L + s * 1000L),
+            types(rnd.nextInt(types.length))))
+      }.sortBy(_.ts.getTime)
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(3)(rnd.nextInt(events.length + 1))).distinct.sorted
+      val got = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+      val input = MemoryStream[graft.streaming.FEvent]
+      val q = graft.streaming.FunnelStream.advances(input.toDS())
+        .writeStream.outputMode("append")
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[graft.streaming.FunnelAdvance],
+              _: Long) =>
+            got.synchronized { got ++= batch.collect()
+              .map(a => (a.user_id, a.stage, a.at_ms)) }
+            ()
+        }.start()
+      try cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { input.addData(events.slice(a, b)); q.processAllAvailable() }
+      } finally q.stop()
+      // strictly monotone per user: stages 1..k, strictly increasing times
+      got.groupBy(_._1).foreach { case (u, adv) =>
+        val byStage = adv.sortBy(_._2)
+        assert(byStage.map(_._2) == (1 to byStage.length), s"trial $trial user $u")
+        val times = byStage.map(_._3).toSeq
+        assert(times.zip(times.drop(1)).forall { case (x, y) => x < y },
+          s"trial $trial user $u times")
+      }
+      val all = events.map(e => (e.user_id, e.event_type, e.ts))
+        .toDF("user_id", "event_type", "ts")
+      val batchCounts = graft.operators.Events.funnelCore(all).collect()
+        .map(r => r.getInt(0) -> r.getAs[Long]("n_users")).toMap
+      val streamCounts = got.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      assert(streamCounts == batchCounts.filter(_._2 > 0),
+        s"trial $trial: $streamCounts vs $batchCounts")
+    }
+  }
+
   test("admission stream: copies bounce against earlier admissions, " +
       "intra-batch peers dedup, and verdicts are batch-split invariant") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
