@@ -906,6 +906,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(fin(1L).getAs[Double]("twap") == 19.0)
   }
 
+  test("TWAP stream == batch twapCore on seeded random in-order streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{TEvent, TwapStream}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Random histories (distinct seconds per user, dyadic values so the
+    // exact-integer fold and the batch aggregate are bit-comparable),
+    // random micro-batch cuts in time order; the final per-user snapshot
+    // must equal the oracle-gated batch ev24 row on every field.
+    val rnd = new scala.util.Random(31)
+    val base = 1704067200000L
+    for (trial <- 1 to 3) {
+      val events = (1L to 5L).flatMap { u =>
+        rnd.shuffle((0 until 2000).toList).take(1 + rnd.nextInt(12))
+          .map(sec => TEvent(u, u * 10000 + sec,
+            new java.sql.Timestamp(base + sec * 1000L), rnd.nextInt(400) / 4.0))
+      }.sortBy(_.ts.getTime)
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(3)(rnd.nextInt(events.length + 1))).distinct.sorted
+      val input = MemoryStream[TEvent]
+      val q = TwapStream.twap(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName(s"twap_rand_$trial")
+        .start()
+      try cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { input.addData(events.slice(a, b)); q.processAllAvailable() }
+      } finally q.stop()
+      val fin = spark.table(s"twap_rand_$trial").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      val batch = graft.operators.Events
+        .twapCore(events.toDF("user_id", "event_id", "ts", "value"))
+        .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+      assert(fin.keySet == batch.keySet, s"trial $trial users")
+      batch.foreach { case (u, b) =>
+        val s = fin(u)
+        Seq("n_events", "span_s", "mean_value").foreach(c =>
+          assert(s.getAs[Any](c) == b.getAs[Any](c), s"trial $trial user $u $c"))
+        assert(s.isNullAt(s.fieldIndex("twap")) == b.isNullAt(b.fieldIndex("twap")),
+          s"trial $trial user $u twap nullity")
+        if (!b.isNullAt(b.fieldIndex("twap")))
+          assert(s.getAs[Double]("twap") == b.getAs[Double]("twap"),
+            s"trial $trial user $u twap")
+      }
+    }
+  }
+
   test("VWAP stream: out-of-order micro-batches converge to the batch ev25 rows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
