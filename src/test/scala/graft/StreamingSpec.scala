@@ -861,6 +861,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch == fin)
   }
 
+  test("latest-state == naive max-(ts,id) fold on fully shuffled random streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.LEvent
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // latest-state is ORDER-FREE (max-(ts, event_id) fold), so the random
+    // trial delivers a completely shuffled arrival order. Per-user
+    // timestamps are kept DISTINCT: the memory sink accumulates one
+    // snapshot per touching batch without the event_id, so equal-ts
+    // snapshots would be indistinguishable in the assertion (the id
+    // tie-break itself is pinned by the planted out-of-order test).
+    val rnd = new scala.util.Random(37)
+    val base = 1704103200000L
+    val types = Seq("view", "click", "purchase")
+    for (trial <- 1 to 3) {
+      val events = (1L to 5L).flatMap { u =>
+        rnd.shuffle((0 until 200).toList).take(6 + rnd.nextInt(10))
+          .zipWithIndex.map { case (min, i) =>
+            LEvent(u, u * 1000 + i, new java.sql.Timestamp(base + min * 60000L),
+              types(rnd.nextInt(3)), rnd.nextInt(100) / 4.0)
+          }
+      }
+      val shuffled = rnd.shuffle(events.toList)
+      val cuts = (Seq(0, shuffled.length) ++
+        Seq.fill(3)(rnd.nextInt(shuffled.length + 1))).distinct.sorted
+      val input = MemoryStream[LEvent]
+      val q = Streams.latestState(input.toDS())
+        .writeStream.outputMode("update")
+        .format("memory").queryName(s"latest_rand_$trial")
+        .start()
+      try cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { input.addData(shuffled.slice(a, b)); q.processAllAvailable() }
+      } finally q.stop()
+      val fin = spark.table(s"latest_rand_$trial").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) =>
+          u -> {
+            val r = rows.maxBy(_.getAs[Long]("last_ts_ms"))
+            (r.getAs[Long]("last_ts_ms"), r.getAs[String]("last_event_type"),
+              r.getAs[Double]("last_value"))
+          }
+        }
+      val naive = events.groupBy(_.user_id).map { case (u, evs) =>
+        val top = evs.maxBy(e => (e.ts.getTime, e.event_id))
+        u -> ((top.ts.getTime, top.event_type, top.value))
+      }
+      assert(fin == naive, s"trial $trial")
+    }
+  }
+
   test("TWAP stream: in-order micro-batches converge to the batch ev24 rows") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
