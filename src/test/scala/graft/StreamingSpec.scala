@@ -777,6 +777,63 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("CDC SCD2 == naive upsert/tombstone fold on seeded random in-order streams") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{CdcEvent, CdcScd2Stream, ScdChange}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // Random upsert/tombstone sequences per key — small value alphabet to
+    // hit the equal-value-extend branch, duplicate timestamps allowed.
+    // Slicing follows the global (ts, event_id) order, so the per-batch
+    // clock filter never drops anything and the stream's fold order
+    // equals the naive mirror's exactly.
+    val rnd = new scala.util.Random(43)
+    val base = 1704103200000L
+    for (trial <- 1 to 3) {
+      var id = 0L
+      val events = (1L to 4L).flatMap { u =>
+        (0 until 10 + rnd.nextInt(9)).map { _ =>
+          id += 1
+          val tomb = rnd.nextInt(10) < 3
+          CdcEvent(u, id, new java.sql.Timestamp(base + rnd.nextInt(60) * 60000L),
+            if (tomb) 0.0 else 1.0 + rnd.nextInt(2), tombstone = tomb)
+        }
+      }.sortBy(e => (e.ts.getTime, e.event_id))
+      // naive mirror of the documented fold (close on tombstone, open on
+      // value, extend on equal value, close+reopen on changed value)
+      val naive = events.groupBy(_.user_id).toSeq.flatMap { case (u, evs) =>
+        val out = Seq.newBuilder[ScdChange]
+        var open: Option[(Long, Long, Double)] = None // (event_id, from_ms, value)
+        evs.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          val ms = e.ts.getTime
+          (open, e.tombstone) match {
+            case (Some((oid, from, v)), true) =>
+              out += ScdChange(u, oid, from, v, ms); open = None
+            case (None, true) => ()
+            case (None, false) => open = Some((e.event_id, ms, e.value))
+            case (Some((_, _, v)), false) if e.value == v => ()
+            case (Some((oid, from, v)), false) =>
+              out += ScdChange(u, oid, from, v, ms)
+              open = Some((e.event_id, ms, e.value))
+          }
+        }
+        out.result()
+      }.toSet
+      val cuts = (Seq(0, events.length) ++
+        Seq.fill(4)(rnd.nextInt(events.length + 1))).distinct.sorted
+      val input = MemoryStream[CdcEvent]
+      val q = CdcScd2Stream.changes(input.toDS())
+        .writeStream.format("memory").queryName(s"cdc_rand_$trial")
+        .outputMode("append").start()
+      try cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { input.addData(events.slice(a, b)); q.processAllAvailable() }
+      } finally q.stop()
+      val got = spark.table(s"cdc_rand_$trial").as[ScdChange].collect().toSet
+      assert(got == naive, s"trial $trial: missing ${naive -- got}, " +
+        s"extra ${got -- naive}")
+    }
+  }
+
   test("streaming SCD2 == batch closed rows on seeded random streams and slicings") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
