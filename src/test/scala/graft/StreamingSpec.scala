@@ -372,6 +372,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(servedWeekly.nonEmpty && stores.size == chunks.size)
   }
 
+  test("rollup stream == batch daily aggregate on seeded random splits") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // The merge is algebraic, so the batch daily aggregate is the exact
+    // mirror under ANY slicing: random events (dyadic values keep sums
+    // order-independent bit-for-bit), random cut points, shuffled order.
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val all = rnd.shuffle((0 until 60 + rnd.nextInt(40)).map { _ =>
+        (new java.sql.Timestamp(
+          86400000L * (19700 + rnd.nextInt(10)) + 3600000L * rnd.nextInt(24)),
+          Seq("click", "view", "buy")(rnd.nextInt(3)), rnd.nextInt(40) / 4.0)
+      }.toList)
+      val cuts = (Seq(0, all.length) ++
+        Seq.fill(3)(rnd.nextInt(all.length + 1))).distinct.sorted
+      var last: org.apache.spark.sql.DataFrame = null
+      val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+      val q = graft.streaming.RollupStream.ingest(
+        input.toDF().toDF("ts", "event_type", "value")) { (_, store) =>
+        last = store
+      }.start()
+      try cuts.sliding(2).foreach { case Seq(a, b) =>
+        if (b > a) { input.addData(all.slice(a, b)); q.processAllAvailable() }
+      } finally q.stop()
+      val batchDaily = graft.operators.Events
+        .dailyPartialsOf(all.toDF("ts", "event_type", "value"))
+      assert(last.collect().map(_.toSeq).toSet ==
+        batchDaily.collect().map(_.toSeq).toSet, s"trial $trial")
+    }
+  }
+
   test("volume monitor: incrementally merged store serves the exact batch dq4") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
