@@ -565,7 +565,16 @@ object Xlsx {
       // producers omit them and rely on the sheetN convention).
       val partName = rels.getOrElse(rid, s"xl/worksheets/sheet${i + 1}.xml")
       parts.get(partName).foreach { bytes =>
-        val all = sheetRows(bytes, shared, dateFlags, date1904)
+        // A malformed part (dangling shared-string index, junk XML, broken
+        // numerics) should name the sheet and file, not surface a bare
+        // IndexOutOfBounds from the guts of the parser.
+        val all =
+          try sheetRows(bytes, shared, dateFlags, date1904)
+          catch { case e: IllegalArgumentException => throw e
+            case scala.util.control.NonFatal(e) =>
+              throw new IllegalArgumentException(
+                s"Malformed worksheet '$name' ($partName) in $path: ${e.getMessage}", e)
+          }
         val headerRow = all.headOption.getOrElse(Seq.empty)
         val header = headerRow.zipWithIndex.map {
           case (null, j) => s"Unnamed: $j"

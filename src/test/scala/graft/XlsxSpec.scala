@@ -244,6 +244,31 @@ class XlsxSpec extends AnyFunSuite {
     assert(back.values.flatMap(_.collect().map(_.getString(1))).toSet == Set("x", "y"))
   }
 
+  test("malformed worksheets fail with sheet and file context, not raw parser errors") {
+    // hand-built workbook whose only sheet references shared string 99
+    // (the sst has one entry) — a dangling index a crawler-corrupted or
+    // truncated file produces
+    val path = tmp("corrupt.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def part(n: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(("""<?xml version="1.0"?>""" + body).getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="bad" sheetId="1"/></sheets></workbook>""")
+    part("xl/sharedStrings.xml",
+      """<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><si><t>only</t></si></sst>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row><c t="s"><v>99</v></c></row></sheetData></worksheet>""")
+    zip.close()
+    val e = intercept[IllegalArgumentException] {
+      XlsxWorkbookSource.load(spark, path)
+    }
+    assert(e.getMessage.contains("bad") && e.getMessage.contains("sheet1.xml"))
+  }
+
   test("column reference arithmetic covers the multi-letter range") {
     assert(Xlsx.colRef(0) == "A")
     assert(Xlsx.colRef(25) == "Z")
