@@ -127,15 +127,19 @@ object WorkbookSink {
     * their original names.
     */
   def sheetNames(tables: Seq[String], prep: String => String): Map[String, String] = {
+    // Excel requires sheet names unique CASE-INSENSITIVELY — a workbook
+    // with both "Sales" and "sales" is flagged corrupt/repaired — so the
+    // collision set is keyed on the case-folded name while the emitted
+    // name keeps the table's original case.
     val used = scala.collection.mutable.Set.empty[String]
     tables.sorted.map { t =>
       val base = sheetName(prep(t))
       val name =
-        if (!used(base)) base
+        if (!used(base.toLowerCase)) base
         else Iterator.from(1)
           .map(i => base.take(31 - (i.toString.length + 1)) + "~" + i)
-          .find(!used(_)).get
-      used += name
+          .find(n => !used(n.toLowerCase)).get
+      used += name.toLowerCase
       t -> name
     }.toMap
   }

@@ -72,6 +72,12 @@ object Xlsx {
 
   // ---------------------------------------------------------------- write
 
+  /** Element-text escape. Carriage returns MUST go out as `&#13;`: an
+    * XML 1.0 parser normalizes literal `\r` and `\r\n` to `\n` on read
+    * (spec §2.11 end-of-line handling), so a bare `\r` in notes/address
+    * text would silently mutate through the "lossless" round-trip. `\n`
+    * and `\t` are safe literal in element content.
+    */
   private def esc(s: String): String = {
     val b = new StringBuilder(s.length + 8)
     s.foreach {
@@ -79,7 +85,8 @@ object Xlsx {
       case '<' => b.append("&lt;")
       case '>' => b.append("&gt;")
       case '"' => b.append("&quot;")
-      case c if c < 0x20 && c != '\t' && c != '\n' && c != '\r' =>
+      case '\r' => b.append("&#13;")
+      case c if c < 0x20 && c != '\t' && c != '\n' =>
         // Bare C0 controls are ill-formed XML 1.0; drop them (the same
         // values are unrepresentable in any spreadsheet UI anyway).
         ()
@@ -87,6 +94,18 @@ object Xlsx {
     }
     b.toString
   }
+
+  /** Attribute-value escape: as [[esc]] plus `\n`/`\t` as character
+    * references — XML attribute-value normalization (spec §3.3.3)
+    * collapses literal tabs and newlines in attributes to spaces, so a
+    * sheet name carrying either would mutate on read-back.
+    */
+  private def escAttr(s: String): String =
+    esc(s).flatMap {
+      case '\n' => "&#10;"
+      case '\t' => "&#9;"
+      case c => c.toString
+    }
 
   /** A1-style column letters for 0-based index (0→A, 25→Z, 26→AA). */
   private[graft] def colRef(i: Int): String = {
@@ -180,6 +199,16 @@ object Xlsx {
     * [[WorkbookSink.sheetNames]] — sorted table name order, same rule as
     * the directory sink, so the two representations never disagree on
     * naming — applied AFTER Excel's forbidden-character sanitation.
+    *
+    * Atomicity: the zip streams into a sibling `._tmp` path and renames
+    * into place only on success. Table rows materialize lazily INSIDE the
+    * stream (`toLocalIterator`), so a mid-write failure — the `MaxRows`
+    * cap, an executor error surfacing through the iterator — is a
+    * realistic event; without the staging step it would leave a
+    * truncated, corrupt workbook AT the destination having already
+    * clobbered any previous good file there. Failure deletes the partial
+    * temp and rethrows; the destination is either the old file or the
+    * complete new one, never a torso.
     */
   def write(tables: Map[String, DataFrame], path: String, spark: SparkSession): Unit = {
     require(tables.nonEmpty, "refusing to write an empty workbook (Excel requires >=1 sheet)")
@@ -187,7 +216,9 @@ object Xlsx {
     val ordered = tables.toSeq.sortBy(_._1)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val os = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(
+      p.getParent, "." + p.getName + s"._tmp-${java.util.UUID.randomUUID()}")
+    val os = fs.create(tmp, true)
     val zip = new ZipOutputStream(os, UTF_8)
     def part(name: String, bytes: Array[Byte]): Unit = {
       zip.putNextEntry(new ZipEntry(name)); zip.write(bytes); zip.closeEntry()
@@ -212,7 +243,7 @@ object Xlsx {
         ("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
           """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets>""" +
           ordered.zipWithIndex.map { case ((t, _), i) =>
-            s"""<sheet name="${esc(names(t))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
+            s"""<sheet name="${escAttr(names(t))}" sheetId="${i + 1}" r:id="rId${i + 1}"/>"""
           }.mkString +
           """</sheets></workbook>""").getBytes(UTF_8))
       part("xl/_rels/workbook.xml.rels",
@@ -226,7 +257,16 @@ object Xlsx {
         sheetXml(df, t, zip)
         zip.closeEntry()
       }
-    } finally { zip.close() }
+      zip.close()
+      // Commit: replace any previous file only after the zip is complete.
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) throw new java.io.IOException(
+        s"Failed to move completed workbook $tmp into place at $path")
+    } catch { case e: Throwable =>
+      try { zip.close() } catch { case _: Throwable => () }
+      try { fs.delete(tmp, false) } catch { case _: Throwable => () }
+      throw e
+    }
   }
 
   // ----------------------------------------------------------------- read
@@ -366,10 +406,17 @@ object Xlsx {
 
   /** Excel serial → the codec's ISO text convention: date-only when the
     * time-of-day fraction is zero, else `yyyy-MM-dd HH:mm:ss` (rounded to
-    * the second — serials carry ~microsecond noise from binary fractions).
+    * the second — serials carry ~microsecond noise from binary fractions;
+    * a fraction that rounds up past midnight carries into the next day).
     * 1900 system epoch is 1899-12-30 for serials ≥ 61; 1..60 sit before
     * Lotus's phantom 1900-02-29 and shift by one (1899-12-31). The 1904
-    * system has no phantom day.
+    * system has no phantom day. Pinned edge conventions (XlsxSpec):
+    *   - serial 60, Lotus's phantom 1900-02-29 itself, renders as
+    *     1900-03-01 — the nonexistent day maps to the real day it
+    *     aliases rather than fabricating Feb 29 of a non-leap year;
+    *   - time-only serials (< 1, e.g. 0.5 = 12:00) render as
+    *     1899-12-31-dated timestamps — the day-zero anchor made
+    *     explicit instead of a bare clock time of ambiguous type.
     */
   private[graft] def serialToIso(serial: Double, date1904: Boolean): String = {
     val days = math.floor(serial).toLong
@@ -408,6 +455,14 @@ object Xlsx {
       while (r.hasNext) {
         if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
           r.getLocalName == "row") {
+          // Excel omits <row> elements for fully blank rows; honoring the
+          // 1-based r= index pads the gap with all-null rows so embedded
+          // blank rows keep downstream row alignment (pd.read_excel
+          // semantics). Rows without r= are taken in document order;
+          // trailing blanks have no element at all and stay dropped.
+          Option(r.getAttributeValue(null, "r")).flatMap(_.toIntOption).foreach { idx =>
+            while (rows.size + 1 < idx) rows += Seq.empty
+          }
           val cells = mutable.ArrayBuffer.empty[Cell]
           var nextCol = 0
           var depth = 1
@@ -470,6 +525,17 @@ object Xlsx {
     rows.toSeq
   }
 
+  /** Decimal-notation guards in front of `toLong`/`toDouble`:
+    * `Double.parseDouble` alone also accepts trailing `d`/`f` type
+    * suffixes and hex-float forms, so a TEXT column of values like `7f`
+    * or `1d` would silently read back as DoubleType 7.0/1.0 — corrupting
+    * data, not just retyping it. These admit exactly what csv/pandas
+    * inference does: optional sign, decimal digits, optional fraction and
+    * exponent.
+    */
+  private val LongPat = "[+-]?\\d+".r.pattern
+  private val DoublePat = "[+-]?(\\d+\\.?\\d*|\\.\\d+)([eE][+-]?\\d+)?".r.pattern
+
   /** Column typing over the header-stripped body: all-boolean →
     * BooleanType; all numeric-text → LongType when every value is
     * integral in Long range, else DoubleType; anything mixed → StringType
@@ -479,12 +545,19 @@ object Xlsx {
   private def typed(header: Seq[String], body: Seq[Seq[Any]]): (StructType, Seq[Row]) = {
     val width = header.length
     def at(row: Seq[Any], i: Int): Any = if (i < row.length) row(i) else null
+    def longish(s: String) =
+      LongPat.matcher(s).matches && s.toLongOption.isDefined
+    def doublish(s: String) =
+      (DoublePat.matcher(s).matches ||
+        // the writer's own Double.toString forms for non-finite values
+        s == "NaN" || s == "Infinity" || s == "-Infinity") &&
+        s.toDoubleOption.isDefined
     val dts = (0 until width).map { i =>
       val vs = body.map(at(_, i)).filter(_ != null)
       if (vs.isEmpty) StringType
       else if (vs.forall(_.isInstanceOf[Boolean])) BooleanType
-      else if (vs.forall { case s: String => scala.util.Try(s.trim.toDouble).isSuccess; case _ => false }) {
-        if (vs.forall { case s: String => scala.util.Try(s.trim.toLong).isSuccess; case _ => false }) LongType
+      else if (vs.forall { case s: String => doublish(s.trim); case _ => false }) {
+        if (vs.forall { case s: String => longish(s.trim); case _ => false }) LongType
         else DoubleType
       } else StringType
     }
@@ -559,7 +632,10 @@ object Xlsx {
     val shared = sharedStrings(parts)
     val dateFlags = dateStyles(parts)
     val date1904 = is1904(wb)
-    val result = mutable.LinkedHashMap.empty[String, DataFrame]
+    // VectorMap keeps insertion order at ANY size — a plain immutable
+    // Map would silently drop the documented workbook order at >=5
+    // sheets (the small-map specializations happen to preserve it).
+    var result = scala.collection.immutable.VectorMap.empty[String, DataFrame]
     sheets.zipWithIndex.foreach { case ((name, rid), i) =>
       // Fall back to positional naming when rels are absent (some minimal
       // producers omit them and rely on the sheetN convention).
@@ -581,12 +657,12 @@ object Xlsx {
           case (v, _) => v.toString
         }
         val (schema, rows) = typed(header, all.drop(1))
-        result(name) = spark.createDataFrame(
+        result = result.updated(name, spark.createDataFrame(
           spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size / 10000 + 1, 32))),
-          schema)
+          schema))
       }
     }
-    result.toMap
+    result
   }
 }
 

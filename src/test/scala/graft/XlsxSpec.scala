@@ -117,6 +117,149 @@ class XlsxSpec extends AnyFunSuite {
       Seq("2026-08-15", "2026-08-15 10:30:00", 46249L)))
   }
 
+  test("six-sheet workbook preserves workbook sheet order in the returned map") {
+    import spark.implicits._
+    // Past 4 entries an immutable Map defaults to hash iteration — the
+    // insertion-order contract must hold at ANY sheet count. Workbook
+    // order is the writer's sorted-table-name order.
+    val names = Seq("a1", "a2", "b1", "c3", "d4", "e5")
+    val path = tmp("order.xlsx")
+    XlsxWorkbookSink.save(
+      names.map(n => n -> Seq((n, 1L)).toDF("k", "v")).toMap, path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)
+    assert(back.keys.toSeq == names)
+  }
+
+  test("serial edges: phantom day 60, time-only and sub-second serials") {
+    // Serial 60 IS Lotus's phantom 1900-02-29: it renders as the real day
+    // it aliases (1900-03-01) rather than fabricating Feb 29 of a
+    // non-leap year — so serials 60 and 61 coincide, by design.
+    assert(Xlsx.serialToIso(60, date1904 = false) == "1900-03-01")
+    assert(Xlsx.serialToIso(61, date1904 = false) == "1900-03-01")
+    // Time-only serials (< 1) anchor at day zero, rendered explicitly as
+    // 1899-12-31-dated timestamps.
+    assert(Xlsx.serialToIso(0.5, date1904 = false) == "1899-12-31 12:00:00")
+    assert(Xlsx.serialToIso(0.75, date1904 = true) == "1904-01-01 18:00:00")
+    // Sub-second fractions round to the nearest second.
+    assert(Xlsx.serialToIso(46249 + 37800.4 / 86400.0, date1904 = false)
+      == "2026-08-15 10:30:00")
+    assert(Xlsx.serialToIso(46249 + 37800.6 / 86400.0, date1904 = false)
+      == "2026-08-15 10:30:01")
+  }
+
+  test("carriage returns round-trip losslessly (XML EOL normalization)") {
+    import spark.implicits._
+    // A literal \r in element text is normalized to \n by every XML 1.0
+    // parser; the writer must emit &#13; for these to survive.
+    val vals = Seq("a\rb", "x\r\ny", "p\nq", "t\tu", "\rleading")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "s")
+    val path = tmp("cr.xlsx")
+    XlsxWorkbookSink.save(Map("t" -> df), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)("t")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == vals)
+  }
+
+  test("sheet names with tabs/newlines survive attribute-value normalization") {
+    import spark.implicits._
+    // Attribute values collapse literal tabs/newlines to spaces unless
+    // character-referenced (&#9;/&#10;).
+    val name = "q3\treport\nfinal"
+    val path = tmp("attr.xlsx")
+    XlsxWorkbookSink.save(Map(name -> Seq((1L, "x")).toDF("id", "v")), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)
+    assert(back.keySet == Set(name))
+  }
+
+  test("case-insensitively colliding table names get distinct sheet names") {
+    import spark.implicits._
+    // Excel requires sheet-name uniqueness case-insensitively; 'Sales' +
+    // 'sales' in one workbook reads as corrupt there.
+    val ns = graft.sources.WorkbookSink.sheetNames(Seq("Sales", "sales"))
+    assert(ns.values.map(_.toLowerCase).toSet.size == 2)
+    val path = tmp("case.xlsx")
+    XlsxWorkbookSink.save(
+      Map("Sales" -> Seq((1L, "x")).toDF("id", "v"),
+        "sales" -> Seq((2L, "y")).toDF("id", "v")), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)
+    assert(back.size == 2)
+    assert(back.keys.map(_.toLowerCase).toSet.size == 2)
+    assert(back.values.flatMap(_.collect().map(_.getString(1))).toSet == Set("x", "y"))
+  }
+
+  test("numeric-lookalike text stays a string column (no parseDouble suffix forms)") {
+    import spark.implicits._
+    // Double.parseDouble accepts '7f'/'1d'/hex-floats; column inference
+    // must not — a text column of such values would otherwise corrupt to
+    // DoubleType 7.0/1.0.
+    val vals = Seq("7f", "1d", "0x1.8p1", "12D")
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "code")
+    val path = tmp("suffix.xlsx")
+    XlsxWorkbookSink.save(Map("t" -> df), path, spark)
+    val back = XlsxWorkbookSource.load(spark, path)("t")
+    assert(back.schema("code").dataType.typeName == "string")
+    assert(back.orderBy("id").collect().map(_.getString(1)).toSeq == vals)
+    // while genuine decimal/scientific text still types numeric, and the
+    // writer's non-finite Double forms survive as doubles
+    val df2 = Seq((1L, "1.5e3", Double.NaN), (2L, "-0.25", Double.PositiveInfinity))
+      .toDF("id", "num", "d")
+    val path2 = tmp("sci.xlsx")
+    XlsxWorkbookSink.save(Map("t" -> df2), path2, spark)
+    val back2 = XlsxWorkbookSource.load(spark, path2)("t")
+    assert(back2.schema("num").dataType.typeName == "double")
+    assert(back2.schema("d").dataType.typeName == "double")
+    val r2 = back2.orderBy("id").collect()
+    assert(r2(0).getDouble(1) == 1500.0 && r2(0).getDouble(2).isNaN)
+    assert(r2(1).getDouble(1) == -0.25 && r2(1).getDouble(2).isPosInfinity)
+  }
+
+  test("embedded blank rows surface as all-null rows via the row r= index") {
+    // Excel omits <row> elements for fully blank rows; the r= indices on
+    // the rows around the gap carry the alignment.
+    val path = tmp("gap.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def part(n: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(("""<?xml version="1.0"?>""" + body).getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="g" sheetId="1"/></sheets></workbook>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="B1" t="inlineStr"><is><t>v</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>a</t></is></c><c r="B2"><v>1</v></c></row>""" +
+        """<row r="4"><c r="A4" t="inlineStr"><is><t>b</t></is></c><c r="B4"><v>2</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val back = XlsxWorkbookSource.load(spark, path)("g")
+    assert(back.count() == 3)
+    assert(back.orderBy("v").collect().map(_.toSeq).toSeq == Seq(
+      Seq(null, null), Seq("a", 1L), Seq("b", 2L)))
+  }
+
+  test("a mid-write failure leaves the previous good workbook intact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-atomic")
+    val path = dir.resolve("report.xlsx").toString
+    XlsxWorkbookSink.save(Map("t" -> Seq((1L, "good")).toDF("id", "v")), path, spark)
+    // A table whose evaluation throws mid-iteration — the rows only
+    // materialize inside the zip stream, so this is the torn-write case.
+    val failing = spark.range(5).selectExpr(
+      "id", "case when id > 2 then raise_error('boom') else 'ok' end AS v")
+    intercept[Throwable] {
+      XlsxWorkbookSink.save(Map("t" -> failing), path, spark)
+    }
+    // destination still the complete previous file, and no temp debris
+    val back = XlsxWorkbookSource.load(spark, path)("t")
+    assert(back.collect().map(_.toSeq).toSeq == Seq(Seq(1L, "good")))
+    val leftovers = java.nio.file.Files.list(dir).iterator()
+    val names = Iterator.continually(leftovers)
+      .takeWhile(_.hasNext).map(_.next().getFileName.toString).toSeq
+      .filterNot(_.endsWith(".crc")) // Hadoop LocalFileSystem checksum sidecars
+    assert(names == Seq("report.xlsx"), s"temp debris: $names")
+  }
+
   test("date-serial decode: epoch rules, phantom-day boundary, 1904 system") {
     // 1900 system: serial 61 = 1900-03-01 (post-phantom epoch 1899-12-30);
     // serials 1..60 shift one day (1 = 1900-01-01)
@@ -183,7 +326,7 @@ class XlsxSpec extends AnyFunSuite {
     val rnd = new scala.util.Random(41)
     // Letters guarantee a string column never reads back as numeric
     // (read_excel-style inference is part of the contract under test).
-    val alphabet = "abλдZ字 <>&\"'\t" // incl. XML specials + whitespace
+    val alphabet = "abλдZ字 <>&\"'\t\r\n" // incl. XML specials + all whitespace
     def randString(): String =
       "s" + Seq.fill(rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.length))).mkString
     for (trial <- 1 to 5) {
