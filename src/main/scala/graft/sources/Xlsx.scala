@@ -651,10 +651,19 @@ object Xlsx {
               throw new IllegalArgumentException(
                 s"Malformed worksheet '$name' ($partName) in $path: ${e.getMessage}", e)
           }
+        // Sheet-width header semantics (pandas parity): the frame is as
+        // wide as the WIDEST row, not the header row — openpyxl hands
+        // pandas gap rows as empty lists and TextParser runs with
+        // skip_blank_lines=False, so a data row wider than the header
+        // gets trailing `Unnamed: N` columns (not silent truncation) and
+        // a sheet whose first physical row sits at r>=2 reads with an
+        // all-`Unnamed` header and the real header text as row one of
+        // the body, exactly as pd.read_excel renders it.
         val headerRow = all.headOption.getOrElse(Seq.empty)
-        val header = headerRow.zipWithIndex.map {
-          case (null, j) => s"Unnamed: $j"
-          case (v, _) => v.toString
+        val width = all.map(_.length).maxOption.getOrElse(0)
+        val header = (0 until width).map { j =>
+          if (j < headerRow.length && headerRow(j) != null) headerRow(j).toString
+          else s"Unnamed: $j"
         }
         val (schema, rows) = typed(header, all.drop(1))
         result = result.updated(name, spark.createDataFrame(

@@ -238,6 +238,47 @@ class XlsxSpec extends AnyFunSuite {
       Seq(null, null), Seq("a", 1L), Seq("b", 2L)))
   }
 
+  test("sheet-width header semantics: wide body rows and leading blank rows") {
+    // pandas parity: openpyxl pads gap rows as empty lists and TextParser
+    // runs with skip_blank_lines=False, so (a) a body row WIDER than the
+    // header contributes trailing `Unnamed: N` columns instead of being
+    // silently truncated, and (b) a sheet whose first physical row sits
+    // at r>=2 reads with an all-`Unnamed` header and the would-be header
+    // text as the first body row.
+    val path = tmp("widths.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def part(n: String, body: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(("""<?xml version="1.0"?>""" + body).getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="wide" sheetId="1"/><sheet name="late" sheetId="2"/></sheets></workbook>""")
+    // sheet1: header 2 cols, second body row spills into column C
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c><c r="B1" t="inlineStr"><is><t>v</t></is></c></row>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>a</t></is></c><c r="B2"><v>1</v></c></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><t>b</t></is></c><c r="B3"><v>2</v></c><c r="C3" t="inlineStr"><is><t>spill</t></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    // sheet2: first physical row at r=2 (leading blank row above it)
+    part("xl/worksheets/sheet2.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="2"><c r="A2" t="inlineStr"><is><t>k</t></is></c><c r="B2" t="inlineStr"><is><t>v</t></is></c></row>""" +
+        """<row r="3"><c r="A3" t="inlineStr"><is><t>a</t></is></c><c r="B3"><v>1</v></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val wb = XlsxWorkbookSource.load(spark, path)
+    val wide = wb("wide")
+    assert(wide.schema.fieldNames.toSeq == Seq("k", "v", "Unnamed: 2"))
+    assert(wide.orderBy("v").collect().map(_.toSeq).toSeq == Seq(
+      Seq("a", 1L, null), Seq("b", 2L, "spill")))
+    val late = wb("late")
+    assert(late.schema.fieldNames.toSeq == Seq("Unnamed: 0", "Unnamed: 1"))
+    assert(late.collect().map(_.toSeq).toSeq == Seq(Seq("k", "v"), Seq("a", "1")))
+  }
+
   test("a mid-write failure leaves the previous good workbook intact") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-xlsx-atomic")
