@@ -66,12 +66,22 @@ def probe_speed(path, probes):
     return (start + end) / 2.0
 
 
+def norm_total(path, total, speed):
+    """SURVEY's cross-round unit: total re-expressed on the probe-0.44
+    reference box (the r12/r13 measurement-era speed)."""
+    if total is not None and speed:
+        print(f"{path}: total {total:.1f}s = "
+              f"{total * 0.44 / speed:.1f} probe-0.44-box seconds")
+
+
 def main():
     old_q, old_t, old_p = load(sys.argv[1])
     new_q, new_t, new_p = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old_speed = probe_speed(sys.argv[1], old_p)
     new_speed = probe_speed(sys.argv[2], new_p)
+    norm_total(sys.argv[1], old_t, old_speed)
+    norm_total(sys.argv[2], new_t, new_speed)
     # box factor >1 means the NEW run's box is slower; dividing new times
     # by it re-expresses them in old-box seconds.
     box = (new_speed / old_speed) if old_speed and new_speed else None
