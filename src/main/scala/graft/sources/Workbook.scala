@@ -134,6 +134,10 @@ object WorkbookSink {
     val used = scala.collection.mutable.Set.empty[String]
     tables.sorted.map { t =>
       val base = sheetName(prep(t))
+      // Excel (and openpyxl/pandas ExcelWriter) reject an empty sheet
+      // name, and the directory sink would turn one into a write AT the
+      // workbook directory itself — refuse loudly instead of renaming.
+      require(base.nonEmpty, s"Table name '$t' maps to an empty sheet name")
       val name =
         if (!used(base.toLowerCase)) base
         else Iterator.from(1)
@@ -144,9 +148,19 @@ object WorkbookSink {
     }.toMap
   }
 
-  /** S7: one parquet dataset per table under `path`. */
+  /** S7: one parquet dataset per table under `path`. Sheet names become
+    * CHILD PATHS here, so path-hostile table names are refused loudly: a
+    * separator would silently nest the "sheet" outside the flat workbook
+    * listing [[DirWorkbookSource]] reads back, and `..` would aim the
+    * overwrite-mode parquet write at the workbook's PARENT directory —
+    * the one destination a sink must never be able to clobber.
+    */
   def save(tables: Map[String, DataFrame], path: String): Unit = {
     val names = sheetNames(tables.keys.toSeq)
+    names.foreach { case (t, n) =>
+      require(!n.contains('/') && !n.contains('\\') && n != "." && n != "..",
+        s"Table name '$t' is not a safe workbook entry name ('$n')")
+    }
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$path/${names(name)}")
     }

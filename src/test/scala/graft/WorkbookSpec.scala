@@ -67,6 +67,28 @@ class WorkbookSpec extends AnyFunSuite {
     assert(back("dims").collect().map(_.getString(1)).toSeq == Seq("d"))
   }
 
+  test("empty and path-hostile table names are refused loudly") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "v")
+    // Empty sheet names are rejected by Excel/openpyxl, and in the dir
+    // sink would aim the write AT the workbook directory itself.
+    intercept[IllegalArgumentException] {
+      WorkbookSink.sheetNames(Seq(""))
+    }
+    // Sheet names are CHILD PATHS in the dir sink: a separator nests the
+    // sheet outside the flat listing, and '..' points the overwrite-mode
+    // parquet write at the workbook's PARENT directory.
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-hostile").toString
+    for (bad <- Seq("..", ".", "a/b", "a\\b")) {
+      intercept[IllegalArgumentException] {
+        WorkbookSink.save(Map(bad -> df), dir)
+      }
+    }
+    // The xlsx sink is NOT affected for separators: its sanitize pass
+    // maps them to '_' before naming (sheet names aren't paths there).
+    assert(graft.sources.Xlsx.sanitizeSheetName("a/b") == "a_b")
+  }
+
   test("non-directory and missing workbook paths fail loudly with one contract") {
     val f = java.nio.file.Files.createTempFile("graft-wb", ".parquet")
     intercept[IllegalArgumentException] {
