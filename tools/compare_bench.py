@@ -66,12 +66,19 @@ def probe_speed(path, probes):
     return (start + end) / 2.0
 
 
-def norm_total(path, total, speed):
+def norm_total(path, total, probes, speed):
     """SURVEY's cross-round unit: total re-expressed on the probe-0.44
-    reference box (the r12/r13 measurement-era speed)."""
-    if total is not None and speed:
-        print(f"{path}: total {total:.1f}s = "
-              f"{total * 0.44 / speed:.1f} probe-0.44-box seconds")
+    reference box (the r12/r13 measurement-era speed). A drifted file's
+    mean probe is not a box-speed estimate (the speed CHANGED mid-suite),
+    so its normalized figure is labeled untrustworthy."""
+    if total is None or not speed:
+        return
+    start, end = probes
+    caveat = ""
+    if max(end / start, start / end) > DRIFT_LIMIT:
+        caveat = "  (UNTRUSTWORTHY: drifted probes — re-run this artifact)"
+    print(f"{path}: total {total:.1f}s = "
+          f"{total * 0.44 / speed:.1f} probe-0.44-box seconds{caveat}")
 
 
 def main():
@@ -80,8 +87,8 @@ def main():
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old_speed = probe_speed(sys.argv[1], old_p)
     new_speed = probe_speed(sys.argv[2], new_p)
-    norm_total(sys.argv[1], old_t, old_speed)
-    norm_total(sys.argv[2], new_t, new_speed)
+    norm_total(sys.argv[1], old_t, old_p, old_speed)
+    norm_total(sys.argv[2], new_t, new_p, new_speed)
     # box factor >1 means the NEW run's box is slower; dividing new times
     # by it re-expresses them in old-box seconds.
     box = (new_speed / old_speed) if old_speed and new_speed else None
