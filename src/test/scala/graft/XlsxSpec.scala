@@ -413,6 +413,79 @@ class XlsxSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random sparse sheet geometries parse to the padded matrix (seeded trials)") {
+    // Reader-side counterpart of the round-trip property test: the writer
+    // only ever emits dense full-width rows, so the sparse shapes real
+    // producers emit (row gaps, missing cells, ragged widths) are built
+    // here as raw SpreadsheetML from a random model and the parse is
+    // compared against the padded matrix directly — pinning the r=
+    // padding, per-cell ref alignment, width-of-widest-row and trailing
+    // truncation conventions all at once.
+    val rnd = new scala.util.Random(71)
+    for (trial <- 1 to 3) {
+      val width = 1 + rnd.nextInt(6)
+      val nBody = 1 + rnd.nextInt(25)
+      val gapRow = Array.fill(nBody)(rnd.nextInt(5) == 0)
+      gapRow(nBody - 1) = false // trailing gap rows legitimately drop
+      val body: Seq[Seq[Option[String]]] = (0 until nBody).map { r =>
+        if (gapRow(r)) Seq.fill(width)(None)
+        else (0 until width).map { c =>
+          // unique non-numeric values: every column types string and
+          // every row stays distinguishable for the multiset compare
+          if (rnd.nextInt(4) == 0) None else Some(s"v${r}_${c}x")
+        }
+      }
+      // the last row anchors the frame's row count — give it a cell
+      val anchored = body.updated(nBody - 1,
+        body(nBody - 1).updated(0, Some(s"v${nBody - 1}_0x")))
+      val sb = new StringBuilder
+      sb.append("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      sb.append("""<row r="1">""")
+      (0 until width).foreach { c =>
+        sb.append(s"""<c r="${Xlsx.colRef(c)}1" t="inlineStr"><is><t>h$c</t></is></c>""")
+      }
+      sb.append("</row>")
+      anchored.zipWithIndex.foreach { case (row, r) =>
+        if (!gapRow(r)) { // gap rows emit NO <row> element at all
+          val xr = r + 2
+          sb.append(s"""<row r="$xr">""")
+          row.zipWithIndex.foreach {
+            case (Some(v), c) =>
+              // alternate the two text-cell forms the reader accepts
+              if ((r + c) % 2 == 0)
+                sb.append(s"""<c r="${Xlsx.colRef(c)}$xr" t="inlineStr"><is><t>$v</t></is></c>""")
+              else
+                sb.append(s"""<c r="${Xlsx.colRef(c)}$xr" t="str"><v>$v</v></c>""")
+            case (None, _) => () // missing cell: alignment rides on refs
+          }
+          sb.append("</row>")
+        }
+      }
+      sb.append("</sheetData></worksheet>")
+      val path = tmp(s"geom$trial.xlsx")
+      val zip = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+      def part(n: String, b: String): Unit = {
+        zip.putNextEntry(new java.util.zip.ZipEntry(n))
+        zip.write(("""<?xml version="1.0"?>""" + b).getBytes("UTF-8"))
+        zip.closeEntry()
+      }
+      part("xl/workbook.xml",
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="g" sheetId="1"/></sheets></workbook>""")
+      part("xl/worksheets/sheet1.xml", sb.toString)
+      zip.close()
+      val back = XlsxWorkbookSource.load(spark, path)("g")
+      assert(back.schema.fieldNames.toSeq == (0 until width).map(c => s"h$c"),
+        s"trial $trial header")
+      assert(back.schema.fields.forall(_.dataType.typeName == "string"),
+        s"trial $trial types")
+      def key(r: Seq[Any]) = r.map(v => if (v == null) " " else v.toString).mkString("|")
+      val expected = anchored.map(row => key(row.map(_.orNull))).sorted
+      assert(back.collect().map(r => key(r.toSeq)).sorted.toSeq == expected,
+        s"trial $trial matrix")
+    }
+  }
+
   test("forbidden sheet-name characters sanitize; post-sanitize collisions stay distinct") {
     import spark.implicits._
     assert(Xlsx.sanitizeSheetName("a:b\\c/d?e*f[g]h") == "a_b_c_d_e_f_g_h")
