@@ -460,7 +460,13 @@ object Xlsx {
           // blank rows keep downstream row alignment (pd.read_excel
           // semantics). Rows without r= are taken in document order;
           // trailing blanks have no element at all and stay dropped.
+          // The index is capped at Excel's own row capacity BEFORE any
+          // padding: without the cap a crafted two-row file declaring
+          // r="2000000000" makes this loop allocate two billion entries
+          // — the row-index twin of the zip-bomb part-size guards.
           Option(r.getAttributeValue(null, "r")).flatMap(_.toIntOption).foreach { idx =>
+            if (idx > MaxRows) throw new IllegalArgumentException(
+              s"row index $idx exceeds Excel's $MaxRows-row sheet capacity")
             while (rows.size + 1 < idx) rows += Seq.empty
           }
           val cells = mutable.ArrayBuffer.empty[Cell]
@@ -590,13 +596,20 @@ object Xlsx {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts =
       try readParts(fs.open(p))
-      catch { case _: java.io.FileNotFoundException =>
-        throw new IllegalArgumentException(s"No such workbook: $path")
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(s"No such workbook: $path")
+        case e: IllegalArgumentException => throw e // own caps, already contextual
+        case scala.util.control.NonFatal(e) =>
+          // Corrupt zip structure (bad local headers, truncated stream)
+          // must name the file, not surface a bare ZipException.
+          throw new IllegalArgumentException(
+            s"Not a readable xlsx archive: $path: ${e.getMessage}", e)
       }
     val wb = parts.getOrElse("xl/workbook.xml",
       throw new IllegalArgumentException(s"Not an xlsx workbook (no xl/workbook.xml): $path"))
     // sheet name → relationship id, in workbook order
-    val sheets = {
+    val sheets = try {
       val r = stax(wb)
       val out = mutable.ArrayBuffer.empty[(String, String)]
       try {
@@ -612,26 +625,42 @@ object Xlsx {
         }
       } finally { r.close() }
       out.toSeq
+    } catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalArgumentException(
+        s"Malformed workbook metadata in $path: ${e.getMessage}", e)
     }
     // relationship id → worksheet part path
-    val rels = parts.get("xl/_rels/workbook.xml.rels").fold(Map.empty[String, String]) { bytes =>
-      val r = stax(bytes)
-      val out = mutable.Map.empty[String, String]
-      try {
-        while (r.hasNext) {
-          if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
-            r.getLocalName == "Relationship") {
-            val target = r.getAttributeValue(null, "Target")
-            val norm = if (target.startsWith("/")) target.drop(1) else "xl/" + target
-            out(r.getAttributeValue(null, "Id")) = norm
+    val rels = try {
+      parts.get("xl/_rels/workbook.xml.rels").fold(Map.empty[String, String]) { bytes =>
+        val r = stax(bytes)
+        val out = mutable.Map.empty[String, String]
+        try {
+          while (r.hasNext) {
+            if (r.next() == javax.xml.stream.XMLStreamConstants.START_ELEMENT &&
+              r.getLocalName == "Relationship") {
+              val target = r.getAttributeValue(null, "Target")
+              val norm = if (target.startsWith("/")) target.drop(1) else "xl/" + target
+              out(r.getAttributeValue(null, "Id")) = norm
+            }
           }
-        }
-      } finally { r.close() }
-      out.toMap
+        } finally { r.close() }
+        out.toMap
+      }
+    } catch { case scala.util.control.NonFatal(e) =>
+      throw new IllegalArgumentException(
+        s"Malformed workbook metadata in $path: ${e.getMessage}", e)
     }
-    val shared = sharedStrings(parts)
-    val dateFlags = dateStyles(parts)
-    val date1904 = is1904(wb)
+    // Workbook-level metadata parses (shared strings, styles, date
+    // system) get the same loud-with-context contract the per-sheet
+    // parse below has: a corrupt styles.xml must name the file, not
+    // surface a bare XMLStreamException/NumberFormatException.
+    val (shared, dateFlags, date1904) =
+      try (sharedStrings(parts), dateStyles(parts), is1904(wb))
+      catch { case e: IllegalArgumentException => throw e
+        case scala.util.control.NonFatal(e) =>
+          throw new IllegalArgumentException(
+            s"Malformed workbook metadata in $path: ${e.getMessage}", e)
+      }
     // VectorMap keeps insertion order at ANY size — a plain immutable
     // Map would silently drop the documented workbook order at >=5
     // sheets (the small-map specializations happen to preserve it).

@@ -486,6 +486,62 @@ class XlsxSpec extends AnyFunSuite {
     }
   }
 
+  test("a crafted huge row index is refused, not allocated") {
+    // The blank-row padding loop honors r= indices; without the MaxRows
+    // cap a two-row file declaring r="2000000000" would allocate two
+    // billion padding entries — the row-index twin of the zip-bomb
+    // part-size guards.
+    val path = tmp("rowbomb.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def part(n: String, b: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(("""<?xml version="1.0"?>""" + b).getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="b" sheetId="1"/></sheets></workbook>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>""" +
+        """<row r="2000000000"><c t="inlineStr"><is><t>x</t></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val e = intercept[IllegalArgumentException] {
+      XlsxWorkbookSource.load(spark, path)
+    }
+    assert(e.getMessage.contains("row index"), e.getMessage)
+  }
+
+  test("fuzz: corrupted workbook bytes fail loudly with file context, never raw parser errors") {
+    // Every failure path out of read() — corrupt zip structure, junk
+    // metadata XML, broken worksheet parts — must surface as an
+    // IllegalArgumentException (our loud-with-context contract), never a
+    // raw ZipException/XMLStreamException/IndexOutOfBounds, and never a
+    // hang or unbounded allocation. Seeded single-byte corruptions of the
+    // independent-producer fixture probe all of them blind.
+    val fixture = java.nio.file.Paths.get(
+      getClass.getResource("/interop_fixture.xlsx").toURI)
+    val bytes = java.nio.file.Files.readAllBytes(fixture)
+    val rnd = new scala.util.Random(97)
+    var failed = 0
+    for (trial <- 1 to 120) {
+      val mutated = bytes.clone()
+      val at = rnd.nextInt(mutated.length)
+      mutated(at) = (mutated(at) ^ (1 + rnd.nextInt(255))).toByte
+      val path = tmp(s"fuzz$trial.xlsx")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), mutated)
+      try { XlsxWorkbookSource.load(spark, path); () }
+      catch {
+        case _: IllegalArgumentException => failed += 1 // the contract
+        case e: Throwable =>
+          fail(s"trial $trial (byte $at): leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    // sanity: the corpus actually exercised failure paths
+    assert(failed > 0, "no corruption produced a failure — fuzz corpus too weak")
+  }
+
   test("forbidden sheet-name characters sanitize; post-sanitize collisions stay distinct") {
     import spark.implicits._
     assert(Xlsx.sanitizeSheetName("a:b\\c/d?e*f[g]h") == "a_b_c_d_e_f_g_h")
