@@ -538,6 +538,19 @@ class XlsxSpec extends AnyFunSuite {
           fail(s"trial $trial (byte $at): leaked ${e.getClass.getName}: ${e.getMessage}")
       }
     }
+    // truncations exercise the EOF-mid-entry paths byte flips cannot
+    // (central-directory loss, parts cut mid-XML)
+    for (trial <- 1 to 40) {
+      val cut = 1 + rnd.nextInt(bytes.length - 1)
+      val path = tmp(s"trunc$trial.xlsx")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes.take(cut))
+      try { XlsxWorkbookSource.load(spark, path); () }
+      catch {
+        case _: IllegalArgumentException => failed += 1
+        case e: Throwable =>
+          fail(s"truncation $trial (at $cut): leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
     // sanity: the corpus actually exercised failure paths
     assert(failed > 0, "no corruption produced a failure — fuzz corpus too weak")
   }
