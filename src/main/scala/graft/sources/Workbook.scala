@@ -158,11 +158,32 @@ object WorkbookSink {
   def save(tables: Map[String, DataFrame], path: String): Unit = {
     val names = sheetNames(tables.keys.toSeq)
     names.foreach { case (t, n) =>
-      require(!n.contains('/') && !n.contains('\\') && n != "." && n != "..",
+      require(isSafeEntryName(n),
         s"Table name '$t' is not a safe workbook entry name ('$n')")
     }
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       df.write.mode("overwrite").parquet(s"$path/${names(name)}")
     }
   }
+
+  /** Windows device names that shadow any file of that base name
+    * (`CON.parquet` still resolves to the console device on Windows).
+    */
+  private val WindowsReserved: Set[String] =
+    Set("CON", "PRN", "AUX", "NUL") ++
+      (1 to 9).flatMap(i => Seq(s"COM$i", s"LPT$i"))
+
+  /** Filesystem-safety guard for directory-sink entry names, beyond the
+    * separator/dot-traversal refusals: control characters (incl. NUL)
+    * corrupt listings or truncate paths in C-string layers,
+    * whitespace-only names produce entries no reader can address, and
+    * Windows reserved device names make the workbook unreadable on that
+    * platform. Kept as a REFUSAL (not a rename) to match the sink's
+    * loud-failure contract for path-hostile table names.
+    */
+  private[graft] def isSafeEntryName(n: String): Boolean =
+    !n.contains('/') && !n.contains('\\') && n != "." && n != ".." &&
+      n.trim.nonEmpty &&
+      !n.exists(c => c < ' ' || c == '\u007f') &&
+      !WindowsReserved.contains(n.takeWhile(_ != '.').toUpperCase)
 }

@@ -61,6 +61,14 @@ object Xlsx {
   /** Excel's hard per-sheet row capacity (2^20, header row included). */
   val MaxRows: Int = 1048576
 
+  /** Excel's hard per-sheet column capacity (column XFD = 2^14). A cell
+    * ref like `ZZZZZZ1` decodes to column 321,272,405 and would size the
+    * row's value array at ~2.5 GB — an OutOfMemoryError that no
+    * NonFatal wrapper can catch — so over-cap columns are refused at
+    * parse, the column twin of the [[MaxRows]] row-index guard.
+    */
+  val MaxCols: Int = 16384
+
   /** Zip-bomb / driver-heap guards: decompressed size caps per zip part
     * and across the whole archive. Generous for any real report workbook
     * (a 256 MB sheet XML is ~1M rows of wide text) while bounding a
@@ -432,13 +440,18 @@ object Xlsx {
     else "%s %02d:%02d:%02d".format(d, s / 3600, (s % 3600) / 60, s % 60)
   }
 
-  /** `"D7"` → 0-based column index 3. */
+  /** `"D7"` → 0-based column index 3. Refuses refs past Excel's `XFD`
+    * column cap ([[MaxCols]]) — the accumulator is a Long so arbitrarily
+    * long letter runs can't wrap Int before the check fires.
+    */
   private[graft] def refCol(ref: String): Int = {
-    var i = 0; var n = 0
+    var i = 0; var n = 0L
     while (i < ref.length && ref.charAt(i).isLetter) {
       n = n * 26 + (ref.charAt(i).toUpper - 'A' + 1); i += 1
+      if (n > MaxCols) throw new IllegalArgumentException(
+        s"cell ref '$ref' exceeds Excel's $MaxCols-column sheet capacity")
     }
-    n - 1
+    n.toInt - 1
   }
 
   /** One parsed cell: 0-based column, raw text, cell type attribute,
@@ -464,9 +477,13 @@ object Xlsx {
           // padding: without the cap a crafted two-row file declaring
           // r="2000000000" makes this loop allocate two billion entries
           // — the row-index twin of the zip-bomb part-size guards.
-          Option(r.getAttributeValue(null, "r")).flatMap(_.toIntOption).foreach { idx =>
-            if (idx > MaxRows) throw new IllegalArgumentException(
-              s"row index $idx exceeds Excel's $MaxRows-row sheet capacity")
+          // Parsed as Long so indices past Int.MaxValue share the same
+          // loud over-cap contract instead of silently falling back to
+          // document order; non-positive indices are equally refused
+          // (Excel rows are 1-based, so 0/negative only appear crafted).
+          Option(r.getAttributeValue(null, "r")).flatMap(_.toLongOption).foreach { idx =>
+            if (idx > MaxRows || idx <= 0) throw new IllegalArgumentException(
+              s"row index $idx is outside Excel's 1..$MaxRows sheet capacity")
             while (rows.size + 1 < idx) rows += Seq.empty
           }
           val cells = mutable.ArrayBuffer.empty[Cell]

@@ -89,6 +89,29 @@ class WorkbookSpec extends AnyFunSuite {
     assert(graft.sources.Xlsx.sanitizeSheetName("a/b") == "a_b")
   }
 
+  test("control chars, whitespace-only, and Windows-reserved entry names are refused") {
+    import spark.implicits._
+    val df = Seq((1, "x")).toDF("id", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft-wb-hostile2").toString
+    // Beyond separators/traversal: control chars (incl. NUL) corrupt
+    // listings or truncate paths in C-string layers, whitespace-only
+    // names are unaddressable, and Windows device names (CON, NUL, COM1,
+    // even with an extension) shadow any file of that base name.
+    val bad = Seq("a\u0000b", "a\nb", "a\tb", "\u0007", "   ", "\t \t",
+      "CON", "con", "NUL", "Com1", "lpt9", "CON.parquet", "nul.data")
+    for (b <- bad) {
+      val e = intercept[IllegalArgumentException] {
+        WorkbookSink.save(Map(b -> df), dir)
+      }
+      assert(e.getMessage.contains("safe workbook entry"), s"'$b': ${e.getMessage}")
+    }
+    // Names that merely CONTAIN a reserved word, or have interior
+    // whitespace, stay legal — the guard is a refusal of genuinely
+    // hostile names, not a lint on ordinary ones.
+    for (ok <- Seq("CONSOLE", "icon", "COM10", "a b", "sales.2024", "NULs"))
+      assert(WorkbookSink.isSafeEntryName(ok), s"'$ok' should be safe")
+  }
+
   test("non-directory and missing workbook paths fail loudly with one contract") {
     val f = java.nio.file.Files.createTempFile("graft-wb", ".parquet")
     intercept[IllegalArgumentException] {

@@ -513,6 +513,74 @@ class XlsxSpec extends AnyFunSuite {
     assert(e.getMessage.contains("row index"), e.getMessage)
   }
 
+  test("over-Int and non-positive row indices share the loud over-cap contract") {
+    // r="9999999999" fails toIntOption; before the toLongOption parse it
+    // silently fell back to document-order placement — an even-more-out-
+    // of-range index quietly accepted while 2000000000 was refused.
+    for (idx <- Seq("9999999999", "0", "-5")) {
+      val path = tmp(s"rowidx_$idx.xlsx")
+      val zip = new java.util.zip.ZipOutputStream(
+        java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+      def part(n: String, b: String): Unit = {
+        zip.putNextEntry(new java.util.zip.ZipEntry(n))
+        zip.write(("""<?xml version="1.0"?>""" + b).getBytes("UTF-8"))
+        zip.closeEntry()
+      }
+      part("xl/workbook.xml",
+        """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="b" sheetId="1"/></sheets></workbook>""")
+      part("xl/worksheets/sheet1.xml",
+        """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+          """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>""" +
+          s"""<row r="$idx"><c t="inlineStr"><is><t>x</t></is></c></row>""" +
+          """</sheetData></worksheet>""")
+      zip.close()
+      val e = intercept[IllegalArgumentException] {
+        XlsxWorkbookSource.load(spark, path)
+      }
+      assert(e.getMessage.contains("row index"), s"r=$idx: ${e.getMessage}")
+    }
+  }
+
+  test("a crafted huge cell column ref is refused, not allocated") {
+    // The column-index twin of the row bomb: one cell at r="ZZZZZZ1"
+    // (0-based column 321,272,404) would size the row's value array at
+    // ~2.5 GB — an OutOfMemoryError no NonFatal wrapper catches — so
+    // refCol refuses refs past Excel's XFD (16384-column) cap.
+    val path = tmp("colbomb.xlsx")
+    val zip = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    def part(n: String, b: String): Unit = {
+      zip.putNextEntry(new java.util.zip.ZipEntry(n))
+      zip.write(("""<?xml version="1.0"?>""" + b).getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    part("xl/workbook.xml",
+      """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheets><sheet name="b" sheetId="1"/></sheets></workbook>""")
+    part("xl/worksheets/sheet1.xml",
+      """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""" +
+        """<row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c></row>""" +
+        """<row r="2"><c r="ZZZZZZ2" t="inlineStr"><is><t>x</t></is></c></row>""" +
+        """</sheetData></worksheet>""")
+    zip.close()
+    val e = intercept[IllegalArgumentException] {
+      XlsxWorkbookSource.load(spark, path)
+    }
+    assert(e.getMessage.contains("column"), e.getMessage)
+  }
+
+  test("refCol decodes legal refs and refuses over-cap and Int-wrapping refs") {
+    assert(Xlsx.refCol("A1") == 0)
+    assert(Xlsx.refCol("D7") == 3)
+    assert(Xlsx.refCol("Z1") == 25)
+    assert(Xlsx.refCol("AA1") == 26)
+    assert(Xlsx.refCol("XFD1") == 16383) // Excel's last legal column
+    intercept[IllegalArgumentException](Xlsx.refCol("XFE1")) // first over-cap
+    intercept[IllegalArgumentException](Xlsx.refCol("ZZZZZZ1"))
+    // long enough to wrap Int many times over — the Long accumulator plus
+    // in-loop cap must fire before any overflow-derived index escapes
+    intercept[IllegalArgumentException](Xlsx.refCol("Z" * 40 + "1"))
+  }
+
   test("fuzz: corrupted workbook bytes fail loudly with file context, never raw parser errors") {
     // Every failure path out of read() — corrupt zip structure, junk
     // metadata XML, broken worksheet parts — must surface as an
