@@ -659,4 +659,71 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), p.take(2500))
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size >= 2, p.take(2500))
   }
+
+  test("partition-less window sites match the bounded-frame registry") {
+    // A window without partitionBy collapses its whole input onto ONE
+    // task: `Window.orderBy(...)` is a single-task global sort and
+    // `Window.partitionBy()` (empty) a single-task global frame. Both
+    // are legal ONLY on bounded / domain-sized inputs — vocab tables,
+    // distinct-value domains, k-sized seed frames, per-event-type
+    // p-value lists, already-aggregated share-of-total frames — never
+    // on a corpus-scale frame. This registry pins every such site so a
+    // future edit cannot silently put the corpus under a global sort:
+    // adding/removing one fails here and forces the bounded-frame
+    // justification to be re-argued. Per-site rationale:
+    //   Similarity.scala    4x orderBy — seed-frame cid assignment (3
+    //                       sites, frames are k-seed-sized) + the
+    //                       nprobe pick over K centroid scores for one
+    //                       query vector
+    //   TextAnalysis.scala  2x orderBy — vocab ranks (vocab-sized) and
+    //                       a <=10-bucket cumulative frame
+    //   Enrichment.scala    1x orderBy (domain caps over per-source
+    //                       cap rows) + 4x empty partitionBy (grand
+    //                       totals over aggregated domain frames)
+    //   Relational.scala    5x orderBy — exact-ntile forms (323,
+    //                       RFM triplet; seg1_rfm_approx is the sketch
+    //                       twin at scale) and the Spearman rank map
+    //                       over DISTINCT values + 2x empty
+    //                       partitionBy (share-of-total on aggregates)
+    //   Stats.scala         4x orderBy — decile cuts, domain cum-dist,
+    //                       BH step-up over per-event-type p-values +
+    //                       2x empty partitionBy (same frames)
+    //   Quality.scala       1x empty partitionBy (share of an
+    //                       aggregated per-nation order count)
+    val registry = Map(
+      ("operators/Similarity.scala", "orderBy") -> 4,
+      ("operators/TextAnalysis.scala", "orderBy") -> 2,
+      ("operators/Enrichment.scala", "orderBy") -> 1,
+      ("operators/Enrichment.scala", "emptyPartitionBy") -> 4,
+      ("operators/Relational.scala", "orderBy") -> 5,
+      ("operators/Relational.scala", "emptyPartitionBy") -> 2,
+      ("operators/Stats.scala", "orderBy") -> 4,
+      ("operators/Stats.scala", "emptyPartitionBy") -> 2,
+      ("operators/Quality.scala", "emptyPartitionBy") -> 1
+    )
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(root),
+      s"expected to run from the repo root; cwd=${System.getProperty("user.dir")}")
+    val walked = java.nio.file.Files.walk(root)
+    val found = try {
+      import scala.jdk.CollectionConverters._
+      walked.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          val rel = root.relativize(p).toString
+          Seq(
+            (rel, "orderBy") ->
+              "Window\\.orderBy".r.findAllIn(text).size,
+            (rel, "emptyPartitionBy") ->
+              "Window\\.partitionBy\\(\\)".r.findAllIn(text).size)
+        }
+        .filter(_._2 > 0).toMap
+    } finally walked.close()
+    assert(found == registry,
+      "partition-less window sites changed — justify the bounded frame " +
+        "and update the registry.\n" +
+        s"unexpected: ${(found.toSet -- registry.toSet).toSeq.sorted}\n" +
+        s"missing:    ${(registry.toSet -- found.toSet).toSeq.sorted}")
+  }
 }

@@ -24,6 +24,10 @@ import sys
 
 DRIFT_LIMIT = 1.3
 
+# Acceptance bar for the new artifact's normalized total (the r14/r15
+# verdicts' "<= ~175 probe-0.44-box seconds" directive made executable).
+NORM_TOTAL_LIMIT_S = 175.0
+
 
 def load(path):
     text = open(path).read()
@@ -133,6 +137,41 @@ def main():
     only_new = sorted(set(new_q) - set(old_q))
     if only_new:
         print(f"\nnew-only: {', '.join(f'{q}={new_q[q]:.2f}' for q in only_new)}")
+
+    # One-word acceptance verdict for the NEW artifact, encoding the rule
+    # the r13-r15 adjudications applied by hand: probe drift <= 1.3x AND
+    # normalized total <= 175 probe-0.44-box seconds AND no normalized
+    # per-query regression >= 1.5x AND nothing newly failing.
+    print()
+    ns, ne = new_p
+    if not new_speed or new_t is None:
+        print("VERDICT: UNKNOWN (new artifact lacks calibration probes or a total)")
+        return
+    reasons = []
+    drift = max(ne / ns, ns / ne)
+    if drift > DRIFT_LIMIT:
+        reasons.append(f"probe drift {drift:.2f}x > {DRIFT_LIMIT}x (contended run)")
+    norm = new_t * 0.44 / new_speed
+    if norm > NORM_TOTAL_LIMIT_S:
+        reasons.append(
+            f"normalized total {norm:.1f} > {NORM_TOTAL_LIMIT_S} probe-0.44-box seconds")
+    # computed from scratch (not from `regress`) so a nonstandard CLI
+    # threshold can't hide or inflate the acceptance rule's own 1.5x bar
+    hard_regress = [(adj(new_q[q]) / max(old_q[q], 1e-9), q) for q in common
+                    if new_q[q] > 0.5
+                    and adj(new_q[q]) / max(old_q[q], 1e-9) >= 1.5]
+    if hard_regress:
+        worst = max(hard_regress)
+        reasons.append(f"{len(hard_regress)} normalized regression(s) >= 1.5x "
+                       f"(worst {worst[1]} {worst[0]:.1f}x)")
+    if broke:
+        reasons.append(f"{len(broke)} newly-failing query(ies)")
+    if reasons:
+        print(f"VERDICT: FAIL ({'; '.join(reasons)})")
+    else:
+        print(f"VERDICT: PASS (drift {drift:.2f}x <= {DRIFT_LIMIT}x, "
+              f"normalized total {norm:.1f} <= {NORM_TOTAL_LIMIT_S}, "
+              f"no normalized regression >= 1.5x, nothing newly failing)")
 
 
 if __name__ == "__main__":
