@@ -623,6 +623,119 @@ class XlsxSpec extends AnyFunSuite {
     assert(failed > 0, "no corruption produced a failure — fuzz corpus too weak")
   }
 
+  test("fuzz: generated workbooks survive byte, truncation, and zip-record corruption (seeded)") {
+    // The fixed interop fixture above has ONE structural shape; this
+    // property corrupts the Scala writer's OWN seeded random-schema
+    // artifacts (many sheets, date/timestamp styles, wide rows) so the
+    // loud-failure contract is probed across structural variety, and
+    // adds zip-RECORD-targeted classes the blind byte flips rarely hit:
+    // local file headers (PK\3\4), central directory entries (PK\1\2),
+    // the end-of-central-directory record (PK\5\6), and data
+    // descriptors (PK\7\8, when the writer emits them). Every mutation
+    // must parse or throw our contextual IllegalArgumentException —
+    // never a raw ZipException/XMLStreamException/ArrayIndexOOB.
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rnd = new scala.util.Random(131)
+    def sigOffsets(bytes: Array[Byte], c3: Int, c4: Int): Seq[Int] =
+      (0 until bytes.length - 3).filter(i =>
+        bytes(i) == 0x50 && bytes(i + 1) == 0x4b &&
+          bytes(i + 2) == c3 && bytes(i + 3) == c4)
+    var failed = 0
+    var descriptorSeen = false
+    def probe(tag: String, mutated: Array[Byte]): Unit = {
+      val path = tmp(s"$tag.xlsx")
+      java.nio.file.Files.write(java.nio.file.Paths.get(path), mutated)
+      try { XlsxWorkbookSource.load(spark, path); () }
+      catch {
+        case _: IllegalArgumentException => failed += 1 // the contract
+        case e: Throwable =>
+          fail(s"$tag: leaked ${e.getClass.getName}: ${e.getMessage}")
+      }
+    }
+    for (wb <- 1 to 3) {
+      val nSheets = 1 + rnd.nextInt(4)
+      val tables = (1 to nSheets).map { s =>
+        val width = 1 + rnd.nextInt(16) // up to 16 cols: wide rows
+        val dts: Seq[DataType] = Seq.fill(width)(rnd.nextInt(6) match {
+          case 0 => LongType
+          case 1 => DoubleType
+          case 2 => BooleanType
+          case 3 => StringType
+          case 4 => DateType      // exercises the date-style parts
+          case 5 => TimestampType
+        })
+        val schema = StructType(dts.zipWithIndex.map { case (t, i) =>
+          StructField(s"c$i", t, nullable = true)
+        })
+        val data: Seq[Row] = Seq.fill(1 + rnd.nextInt(25))(Row.fromSeq(dts.map { t =>
+          if (rnd.nextInt(6) == 0) null
+          else t match {
+            case LongType => rnd.nextLong()
+            case DoubleType => rnd.nextDouble() * 1e6 - 5e5
+            case BooleanType => rnd.nextBoolean()
+            case StringType => "s" + rnd.nextInt(1000) + " <&>\""
+            case DateType =>
+              java.sql.Date.valueOf(java.time.LocalDate.of(
+                1900 + rnd.nextInt(200), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28)))
+            case TimestampType =>
+              java.sql.Timestamp.valueOf(java.time.LocalDateTime.of(
+                1950 + rnd.nextInt(120), 1 + rnd.nextInt(12), 1 + rnd.nextInt(28),
+                rnd.nextInt(24), rnd.nextInt(60), rnd.nextInt(60)))
+          }
+        }))
+        s"sheet$s" -> spark.createDataFrame(
+          spark.sparkContext.parallelize(data, 1), schema)
+      }.toMap
+      val clean = tmp(s"genfuzz$wb.xlsx")
+      XlsxWorkbookSink.save(tables, clean, spark)
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(clean))
+      // sanity: the uncorrupted artifact parses
+      assert(XlsxWorkbookSource.load(spark, clean).size == nSheets)
+      // class 1: blind single-byte flips
+      for (trial <- 1 to 20) {
+        val mutated = bytes.clone()
+        val at = rnd.nextInt(mutated.length)
+        mutated(at) = (mutated(at) ^ (1 + rnd.nextInt(255))).toByte
+        probe(s"wb$wb-flip$trial-b$at", mutated)
+      }
+      // class 2: truncations (EOF mid-entry / central-directory loss)
+      for (trial <- 1 to 10) {
+        val cut = 1 + rnd.nextInt(bytes.length - 1)
+        probe(s"wb$wb-trunc$trial-at$cut", bytes.take(cut))
+      }
+      // class 3: zip-record-targeted — corrupt bytes INSIDE each record
+      // type's header fields (offsets 4..29 past the signature reach
+      // flags/method/sizes/CRC/name-length for every record shape)
+      val recordClasses = Seq(
+        ("local", 0x03, 0x04), ("cdir", 0x01, 0x02),
+        ("eocd", 0x05, 0x06), ("descr", 0x07, 0x08))
+      for ((tag, c3, c4) <- recordClasses) {
+        val offs = sigOffsets(bytes, c3, c4)
+        if (tag == "descr" && offs.nonEmpty) descriptorSeen = true
+        for ((off, i) <- offs.zipWithIndex; trial <- 1 to 2) {
+          val mutated = bytes.clone()
+          val at = math.min(off + 4 + rnd.nextInt(26), mutated.length - 1)
+          mutated(at) = (mutated(at) ^ (1 + rnd.nextInt(255))).toByte
+          probe(s"wb$wb-$tag$i-$trial-b$at", mutated)
+        }
+        // record-signature destruction: the reader must refuse, not scan
+        // past, a workbook whose record chain is broken
+        for ((off, i) <- offs.take(3).zipWithIndex) {
+          val mutated = bytes.clone()
+          mutated(off) = 'X'.toByte
+          probe(s"wb$wb-${tag}sig$i", mutated)
+        }
+      }
+    }
+    assert(failed > 0, "no corruption produced a failure — fuzz corpus too weak")
+    // ZipOutputStream emits signatured data descriptors for DEFLATED
+    // entries; if the writer ever stops, the class silently vanishing
+    // from the corpus should be a conscious choice, not an accident.
+    assert(descriptorSeen, "no PK\\7\\8 data descriptors found in writer output")
+  }
+
   test("forbidden sheet-name characters sanitize; post-sanitize collisions stay distinct") {
     import spark.implicits._
     assert(Xlsx.sanitizeSheetName("a:b\\c/d?e*f[g]h") == "a_b_c_d_e_f_g_h")
