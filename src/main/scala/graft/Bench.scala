@@ -52,18 +52,39 @@ object Bench {
   private def quietGate(spark: SparkSession): Double = {
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_QUIET_WAIT_S", "60").toInt
     if (maxWait <= 0) return 0.0
+    // r16 addition: a gate window that TIMES OUT no longer starts the
+    // suite into a known-live burst. It sleeps a cool-down (probes
+    // stopped — zero load from us, letting the co-tenant burst pass)
+    // and retries ONE more window. r15's official artifact motivated
+    // this: its gate engaged near its bound and the run still landed
+    // 2% over the normalized acceptance bar while four unofficially
+    // timed runs on the same code landed 140–165 — scheduling, not
+    // plans. Worst case the gate now costs maxWait + cooldown +
+    // maxWait (~2.5 min at defaults) before starting anyway.
+    val cooldown = sys.env.getOrElse("SPARK_GRAFT_QUIET_COOLDOWN_S", "30").toInt
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
-    var prev = probeShot(spark)
-    var cur = probeShot(spark)
-    while (elapsed < maxWait && math.max(prev / cur, cur / prev) > 1.15) {
-      Thread.sleep(3000)
-      prev = cur
-      cur = probeShot(spark)
+    def settle(deadline: Double): Boolean = {
+      var prev = probeShot(spark)
+      var cur = probeShot(spark)
+      while (elapsed < deadline && math.max(prev / cur, cur / prev) > 1.15) {
+        Thread.sleep(3000)
+        prev = cur
+        cur = probeShot(spark)
+      }
+      if (math.max(prev / cur, cur / prev) > 1.15) {
+        System.err.println(f"[bench] quiet gate window expired at $elapsed%.1f s " +
+          f"(last probes $prev%.3f/$cur%.3f)")
+        false
+      } else true
     }
-    if (math.max(prev / cur, cur / prev) > 1.15)
-      System.err.println(f"[bench] quiet gate timed out after $elapsed%.1f s " +
-        f"(last probes $prev%.3f/$cur%.3f) — starting anyway; expect drift flags")
+    if (!settle(maxWait) && {
+      System.err.println(s"[bench] cooling down ${cooldown}s, then one retry window")
+      Thread.sleep(cooldown * 1000L)
+      !settle(elapsed + maxWait)
+    })
+      System.err.println(f"[bench] quiet gate timed out twice " +
+        f"($elapsed%.1f s total) — starting anyway; expect drift flags")
     elapsed
   }
 
@@ -120,14 +141,38 @@ object Bench {
     // failure after a query broke the context must not abort main before
     // the contract line prints — a bench with per-query -1.0s and a total
     // beats a bench with no output at all.
-    def reclaim(): Unit =
-      try graft.engine.Caching.releaseAll(spark)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] reclaim failed: ${e.getMessage}")
-      }
+    // Dev A/B knobs for diagnosing suite-position effects (both outside
+    // every timed window): SPARK_GRAFT_NO_RECLAIM=1 skips the inter-query
+    // reclaim entirely; SPARK_GRAFT_PAUSE_BETWEEN_S sleeps after each
+    // reclaim so asynchronous debris (context-cleaner drains, GC tails)
+    // can settle before the next query's first sample.
+    val noReclaim = sys.env.get("SPARK_GRAFT_NO_RECLAIM").exists(_ == "1")
+    val pauseS = sys.env.getOrElse("SPARK_GRAFT_PAUSE_BETWEEN_S", "0").toInt
+    val reclaimGc = !sys.env.get("SPARK_GRAFT_RECLAIM_GC").exists(_ == "0")
+    def reclaim(): Unit = {
+      if (!noReclaim)
+        try graft.engine.Caching.releaseAll(spark, gc = reclaimGc)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] reclaim failed: ${e.getMessage}")
+        }
+      if (pauseS > 0) Thread.sleep(pauseS * 1000L)
+    }
     reclaim() // the warm-up leaves q1's debris too
     val gateS = quietGate(spark)
     val probeStart = probe(spark)
+    // Post-reclaim drain settle (r16, also outside every timed window):
+    // releaseAll's System.gc() kicks ContextCleaner into draining its
+    // reference queue — asynchronous block/broadcast removals and a GC
+    // tail that otherwise land inside the NEXT query's samples. Measured
+    // on the worst case (dd11 after dd10, the r15 artifact's largest
+    // suite-vs-isolated gap, probes stable throughout): dd11 6.19 s with
+    // the bare reclaim vs 3.95 isolated; +10 s pause 4.48; reclaim with
+    // gc=false 3.52; gc on + 1 s settle 3.92 ≈ isolated. Dropping the gc
+    // would re-open the r14 accumulation problem (pipe1 21.5 s in-suite
+    // pre-reclaim), so the fix is the 1 s settle — applied only after
+    // queries whose min ≥ 1 s (the drain tail scales with the
+    // predecessor's garbage; ~45 of 231 queries, ~45 s of untimed wall).
+    val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "1000").toInt
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to runsPerQuery).map { _ =>
         val t0 = System.nanoTime()
@@ -147,7 +192,10 @@ object Bench {
       reclaim()
       // Any failed attempt poisons the query: never report a lucky
       // successful sample alongside a crash.
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      val best = if (times.exists(_ < 0)) -1.0 else times.min
+      if (settleMs > 0 && (best < 0 || best >= 1.0))
+        Thread.sleep(settleMs.toLong)
+      name -> best
     }.toMap
     val probeEnd = probe(spark)
     // Times rounded to ms — sub-ms digits are noise and bloat the line.

@@ -826,6 +826,21 @@ object Dedup {
     * cluster build (the dd3 band-route-and-verify machinery) plus one
     * quality pass; tracks dd5's own cost, not a regression signal of
     * its own unless the gap to dd5 grows.
+    *
+    * r16 A/B verdict on the r15 artifact's 1.77x suite-vs-isolated gap
+    * (6.07 s in-suite vs 3.42 isolated): NOT this query's plan and NOT
+    * cache debris from the dd family — it was the bench harness's
+    * inter-query reclaim. releaseAll's System.gc() kicks
+    * ContextCleaner into an asynchronous drain (block/broadcast
+    * removal RPCs + a GC tail) that lands inside the next query's
+    * samples, and dd11 pays the most because its in-suite predecessor
+    * dd10 generates the family's biggest garbage (DP-kernel self-join).
+    * Measured, probes stable: dd11-after-dd10 6.19 s with the bare
+    * reclaim; 4.48 with +10 s pause; 3.76 with reclaim skipped; 3.52
+    * with gc=false; 3.39 with the shipped fix (gc kept + 1 s
+    * post-reclaim settle after >=1 s queries, outside the timed
+    * window) vs 3.95 isolated under the old harness — in-suite now at
+    * or below isolated. See Bench.scala's settle comment.
     */
   def qualityCanonical(spark: SparkSession, dir: String): DataFrame =
     qualityCanonicalCore(

@@ -907,6 +907,15 @@ object Similarity {
     * d-row distributed joins — pure scheduling latency). The
     * covariance explode dominates. Regression above ~3.5 s means the
     * explode or the collect grew.
+    *
+    * r16 isolated budget (adjudicating the r15 artifact's +9%
+    * normalized drift, the round's only mover): min-of-3 2.09 s on
+    * probes 0.512/0.420 ≈ 1.98 probe-0.44-box seconds — dead on the
+    * r13 rework's 2.0 s line. (A first attempt minutes earlier read
+    * 2.51 s on probes 0.269/0.342 — drift 1.27x, a box burst, kept
+    * here as the cautionary pair.) No regression; the r15 wiggle was
+    * suite noise from the reclaim-drain mechanism fixed in Bench's r16
+    * settle (see qualityCanonical's A/B).
     */
   def pcaTop(spark: SparkSession, dir: String): DataFrame =
     pcaTopCore(t(spark, dir, "embeddings"))
