@@ -7,26 +7,49 @@ Usage: python3 tools/compare_bench.py <old> <new> [threshold_ratio]
 Accepts either the driver's BENCH_r{N}.json (reads the chunked per-query
 maps out of its captured tail) or a file of raw bench stdout lines.
 
-Box normalization: when both files carry the contract line's calibration
-probes (`probe_start_s` / `probe_end_s`, emitted by Bench since r14),
-per-query ratios are ALSO reported divided by the probe ratio
-(new-box-speed / old-box-speed), so a uniformly slower box doesn't read
-as a wall of regressions. A file whose end/start probe drift exceeds
-1.3x is flagged CONTENTION-SUSPECT — the box's speed changed mid-suite
-(another tenant's burst), so its per-query numbers are not trustworthy
-without a re-run (this is exactly what happened to BENCH_r13).
+Box normalization (r16 revision): cross-artifact deltas are normalized
+by the SUITE-MEDIAN box factor — the median of per-query time ratios
+(new/old) over the common queries whose old time is >= 0.5 s. The r14
+convention normalized by the ratio of the pure-CPU calibration probes
+instead, which assumed suite time scales with probe time across box
+states. Measured across every artifact and internal run since r12, that
+assumption is false: raw suite totals stay inside 167–186 s while probe
+means span 0.22–0.59 s (2.7x) — the suite's cost is dominated by work
+the probe does not exercise (per-query planning, parquet scans, many
+small shuffles), so dividing totals by probe speed manufactures up to
+~60% swings out of box luck. The probes REMAIN the contention detector:
+a run whose start/end probes disagree by more than 1.3x changed speed
+mid-suite and is flagged CONTENTION-SUSPECT (this is exactly what
+happened to BENCH_r13/r14). The probe-based factor is still printed for
+reference against older adjudications.
+
+The suite median conflates a real uniform code slowdown with a slower
+box, so it is only a valid normalizer while most of the common query
+set is code-unchanged — true under the frozen-surface regime (231
+queries since r15). A genuine per-query change shows up as an outlier
+against the median, which is what the regression/improvement lists are.
 
 Dev tool only — not part of the shipped library.
 """
 import json
 import re
+import statistics
 import sys
 
 DRIFT_LIMIT = 1.3
 
-# Acceptance bar for the new artifact's normalized total (the r14/r15
-# verdicts' "<= ~175 probe-0.44-box seconds" directive made executable).
+# Acceptance bar for the new artifact's normalized total, in OLD-artifact
+# box seconds. The r15 verdict's directive set the bar at "<= ~175
+# probe-0.44-box seconds" with BENCH_r15 as the anchor artifact; r15's
+# own probe mean was 0.457 s, so one r15-box second = 0.963
+# probe-0.44-box seconds and the two units agree within 4%. Adjudicate
+# official artifacts against BENCH_r15 (or a successor PASS artifact) so
+# the bar keeps meaning the same thing.
 NORM_TOTAL_LIMIT_S = 175.0
+
+# Minimum common >=0.5s queries before the suite median is trusted as a
+# box factor; below this, fall back to the probe ratio (old convention).
+MIN_MEDIAN_SAMPLE = 8
 
 
 def load(path):
@@ -53,12 +76,13 @@ def load(path):
 
 
 def probe_speed(path, probes):
-    """Mean probe time (the file's box-speed estimate), with the drift
-    check that makes a contended run self-incriminating."""
+    """Mean probe time plus the drift check that makes a contended run
+    self-incriminating. The mean is NOT a suite-speed estimate (see
+    module doc) — it feeds only the reference factor and the fallback."""
     start, end = probes
     if start is None or start <= 0 or end is None or end <= 0:
         print(f"{path}: no calibration probes (pre-r14 bench) — "
-              "box-normalized deltas unavailable")
+              "probe drift check unavailable")
         return None
     drift = max(end / start, start / end)
     tag = ""
@@ -70,19 +94,15 @@ def probe_speed(path, probes):
     return (start + end) / 2.0
 
 
-def norm_total(path, total, probes, speed):
-    """SURVEY's cross-round unit: total re-expressed on the probe-0.44
-    reference box (the r12/r13 measurement-era speed). A drifted file's
-    mean probe is not a box-speed estimate (the speed CHANGED mid-suite),
-    so its normalized figure is labeled untrustworthy."""
-    if total is None or not speed:
-        return
-    start, end = probes
-    caveat = ""
-    if max(end / start, start / end) > DRIFT_LIMIT:
-        caveat = "  (UNTRUSTWORTHY: drifted probes — re-run this artifact)"
-    print(f"{path}: total {total:.1f}s = "
-          f"{total * 0.44 / speed:.1f} probe-0.44-box seconds{caveat}")
+def suite_median_factor(old_q, new_q):
+    """Median per-query time ratio (new/old) over stable common queries —
+    the box factor actually used for normalization. >1 means the new
+    run's box is slower for suite-shaped work."""
+    ratios = sorted(new_q[q] / old_q[q] for q in old_q
+                    if q in new_q and old_q[q] >= 0.5 and new_q[q] >= 0)
+    if len(ratios) < MIN_MEDIAN_SAMPLE:
+        return None, len(ratios)
+    return statistics.median(ratios), len(ratios)
 
 
 def main():
@@ -91,14 +111,6 @@ def main():
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old_speed = probe_speed(sys.argv[1], old_p)
     new_speed = probe_speed(sys.argv[2], new_p)
-    norm_total(sys.argv[1], old_t, old_p, old_speed)
-    norm_total(sys.argv[2], new_t, new_p, new_speed)
-    # box factor >1 means the NEW run's box is slower; dividing new times
-    # by it re-expresses them in old-box seconds.
-    box = (new_speed / old_speed) if old_speed and new_speed else None
-    if box:
-        print(f"box factor (new probe / old probe): {box:.2f}x — "
-              "normalized columns divide new times by this")
     # Bench records failed queries as -1.0 — split them out BEFORE any
     # ratio math (a newly-broken query must never rank as a "win").
     broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
@@ -109,6 +121,23 @@ def main():
         print(f"NEWLY FAILING (was ok, now -1.0): {', '.join(broke)}")
     if fixed:
         print(f"newly passing (was -1.0): {', '.join(fixed)}")
+
+    # box factor >1 means the NEW run's box is slower; dividing new times
+    # by it re-expresses them in old-box seconds.
+    box, nmed = suite_median_factor(old_q, new_q)
+    probe_box = (new_speed / old_speed) if old_speed and new_speed else None
+    if probe_box:
+        print(f"probe-ratio factor (new probe / old probe): {probe_box:.2f}x"
+              " — reference only (probes do not track suite speed across"
+              " box states)")
+    if box:
+        print(f"suite-median box factor over {nmed} common >=0.5s queries: "
+              f"{box:.2f}x — normalized columns divide new times by this")
+    elif probe_box:
+        box = probe_box
+        print(f"suite median unavailable ({nmed} common >=0.5s queries "
+              f"< {MIN_MEDIAN_SAMPLE}) — falling back to the probe ratio")
+
     common = sorted(set(old_q) & set(new_q))
     print(f"old: {len(old_q)} queries total={old_t}; "
           f"new: {len(new_q)} queries total={new_t}; common: {len(common)}")
@@ -116,6 +145,9 @@ def main():
     com_new = sum(new_q[q] for q in common)
     norm = f" (box-normalized new: {com_new / box:.1f})" if box else ""
     print(f"common-sum old={com_old:.1f} new={com_new:.1f}{norm}")
+    if new_t is not None and box:
+        print(f"{sys.argv[2]}: total {new_t:.1f}s = {new_t / box:.1f} "
+              f"old-artifact-box seconds")
 
     def adj(t):
         return t / box if box else t
@@ -140,21 +172,26 @@ def main():
 
     # One-word acceptance verdict for the NEW artifact, encoding the rule
     # the r13-r15 adjudications applied by hand: probe drift <= 1.3x AND
-    # normalized total <= 175 probe-0.44-box seconds AND no normalized
-    # per-query regression >= 1.5x AND nothing newly failing.
+    # normalized total <= 175 old-artifact-box seconds (anchor BENCH_r15;
+    # unit within 4% of the directive's probe-0.44-box seconds) AND no
+    # normalized per-query regression >= 1.5x AND nothing newly failing.
     print()
     ns, ne = new_p
-    if not new_speed or new_t is None:
+    if not (ns and ne) or new_t is None:
         print("VERDICT: UNKNOWN (new artifact lacks calibration probes or a total)")
+        return
+    if not box:
+        print("VERDICT: UNKNOWN (no box factor — too few common queries "
+              "and no usable probes)")
         return
     reasons = []
     drift = max(ne / ns, ns / ne)
     if drift > DRIFT_LIMIT:
         reasons.append(f"probe drift {drift:.2f}x > {DRIFT_LIMIT}x (contended run)")
-    norm = new_t * 0.44 / new_speed
+    norm = new_t / box
     if norm > NORM_TOTAL_LIMIT_S:
         reasons.append(
-            f"normalized total {norm:.1f} > {NORM_TOTAL_LIMIT_S} probe-0.44-box seconds")
+            f"normalized total {norm:.1f} > {NORM_TOTAL_LIMIT_S} old-artifact-box seconds")
     # computed from scratch (not from `regress`) so a nonstandard CLI
     # threshold can't hide or inflate the acceptance rule's own 1.5x bar
     hard_regress = [(adj(new_q[q]) / max(old_q[q], 1e-9), q) for q in common
