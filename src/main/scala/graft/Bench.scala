@@ -102,6 +102,21 @@ object Bench {
       // Dev A/B knob for AQE's coalescing floor (default = Spark's 1m).
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PART_SIZE", "1m"))
+      // Dev A/B knob: SPARK_GRAFT_AQE=0 disables adaptive execution, to
+      // measure AQE's per-stage re-planning overhead across the suite.
+      // Measured r16 full-surface A/B at sf0.1 (same box, probes
+      // ~0.23/0.17 both runs): 181.5 s on vs 168.9 s off — each exchange
+      // under AQE is a query stage (a driver re-plan round-trip), a
+      // latency term that at toy scale concentrates in the long exchange
+      // chains (gr family +0.6..+1.6 s each, lake4 +0.8, dd7 +0.7) while
+      // REAL wins show where AQE's runtime re-planning earns its keep
+      // (t23 −0.9, er4 −0.9, t30 −0.8: skew-prone text aggregates). The
+      // default stays ON: the bench measures the library at its
+      // production posture, and the 100 TB target is exactly where
+      // adaptive re-planning pays; the off switch exists to attribute
+      // suite-position noise, never for official artifacts.
+      .config("spark.sql.adaptive.enabled",
+        if (sys.env.get("SPARK_GRAFT_AQE").contains("0")) "false" else "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

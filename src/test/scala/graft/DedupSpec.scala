@@ -237,6 +237,14 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((6L, 1000006L, 15L), (6L, 1000007L, 3L)))
   }
 
+  // Every componentsOf contract test runs BOTH regimes: the default call
+  // takes the driver-finish union-find path on these test-sized graphs,
+  // and driverFinishMax = 0 forces the distributed label-propagation
+  // loop — so neither implementation can rot behind the other.
+  private val componentRegimes: Seq[(String, Long)] =
+    Seq("driver-finish" -> graft.operators.Dedup.DriverFinishEdges,
+      "distributed-loop" -> 0L)
+
   test("componentsOf converges on a long path graph (multi-round pointer doubling)") {
     // The corpus near-dup graphs are mostly 2-3 node components, which the
     // seeded first state already solves — this path of 100 nodes (diameter
@@ -248,11 +256,13 @@ class DedupSpec extends AnyFunSuite {
     val chainB = (200L until 250L).map(i => (i, i + 1))        // 200..250
     val nodes = ((1L to 100L) ++ (200L to 250L) ++ Seq(999L)).toDF("id")
     val pairs = (chainA ++ chainB).toDF("a", "b")
-    val canon = graft.operators.Dedup.componentsOf(nodes, pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 100L).forall(canon(_) == 1L))
-    assert((200L to 250L).forall(canon(_) == 200L))
-    assert(canon(999L) == 999L)
+    for ((regime, max) <- componentRegimes) {
+      val canon = graft.operators.Dedup.componentsOf(nodes, pairs, max)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 100L).forall(canon(_) == 1L), regime)
+      assert((200L to 250L).forall(canon(_) == 200L), regime)
+      assert(canon(999L) == 999L, regime)
+    }
   }
 
   test("componentsOf matches brute-force union-find on pseudo-random graphs") {
@@ -280,11 +290,27 @@ class DedupSpec extends AnyFunSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = ids.map(i => i -> find(i)).toMap
-      val canon = graft.operators.Dedup.componentsOf(
-          ids.toDF("id"), edges.toDF("a", "b"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(canon == expected, s"n=$n, ${edges.length} edges")
+      for ((regime, max) <- componentRegimes) {
+        val canon = graft.operators.Dedup.componentsOf(
+            ids.toDF("id"), edges.toDF("a", "b"), max)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(canon == expected, s"$regime: n=$n, ${edges.length} edges")
+      }
     }
+  }
+
+  test("componentsOf with non-long ids routes through the distributed loop") {
+    // The driver finish is long-id-only by construction; a string-keyed
+    // graph must still resolve correctly via the generic loop under the
+    // DEFAULT threshold (this is the guard that the regime check inspects
+    // types, not just sizes).
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val nodes = Seq("a", "b", "c", "z").toDF("id")
+    val pairs = Seq(("b", "c"), ("a", "b")).toDF("x", "y")
+    val canon = graft.operators.Dedup.componentsOf(nodes, pairs)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(canon == Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
   }
 
   test("clustersOf on a dup-free corpus assigns every doc to itself") {
