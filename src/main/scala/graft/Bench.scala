@@ -55,6 +55,56 @@ object Bench {
     prev
   }
 
+  /** One spin shot: `threads` CPU-bound xorshift loops timed to join.
+    * ~0.1 s/shot; the kernel is a dozen scalar ops, C2-compiled within
+    * the first shot, so shots are steady from a fresh JVM.
+    */
+  private def spinShot(threads: Int): Double = {
+    val iters = 150000000L
+    val acc = new java.util.concurrent.atomic.AtomicLong(0)
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var a = 0L
+        var n = 0L
+        while (n < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; a += x; n += 1
+        }
+        acc.addAndGet(a) // consume: the fold cannot be dead-code-eliminated
+      })
+      t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** JIT-STABLE drift instrument (r16): the Spark-stack calibration probe
+    * turned out to measure the JVM as much as the box — over a
+    * 231-query suite, C2 maturation of the codegen/shuffle stack speeds
+    * the SAME probe 1.6–1.9x between suite start and end (four
+    * consecutive full runs read start 0.26–0.29 s vs end 0.15–0.18 s,
+    * while a fresh-JVM control on the same quiet box read 0.288/0.281
+    * back-to-back — the box didn't change, the JVM did), so a probe-based
+    * drift check flags every clean run on a quiet box. Drift is instead
+    * measured with this settled 4-thread scalar spin: steady from the
+    * first shots (nothing for the JIT to learn mid-suite) and sensitive
+    * to exactly the resource a co-tenant burst steals (the worker
+    * threads' cores). The Spark probes stay on the contract line for
+    * historical continuity and cross-artifact box comparison.
+    */
+  private def spin(threads: Int): Double = {
+    var prev = spinShot(threads)
+    var shots = 1
+    while (shots < 4) {
+      val cur = spinShot(threads)
+      shots += 1
+      if (math.max(prev / cur, cur / prev) <= 1.15) return math.min(prev, cur)
+      prev = math.min(prev, cur)
+    }
+    prev
+  }
+
   /** Quiet-start gate: sample the single-shot probe until two
     * consecutive samples agree within 15% (box speed steady), bounded by
     * `SPARK_GRAFT_QUIET_WAIT_S` (default 60; 0 disables). Rationale: the
@@ -194,6 +244,9 @@ object Bench {
     reclaim() // the warm-up leaves q1's debris too
     val gateS = quietGate(spark)
     val probeStart = probe(spark)
+    val spinThreads = cpus.toInt
+    spinShot(spinThreads) // one throwaway shot compiles the kernel
+    val spinStart = spin(spinThreads)
     // Post-reclaim drain settle (r16, also outside every timed window):
     // releaseAll's System.gc() kicks ContextCleaner into draining its
     // reference queue — asynchronous block/broadcast removals and a GC
@@ -245,6 +298,7 @@ object Bench {
       name -> best
     }.toMap
     val probeEnd = probe(spark)
+    val spinEnd = spin(spinThreads)
     // Times rounded to ms — sub-ms digits are noise and bloat the line.
     def fmt(v: Double): String =
       if (v < 0) "-1.0" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -274,7 +328,7 @@ object Bench {
     parts.zipWithIndex.foreach { case (p, i) =>
       println(s"""{"metric":"per-query","part":${i + 1},"parts":${parts.size},"order":"asc-time","unit":"sec","sf":"$sfDir","queries":${p.mkString("{", ",", "}")}}""")
     }
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"quiet_gate_s":${fmt(gateS)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"spin_start_s":${fmt(spinStart)},"spin_end_s":${fmt(spinEnd)},"quiet_gate_s":${fmt(gateS)}}""")
     spark.stop()
   }
 }

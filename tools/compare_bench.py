@@ -70,6 +70,7 @@ def load(path):
     queries = {}
     total = None
     probes = (None, None)
+    spins = (None, None)
     # chunk lines are JSON objects with a "queries" map (possibly escaped
     # inside the driver's "tail" capture)
     for m in re.finditer(r'\{"metric":"per-query".*?\}\}', text.replace('\\"', '"')):
@@ -83,12 +84,27 @@ def load(path):
             total = obj["value"]
             if "probe_start_s" in obj and "probe_end_s" in obj:
                 probes = (obj["probe_start_s"], obj["probe_end_s"])
+            if "spin_start_s" in obj and "spin_end_s" in obj:
+                spins = (obj["spin_start_s"], obj["spin_end_s"])
         except (json.JSONDecodeError, KeyError):
             pass
-    return queries, total, probes
+    return queries, total, probes, spins
 
 
-def probe_speed(path, probes):
+def drift_pair(probes, spins):
+    """The (start, end) pair the drift check runs on: the r16 scalar-spin
+    fields when the artifact carries them, else the Spark-stack probes.
+    The probes measure the JVM as much as the box — C2 maturation over a
+    231-query suite speeds the SAME probe 1.6-1.9x between suite ends
+    (fresh-JVM control on a quiet box: 0.288/0.281 back-to-back), so on
+    spin-carrying artifacts they are reported but not drift-checked."""
+    s, e = spins
+    if s and e:
+        return s, e, "spin"
+    return probes[0], probes[1], "probe"
+
+
+def probe_speed(path, probes, spins):
     """Mean probe time plus the drift check that makes a contended run
     self-incriminating. The mean is NOT a suite-speed estimate (see
     module doc) — it feeds only the reference factor and the fallback."""
@@ -97,13 +113,16 @@ def probe_speed(path, probes):
         print(f"{path}: no calibration probes (pre-r14 bench) — "
               "probe drift check unavailable")
         return None
-    drift = max(end / start, start / end)
+    ds, de, kind = drift_pair(probes, spins)
+    drift = max(de / ds, ds / de)
     tag = ""
     if drift > DRIFT_LIMIT:
-        tag = (f"  ** CONTENTION-SUSPECT: probe drift {drift:.2f}x exceeds "
+        tag = (f"  ** CONTENTION-SUSPECT: {kind} drift {drift:.2f}x exceeds "
                f"{DRIFT_LIMIT}x — box speed changed mid-suite, re-run **")
-    print(f"{path}: probe start={start:.3f}s end={end:.3f}s "
-          f"(drift {drift:.2f}x){tag}")
+    spin_txt = (f" spin {spins[0]:.3f}/{spins[1]:.3f}s"
+                if spins[0] and spins[1] else "")
+    print(f"{path}: probe start={start:.3f}s end={end:.3f}s{spin_txt} "
+          f"({kind} drift {drift:.2f}x){tag}")
     return (start + end) / 2.0
 
 
@@ -119,11 +138,11 @@ def suite_median_factor(old_q, new_q):
 
 
 def main():
-    old_q, old_t, old_p = load(sys.argv[1])
-    new_q, new_t, new_p = load(sys.argv[2])
+    old_q, old_t, old_p, old_s = load(sys.argv[1])
+    new_q, new_t, new_p, new_s = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
-    old_speed = probe_speed(sys.argv[1], old_p)
-    new_speed = probe_speed(sys.argv[2], new_p)
+    old_speed = probe_speed(sys.argv[1], old_p, old_s)
+    new_speed = probe_speed(sys.argv[2], new_p, new_s)
     # Bench records failed queries as -1.0 — split them out BEFORE any
     # ratio math (a newly-broken query must never rank as a "win").
     broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
@@ -191,14 +210,14 @@ def main():
     # newly failing. It reproduces the r13->r14 (FAIL: drift) and
     # r14->r15 (FAIL: total 185.6 > 175) adjudications.
     print()
-    ns, ne = new_p
+    ns, ne, kind = drift_pair(new_p, new_s)
     if not (ns and ne) or new_t is None:
         print("VERDICT: UNKNOWN (new artifact lacks calibration probes or a total)")
         return
     reasons = []
     drift = max(ne / ns, ns / ne)
     if drift > DRIFT_LIMIT:
-        reasons.append(f"probe drift {drift:.2f}x > {DRIFT_LIMIT}x (contended run)")
+        reasons.append(f"{kind} drift {drift:.2f}x > {DRIFT_LIMIT}x (contended run)")
     if new_t > TOTAL_LIMIT_S:
         reasons.append(f"total {new_t:.1f} > {TOTAL_LIMIT_S} seconds")
     # computed from scratch (not from `regress`) so a nonstandard CLI
