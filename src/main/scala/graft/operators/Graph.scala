@@ -62,7 +62,23 @@ object Graph {
     * the set; everything downstream is shape-identical.
     */
   private[graft] def basketArrays(lineitem: DataFrame): DataFrame =
+    // Explicit-width shuffle (spreadVerify's rationale): the order-key
+    // exchange lands near AQE's coalescing boundary at bench scale, so
+    // run to run the fused stage above it — the collect_set reduce, the
+    // i<j pair explode and the support aggregate's map side — runs
+    // sometimes wide, sometimes on ONE task: gr2 measured BIMODAL across
+    // sessions (2.79 / 1.34 / 1.47 s isolated min-of-2; 1.55–2.52 s over
+    // five full-suite runs) with agreeing within-session samples, the
+    // signature of a plan-decision coin flip, not contention. A NUMERIC
+    // repartition on the SAME key is the one form AQE must respect, and
+    // the aggregate reuses its hash partitioning, so this adds zero
+    // exchanges — it pins the stage at `defaultParallelism` and the
+    // flip disappears at the FAST mode (3 sessions pinned, same box,
+    // minutes apart: gr2 1.41 / 1.27 / 1.40 s).
     lineitem.select(col("l_orderkey"), col("l_partkey"))
+      .repartition(
+        lineitem.sparkSession.sparkContext.defaultParallelism,
+        col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasketItems)
         .as("parts"))
