@@ -7,27 +7,32 @@ Usage: python3 tools/compare_bench.py <old> <new> [threshold_ratio]
 Accepts either the driver's BENCH_r{N}.json (reads the chunked per-query
 maps out of its captured tail) or a file of raw bench stdout lines.
 
-Box normalization (r16 revision): cross-artifact deltas are normalized
-by the SUITE-MEDIAN box factor — the median of per-query time ratios
-(new/old) over the common queries whose old time is >= 0.5 s. The r14
-convention normalized by the ratio of the pure-CPU calibration probes
-instead, which assumed suite time scales with probe time across box
-states. Measured across every artifact and internal run since r12, that
-assumption is false: raw suite totals stay inside 167–186 s while probe
-means span 0.22–0.59 s (2.7x) — the suite's cost is dominated by work
-the probe does not exercise (per-query planning, parquet scans, many
-small shuffles), so dividing totals by probe speed manufactures up to
-~60% swings out of box luck. The probes REMAIN the contention detector:
-a run whose start/end probes disagree by more than 1.3x changed speed
-mid-suite and is flagged CONTENTION-SUSPECT (this is exactly what
-happened to BENCH_r13/r14). The probe-based factor is still printed for
-reference against older adjudications.
+The r16 conventions, each replacing a measured failure mode of its
+predecessor:
 
-The suite median conflates a real uniform code slowdown with a slower
-box, so it is only a valid normalizer while most of the common query
-set is code-unchanged — true under the frozen-surface regime (231
-queries since r15). A genuine per-query change shows up as an outlier
-against the median, which is what the regression/improvement lists are.
+- TOTALS compare RAW (bar: TOTAL_LIMIT_S). Raw suite totals are
+  box-insensitive — 167–186 s across artifacts whose probe means
+  spanned 0.22–0.59 s (2.7x) — because the suite's cost is per-query
+  latency floors the pure-CPU probe does not exercise; probe-dividing
+  totals (the r14 convention) manufactured ~±60% swings out of box
+  luck, and median-dividing them absorbs measurement-accuracy
+  improvements (see TOTAL_LIMIT_S's comment).
+- PER-QUERY deltas are displayed normalized by the SUITE-MEDIAN box
+  factor — the median time ratio over common >= 0.5 s queries — and a
+  verdict-level regression needs >= 1.5x in BOTH raw and normalized
+  terms. The median conflates a uniform code slowdown with a slower
+  box, so it is only a valid normalizer while most of the common set
+  is code-unchanged (true under the frozen 231-query surface); genuine
+  changes surface as outliers against it.
+- DRIFT (the contention flag) runs on the spin_start_s/spin_end_s
+  scalar-spin fields when the artifact carries them (r16 Bench), else
+  the probes: the Spark-stack probe C2-matures ~1.7x over a 231-query
+  suite, so probe drift flags every clean run on a quiet box (see
+  drift_pair). A drifted run changed speed mid-suite and needs a
+  re-run — this is what caught BENCH_r13/r14.
+
+The probe-based factor is still printed for reference against older
+adjudications.
 
 Dev tool only — not part of the shipped library.
 """
