@@ -157,6 +157,32 @@ object Bench {
     elapsed
   }
 
+  /** 1-minute OS load average — unlike the spin (which samples only the
+    * instants around suite start/end), loadavg integrates co-tenant
+    * activity over the preceding minute, so start/end readings bracket
+    * the suite's contention exposure from the artifact alone.
+    */
+  private def load1: Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
+  /** MemAvailable from /proc/meminfo in GiB (-1 off-Linux). Motivation
+    * (r17): the r15/r16 OFFICIAL artifacts both read probe ~0.51 s while
+    * internal runs on the same box read 0.23–0.29 s with IDENTICAL spin
+    * (0.35 s) — a Spark-stack-only slowdown with no CPU contention, for
+    * which JVM/OS memory state (page cache, heap headroom) is the prime
+    * suspect. These fields exist to adjudicate that from the next
+    * artifact instead of re-speculating.
+    */
+  private def memAvailG: Double = try {
+    val src = scala.io.Source.fromFile("/proc/meminfo")
+    try src.getLines()
+      .collectFirst { case l if l.startsWith("MemAvailable:") =>
+        l.trim.split("\\s+")(1).toDouble / 1048576.0 }
+      .getOrElse(-1.0)
+    finally src.close()
+  } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -242,6 +268,8 @@ object Bench {
       if (pauseS > 0) Thread.sleep(pauseS * 1000L)
     }
     reclaim() // the warm-up leaves q1's debris too
+    val load1Start = load1
+    val memStart = memAvailG
     val gateS = quietGate(spark)
     val probeStart = probe(spark)
     val spinThreads = cpus.toInt
@@ -328,6 +356,13 @@ object Bench {
     parts.zipWithIndex.foreach { case (p, i) =>
       println(s"""{"metric":"per-query","part":${i + 1},"parts":${parts.size},"order":"asc-time","unit":"sec","sf":"$sfDir","queries":${p.mkString("{", ",", "}")}}""")
     }
+    // Environment block (r17): one extra small line ABOVE the contract
+    // line — the contract line itself stays minimal and last (its
+    // truncation-robustness rationale above), while these fields make a
+    // slow-probe run diagnosable from the artifact: heap ceiling (the
+    // build.sbt -Xmx actually in force), local-dir device, loadavg
+    // bracket, MemAvailable bracket.
+    println(s"""{"metric":"env","heap_max_g":${fmt(Runtime.getRuntime.maxMemory / 1e9)},"local_dir":"${spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))}","load1_start":${fmt(load1Start)},"load1_end":${fmt(load1)},"mem_avail_g_start":${fmt(memStart)},"mem_avail_g_end":${fmt(memAvailG)},"runs_per_query":$runsPerQuery}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"spin_start_s":${fmt(spinStart)},"spin_end_s":${fmt(spinEnd)},"quiet_gate_s":${fmt(gateS)}}""")
     spark.stop()
   }

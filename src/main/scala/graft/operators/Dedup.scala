@@ -569,7 +569,11 @@ object Dedup {
     // expensive) pair plan for the second. Lifecycle is owned here:
     // unpersisted as soon as the surviving regime has materialized what
     // it needs (the union-find arrays, or the adjacency blocks).
-    val pairs = pairsIn.toDF("pa", "pb")
+    // Null endpoints are dropped up front so the two regimes agree: the
+    // distributed loop would silently lose them to join/aggregate null
+    // semantics while the driver finish's getLong would NPE — same input
+    // must mean the same graph in both. A half-null edge is no edge.
+    val pairs = pairsIn.toDF("pa", "pb").na.drop()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allLong = (pairs.schema.fields.map(_.dataType) :+
       nodes.schema.fields.head.dataType)

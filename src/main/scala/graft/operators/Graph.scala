@@ -62,23 +62,21 @@ object Graph {
     * the set; everything downstream is shape-identical.
     */
   private[graft] def basketArrays(lineitem: DataFrame): DataFrame =
-    // Explicit-width shuffle (spreadVerify's rationale): the order-key
-    // exchange lands near AQE's coalescing boundary at bench scale, so
-    // run to run the fused stage above it — the collect_set reduce, the
-    // i<j pair explode and the support aggregate's map side — runs
-    // sometimes wide, sometimes on ONE task: gr2 measured BIMODAL across
-    // sessions (2.79 / 1.34 / 1.47 s isolated min-of-2; 1.55–2.52 s over
-    // five full-suite runs) with agreeing within-session samples, the
-    // signature of a plan-decision coin flip, not contention. A NUMERIC
-    // repartition on the SAME key is the one form AQE must respect, and
-    // the aggregate reuses its hash partitioning, so this adds zero
-    // exchanges — it pins the stage at `defaultParallelism` and the
-    // flip disappears at the FAST mode (3 sessions pinned, same box,
-    // minutes apart: gr2 1.41 / 1.27 / 1.40 s).
+    // Plain aggregate, DELIBERATELY un-pinned (r17 re-adjudication of the
+    // r16 pin): r16 put an explicit `repartition(defaultParallelism,
+    // l_orderkey)` HERE to kill an AQE-coalescing coin flip that made gr2
+    // bimodal (2.79 / 1.34 / 1.47 s isolated across sessions). That pin
+    // is exchange-reused by this aggregate, which DELETES the map-side
+    // partial collect_set (the shuffle carries every raw (order, part)
+    // row) and fuses the collect_set reduce + downstream pair explode +
+    // support partial into ONE post-shuffle stage — and while the
+    // builder's sessions read it fast (gr2 1.27–1.41 s), the OFFICIAL
+    // spin-clean r16 artifact read gr2 3.87 s / gr3 4.71 s / gr5 4.21 s,
+    // worse than every pre-pin mode (compare_bench r15→r16: VERDICT FAIL,
+    // gr2 2.3× raw). The width guarantee the pin bought is instead
+    // provided one operator up ([[supportPairs]]) at a boundary that
+    // keeps this aggregate's partial aggregation and AQE freedom intact.
     lineitem.select(col("l_orderkey"), col("l_partkey"))
-      .repartition(
-        lineitem.sparkSession.sparkContext.defaultParallelism,
-        col("l_orderkey"))
       .groupBy("l_orderkey")
       .agg(slice(sort_array(collect_set(col("l_partkey"))), 1, MaxBasketItems)
         .as("parts"))
@@ -95,6 +93,40 @@ object Graph {
   private[graft] def supportPairs(lineitem: DataFrame): DataFrame =
     graft.engine.Caching.scopedPersist(
       basketArrays(lineitem)
+        // Width pin at the cheap-in/expensive-out boundary (r17, replacing
+        // the r16 pin inside [[basketArrays]] — see its scaladoc for the
+        // official-artifact evidence): the frame BELOW this line is one
+        // array row per order (~|orders| rows, a few MB at bench scale —
+        // exactly the size AQE's coalescer rounds down to ONE task, the
+        // measured bimodality), while the stage ABOVE it explodes to
+        // C(basket,2) pairs per row and partial-aggregates support — the
+        // expensive work whose width the coin flip was deciding. An
+        // explicit numeric repartition is the one form AQE must respect:
+        // the explode + support map side is pinned at defaultParallelism
+        // regardless of how the collect_set exchange below was coalesced,
+        // the aggregate below keeps its map-side partial collect_set, and
+        // the pin's own shuffle moves only the small array frame once.
+        //
+        // r17 same-box ABAB adjudication (this pin vs the r16 agg-pin vs
+        // the r15 no-pin; 2 alternating cycles, min-of-3 per invocation,
+        // spin 0.32–0.36 s throughout, gr2/gr3/gr5 family sums):
+        //   explode-pin 5.66 / 6.09 s; agg-pin 4.82 / 5.73 s;
+        //   no-pin 6.64 / 6.19 s.
+        // The agg-pin is ~0.5 s faster in THIS box state — but it is the
+        // form the OFFICIAL spin-clean r16 artifact read at 12.8 s family
+        // (gr2 3.87 s, worse than every pre-pin mode; compare_bench
+        // r15→r16 VERDICT FAIL), while the no-pin form's official r15
+        // record was healthy (1.67/2.47/3.10). The explode pin is chosen
+        // because it keeps the no-pin form's shuffle profile — map-side
+        // partial collect_set, combined-buffer shuffle volumes — so the
+        // official environment's agg-pin failure mechanism (raw-row
+        // shuffle into one fused mega-stage) structurally cannot apply,
+        // and it still removes the AQE bimodality (no-pin gr2 measured
+        // 2.79/1.34/1.47 s across r16 sessions; explode-pin 1.61/1.81 s
+        // across cycles).
+        .repartition(
+          lineitem.sparkSession.sparkContext.defaultParallelism,
+          col("l_orderkey"))
         .select(explode(flatten(transform(col("parts"), (x, i) =>
           transform(slice(col("parts"), i + lit(2), size(col("parts"))),
             y => struct(x.as("pa"), y.as("pb")))))).as("p"))

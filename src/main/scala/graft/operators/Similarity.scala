@@ -916,6 +916,16 @@ object Similarity {
     * here as the cautionary pair.) No regression; the r15 wiggle was
     * suite noise from the reclaim-drain mechanism fixed in Bench's r16
     * settle (see qualityCanonical's A/B).
+    *
+    * r17 verdict on the persistent 2× suite-vs-isolated gap (official
+    * r16 artifact 4.27 s vs the 2.09 s budget; this round's first full
+    * run 2.60 s in-suite, isolated 2.84 s on a middling box): the old
+    * build's mid-suite exposure was structural — two corpus scans,
+    * two localCheckpoints through the block manager, and ~6 eager/
+    * lazy jobs, each a fresh dice roll against suite debris — so the
+    * remedy was the single-pass rework below (one scan, one
+    * aggregate, driver finish), which removes the machinery rather
+    * than re-tuning it. Budget after the rework: see BENCH_r17.
     */
   def pcaTop(spark: SparkSession, dir: String): DataFrame =
     pcaTopCore(t(spark, dir, "embeddings"))
@@ -925,58 +935,59 @@ object Similarity {
     * (1,0,…), eigenvalue = the axis variance, explained ratio 1).
     */
   private[graft] def pcaTopCore(emb: DataFrame): DataFrame = {
-    // NO scopedPersist here, by necessity: this operator runs eager
-    // actions mid-build (the mu/c0 localCheckpoints and the triangle
-    // collect), and an eager job is a completed action that CONSUMES
-    // any scoped cache it reads — the listener then unpersists those
-    // blocks non-blocking while the next step is re-planning against
-    // them, which can surface as silently empty cached reads
-    // (reproduced in-session; ZDebug bisect: scoped alone fine,
-    // checkpoint alone fine, the MIX returns 0 rows). The shared
-    // frames are dims-sized, so they are localCheckpoint'd —
-    // materialized once, lineage-free, listener-free; only the raw
-    // scan is read more than once (twice), which at any scale is the
-    // cheap part of this plan next to the d²/2 pair explode.
+    // r17 single-pass form (replacing the r13 two-scan/localCheckpoint
+    // build — officially sim16 sat 2× over its isolated budget in-suite
+    // for two rounds running, and the old shape's mid-build eager jobs
+    // (mu/c0 localCheckpoints through the block manager, a second
+    // corpus scan) are exactly the machinery that prices erratically
+    // under suite debris): the corpus is now scanned ONCE into ONE
+    // hash aggregate, and everything after that aggregate is driver
+    // floats. The pair explode carries the linear term alongside the
+    // product, so the same d·(d+1)/2-group aggregate yields both the
+    // covariance sums (sxx) and, on its diagonal groups, the per-dim
+    // linear sums (sxi) that mu needs — the shuffled artifact is still
+    // ~2k rows at ANY corpus size for d = 64 (the d14 fixed-profile
+    // discipline). n rides a separate count() action, which parquet
+    // answers from footer metadata (and which keeps the oracle's
+    // count(*) semantics: a null-embedding row counts toward n but
+    // contributes nothing to the sums, exactly as the old
+    // explode-dropped-null form behaved).
     val e = emb.select(
       transform(col("embedding"), x => x.cast("double")).as("v"))
-    val n1 = e.agg(count(lit(1)).cast("double").as("n"))
-    val mu = e.select(posexplode(col("v")).as(Seq("i", "xi")))
-      .groupBy("i").agg(sum(col("xi")).as("sx"))
-      .crossJoin(broadcast(n1))
-      .select(col("i").cast("long").as("i"), (col("sx") / col("n")).as("mu"))
-      .localCheckpoint()
-    val pairs = e.select(explode(flatten(transform(
+    val n = emb.count().toDouble
+    val tri = e.select(explode(flatten(transform(
         sequence(lit(0), size(col("v")) - 1), a =>
           transform(sequence(a, size(col("v")) - 1), b =>
             struct(a.cast("long").as("i"), b.cast("long").as("j"),
-              (col("v")(a) * col("v")(b)).as("xx")))))).as("p"))
-      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.xx").as("xx"))
-    val m = pairs.groupBy("i", "j").agg(sum(col("xx")).as("sxx"))
-      .crossJoin(broadcast(n1))
-      .select(col("i"), col("j"), (col("sxx") / col("n")).as("m"))
-    val c0 = m.join(mu.select(col("i"), col("mu").as("mu_i")), "i")
-      .join(mu.select(col("i").as("j"), col("mu").as("mu_j")), "j")
-      .select(col("i"), col("j"), (col("m") - col("mu_i") * col("mu_j")).as("c"))
-      .localCheckpoint()
+              (col("v")(a) * col("v")(b)).as("xx"),
+              col("v")(a).as("xi")))))).as("p"))
+      .select(col("p.i").as("i"), col("p.j").as("j"),
+        col("p.xx").as("xx"), col("p.xi").as("xi"))
+      .groupBy("i", "j")
+      .agg(sum(col("xx")).as("sxx"), sum(col("xi")).as("sxi"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt,
+        r.getDouble(2), r.getDouble(3)))
     // Power iteration + eigenvalue readouts on the DRIVER over the
-    // collected covariance triangle — MLlib's
-    // RowMatrix.computePrincipalComponents precedent: the corpus-scale
-    // work IS the covariance aggregate above; the eigen-solve is O(d²)
-    // local floats (the collected triangle is d(d+1)/2 doubles —
+    // collected triangle — MLlib's RowMatrix.computePrincipalComponents
+    // precedent: the corpus-scale work IS the covariance aggregate
+    // above; the eigen-solve is O(d²) local floats (d(d+1)/2 doubles —
     // control-plane size at ANY corpus scale, t21's winner-readback
-    // convention). r13 rework: the previous 8 distributed
-    // join+aggregate rounds scheduled ~70 stages of d-row work — pure
-    // orchestration overhead (measured 3.8 s at sf0.1, ~2/3 of it
-    // stage latency). Summation-order drift vs the old per-partition
-    // sums is the SAME class the cross-engine gate already absorbs:
+    // convention). The driver replays the exact expressions the old
+    // distributed build used (m = sxx/n; c = m − mu_i·mu_j), so the
+    // only cross-form drift is summation order inside the aggregate —
+    // the same ~1-ulp class the cross-engine gate already absorbs:
     // power iteration contracts perturbations, and every emitted
-    // number still rounds on the r6 grid inside the Spark projection
-    // below (identical round/guard expressions, now over literals).
-    val tri = c0.collect()
-      .map(r => (r.getLong(0).toInt, r.getLong(1).toInt, r.getDouble(2)))
+    // number still rounds on the 6-grid inside the projection below
+    // (identical round/guard expressions, now over literals).
     val d = if (tri.isEmpty) 0 else tri.iterator.map(_._2).max + 1
+    val muA = Array.ofDim[Double](d)
+    tri.foreach { case (i, j, _, sxi) => if (i == j) muA(i) = sxi / n }
     val cM = Array.ofDim[Double](d, d)
-    tri.foreach { case (i, j, c) => cM(i)(j) = c; cM(j)(i) = c }
+    tri.foreach { case (i, j, sxx, _) =>
+      val c = sxx / n - muA(i) * muA(j)
+      cM(i)(j) = c; cM(j)(i) = c
+    }
     var vv = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
     def matvecLocal(x: Array[Double]): Array[Double] =
       Array.tabulate(d)(i => (0 until d).foldLeft(0.0)((s, j) =>
@@ -991,15 +1002,12 @@ object Similarity {
     val trace = (0 until d).foldLeft(0.0)((s, i) => s + cM(i)(i))
     val spark = emb.sparkSession
     import spark.implicits._
-    val vDf = vv.toSeq.zipWithIndex
-      .map { case (x, i) => (i.toLong, x) }.toDF("i", "val")
-    mu.join(c0.filter(col("i") === col("j"))
-        .select(col("i"), col("c").as("variance")), "i")
-      .join(broadcast(vDf), "i")
-      .select(col("i").as("dim"),
-        (round(col("mu"), 6) + lit(0)).as("mu"),
-        (round(col("variance"), 6) + lit(0)).as("variance"),
-        (round(col("val"), 6) + lit(0)).as("loading"),
+    (0 until d).map(i => (i.toLong, muA(i), cM(i)(i), vv(i)))
+      .toDF("dim", "mu_raw", "var_raw", "load_raw")
+      .select(col("dim"),
+        (round(col("mu_raw"), 6) + lit(0)).as("mu"),
+        (round(col("var_raw"), 6) + lit(0)).as("variance"),
+        (round(col("load_raw"), 6) + lit(0)).as("loading"),
         (round(lit(lam), 6) + lit(0)).as("eigenvalue"),
         (round(lit(lam) / when(lit(trace) =!= 0.0, lit(trace)), 6)
           + lit(0)).as("explained_ratio"))

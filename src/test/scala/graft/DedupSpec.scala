@@ -299,6 +299,25 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("componentsOf drops null-endpoint edges identically in both regimes") {
+    // r16 ADVICE: the driver finish used to NPE on a null edge id while
+    // the distributed loop silently dropped it via join/aggregate null
+    // semantics — same input, regime-dependent behavior. The guard now
+    // filters half-null edges up front, so both regimes see the same
+    // graph: (1,2) connects, (3,null)/(null,4) contribute nothing.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val nodes = (1L to 4L).toDF("id")
+    val pairs = Seq(
+      (Some(1L), Some(2L)), (Some(3L), None), (None, Some(4L)), (None, None))
+      .toDF("a", "b")
+    for ((regime, max) <- componentRegimes) {
+      val canon = graft.operators.Dedup.componentsOf(nodes, pairs, max)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(canon == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 4L), regime)
+    }
+  }
+
   test("componentsOf with non-long ids routes through the distributed loop") {
     // The driver finish is long-id-only by construction; a string-keyed
     // graph must still resolve correctly via the generic loop under the

@@ -83,6 +83,13 @@ def load(path):
             queries.update(json.loads(m.group(0))["queries"])
         except (json.JSONDecodeError, KeyError):
             pass
+    env = None
+    for m in re.finditer(r'\{"metric":"env".*?\}', text.replace('\\"', '"')):
+        try:
+            env = json.loads(m.group(0))
+            env.pop("metric", None)
+        except json.JSONDecodeError:
+            pass
     for m in re.finditer(r'\{"metric":"total".*?\}', text.replace('\\"', '"')):
         try:
             obj = json.loads(m.group(0))
@@ -93,7 +100,7 @@ def load(path):
                 spins = (obj["spin_start_s"], obj["spin_end_s"])
         except (json.JSONDecodeError, KeyError):
             pass
-    return queries, total, probes, spins
+    return queries, total, probes, spins, env
 
 
 def drift_pair(probes, spins):
@@ -143,11 +150,17 @@ def suite_median_factor(old_q, new_q):
 
 
 def main():
-    old_q, old_t, old_p, old_s = load(sys.argv[1])
-    new_q, new_t, new_p, new_s = load(sys.argv[2])
+    old_q, old_t, old_p, old_s, old_e = load(sys.argv[1])
+    new_q, new_t, new_p, new_s, new_e = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old_speed = probe_speed(sys.argv[1], old_p, old_s)
     new_speed = probe_speed(sys.argv[2], new_p, new_s)
+    # r17 env block (heap/local-dir/loadavg/MemAvailable brackets) — the
+    # diagnostics for slow-probe runs; printed verbatim when present.
+    for path, env in ((sys.argv[1], old_e), (sys.argv[2], new_e)):
+        if env:
+            print(f"{path}: env "
+                  + " ".join(f"{k}={v}" for k, v in env.items()))
     # Bench records failed queries as -1.0 — split them out BEFORE any
     # ratio math (a newly-broken query must never rank as a "win").
     broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
@@ -198,6 +211,26 @@ def main():
         print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}"
               + (f" [norm {adj(new_q[q]):.2f}]" if box else "")
               + f"  ({r:.1f}x)")
+    # r16 ADVICE: on a genuinely faster box (median factor well under 1)
+    # a real code regression can hide behind a deflated RAW ratio and
+    # pass the both-ratios verdict rule undetected. These are REPORTED
+    # (never verdict-gated — the median factor alone can't distinguish a
+    # faster box from a uniformly-faster suite, so a hard gate here would
+    # re-create the r16 normalized-total failure mode): normalized >=
+    # 1.5x with raw below the bar, shown only when the box factor is
+    # low enough (< 0.85) for the absorption mechanism to be plausible.
+    if box and box < 0.85:
+        absorbed = [(adj(new_q[q]) / max(old_q[q], 1e-9), q) for q in common
+                    if new_q[q] > 0.5
+                    and adj(new_q[q]) / max(old_q[q], 1e-9) >= 1.5
+                    and new_q[q] / max(old_q[q], 1e-9) < 1.5]
+        if absorbed:
+            print(f"\nnormalized-only outliers (box factor {box:.2f}x could be"
+                  " absorbing real slowdowns — investigate, not verdict-gated):")
+            for r, q in sorted(absorbed, reverse=True):
+                print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}"
+                      f" [norm {adj(new_q[q]):.2f}]  ({r:.1f}x norm,"
+                      f" {new_q[q] / max(old_q[q], 1e-9):.1f}x raw)")
     print(f"\nimprovements (old >= {thr}x {label}new, old > 0.5s):")
     for r, q in sorted(improve, reverse=True):
         print(f"  {q}: {old_q[q]:.2f} -> {new_q[q]:.2f}"
