@@ -458,27 +458,81 @@ object Enrichment {
     * a known tail and checks the exact clip counts and the clamped mean.
     */
   private[graft] def winsorizeCore(v: DataFrame): DataFrame = {
-    // ONE percentile aggregate for both cuts: Spark's exact percentile
-    // builds a per-partition value-counts map, and two separate calls
-    // build and merge that map twice — the array form halves the
-    // dominant cost (measured 4.3 s → ~2 s at sf0.1/local[32]; r13
-    // re-measure on a ~1.3× slower box: 2.6-2.8 s isolated min-of-3,
-    // up to ~3.5 s in-suite — CPU-bound exact percentile, scales with
-    // the box, regression only if the ratio to q1 moves)
-    val cuts = v.agg(expr("percentile(v, array(0.01, 0.99))").as("pcts"))
-      .select(round(element_at(col("pcts"), 1), 4).as("lo_cut"),
-        round(element_at(col("pcts"), 2), 4).as("hi_cut"))
-    v.join(broadcast(cuts))
-      .groupBy(col("lo_cut"), col("hi_cut"))
-      .agg(
+    // r17 rework: the old form's ONE exact `percentile(v, array(...))`
+    // aggregate builds and merges a per-partition value→count hash map
+    // over the whole column — memory-heavy and the reason d10 priced at
+    // 2.1–3.9 s across box states (CPU+allocation-bound; it was the
+    // single most expensive plan among the sub-3 s queries). Tail cuts
+    // only need the DISTRIBUTION EDGES: the p-th order statistics for
+    // p ∈ {1%, 99%} live in the smallest/largest ~1% of values, which
+    // TakeOrderedAndProject retrieves with a bounded per-partition heap
+    // and NO shuffle — two light head scans replace the map build. The
+    // driver then replays Spark's own exact-percentile interpolation
+    // (position p·(n−1); lower·(hi−pos) + upper·(pos−lo); the
+    // BigDecimal-HALF_UP round) on those order statistics, so the cut
+    // values are bit-identical to the old aggregate's. Empty input
+    // falls back to the percentile form to preserve its null/0-row
+    // semantics exactly.
+    //
+    // Scale: the heads are min(p, 1−p)·n rows — fine at bench scale,
+    // driver-unbounded at 100 TB, where the documented swap (prof2's
+    // convention) replaces BOTH exact forms with approx_percentile;
+    // the old exact map had the same (worse) corpus-scale ceiling.
+    val base = v.filter(col("v").isNotNull)
+    val nv = base.count()
+    if (nv == 0L) {
+      val cuts = v.agg(expr("percentile(v, array(0.01, 0.99))").as("pcts"))
+        .select(round(element_at(col("pcts"), 1), 4).as("lo_cut"),
+          round(element_at(col("pcts"), 2), 4).as("hi_cut"))
+      return v.join(broadcast(cuts))
+        .groupBy(col("lo_cut"), col("hi_cut"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(when(col("v") < col("lo_cut"), 1)).as("n_clipped_lo"),
+          count(when(col("v") > col("hi_cut"), 1)).as("n_clipped_hi"),
+          round(avg(col("v")), 6).as("mean_raw"),
+          round(avg(
+            when(col("v") < col("lo_cut"), col("lo_cut"))
+              .when(col("v") > col("hi_cut"), col("hi_cut"))
+              .otherwise(col("v"))), 6).as("mean_winsorized"))
+    }
+    // Exact percentile via order statistics: ascending head covers the
+    // p01 positions, descending head the p99 positions (its index i is
+    // ascending index n−1−i). Interpolation replays Percentile.scala's
+    // expression shape so the result matches the old plan bit-for-bit.
+    def interp(sorted: IndexedSeq[Double], pos: Double): Double = {
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      if (lo == hi) sorted(lo)
+      else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
+    }
+    def round4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val posLo = 0.01 * (nv - 1)
+    val posHi = 0.99 * (nv - 1)
+    val kAsc = math.ceil(posLo).toInt + 1
+    val ascHead = base.orderBy(col("v").asc).limit(kAsc)
+      .collect().map(_.getDouble(0)).toIndexedSeq
+    val kDesc = (nv - 1 - math.floor(posHi).toLong).toInt + 1
+    val descHead = base.orderBy(col("v").desc).limit(kDesc)
+      .collect().map(_.getDouble(0)).toIndexedSeq
+    // re-index the descending head ascending: asc index i = n−1−(desc i)
+    val hiWindow = descHead.reverse
+    val hiBase = nv - hiWindow.length // asc index of hiWindow(0)
+    val loCut = round4(interp(ascHead, posLo))
+    val hiCut = round4(interp(hiWindow, posHi - hiBase))
+    v.agg(
         count(lit(1)).as("n_rows"),
-        count(when(col("v") < col("lo_cut"), 1)).as("n_clipped_lo"),
-        count(when(col("v") > col("hi_cut"), 1)).as("n_clipped_hi"),
+        count(when(col("v") < lit(loCut), 1)).as("n_clipped_lo"),
+        count(when(col("v") > lit(hiCut), 1)).as("n_clipped_hi"),
         round(avg(col("v")), 6).as("mean_raw"),
         round(avg(
-          when(col("v") < col("lo_cut"), col("lo_cut"))
-            .when(col("v") > col("hi_cut"), col("hi_cut"))
+          when(col("v") < lit(loCut), lit(loCut))
+            .when(col("v") > lit(hiCut), lit(hiCut))
             .otherwise(col("v"))), 6).as("mean_winsorized"))
+      .select(lit(loCut).as("lo_cut"), lit(hiCut).as("hi_cut"),
+        col("n_rows"), col("n_clipped_lo"), col("n_clipped_hi"),
+        col("mean_raw"), col("mean_winsorized"))
   }
 
   /** d11 — leak-proof train/val/test split: the split key is the hash of

@@ -26,16 +26,27 @@ class GraphSpec extends AnyFunSuite {
       (6L, "completely unrelated words about nothing in particular here"),
       (7L, "another disjoint set of terms sharing no shingles at all")
     ).toDF("doc_id", "text")
-    val r = graft.operators.Graph.pagerankCore(docs).collect()
-      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
-    assert(r.size == 7)
-    val leaves = Seq(2L, 3L, 4L, 5L).map(r)
-    assert(leaves.distinct.size == 1, s"leaves should tie: $leaves")
-    assert(r(1L) > leaves.head, s"hub ${r(1L)} vs leaf ${leaves.head}")
-    assert(r(6L) == 0.15 && r(7L) == 0.15, s"isolated at floor: $r")
-    assert(leaves.head > 0.15)
-    // without dangling redistribution total mass can only leak
-    assert(r.values.sum <= 7.000001, r.values.sum)
+    // BOTH regimes (componentsOf's convention): the default call takes
+    // the driver finish on this test-sized graph; driverFinishMax = 0
+    // forces the distributed power-iteration rounds. The two must agree
+    // on every rounded rank, so neither implementation can rot.
+    val byRegime = for ((regime, max) <- Seq(
+        "driver-finish" -> graft.operators.Dedup.DriverFinishEdges,
+        "distributed-rounds" -> 0L)) yield {
+      val r = graft.operators.Graph.pagerankCore(docs, max).collect()
+        .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+      assert(r.size == 7, regime)
+      val leaves = Seq(2L, 3L, 4L, 5L).map(r)
+      assert(leaves.distinct.size == 1, s"$regime leaves should tie: $leaves")
+      assert(r(1L) > leaves.head, s"$regime hub ${r(1L)} vs leaf ${leaves.head}")
+      assert(r(6L) == 0.15 && r(7L) == 0.15, s"$regime isolated at floor: $r")
+      assert(leaves.head > 0.15)
+      // without dangling redistribution total mass can only leak
+      assert(r.values.sum <= 7.000001, s"$regime ${r.values.sum}")
+      r
+    }
+    assert(byRegime.head == byRegime.last,
+      s"regimes disagree: ${byRegime.head} vs ${byRegime.last}")
   }
 
   test("gr2 triangles: K4 yields 3 per vertex; support<2 edges vanish") {
@@ -47,10 +58,20 @@ class GraphSpec extends AnyFunSuite {
     val li = (Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p)))
       ++ Seq(10L, 11L, 12L).map(p => (3L, p)))
       .toDF("l_orderkey", "l_partkey")
-    val got = graft.operators.Graph.trianglesCore(li).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), got)
+    for ((regime, max) <- grRegimes) {
+      val got = graft.operators.Graph.trianglesCore(li, max).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+        s"$regime $got")
+    }
   }
+
+  // Every gr-family contract test runs BOTH regimes (componentsOf's
+  // convention): the default call takes the driver finish on these
+  // test-sized graphs, and max = 0 forces the distributed join plans.
+  private val grRegimes: Seq[(String, Long)] =
+    Seq("driver-finish" -> graft.operators.Dedup.DriverFinishEdges,
+      "distributed-joins" -> 0L)
 
   test("gr3 link prediction: star leaves and square diagonals, edges excluded") {
     import spark.implicits._
@@ -66,16 +87,18 @@ class GraphSpec extends AnyFunSuite {
     val li = edges.zipWithIndex.flatMap { case ((a, b), i) =>
       Seq(100L + 2 * i, 101L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
     }.toDF("l_orderkey", "l_partkey")
-    val got = graft.operators.Graph.linkPredictionCore(li).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     val aaStar = BigDecimal(1.0 / math.log(3))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val aaSquare = BigDecimal(2.0 / math.log(2))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    assert(got.toSeq == Seq(
-      (10L, 12L, 2L, aaSquare), (11L, 13L, 2L, aaSquare),
-      (2L, 3L, 1L, aaStar), (2L, 4L, 1L, aaStar), (3L, 4L, 1L, aaStar)),
-      got.mkString(", "))
+    for ((regime, max) <- grRegimes) {
+      val got = graft.operators.Graph.linkPredictionCore(li, max).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq == Seq(
+        (10L, 12L, 2L, aaSquare), (11L, 13L, 2L, aaSquare),
+        (2L, 3L, 1L, aaStar), (2L, 4L, 1L, aaStar), (3L, 4L, 1L, aaStar)),
+        s"$regime ${got.mkString(", ")}")
+    }
   }
 
   test("hub-basket cap: a degenerate basket is bounded at MaxBasketItems") {
@@ -131,16 +154,19 @@ class GraphSpec extends AnyFunSuite {
         Seq(10L + 2 * i, 11L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
     }
     val li = (k4 ++ star).toDF("l_orderkey", "l_partkey")
-    val got = graft.operators.Graph.clusteringCoefficientCore(li).collect()
-      .map(r => r.getLong(0) ->
-        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
-          r.getAs[Double]("clustering"))).toMap
-    Seq(1L, 2L, 3L, 4L).foreach { p =>
-      assert(got(p) == ((3L, 3L, 1.0)), s"$p -> ${got(p)}")
+    for ((regime, max) <- grRegimes) {
+      val got = graft.operators.Graph.clusteringCoefficientCore(li, max)
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+            r.getAs[Double]("clustering"))).toMap
+      Seq(1L, 2L, 3L, 4L).foreach { p =>
+        assert(got(p) == ((3L, 3L, 1.0)), s"$regime $p -> ${got(p)}")
+      }
+      assert(got(21L) == ((3L, 0L, 0.0)), s"$regime ${got(21L)}")
+      assert(!got.contains(22L) && !got.contains(23L) && !got.contains(24L),
+        s"$regime degree-1 leaves must be excluded")
     }
-    assert(got(21L) == ((3L, 0L, 0.0)), got(21L))
-    assert(!got.contains(22L) && !got.contains(23L) && !got.contains(24L),
-      "degree-1 leaves must be excluded")
   }
 
   test("gr5 components: disjoint cliques converge; a diameter-4 chain does not") {
@@ -157,18 +183,28 @@ class GraphSpec extends AnyFunSuite {
         Seq(100L + 2 * i, 101L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
       }
     val li = (k3a ++ k3b ++ chain).toDF("l_orderkey", "l_partkey")
-    val got = graft.operators.Graph.componentsCore(li).collect()
-      .map(r => r.getLong(0) ->
-        (r.getAs[Long]("component"), r.getAs[Long]("component_size"),
-          r.getAs[Boolean]("converged"))).toMap
-    Seq(1L, 2L, 3L).foreach(p => assert(got(p) == ((1L, 3L, true)), got(p)))
-    Seq(11L, 12L, 13L).foreach(p =>
-      assert(got(p) == ((11L, 3L, true)), got(p)))
-    // 3-hop bound: 35 sees only down to 32; 34 just received 31 this round
-    assert(got(35L) == ((32L, 1L, false)), got(35L))
-    assert(got(34L) == ((31L, 4L, false)), got(34L))
-    Seq(31L, 32L, 33L).foreach(p =>
-      assert(got(p)._1 == 31L && got(p)._3, s"$p -> ${got(p)}"))
+    // BOTH regimes (componentsOf's convention): the default call takes
+    // the driver finish on this test-sized graph; driverFinishMax = 0
+    // forces the distributed 3-round HashToMin. Labels are integers, so
+    // the regimes must agree EXACTLY — including the honestly-
+    // unconverged diameter-4 chain rows.
+    for ((regime, max) <- Seq(
+        "driver-finish" -> graft.operators.Dedup.DriverFinishEdges,
+        "distributed-rounds" -> 0L)) {
+      val got = graft.operators.Graph.componentsCore(li, max).collect()
+        .map(r => r.getLong(0) ->
+          (r.getAs[Long]("component"), r.getAs[Long]("component_size"),
+            r.getAs[Boolean]("converged"))).toMap
+      Seq(1L, 2L, 3L).foreach(p =>
+        assert(got(p) == ((1L, 3L, true)), s"$regime ${got(p)}"))
+      Seq(11L, 12L, 13L).foreach(p =>
+        assert(got(p) == ((11L, 3L, true)), s"$regime ${got(p)}"))
+      // 3-hop bound: 35 sees only down to 32; 34 just received 31 this round
+      assert(got(35L) == ((32L, 1L, false)), s"$regime ${got(35L)}")
+      assert(got(34L) == ((31L, 4L, false)), s"$regime ${got(34L)}")
+      Seq(31L, 32L, 33L).foreach(p =>
+        assert(got(p)._1 == 31L && got(p)._3, s"$regime $p -> ${got(p)}"))
+    }
     // the production fixpoint loop converges the SAME chain fully: one
     // component labeled 31 of size 5, converged everywhere, in the
     // O(diameter) round budget (4 label rounds + 1 no-change round).

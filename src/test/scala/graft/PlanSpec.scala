@@ -571,11 +571,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
-  test("d10 is two scans by construction: cut aggregate + scan-local clip") {
+  test("d10 final plan is ONE scan-local clip aggregate: no join, cuts are literals") {
+    // r17 rework: the cut points are computed up front from two bounded
+    // TakeOrderedAndProject head jobs (not visible in the final plan)
+    // and injected as literals, so the clip pass is a single scan with
+    // no join at all — the old shape was 2 scans + a 1-row
+    // BroadcastNestedLoopJoin for the cuts.
     val p = plan("d10_winsorize")
-    assert("Scan parquet".r.findAllIn(p).size == 2, p.take(2500))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2500)) // 1-row cuts
-    assert(!p.contains("SortMergeJoin"), p.take(2500))
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
+    assert(!p.contains("Join"), p.take(2500))
   }
 
   test("m1 unpivot is a generator projection: no join, key filter pushed down") {
@@ -640,11 +644,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("gr3 excludes existing edges map-side and takes top-20 without a global sort") {
+    // r17: the default regime driver-finishes the affinity-sized graph,
+    // so the FINAL plan is a top-20 over a local relation (still
+    // TakeOrderedAndProject, never a global sort); the distributed
+    // regime's plan contract — hash LeftAnti for the existing-edge
+    // exclusion, no materialized cross product — is pinned by forcing
+    // driverFinishMax = 0 on the same corpus.
     val p = plan("gr3_link_prediction")
     assert(p.contains("TakeOrderedAndProject"), p.take(2500))
-    // the existing-edge exclusion must be a hash anti join, never a
-    // filter over a materialized cross product
-    assert(p.contains("LeftAnti"), p.take(2500))
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    val dist = graft.operators.Graph.linkPredictionCore(
+        graft.Tables.t(spark, sf, "lineitem"), 0L)
+      .queryExecution.executedPlan.toString
+    assert(dist.contains("TakeOrderedAndProject"), dist.take(2500))
+    assert(dist.contains("LeftAnti"), dist.take(2500))
   }
 
   test("fe1 broadcasts the nation dimension and the 1-row bounds frame") {
