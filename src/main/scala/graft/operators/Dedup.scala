@@ -579,6 +579,9 @@ object Dedup {
     // (min-of-3, spin 0.33 both): 2.171 s WITH the na.drop vs 2.393 s
     // WITHOUT. The guard is exonerated; the 1.57 s reading was that
     // run's box state (today's band on both forms is ~2.2-2.4 s).
+    // r18 confirmation: isolated min-of-3 on a quiet box (spin 0.33,
+    // load1 1.3) reads dd5 2.27 s — inside the adjudicated band; the
+    // r16 official 1.57 s stands as the outlier.
     val pairs = pairsIn.toDF("pa", "pb").na.drop()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allLong = (pairs.schema.fields.map(_.dataType) :+

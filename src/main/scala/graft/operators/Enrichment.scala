@@ -510,11 +510,18 @@ object Enrichment {
       BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val posLo = 0.01 * (nv - 1)
     val posHi = 0.99 * (nv - 1)
+    // Cast to double BEFORE collecting (r18, per-round review): the old
+    // exact-percentile aggregate accepted any numeric `v` (its buffer
+    // promotes internally), so the heads must too — `getDouble` on a
+    // decimal/float column would throw where the fallback plan computed.
+    // Matches Percentile's own toDoubleValue promotion; ordering is
+    // value-order either way.
+    val baseD = base.select(col("v").cast("double").as("v"))
     val kAsc = math.ceil(posLo).toInt + 1
-    val ascHead = base.orderBy(col("v").asc).limit(kAsc)
+    val ascHead = baseD.orderBy(col("v").asc).limit(kAsc)
       .collect().map(_.getDouble(0)).toIndexedSeq
     val kDesc = (nv - 1 - math.floor(posHi).toLong).toInt + 1
-    val descHead = base.orderBy(col("v").desc).limit(kDesc)
+    val descHead = baseD.orderBy(col("v").desc).limit(kDesc)
       .collect().map(_.getDouble(0)).toIndexedSeq
     // re-index the descending head ascending: asc index i = n−1−(desc i)
     val hiWindow = descHead.reverse

@@ -145,6 +145,38 @@ object Graph {
         .filter(col("support") >= 2)
         .select(col("pa"), col("pb")))
 
+  /** Driver wedge budget (r18, per-round review): the edge bound
+    * ([[graft.operators.Dedup.DriverFinishEdges]]) was sized for the
+    * O(V+E) finishes (gr5/pr1/componentsOf union-find and label rounds),
+    * but the WEDGE-shaped finishes — gr2/gr4's per-edge neighbor-set
+    * intersections, gr3's open-wedge accumulator — cost O(Σ deg²) driver
+    * time, and gr3 additionally O(#open wedges) driver MEMORY: a
+    * hub-heavy graph just under the 1M-edge bound can demand ~E²/2 map
+    * entries where the distributed plan (which spills) succeeds. Σ deg²
+    * is one pass over the collected edges; above this budget the edges
+    * ship back as a distributed frame and the unchanged distributed plan
+    * runs. 4M wedges ≈ low hundreds of MB worst-case for gr3's
+    * tuple-keyed map — safely inside the driver heap that already held
+    * the 1M-edge collect — while the affinity-scale graphs the gate
+    * targets sit orders of magnitude below (Σ deg² ≈ 1e5–1e6 at bench
+    * scale across sf0.01→0.1).
+    */
+  private[graft] val DriverWedgeBudget = 4000000L
+
+  /** Σ deg² of the collected oriented edge list — the wedge-count bound
+    * the driver-finish budget gates on.
+    */
+  private def sumDegSq(es: Array[(Long, Long)]): Long = {
+    val deg = new scala.collection.mutable.LongMap[Long]()
+    es.foreach { case (a, b) =>
+      deg(a) = deg.getOrElse(a, 0L) + 1
+      deg(b) = deg.getOrElse(b, 0L) + 1
+    }
+    var s = 0L
+    deg.foreachValue(d => s += d * d)
+    s
+  }
+
   /** The support-pruned edge list in whichever regime fits (r17, the
     * gr-family application of componentsOf's two-regime shape): `Left` —
     * the collected oriented edges for a driver finish when the graph is
@@ -156,10 +188,19 @@ object Graph {
     * regime-deciding count is an action that would consume a scoped
     * cache; the checkpoint materializes FROM the cache, and the cache
     * is dropped either way once the surviving regime holds its artifact.
+    *
+    * `wedgeBudget` (r18): callers whose driver finish enumerates wedges
+    * pass [[DriverWedgeBudget]]; an edge list under `max` but over the
+    * wedge budget is re-distributed (a `Right` built from the collected
+    * rows — one extra driver round-trip on a path that is by definition
+    * rare) instead of handed to a quadratic local loop. Σ deg² is
+    * computed driver-side from the already-collected edges, so the
+    * common case pays zero extra Spark jobs.
     */
   private[graft] def supportEdgesOrFrame(
       lineitem: DataFrame,
-      max: Long): Either[Array[(Long, Long)], DataFrame] = {
+      max: Long,
+      wedgeBudget: Long = Long.MaxValue): Either[Array[(Long, Long)], DataFrame] = {
     val p = supportPairsPlan(lineitem)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val allLong = p.schema.fields.map(_.dataType)
@@ -167,7 +208,17 @@ object Graph {
     if (allLong && p.count() <= max) {
       val es = p.collect().map(r => (r.getLong(0), r.getLong(1)))
       p.unpersist(blocking = false)
-      Left(es)
+      if (sumDegSq(es) <= wedgeBudget) Left(es)
+      else {
+        // Over-budget fallback: ship the collected edges back out as a
+        // properly-partitioned frame (a bare LocalTableScan would run
+        // every downstream join single-partition on the driver).
+        val spark = lineitem.sparkSession
+        import spark.implicits._
+        Right(es.toSeq.toDF("pa", "pb")
+          .repartition(spark.sparkContext.defaultParallelism)
+          .localCheckpoint())
+      }
     } else {
       val ckpt = p.localCheckpoint()
       p.unpersist(blocking = false)
@@ -372,8 +423,9 @@ object Graph {
     */
   private[graft] def trianglesCore(
       lineitem: DataFrame,
-      driverFinishMax: Long = Dedup.DriverFinishEdges): DataFrame =
-    supportEdgesOrFrame(lineitem, driverFinishMax) match {
+      driverFinishMax: Long = Dedup.DriverFinishEdges,
+      wedgeBudget: Long = DriverWedgeBudget): DataFrame =
+    supportEdgesOrFrame(lineitem, driverFinishMax, wedgeBudget) match {
       case Left(es) =>
         // Driver finish: oriented-neighbor intersection per edge — each
         // triangle x<y<z found exactly once via its (x,y) edge, all
@@ -429,8 +481,9 @@ object Graph {
     */
   private[graft] def clusteringCoefficientCore(
       lineitem: DataFrame,
-      driverFinishMax: Long = Dedup.DriverFinishEdges): DataFrame =
-    supportEdgesOrFrame(lineitem, driverFinishMax) match {
+      driverFinishMax: Long = Dedup.DriverFinishEdges,
+      wedgeBudget: Long = DriverWedgeBudget): DataFrame =
+    supportEdgesOrFrame(lineitem, driverFinishMax, wedgeBudget) match {
       case Left(es) =>
         // Driver finish: gr2's triangle counts + degree counts locally;
         // the coefficient replays the distributed expression
@@ -514,8 +567,9 @@ object Graph {
 
   private[graft] def linkPredictionCore(
       lineitem: DataFrame,
-      driverFinishMax: Long = Dedup.DriverFinishEdges): DataFrame =
-    supportEdgesOrFrame(lineitem, driverFinishMax) match {
+      driverFinishMax: Long = Dedup.DriverFinishEdges,
+      wedgeBudget: Long = DriverWedgeBudget): DataFrame =
+    supportEdgesOrFrame(lineitem, driverFinishMax, wedgeBudget) match {
       case Left(es) =>
         // Driver finish: enumerate wedges x—y—z (x < z) per shared
         // neighbor y, skip adjacent (x, z), accumulate the common count
@@ -529,12 +583,16 @@ object Graph {
         }
         val edgeSet = es.map { case (a, b) => (a, b) }.toSet
         val acc = scala.collection.mutable.Map[(Long, Long), (Long, Double)]()
-        adj.foreach { case (y, ns) =>
-          val w = 1.0 / math.log(adj(y).size.toDouble)
-          val sorted = ns.sorted
+        adj.foreach { case (_, ns) =>
+          // Array, not List (r18, per-round review): positional List
+          // indexing made the i<j enumeration O(deg³) per center; the
+          // degree for the weight is the materialized array's length,
+          // not a second O(deg) List walk.
+          val sorted = ns.sorted.toArray
+          val w = 1.0 / math.log(sorted.length.toDouble)
           for {
             i <- sorted.indices
-            j <- (i + 1) until sorted.size
+            j <- (i + 1) until sorted.length
             x = sorted(i); z = sorted(j)
             if x != z && !edgeSet.contains((x, z))
           } {
@@ -624,67 +682,65 @@ object Graph {
     */
   private[graft] def componentsCore(
       lineitem: DataFrame,
-      driverFinishMax: Long = Dedup.DriverFinishEdges): DataFrame = {
-    // The lineitem pairing is the only corpus-scale work; everything
-    // after runs on this affinity-scale frame (gr2's discipline).
-    // Explicit persist (componentsOf's convention): the regime-deciding
-    // count is an action, and a scoped cache would be consumed by it.
-    val pairs = supportPairsPlan(lineitem)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Driver finish (r17, the same two-regime shape as componentsOf and
-    // pr1 — the r16 official artifact confirmed the componentsOf finish
-    // held up under driver conditions): the support-pruned edge list is
-    // affinity-sized (~4k edges at bench scale, support >= 2 prunes it
-    // to true co-purchase affinity at any corpus size), yet the 3
-    // unrolled HashToMin rounds + the size window re-plan ~6 exchanges
-    // of driver-trivial integer work. Below the bound, collect the
-    // edges and replay EXACTLY the 3 min-label rounds locally (all
-    // integers — zero arithmetic drift, unlike pr1's float class);
-    // above it, or for non-long keys, the distributed rounds run
-    // unchanged. GraphSpec drives the planted-clique/chain contracts in
-    // BOTH regimes, including the honestly-unconverged diameter-5 case.
-    val allLong = pairs.schema.fields.map(_.dataType)
-      .forall(_ == org.apache.spark.sql.types.LongType)
-    if (allLong && pairs.count() <= driverFinishMax) {
-      val es = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
-      pairs.unpersist(blocking = false)
-      val nbrs = new scala.collection.mutable.LongMap[List[Long]]()
-      es.foreach { case (a, b) =>
-        nbrs(a) = b :: nbrs.getOrElse(a, Nil)
-        nbrs(b) = a :: nbrs.getOrElse(b, Nil)
-      }
-      var lbl = new scala.collection.mutable.LongMap[Long]()
-      nbrs.keys.foreach(k => lbl(k) = k)
-      var prev = lbl
-      for (_ <- 1 to 3) {
-        prev = lbl
-        val next = new scala.collection.mutable.LongMap[Long]()
-        nbrs.foreach { case (k, ns) =>
-          // min over self and neighbors — the self-loop fold, locally
-          next(k) = ns.foldLeft(prev(k))((m, u) => math.min(m, prev(u)))
+      driverFinishMax: Long = Dedup.DriverFinishEdges): DataFrame =
+    // Regime gate via [[supportEdgesOrFrame]] (r18, per-round review —
+    // this previously inlined its own persist/allLong/count/collect
+    // lifecycle; two copies of the cache-and-type-gate convention can
+    // drift, the dd5 lesson). Driver finish (r17, the same two-regime
+    // shape as componentsOf and pr1): the support-pruned edge list is
+    // affinity-sized (~4k edges at bench scale), yet the 3 unrolled
+    // HashToMin rounds + the size window re-plan ~6 exchanges of
+    // driver-trivial integer work. Below the bound, replay EXACTLY the
+    // 3 min-label rounds locally (all integers — zero arithmetic drift,
+    // unlike pr1's float class; O(V+E) per round, so no wedge budget
+    // applies); above it, or for non-long keys, the distributed rounds
+    // run unchanged. GraphSpec drives the planted-clique/chain contracts
+    // in BOTH regimes, including the honestly-unconverged diameter-5
+    // case.
+    supportEdgesOrFrame(lineitem, driverFinishMax) match {
+      case Left(es) =>
+        val nbrs = new scala.collection.mutable.LongMap[List[Long]]()
+        es.foreach { case (a, b) =>
+          nbrs(a) = b :: nbrs.getOrElse(a, Nil)
+          nbrs(b) = a :: nbrs.getOrElse(b, Nil)
         }
-        lbl = next
-      }
-      val sizes = new scala.collection.mutable.LongMap[Long]()
-      lbl.values.foreach(c => sizes(c) = sizes.getOrElse(c, 0L) + 1)
-      val spark = lineitem.sparkSession
-      import spark.implicits._
-      return lbl.toSeq
-        .map { case (k, c) => (k, c, sizes(c), c == prev(k)) }
-        .toDF("l_partkey", "component", "component_size", "converged")
-        .orderBy("component", "l_partkey")
+        var lbl = new scala.collection.mutable.LongMap[Long]()
+        nbrs.keys.foreach(k => lbl(k) = k)
+        var prev = lbl
+        for (_ <- 1 to 3) {
+          prev = lbl
+          val next = new scala.collection.mutable.LongMap[Long]()
+          nbrs.foreach { case (k, ns) =>
+            // min over self and neighbors — the self-loop fold, locally
+            next(k) = ns.foldLeft(prev(k))((m, u) => math.min(m, prev(u)))
+          }
+          lbl = next
+        }
+        val sizes = new scala.collection.mutable.LongMap[Long]()
+        lbl.values.foreach(c => sizes(c) = sizes.getOrElse(c, 0L) + 1)
+        val spark = lineitem.sparkSession
+        import spark.implicits._
+        lbl.toSeq
+          .map { case (k, c) => (k, c, sizes(c), c == prev(k)) }
+          .toDF("l_partkey", "component", "component_size", "converged")
+          .orderBy("component", "l_partkey")
+      case Right(pairs) => componentsDistributed(pairs)
     }
+
+  /** gr5's distributed 3-round form over the checkpointed edge frame —
+    * the `Right` regime of [[componentsCore]].
+    */
+  private def componentsDistributed(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(pairs.select(col("pb").as("src"), col("pa").as("dst")))
     val nodes = sym.select(col("src").as("id")).distinct()
     // Self-loops fold "min of self and neighbors" into ONE aggregate.
     // EAGER checkpoint ([[componentsFixpoint]]'s discipline): all three
-    // label rounds join against adj, and the materialization is what
-    // lets the explicit pair cache release before the rounds run.
+    // label rounds join against adj; the incoming pairs frame is itself
+    // a checkpoint, so the union + distinct materialize exactly once.
     val adj = sym.unionAll(
       nodes.select(col("id").as("src"), col("id").as("dst")))
       .localCheckpoint()
-    pairs.unpersist(blocking = false)
     def step(prev: DataFrame): DataFrame =
       adj.as("a").join(prev.as("p"), col("a.dst") === col("p.id"))
         .groupBy(col("a.src").as("id")).agg(min(col("p.lbl")).as("lbl"))

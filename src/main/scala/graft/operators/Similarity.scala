@@ -679,11 +679,11 @@ object Similarity {
     *
     * Scale shape: the corpus-sized work is the ONE candidate scan
     * (broadcast query, TakeOrderedAndProject top-20 — sim1's shape); the
-    * greedy runs entirely on the candidate-sized frame (20×20 sim matrix
-    * via broadcast self-join, k tiny argmax rounds, each round's 1-row
-    * winner localCheckpoint'ed so lineage stays flat — t21's discipline;
-    * a fully-lazy k-step chain re-plans the prefix 3^k times). At 100 TB
-    * only the candidate fetch grows; the MMR stage is constant-cost.
+    * greedy runs on the driver over the collected candidate rows — a
+    * frame bounded at [[MmrCandidates]] BY CONSTRUCTION (the limit), so
+    * the collect is a compile-time-constant 20 rows at any corpus size.
+    * At 100 TB only the candidate fetch grows; the MMR stage is
+    * constant-cost.
     */
   def mmrTopK(spark: SparkSession, dir: String): DataFrame =
     mmrCore(withNorm(spark, dir))
@@ -691,50 +691,90 @@ object Similarity {
   /** sim11 over an explicit `(vec_id, embedding, nrm)` frame —
     * SimilaritySpec plants redundant twins and proves the diversity
     * penalty skips the second twin where plain top-k would not.
+    *
+    * Driver finish (r18, adjudicating the r17 official artifact's worst
+    * flag — sim11 1.25 → 4.07 s, 3.3× raw with NO code change that
+    * round): the old form ran the greedy as k sequential
+    * `localCheckpoint` actions over the 20-row candidate frame and its
+    * 380-row sim matrix — ~10 latency-bound tiny Spark jobs whose cost
+    * is pure scheduling, which a loaded box taxes multiplicatively
+    * (same-box A/B, spin 0.33 s: 1.08 s isolated min-of-3 on the OLD
+    * form vs the official 4.07 — the 3.3× was suite/box tax on the job
+    * chain, not plan work). Per the sim16 eigen-solve / t21
+    * winner-readback precedent, the candidate frame is collected ONCE
+    * (bounded at 20 rows by the limit) and the pairwise sims + k greedy
+    * argmax rounds replay on the driver with the distributed plan's
+    * exact arithmetic: [[graft.functions.FloatDotProduct]]'s
+    * left-to-right double fold, the same parsed 0.7/0.3 literals, and
+    * the BigDecimal-HALF_UP 6-round at the same points (gr4's
+    * bit-identical convention) — SimilaritySpec passes unchanged and
+    * the sel-chain DuckDB oracle still hash-matches. Same-box A/B after
+    * the rewrite: 0.43 s isolated min-of-3 (2.5× the old form, and the
+    * job chain the in-suite tax multiplied is gone).
     */
   private[graft] def mmrCore(e: DataFrame): DataFrame = {
-    // candidate fetch and sim matrix are LOCALCHECKPOINTED, not
-    // scoped-persisted: the greedy runs k eager localCheckpoint actions,
-    // and a scoped persist releases after the FIRST of them — every
-    // later step would silently re-run the corpus scan (and from step 3
-    // the matrix build) from lineage. Both frames are candidate-sized
-    // (20 and 380 rows), so materializing them eagerly is free.
-    val cand = e.filter(col("vec_id") =!= 0L)
+    val spark = e.sparkSession
+    val rows = e.filter(col("vec_id") =!= 0L)
       .join(broadcast(e.filter(col("vec_id") === 0L)
         .select(col("embedding").as("qv"), col("nrm").as("qn"))))
       .select(col("vec_id"), col("embedding"), col("nrm"),
         round(dot(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6)
           .as("rel"))
       .orderBy(col("rel").desc, col("vec_id")).limit(MmrCandidates)
-      .localCheckpoint()
-    val sims = cand.select(col("vec_id").as("a"), col("embedding").as("av"),
-        col("nrm").as("an"))
-      .join(broadcast(cand.select(col("vec_id").as("b"),
-        col("embedding").as("bv"), col("nrm").as("bn"))),
-        col("a") =!= col("b"))
-      .select(col("a"), col("b"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
-          .as("s"))
-      .localCheckpoint()
-    var selected = cand
-      .select(lit(1L).as("rank"), col("vec_id"), col("rel"),
-        round(col("rel") * lit(0.7), 6).as("mmr"))
-      .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-      .localCheckpoint()
-    for (i <- 2 to MmrK) {
-      val selIds = selected.select(col("vec_id").as("sid"))
-      val maxSim = sims.join(broadcast(selIds), col("b") === col("sid"))
-        .groupBy(col("a")).agg(max(col("s")).as("ms"))
-      val next = cand
-        .join(broadcast(selIds), col("vec_id") === col("sid"), "left_anti")
-        .join(broadcast(maxSim), col("vec_id") === col("a"), "left")
-        .select(lit(i.toLong).as("rank"), col("vec_id"), col("rel"),
-          round(col("rel") * lit(0.7) -
-            coalesce(col("ms"), lit(0.0)) * lit(0.3), 6).as("mmr"))
-        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-      selected = selected.unionAll(next.localCheckpoint())
+      .collect()
+    def round6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // Null parity with the old distributed form: a ragged/null embedding
+    // yields null dot → null rel/s; desc argmax sorts null mmr LAST
+    // (Spark's desc default), max-of-sims skips nulls, all-null max
+    // coalesces to 0.0.
+    case class Cand(id: Long, v: Option[IndexedSeq[Float]], n: Option[Double],
+        rel: Option[Double])
+    val cands = rows.map { r =>
+      Cand(r.getLong(0),
+        Option(r.getSeq[Float](1)).map(_.toIndexedSeq),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+    }.toIndexedSeq
+    def dotLocal(a: IndexedSeq[Float], b: IndexedSeq[Float]): Option[Double] =
+      if (a.length != b.length) None
+      else {
+        var s = 0.0
+        var i = 0
+        while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+        Some(s)
+      }
+    def sim(a: Cand, b: Cand): Option[Double] =
+      for { av <- a.v; bv <- b.v; an <- a.n; bn <- b.n; d <- dotLocal(av, bv) }
+        yield round6(d / (an * bn))
+    // argmax on (mmr desc nulls-last, vec_id asc) — the distributed
+    // orderBy(mmr.desc, vec_id).limit(1) ordering, replayed.
+    def pick(scored: Seq[(Cand, Option[Double])]): (Cand, Option[Double]) =
+      scored.minBy { case (c, m) =>
+        (m.isEmpty, -m.getOrElse(0.0), c.id)
+      }
+    val selected = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Option[Double], Option[Double])]
+    val chosen = scala.collection.mutable.ArrayBuffer.empty[Cand]
+    var remaining = cands
+    for (i <- 1 to MmrK if remaining.nonEmpty) {
+      val scored = remaining.map { c =>
+        val mmr =
+          if (i == 1) c.rel.map(r => round6(r * 0.7))
+          else {
+            val ss = chosen.flatMap(s => sim(c, s))
+            val ms = if (ss.isEmpty) 0.0 else ss.max
+            c.rel.map(r => round6(r * 0.7 - ms * 0.3))
+          }
+        (c, mmr)
+      }
+      val (best, mmr) = pick(scored)
+      selected += ((i.toLong, best.id, best.rel, mmr))
+      chosen += best
+      remaining = remaining.filterNot(_.id == best.id)
     }
-    selected.orderBy("rank")
+    import spark.implicits._
+    selected.toSeq.toDF("rank", "vec_id", "rel", "mmr").orderBy("rank")
   }
 
   /** sim12 — simplified-silhouette clustering audit over the labeled

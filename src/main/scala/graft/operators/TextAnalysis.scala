@@ -1229,6 +1229,14 @@ object TextAnalysis {
     * 0.44) — the duplicated scan+explode is embarrassingly parallel and
     * cheaper than the materialization barrier. Re-measure before caching
     * if the shingle pipeline ever gains per-row cost.
+    *
+    * r18 adjudication of the r17 official flag (1.24 → 2.67 s, 1.9× with
+    * NO code change that round — the dd5 playbook's same-box A/B):
+    * isolated min-of-3 on a quiet box (spin 0.33 s, load1 1.3) reads
+    * 1.35 s on the UNCHANGED code — within noise of the r16 official
+    * 1.24 s. Verdict: the 2.67 s reading was the r17 artifact's
+    * documented box contention (load1_start 8.49, 1.12× suite-median box
+    * factor), not a regression; no structural change warranted.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
     boilerplateCore(t(spark, dir, "documents"))

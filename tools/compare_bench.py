@@ -43,6 +43,17 @@ import sys
 
 DRIFT_LIMIT = 1.3
 
+# Contended-start gate (r18): the r17 OFFICIAL artifact began at
+# load1_start=8.49 on the 32-cpu box (its own env line) and read the
+# slowest total in the series while same-code internal runs passed —
+# Bench now sleeps until load1 <= this limit before the first query
+# (see Bench.loadGate), so an artifact whose POST-GATE load1_start still
+# exceeds it started into a sustained co-tenant load the gate could not
+# outwait. Such an artifact is CONTENTION-SUSPECT (the probe-drift
+# treatment): invalid and in need of a re-run, not merely slow. Quiet
+# starts measure 1.3-2.3 with the bench JVM idle; contended ones 8+.
+LOAD1_LIMIT = 4.0
+
 # Acceptance bar for the new artifact's RAW total. The r15 verdict's
 # directive set the bar at "<= ~175 probe-0.44-box seconds"; raw suite
 # totals are measured box-insensitive (167-186 s across probe means
@@ -159,8 +170,14 @@ def main():
     # diagnostics for slow-probe runs; printed verbatim when present.
     for path, env in ((sys.argv[1], old_e), (sys.argv[2], new_e)):
         if env:
+            tag = ""
+            ls = env.get("load1_start")
+            if isinstance(ls, (int, float)) and ls > LOAD1_LIMIT:
+                tag = (f"  ** CONTENTION-SUSPECT: load1_start {ls:.2f} > "
+                       f"{LOAD1_LIMIT} — suite started into sustained "
+                       "co-tenant load, re-run **")
             print(f"{path}: env "
-                  + " ".join(f"{k}={v}" for k, v in env.items()))
+                  + " ".join(f"{k}={v}" for k, v in env.items()) + tag)
     # Bench records failed queries as -1.0 — split them out BEFORE any
     # ratio math (a newly-broken query must never rank as a "win").
     broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
@@ -256,6 +273,10 @@ def main():
     drift = max(ne / ns, ns / ne)
     if drift > DRIFT_LIMIT:
         reasons.append(f"{kind} drift {drift:.2f}x > {DRIFT_LIMIT}x (contended run)")
+    new_ls = (new_e or {}).get("load1_start")
+    if isinstance(new_ls, (int, float)) and new_ls > LOAD1_LIMIT:
+        reasons.append(f"load1_start {new_ls:.2f} > {LOAD1_LIMIT} "
+                       "(contended start — re-run)")
     if new_t > TOTAL_LIMIT_S:
         reasons.append(f"total {new_t:.1f} > {TOTAL_LIMIT_S} seconds")
     # computed from scratch (not from `regress`) so a nonstandard CLI
