@@ -188,30 +188,65 @@ object Pipelines {
         once(qualityScore(col("text"))).as("quality"),
         once(langId(col("text"))).as("lang_detected"))
       .localCheckpoint()
-    // Scoped-cached: the assignment is consumed by TWO subtrees of the
-    // final plan (the contamination carve and the keep-list join); without
-    // the cache each action would run clustersOf's final corpus-join twice.
-    val labels = graft.engine.Caching.scopedPersist(
-      graft.operators.Dedup.clustersOf(scored.select(col("doc_id"), col("text"))))
     // ONE split definition shared with dd6/dd7 (Dedup.isEvalSplit).
     val isEval = graft.operators.Dedup.isEvalSplit(col("doc_id"))
-    // Components with at least one eval member are leaked wholesale: any
-    // training doc near-duplicating eval data (or near-duplicating a doc
-    // that does) trains on the benchmark.
-    val contaminated = labels.filter(isEval)
-      .select(col("canonical_doc_id").as("bad")).distinct()
-    // Quality/eval/leak filters AFTER clustering; the component
-    // representative is then the min doc_id among the SURVIVING members —
-    // a component whose global canonical was quality-filtered still keeps
-    // its best-id survivor (under canonical-only semantics it would vanish
-    // entirely). The rank-1 window compiles to map-side WindowGroupLimits
-    // on the component key, so the exchange carries ~one row per
-    // component, same shape as d4's stratified sample.
-    val eligible = scored
-      .filter(col("quality") >= 0.5 && !isEval)
-      .join(labels.select(col("doc_id").as("lid"), col("canonical_doc_id")),
-        col("doc_id") === col("lid"))
-      .join(contaminated, col("canonical_doc_id") === col("bad"), "left_anti")
+    // Quality/eval filters AFTER clustering (the clustering ran on the
+    // full corpus above); components with at least one eval member are
+    // leaked wholesale: any training doc near-duplicating eval data (or
+    // near-duplicating a doc that does) trains on the benchmark.
+    val eligibleBase = scored.filter(col("quality") >= 0.5 && !isEval)
+    val outCols = Seq(col("doc_id"), col("text"), col("lang_detected"),
+      col("quality"), col("canonical_doc_id"))
+    // Regime-gated tail (r18, the pipe1 application of the gr-family
+    // driver finishes): in the driver regime the active assignment is
+    // already a collected broadcast-sized list, so the contamination
+    // carve runs on the DRIVER (Dedup.isEvalSplitLocal — a component is
+    // bad if any member, including its canonical, is eval; self-canonical
+    // eval docs need no entry because their only member is already
+    // dropped by the !isEval filter) and the label + keep-list joins
+    // collapse to ONE broadcast join plus a broadcast anti-join — no
+    // corpus shuffle, no corpus-sized scoped cache, ~3 fewer exchanges.
+    // The distributed regime keeps the prior shape: scoped-cached full
+    // label frame (consumed by two subtrees of the final plan), distinct
+    // carve, shuffle keep-join, anti-join. Same-box isolated A/B at
+    // sf0.1/local[32] (min-of-3, spin 0.32-0.35 on every run): pipe1
+    // 5.38 → 4.16/4.57 s across two quiet post-change runs, pipe3
+    // → 3.68 s (r17 official 4.13); the residual pipe1 cost is the
+    // scored checkpoint (~2 s of clean + quality/langid expression CPU
+    // over the corpus — shared work both regimes need) plus the banded
+    // dedup machinery (~2 s, dd5's floor).
+    val eligible = graft.operators.Dedup.clusterAssignmentOf(
+        scored.select(col("doc_id"), col("text"))) match {
+      case Left(assign) =>
+        import spark.implicits._
+        val bad = assign.iterator.collect {
+          case (d, c) if graft.operators.Dedup.isEvalSplitLocal(d) ||
+            graft.operators.Dedup.isEvalSplitLocal(c) => c
+        }.toSet
+        eligibleBase
+          .join(broadcast(assign.toDF("lid", "cmin")),
+            col("doc_id") === col("lid"), "left")
+          .withColumn("canonical_doc_id",
+            coalesce(col("cmin"), col("doc_id")))
+          .join(broadcast(bad.toSeq.toDF("bad")),
+            col("canonical_doc_id") === col("bad"), "left_anti")
+          .select(outCols: _*)
+      case Right(labels0) =>
+        val labels = graft.engine.Caching.scopedPersist(labels0)
+        val contaminated = labels.filter(isEval)
+          .select(col("canonical_doc_id").as("bad")).distinct()
+        eligibleBase
+          .join(labels.select(col("doc_id").as("lid"), col("canonical_doc_id")),
+            col("doc_id") === col("lid"))
+          .join(contaminated, col("canonical_doc_id") === col("bad"), "left_anti")
+          .select(outCols: _*)
+    }
+    // The component representative is the min doc_id among the SURVIVING
+    // members — a component whose global canonical was quality-filtered
+    // still keeps its best-id survivor (under canonical-only semantics it
+    // would vanish entirely). The rank-1 window compiles to map-side
+    // WindowGroupLimits on the component key, so the exchange carries
+    // ~one row per component, same shape as d4's stratified sample.
     // text rides along (it was already in the eligible exchange before the
     // round-8 refactor): pipe1 drops it before sampling, pipe3 tokenizes it
     eligible

@@ -128,6 +128,20 @@ object Dedup {
   private[graft] def sqlIsEvalSplit(id: String): String =
     s"substr(md5($id::VARCHAR), 1, 1) < '4'"
 
+  /** [[isEvalSplit]]'s DRIVER twin (r18) — the same md5-of-decimal-string
+    * first-hex-digit rule, for regime-gated tails that compute the
+    * contamination carve on a collected assignment
+    * ([[graft.engine.Pipelines]]'s curatedSurvivors). First hex digit
+    * < '4' ⟺ top nibble of the digest < 4; DedupSpec asserts agreement
+    * with the SQL expression over an id range so the three twins cannot
+    * drift.
+    */
+  private[graft] def isEvalSplitLocal(id: Long): Boolean = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) >> 4) & 0xf) < 4
+  }
+
   /** Exact dedup by content fingerprint: canonical = min doc_id per group.
     * Input is documents unioned with an id-shifted copy of itself so real
     * duplicate groups exist to collapse (the driver corpus is dup-free).
@@ -501,6 +515,29 @@ object Dedup {
       .toDF("doc_id", "canonical_doc_id")
   }
 
+  /** [[clustersOf]]'s regime-exposing form (r18): `Left` — the collected
+    * active `(doc_id, canonical_doc_id)` pairs (canon ≠ id,
+    * broadcast-sized by the [[DriverFinishEdges]] bound); `Right` — the
+    * full corpus-sized label frame, exactly [[clustersOf]]'s output.
+    * pipe1/pipe3's tail uses the Left regime to replace two
+    * corpus-shuffle joins, a distinct, and a corpus-sized scoped cache
+    * with one broadcast join and a driver-computed contamination set.
+    */
+  private[graft] def clusterAssignmentOf(
+      docs: DataFrame): Either[Seq[(Long, Long)], DataFrame] = {
+    val sh = graft.engine.Caching.scopedPersist(shingledOf(docs))
+    val nodes = docs.select(col("doc_id"))
+    componentsAssignment(nodes,
+        verifiedPairsOf(sh).select(col("doc_a"), col("doc_b"))) match {
+      case Left(assign) => Left(assign)
+      case Right(labels) => Right(
+        nodes
+          .join(labels, col("doc_id") === col("nid"), "left")
+          .select(col("doc_id"),
+            coalesce(col("canon"), col("doc_id")).as("canonical_doc_id")))
+    }
+  }
+
   /** Edge-count bound under which [[componentsOf]] finishes on the driver:
     * at or below it the pair list is broadcast-build-side sized (1M long
     * pairs ≈ 16 MB of ids — the regime where Spark itself would collect a
@@ -562,6 +599,37 @@ object Dedup {
       nodes: DataFrame, pairsIn: DataFrame,
       driverFinishMax: Long = DriverFinishEdges): DataFrame = {
     val idName = nodes.columns.head
+    componentsAssignment(nodes, pairsIn, driverFinishMax) match {
+      case Left(assign) =>
+        val spark = nodes.sparkSession
+        import spark.implicits._
+        nodes
+          .join(broadcast(assign.toDF("nid", "cmin")),
+            col(idName) === col("nid"), "left")
+          .select(col(idName),
+            coalesce(col("cmin"), col(idName)).as("canon"))
+      case Right(labels) =>
+        nodes
+          .join(labels.select(col("nid"), col("canon").as("cmin")),
+            col(idName) === col("nid"), "left")
+          .select(col(idName),
+            coalesce(col("cmin"), col(idName)).as("canon"))
+    }
+  }
+
+  /** [[componentsOf]]'s regime-exposing core (r18): `Left` — the
+    * driver-finish ACTIVE assignment as collected `(id, canon)` pairs
+    * with `canon != id` (bounded by 2·[[DriverFinishEdges]] entries, so
+    * always broadcast-sized); `Right` — the distributed loop's converged
+    * active label frame `(nid, canon)`. Exposed so pipeline tails in the
+    * driver regime (pipe1/pipe3's contamination carve) can consume the
+    * assignment as a broadcast + driver set instead of corpus-shuffle
+    * joins against the reconstructed full label frame; [[componentsOf]]
+    * assembles the classic full frame from either regime.
+    */
+  private[graft] def componentsAssignment(
+      nodes: DataFrame, pairsIn: DataFrame,
+      driverFinishMax: Long = DriverFinishEdges): Either[Seq[(Long, Long)], DataFrame] = {
     // Explicit persist (not scopedPersist): componentsOf runs its own
     // internal actions — the regime-deciding count, then either the
     // collect or the seed checkpoint — and a scoped cache would be
@@ -606,13 +674,7 @@ object Dedup {
       val assign = parent.keys.toSeq.map(k => (k, find(k)))
         .filter { case (k, r) => k != r } // self-rooted rows add nothing
       pairs.unpersist(blocking = false)
-      val spark = nodes.sparkSession
-      import spark.implicits._
-      return nodes
-        .join(broadcast(assign.toDF("nid", "cmin")),
-          col(idName) === col("nid"), "left")
-        .select(col(idName),
-          coalesce(col("cmin"), col(idName)).as("canon"))
+      return Left(assign)
     }
     val adj = pairs.union(pairs.select(col("pb"), col("pa")))
       .toDF("src", "dst")
@@ -658,11 +720,7 @@ object Dedup {
     if (changed > 0) throw new IllegalStateException(
       s"componentsOf: label propagation did not converge in $rounds rounds")
     adj.unpersist()
-    nodes
-      .join(labels.select(col("nid"), col("canon")),
-        col(idName) === col("nid"), "left")
-      .select(col(idName),
-        coalesce(col("canon"), col(idName)).as("canon"))
+    Right(labels.select(col("nid"), col("canon")))
   }
 
   /** Benchmark-contamination check — the train/eval overlap scan every

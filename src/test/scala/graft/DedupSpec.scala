@@ -389,4 +389,25 @@ class DedupSpec extends AnyFunSuite {
     assert(got(2L)._2, "clean copy must be kept despite the later id")
     assert(got(3L) == ((3L, true)), got(3L))
   }
+
+  test("isEvalSplitLocal agrees with the Spark expression over an id range") {
+    import org.apache.spark.sql.functions.col
+    // The three twins (Spark expression, DuckDB SQL, driver function) must
+    // not drift: the driver-regime contamination carve in pipe1 uses the
+    // local form where the distributed regime evaluates the expression.
+    import spark.implicits._
+    val ids: Seq[Long] =
+      (0L until 4096L) ++ Seq(999999L, 1000000L, Long.MaxValue)
+    val viaSpark = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        graft.operators.Dedup.isEvalSplit(col("doc_id")).as("e"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    ids.foreach { id =>
+      assert(graft.operators.Dedup.isEvalSplitLocal(id) == viaSpark(id),
+        s"split twins disagree at id=$id")
+    }
+    // sanity: the carve is non-trivial on this range (~1/4 eval)
+    val frac = ids.count(graft.operators.Dedup.isEvalSplitLocal).toDouble / ids.size
+    assert(frac > 0.15 && frac < 0.35, s"eval fraction $frac")
+  }
 }
