@@ -266,14 +266,31 @@ object Relational {
       Seq("c_name", "c_mktsegment"))
 
   /** prof8 — prof2's 100 TB sketch path as a first-class gated query:
-    * [[equiDepthApprox]] over the same events.value, 8 buckets. KLL-style
-    * quantile sketches are engine-specific (DuckDB's t-digest cuts
-    * differ), so rows-only gate; SketchSpec bounds per-bucket depth
-    * error ≤10% of n/8 against [[equiDepthExact]] and asserts the
-    * Window-free plan.
+    * [[equiDepthApprox]] over the same events.value, 8 buckets.
+    *
+    * Partial oracle (r18, upgrading the old rows-only gate): the
+    * sketch's cut/lo/hi VALUES are engine-specific (DuckDB's t-digest
+    * cuts differ), but the histogram's load-bearing invariants are not —
+    * the gated output is `(bucket 1..8, n_total, depth_ok)` where
+    * `n_total` is the EXACT non-null row count (hash-checked against
+    * DuckDB) and `depth_ok` asserts the sketch's depth contract in-query:
+    * every bucket within 10% of n/8 (SketchSpec's bound, now enforced on
+    * the gated corpus every round — accuracy 10000 ⇒ rank error ≤
+    * n/10000, two orders inside it). DuckDB emits literal TRUE, so a
+    * sketch drifting out of tolerance (or a vanished bucket) hash-FAILS
+    * instead of passing rows-only. The value-carrying histogram remains
+    * [[equiDepthApprox]] (SketchSpec: Window-free plan, error bound vs
+    * [[equiDepthExact]]).
     */
-  def prof8EquidepthSketch(spark: SparkSession, dir: String): DataFrame =
-    equiDepthApprox(t(spark, dir, "events"), "value", 8)
+  def prof8EquidepthSketch(spark: SparkSession, dir: String): DataFrame = {
+    val h = equiDepthApprox(t(spark, dir, "events"), "value", 8)
+    val tot = h.agg(sum(col("n")).as("n_total"))
+    h.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n_total"),
+        (abs(col("n").cast("double") - col("n_total") / 8.0) <=
+          greatest(col("n_total") / 80.0, lit(1.0))).as("depth_ok"))
+      .orderBy("bucket")
+  }
 
   private def columnProfile(src: DataFrame, numCols: Seq[String],
       strCols: Seq[String], exact: Boolean, rsd: Double = 0.02): DataFrame = {
@@ -1840,6 +1857,17 @@ object Relational {
   )
 
   val oracle: Map[String, String] = Map(
+    // prof8's PARTIAL oracle (r18): exact total hash-gates the carve;
+    // depth_ok is Spark's in-query sketch-depth bound, TRUE by contract
+    // (see prof8EquidepthSketch's scaladoc) — DuckDB emits the literal,
+    // so an out-of-tolerance sketch hash-FAILS.
+    "prof8_equidepth_sketch" ->
+      """WITH tot AS (
+        |  SELECT CAST(count(value) AS BIGINT) AS n_total FROM events)
+        |SELECT bucket, n_total, TRUE AS depth_ok
+        |FROM (SELECT unnest(generate_series(1, 8)) AS bucket) b
+        |CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin,
     "seg1_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey,

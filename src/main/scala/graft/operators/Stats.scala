@@ -211,25 +211,57 @@ object Stats {
   /** drift3 — drift1's 100 TB sketch path as a first-class gated query:
     * decile cuts from ONE `approx_percentile` aggregate over the
     * reference slice (KLL-style mergeable sketch, map-side partials)
-    * instead of the exact global-ntile sort; the bucket-assignment,
-    * counting, and Laplace-smoothed scoring tail is THE SAME CODE as
-    * drift1 ([[psiFromCuts]]), so only the cut source differs. Quantile
-    * sketches are engine-specific → rows-only driver gate; SketchSpec
-    * asserts the Window-free plan and that the sketch monitor's total
-    * PSI tracks drift1's exact readout on the same corpus.
+    * instead of the exact global-ntile sort; the bucket-assignment and
+    * counting tail is THE SAME CODE as drift1 ([[psiBucketCounts]]), so
+    * only the cut source differs.
+    *
+    * Partial oracle (r18, upgrading the old rows-only gate): the sketch
+    * CUT VALUES are engine-specific (no DuckDB mirror), but the
+    * monitor's load-bearing invariants are not — the gated output is
+    * per-bucket `(bucket 1..10, n_ref_total, n_cur_total, ref_depth_ok)`
+    * where the totals are EXACT (hash-checked against DuckDB's count of
+    * the same reference-window carve) and `ref_depth_ok` asserts the
+    * KLL rank-error contract: the reference slice's own deciles must
+    * land each ref bucket within 10% of n_ref/10 (accuracy 10000 ⇒ rank
+    * error ≤ n/10000, two orders inside the bound). The DuckDB side
+    * emits literal TRUE, so a sketch whose cuts drift out of tolerance
+    * hash-FAILS the round instead of passing rows-only. Every bucket
+    * 1..10 must be present (each holds ≥ ~10% of ref mass by the same
+    * bound). The full smoothed PSI readout remains drift1's exact path;
+    * SketchSpec still asserts the Window-free plan and that the sketch
+    * monitor's total PSI tracks drift1's on the same corpus.
     */
   def psiDriftSketch(spark: SparkSession, dir: String): DataFrame =
     psiDriftSketchCore(
       graft.Tables.t(spark, dir, "events")
         .select(unix_millis(col("ts")).as("ts_ms"), col("value")))
 
-  private[graft] def psiDriftSketchCore(src: DataFrame): DataFrame = {
-    val tagged = psiTagged(src)
-    val cuts = tagged.filter(col("in_ref"))
+  /** The sketch-cut monitor's FULL smoothed-PSI readout (drift1's tail
+    * over the sketch cuts) — the pre-r18 gated shape, retained for
+    * SketchSpec's tracking contract (sketch total PSI ≈ exact total PSI
+    * on the same corpus) and for callers that want the sketch monitor's
+    * values rather than the gated bound checks.
+    */
+  private[graft] def psiDriftSketchFull(src: DataFrame): DataFrame =
+    psiFromCuts(psiTagged(src), sketchCuts(psiTagged(src)))
+
+  private def sketchCuts(tagged: DataFrame): DataFrame =
+    tagged.filter(col("in_ref"))
       .agg(approx_percentile(col("v"),
         array((1 until 10).map(i => lit(i.toDouble / 10)): _*), lit(10000))
         .as("cuts"))
-    psiFromCuts(tagged, cuts)
+
+  private[graft] def psiDriftSketchCore(src: DataFrame): DataFrame = {
+    val tagged = psiTagged(src)
+    val cuts = sketchCuts(tagged)
+    val counts = psiBucketCounts(tagged, cuts)
+    val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        col("tr").as("n_ref_total"), col("tc").as("n_cur_total"),
+        (abs(col("n_ref").cast("double") - col("tr") / 10.0) <=
+          greatest(col("tr") / 100.0, lit(1.0))).as("ref_depth_ok"))
+      .orderBy("bucket")
   }
 
   /** Shared drift1/drift3 reference-window tagging. */
@@ -241,18 +273,25 @@ object Stats {
         (col("ts_ms") < col("t0") + RefWindowMs).as("in_ref"))
   }
 
-  /** Shared drift1/drift3 tail: scan-local bucket assignment against the
-    * broadcast cut array (bucket = 1 + #cuts strictly below v — prof2's
-    * convention), one hash aggregate, Laplace-smoothed PSI terms.
+  /** Shared drift1/drift3 bucket counting: scan-local bucket assignment
+    * against the broadcast cut array (bucket = 1 + #cuts strictly below
+    * v — prof2's convention), one hash aggregate to per-bucket
+    * ref/current counts.
     */
-  private def psiFromCuts(tagged: DataFrame, cuts: DataFrame): DataFrame = {
-    val counts = tagged.crossJoin(broadcast(cuts))
+  private def psiBucketCounts(tagged: DataFrame, cuts: DataFrame): DataFrame =
+    tagged.crossJoin(broadcast(cuts))
       .select(col("in_ref"),
         aggregate(col("cuts"), lit(1L),
           (acc, c) => acc + when(col("v") > c, 1L).otherwise(0L)).as("bucket"))
       .groupBy(col("bucket"))
       .agg(count(when(col("in_ref"), 1)).as("n_ref"),
         count(when(!col("in_ref"), 1)).as("n_cur"))
+
+  /** drift1's scoring tail over [[psiBucketCounts]]: Laplace-smoothed
+    * PSI terms.
+    */
+  private def psiFromCuts(tagged: DataFrame, cuts: DataFrame): DataFrame = {
+    val counts = psiBucketCounts(tagged, cuts)
     val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
     val p = (col("n_ref") + 0.5) / (col("tr") + 5.0)
     val q = (col("n_cur") + 0.5) / (col("tc") + 5.0)
@@ -631,6 +670,28 @@ object Stats {
   )
 
   val oracle: Map[String, String] = Map(
+    // drift3's PARTIAL oracle (r18): the exact reference-window totals
+    // hash-gate the carve; ref_depth_ok is Spark's KLL rank-error bound
+    // check, TRUE by contract (see psiDriftSketch's scaladoc) — DuckDB
+    // emits the literal, so an out-of-tolerance sketch hash-FAILS.
+    "drift3_psi_sketch" ->
+      s"""WITH e AS (
+        |  SELECT epoch_ms(CAST(ts AS TIMESTAMP)) AS ts_ms, value AS v
+        |  FROM events WHERE value IS NOT NULL),
+        | t0 AS (SELECT min(ts_ms) AS t0 FROM e),
+        | tagged AS (
+        |  SELECT v, ts_ms < (SELECT t0 FROM t0) + $RefWindowMs AS in_ref
+        |  FROM e),
+        | tot AS (
+        |  SELECT CAST(count(CASE WHEN in_ref THEN 1 END) AS BIGINT)
+        |      AS n_ref_total,
+        |    CAST(count(CASE WHEN NOT in_ref THEN 1 END) AS BIGINT)
+        |      AS n_cur_total
+        |  FROM tagged)
+        |SELECT bucket, n_ref_total, n_cur_total, TRUE AS ref_depth_ok
+        |FROM (SELECT unnest(generate_series(1, 10)) AS bucket) b
+        |CROSS JOIN tot
+        |ORDER BY bucket""".stripMargin,
     "ab9_msprt" ->
       """WITH e AS (
         |  SELECT event_type, value,

@@ -34,9 +34,12 @@ class SketchSpec extends AnyFunSuite {
   }
 
   test("drift3 sketch-cut PSI tracks drift1's exact readout without a global sort") {
+    import org.apache.spark.sql.functions.{col, unix_millis}
     val exact = graft.operators.Stats.psiDrift(spark, sf)
       .collect().map(_.getAs[Double]("psi_term")).sum
-    val sketch = graft.operators.Stats.psiDriftSketch(spark, sf)
+    val src = Tables.t(spark, sf, "events")
+      .select(unix_millis(col("ts")).as("ts_ms"), col("value"))
+    val sketch = graft.operators.Stats.psiDriftSketchFull(src)
     val got = sketch.collect()
     val sketchPsi = got.map(_.getAs[Double]("psi_term")).sum
     // both monitors look at the SAME stable corpus: total PSI must agree
@@ -49,6 +52,14 @@ class SketchSpec extends AnyFunSuite {
     // the 100 TB claim: no global ntile — no Window operator in the plan
     val plan = sketch.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(2000))
+    // the r18 GATED shape: every bucket present, totals exact, the KLL
+    // depth bound holding in-query (the oracle compares against TRUE)
+    val gated = graft.operators.Stats.psiDriftSketch(spark, sf).collect()
+    assert(gated.map(_.getAs[Long]("bucket")).toSet == (1L to 10L).toSet)
+    assert(gated.forall(_.getAs[Boolean]("ref_depth_ok")), gated.mkString("\n"))
+    val gatedPlan = graft.operators.Stats.psiDriftSketch(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!gatedPlan.contains("Window"), gatedPlan.take(2000))
   }
 
   test("approx_count_distinct (HLL) lands within 5% of exact on order keys") {

@@ -39,13 +39,14 @@ class SmokeSpec extends AnyFunSuite {
   test("every query has oracle SQL or is a documented rows-only check") {
     // an entry in `queries` without oracle SQL downgrades the driver's
     // gate to rows-only — keep that set explicit and intentional: ONLY
-    // the sketch-path queries, whose HLL/KLL/GK internals no cross-engine
-    // oracle can hash-match (accuracy contracts live in SketchSpec, and
-    // seg1_rfm_approx's cut placement is pinned against its exact twin
-    // in InvariantSpec)
+    // sketch-path queries whose outputs carry engine-specific HLL/GK
+    // values even in bound-check form (accuracy contracts live in
+    // SketchSpec, and seg1_rfm_approx's cut placement is pinned against
+    // its exact twin in InvariantSpec). prof8/drift3 graduated to
+    // PARTIAL oracles in r18 (exact totals + in-query sketch bound
+    // booleans the DuckDB side emits as literals).
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("prof7_profile_sketch", "prof8_equidepth_sketch",
-      "drift3_psi_sketch", "seg1_rfm_approx"),
+    assert(rowsOnly == Set("prof7_profile_sketch", "seg1_rfm_approx"),
       s"undeclared rows-only queries: ${rowsOnly.toSeq.sorted.mkString(", ")}")
     // and no orphaned oracle SQL for queries that no longer exist
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
