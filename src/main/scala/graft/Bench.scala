@@ -400,6 +400,7 @@ object Bench {
     // bracket, MemAvailable bracket.
     println(s"""{"metric":"env","heap_max_g":${fmt(Runtime.getRuntime.maxMemory / 1e9)},"local_dir":"${spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))}","load1_arrival":${fmt(load1Arrival)},"load_gate_s":${fmt(loadGateS)},"load1_start":${fmt(load1Start)},"load1_end":${fmt(load1)},"mem_avail_g_start":${fmt(memStart)},"mem_avail_g_end":${fmt(memAvailG)},"runs_per_query":$runsPerQuery}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"spin_start_s":${fmt(spinStart)},"spin_end_s":${fmt(spinEnd)},"quiet_gate_s":${fmt(gateS)}}""")
+    graft.sources.Lake.cleanupScratch(spark)
     spark.stop()
   }
 }

@@ -31,6 +31,27 @@ object Lake {
     s"${sys.props("user.dir")}/target/lake/" +
       s"${spark.sparkContext.applicationId}/$name"
 
+  /** Delete THIS session's lake scratch tree (r18) — Bench and Verify
+    * call it before `spark.stop()` so each run cleans up after itself.
+    * Scoped to the session's own applicationId directory, so concurrent
+    * runs can never delete each other's live layouts; the per-appId
+    * isolation that makes writes race-free makes the cleanup race-free
+    * too. Without it every run strands ~1k small files under
+    * `target/lake` (53k files across 57 stale app dirs when audited).
+    */
+  private[graft] def cleanupScratch(spark: SparkSession): Unit =
+    try {
+      val root = new java.io.File(
+        s"${sys.props("user.dir")}/target/lake/" +
+          spark.sparkContext.applicationId)
+      def rm(f: java.io.File): Unit = {
+        val children = f.listFiles()
+        if (children != null) children.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(root)
+    } catch { case _: Throwable => () } // cleanup must never fail a run
+
   /** Control-plane filesystem handle for a layout path — the Hadoop
     * `FileSystem` API (the round-6 Workbook/Artifacts convention), so
     * every manifest / listing / vacuum below works identically against
@@ -278,6 +299,16 @@ object Lake {
     * listings. Regression above ~4 s means the writer width or the
     * fragment budget scaling broke.
     */
+  // r18 adjudication (the dd5 playbook): an internal full-suite run read
+  // lake4 7.22 s vs the official r17 2.69 (2.7x raw) with NO code change
+  // in its path; isolated min-of-4 on a quiet box minutes later (spin
+  // 0.33, fresh lake dir) read 2.641 s — dead on the official band. The
+  // suite reading overlapped a co-tenant burst (mid-suite load1 spiked
+  // to 11); lake4 is the suite's most IO-bound query (two partitioned
+  // writes + directory listings), so sustained filesystem contention
+  // taxes it disproportionately. Verdict: box noise, no structural
+  // change; the per-run scratch cleanup below keeps target/lake from
+  // accumulating stale app dirs (53k files across 57 runs when audited).
   def compactionReport(spark: SparkSession, dir: String): DataFrame = {
     // Budgets scale with the corpus (total/400 rows per fragment file,
     // floored at 25) so the DEMONSTRATED pathology stays ~400 fragment
