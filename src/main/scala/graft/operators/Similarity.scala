@@ -725,14 +725,19 @@ object Similarity {
     def round6(v: Double): Double =
       BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // Null parity with the old distributed form: a ragged/null embedding
-    // yields null dot → null rel/s; desc argmax sorts null mmr LAST
+    // — or one with null ELEMENTS, which poison FloatDotProduct to null
+    // — yields null dot → null rel/s; desc argmax sorts null mmr LAST
     // (Spark's desc default), max-of-sims skips nulls, all-null max
-    // coalesces to 0.0.
+    // coalesces to 0.0. An element-null vector folds to v = None here:
+    // every sim involving it is null either way, and its rel/nrm already
+    // arrived null from the Spark-side fetch.
     case class Cand(id: Long, v: Option[IndexedSeq[Float]], n: Option[Double],
         rel: Option[Double])
     val cands = rows.map { r =>
-      Cand(r.getLong(0),
-        Option(r.getSeq[Float](1)).map(_.toIndexedSeq),
+      val raw = r.getSeq[Any](1)
+      val v = if (raw == null || raw.exists(_ == null)) None
+        else Some(raw.map(_.asInstanceOf[Float]).toIndexedSeq)
+      Cand(r.getLong(0), v,
         if (r.isNullAt(2)) None else Some(r.getDouble(2)),
         if (r.isNullAt(3)) None else Some(r.getDouble(3)))
     }.toIndexedSeq
@@ -748,10 +753,14 @@ object Similarity {
       for { av <- a.v; bv <- b.v; an <- a.n; bn <- b.n; d <- dotLocal(av, bv) }
         yield round6(d / (an * bn))
     // argmax on (mmr desc nulls-last, vec_id asc) — the distributed
-    // orderBy(mmr.desc, vec_id).limit(1) ordering, replayed.
+    // orderBy(mmr.desc, vec_id).limit(1) ordering, replayed. Spark's
+    // descending double order places NaN FIRST (NaN sorts greatest), so
+    // a NaN mmr keys to -Infinity here to win the min.
     def pick(scored: Seq[(Cand, Option[Double])]): (Cand, Option[Double]) =
       scored.minBy { case (c, m) =>
-        (m.isEmpty, -m.getOrElse(0.0), c.id)
+        val key = m.fold(Double.PositiveInfinity)(v =>
+          if (v.isNaN) Double.NegativeInfinity else -v)
+        (m.isEmpty, key, c.id)
       }
     val selected = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, Option[Double], Option[Double])]

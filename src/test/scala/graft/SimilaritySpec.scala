@@ -264,6 +264,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rel.toSet == Set(1L, 2L), rel)
   }
 
+  test("sim11 MMR driver replay holds the distributed form's null order") {
+    import org.apache.spark.sql.functions._
+    // Null-ELEMENT vector 6 poisons the dot to null (FloatDotProduct
+    // parity) and null-ARRAY vector 7 never produces a dot at all: both
+    // arrive with null rel, sort LAST under the desc argmax (Spark's
+    // nulls-last), tiebreak by vec_id among themselves, and must not
+    // crash the driver replay (a naive getSeq[Float] unboxing would NPE
+    // on the null element). Zero-norm vectors are unreachable: ANSI mode
+    // (Spark 4 default) raises DIVIDE_BY_ZERO in the Spark-side fetch,
+    // in the old distributed form and the replay alike.
+    val rows = spark.sql(
+      """select * from values
+        |  (0L, array(1f, 1f, 0f, 0f)),
+        |  (1L, array(1f, 0.06f, 0f, 0f)),
+        |  (2L, array(0.02f, 1f, 0f, 0f)),
+        |  (6L, array(1f, cast(null as float), 0f, 0f)),
+        |  (7L, cast(null as array<float>))
+        |  as t(vec_id, embedding)""".stripMargin)
+      .withColumn("nrm", sqrt(graft.operators.Similarity.dot(
+        col("embedding"), col("embedding"))))
+    val got = Similarity.mmrCore(rows).collect()
+      .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+    assert(got == Seq(1L, 2L, 6L, 7L), got)
+  }
+
   test("sim16 PCA: axis-0 variance corpus recovers loading (1,0,..), ratio 1") {
     import spark.implicits._
     // mean-zero corpus whose variance lives entirely on axis 0:
