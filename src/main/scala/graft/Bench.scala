@@ -183,8 +183,7 @@ object Bench {
     * probe-drift treatment) — a loaded-start artifact is invalid, not
     * merely slow. Returns (arrival load1, seconds waited).
     */
-  private def loadGate(): (Double, Double) = {
-    val limit = sys.env.getOrElse("SPARK_GRAFT_LOAD1_LIMIT", "4.0").toDouble
+  private def loadGate(limit: Double): (Double, Double) = {
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "240").toInt
     val arrival = load1
     if (maxWait <= 0 || arrival < 0) return (arrival, 0.0)
@@ -303,7 +302,12 @@ object Bench {
     // Load gate BEFORE the start-of-suite load1 sample: load1_start is
     // the artifact-of-record field compare_bench judges, so it must
     // read the box state the suite actually started into (post-gate).
-    val (load1Arrival, loadGateS) = loadGate()
+    // The EFFECTIVE limit rides the env line so compare_bench judges
+    // the artifact against the gate it actually ran with (an
+    // env-overridden limit would otherwise silently disagree with the
+    // judge's hardcoded default).
+    val load1Limit = sys.env.getOrElse("SPARK_GRAFT_LOAD1_LIMIT", "4.0").toDouble
+    val (load1Arrival, loadGateS) = loadGate(load1Limit)
     val load1Start = load1
     val memStart = memAvailG
     val gateS = quietGate(spark)
@@ -398,7 +402,7 @@ object Bench {
     // slow-probe run diagnosable from the artifact: heap ceiling (the
     // build.sbt -Xmx actually in force), local-dir device, loadavg
     // bracket, MemAvailable bracket.
-    println(s"""{"metric":"env","heap_max_g":${fmt(Runtime.getRuntime.maxMemory / 1e9)},"local_dir":"${spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))}","load1_arrival":${fmt(load1Arrival)},"load_gate_s":${fmt(loadGateS)},"load1_start":${fmt(load1Start)},"load1_end":${fmt(load1)},"mem_avail_g_start":${fmt(memStart)},"mem_avail_g_end":${fmt(memAvailG)},"runs_per_query":$runsPerQuery}""")
+    println(s"""{"metric":"env","heap_max_g":${fmt(Runtime.getRuntime.maxMemory / 1e9)},"local_dir":"${spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))}","load1_arrival":${fmt(load1Arrival)},"load_gate_s":${fmt(loadGateS)},"load1_limit":${fmt(load1Limit)},"load1_start":${fmt(load1Start)},"load1_end":${fmt(load1)},"mem_avail_g_start":${fmt(memStart)},"mem_avail_g_end":${fmt(memAvailG)},"runs_per_query":$runsPerQuery}""")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"spin_start_s":${fmt(spinStart)},"spin_end_s":${fmt(spinEnd)},"quiet_gate_s":${fmt(gateS)}}""")
     graft.sources.Lake.cleanupScratch(spark)
     spark.stop()

@@ -508,12 +508,13 @@ object Dedup {
     * cleaned+quality-filtered corpus. Returns the unordered
     * `(doc_id, canonical_doc_id)` assignment (one row per input doc).
     */
-  private[graft] def clustersOf(docs: DataFrame): DataFrame = {
-    val sh = graft.engine.Caching.scopedPersist(shingledOf(docs))
-    componentsOf(docs.select(col("doc_id")),
-        verifiedPairsOf(sh).select(col("doc_a"), col("doc_b")))
-      .toDF("doc_id", "canonical_doc_id")
-  }
+  private[graft] def clustersOf(docs: DataFrame): DataFrame =
+    clusterAssignmentOf(docs) match {
+      case Right(labels) => labels
+      case l @ Left(_) =>
+        reassemble(docs.select(col("doc_id")), l)
+          .toDF("doc_id", "canonical_doc_id")
+    }
 
   /** [[clustersOf]]'s regime-exposing form (r18): `Left` — the collected
     * active `(doc_id, canonical_doc_id)` pairs (canon ≠ id,
@@ -522,6 +523,9 @@ object Dedup {
     * pipe1/pipe3's tail uses the Left regime to replace two
     * corpus-shuffle joins, a distinct, and a corpus-sized scoped cache
     * with one broadcast join and a driver-computed contamination set.
+    * The shingle/verify prelude lives ONLY here ([[clustersOf]]
+    * delegates), so the pipeline assembly cannot fork between the dd5
+    * and pipe1 paths.
     */
   private[graft] def clusterAssignmentOf(
       docs: DataFrame): Either[Seq[(Long, Long)], DataFrame] = {
@@ -529,12 +533,9 @@ object Dedup {
     val nodes = docs.select(col("doc_id"))
     componentsAssignment(nodes,
         verifiedPairsOf(sh).select(col("doc_a"), col("doc_b"))) match {
-      case Left(assign) => Left(assign)
-      case Right(labels) => Right(
-        nodes
-          .join(labels, col("doc_id") === col("nid"), "left")
-          .select(col("doc_id"),
-            coalesce(col("canon"), col("doc_id")).as("canonical_doc_id")))
+      case l @ Left(_) => l
+      case r @ Right(_) =>
+        Right(reassemble(nodes, r).toDF("doc_id", "canonical_doc_id"))
     }
   }
 
@@ -597,24 +598,32 @@ object Dedup {
     */
   private[graft] def componentsOf(
       nodes: DataFrame, pairsIn: DataFrame,
-      driverFinishMax: Long = DriverFinishEdges): DataFrame = {
+      driverFinishMax: Long = DriverFinishEdges): DataFrame =
+    reassemble(nodes, componentsAssignment(nodes, pairsIn, driverFinishMax))
+
+  /** THE one full-label-frame assembly over an active assignment (r18,
+    * per-round review — one copy, so the broadcast-vs-frame rejoin shape
+    * cannot drift between [[componentsOf]] and [[clusterAssignmentOf]]):
+    * every node not in the active assignment is self-canonical
+    * (left join + coalesce); a `Left` ships the collected pairs as a
+    * broadcast, a `Right` joins the distributed label frame.
+    */
+  private def reassemble(
+      nodes: DataFrame,
+      active: Either[Seq[(Long, Long)], DataFrame]): DataFrame = {
     val idName = nodes.columns.head
-    componentsAssignment(nodes, pairsIn, driverFinishMax) match {
+    val activeLabels = active match {
       case Left(assign) =>
         val spark = nodes.sparkSession
         import spark.implicits._
-        nodes
-          .join(broadcast(assign.toDF("nid", "cmin")),
-            col(idName) === col("nid"), "left")
-          .select(col(idName),
-            coalesce(col("cmin"), col(idName)).as("canon"))
+        broadcast(assign.toDF("nid", "cmin"))
       case Right(labels) =>
-        nodes
-          .join(labels.select(col("nid"), col("canon").as("cmin")),
-            col(idName) === col("nid"), "left")
-          .select(col(idName),
-            coalesce(col("cmin"), col(idName)).as("canon"))
+        labels.select(col("nid"), col("canon").as("cmin"))
     }
+    nodes
+      .join(activeLabels, col(idName) === col("nid"), "left")
+      .select(col(idName),
+        coalesce(col("cmin"), col(idName)).as("canon"))
   }
 
   /** [[componentsOf]]'s regime-exposing core (r18): `Left` — the

@@ -507,7 +507,8 @@ object Enrichment {
       else sorted(lo) * (hi - pos) + sorted(hi) * (pos - lo)
     }
     def round4(x: Double): Double =
-      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (x.isNaN || x.isInfinite) x // Spark's Round passes non-finite through
+      else BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val posLo = 0.01 * (nv - 1)
     val posHi = 0.99 * (nv - 1)
     // Cast to double BEFORE collecting (r18, per-round review): the old

@@ -281,9 +281,23 @@ object Relational {
     * instead of passing rows-only. The value-carrying histogram remains
     * [[equiDepthApprox]] (SketchSpec: Window-free plan, error bound vs
     * [[equiDepthExact]]).
+    *
+    * Tie contract: the bound is a property of the HISTOGRAM, not only
+    * the sketch — a column where one value carries more than depth+10%
+    * of the mass cannot be equi-depth bucketed by ANY cut placement
+    * (exact or sketched), and this gate then fails BY DESIGN: an
+    * operator advertising near-equal buckets it cannot deliver on that
+    * data should fail its round, not pass rows-only. The gated column
+    * (events.value) is continuous; tie-heavy columns belong on the
+    * exact prof2 path, whose output is well-defined under ties.
     */
   def prof8EquidepthSketch(spark: SparkSession, dir: String): DataFrame = {
-    val h = equiDepthApprox(t(spark, dir, "events"), "value", 8)
+    // Scoped-cached: the 8-row histogram is consumed by TWO subtrees of
+    // the one gated action (the total aggregate and the per-bucket
+    // check); without the cache each subtree re-runs the two corpus
+    // scans underneath equiDepthApprox.
+    val h = graft.engine.Caching.scopedPersist(
+      equiDepthApprox(t(spark, dir, "events"), "value", 8))
     val tot = h.agg(sum(col("n")).as("n_total"))
     h.crossJoin(broadcast(tot))
       .select(col("bucket"), col("n_total"),

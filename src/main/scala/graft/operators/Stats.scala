@@ -230,6 +230,13 @@ object Stats {
     * bound). The full smoothed PSI readout remains drift1's exact path;
     * SketchSpec still asserts the Window-free plan and that the sketch
     * monitor's total PSI tracks drift1's on the same corpus.
+    *
+    * Tie contract (prof8's convention): a reference window where one
+    * value holds more than decile+10% of the mass cannot be decile-
+    * bucketed by any cut placement, and the gate then fails BY DESIGN —
+    * the monitor's near-equal-reference-depth premise is broken on that
+    * data, which a drift monitor should surface, not paper over. The
+    * gated column (events.value) is continuous.
     */
   def psiDriftSketch(spark: SparkSession, dir: String): DataFrame =
     psiDriftSketchCore(
@@ -279,13 +286,18 @@ object Stats {
     * ref/current counts.
     */
   private def psiBucketCounts(tagged: DataFrame, cuts: DataFrame): DataFrame =
-    tagged.crossJoin(broadcast(cuts))
-      .select(col("in_ref"),
-        aggregate(col("cuts"), lit(1L),
-          (acc, c) => acc + when(col("v") > c, 1L).otherwise(0L)).as("bucket"))
-      .groupBy(col("bucket"))
-      .agg(count(when(col("in_ref"), 1)).as("n_ref"),
-        count(when(!col("in_ref"), 1)).as("n_cur"))
+    // Scoped-cached (r18, per-round review): every consumer reads the
+    // bucket-count frame in TWO subtrees of one action (the totals
+    // aggregate and the per-bucket scoring/check), and without the cache
+    // each subtree re-runs the corpus-sized bucket assignment.
+    graft.engine.Caching.scopedPersist(
+      tagged.crossJoin(broadcast(cuts))
+        .select(col("in_ref"),
+          aggregate(col("cuts"), lit(1L),
+            (acc, c) => acc + when(col("v") > c, 1L).otherwise(0L)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(when(col("in_ref"), 1)).as("n_ref"),
+          count(when(!col("in_ref"), 1)).as("n_cur")))
 
   /** drift1's scoring tail over [[psiBucketCounts]]: Laplace-smoothed
     * PSI terms.

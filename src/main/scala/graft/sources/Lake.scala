@@ -50,7 +50,14 @@ object Lake {
         f.delete(): Unit
       }
       rm(root)
-    } catch { case _: Throwable => () } // cleanup must never fail a run
+      // A silently-regressed cleanup would re-strand files run after run
+      // with nothing in any log (Bench.reclaim's visibility convention) —
+      // report survivors, but never fail the run over scratch hygiene.
+      if (root.exists())
+        System.err.println(s"[lake] scratch cleanup left $root behind")
+    } catch { case e: Throwable =>
+      System.err.println(s"[lake] scratch cleanup failed: ${e.getMessage}")
+    }
 
   /** Control-plane filesystem handle for a layout path — the Hadoop
     * `FileSystem` API (the round-6 Workbook/Artifacts convention), so

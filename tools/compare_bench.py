@@ -52,7 +52,15 @@ DRIFT_LIMIT = 1.3
 # outwait. Such an artifact is CONTENTION-SUSPECT (the probe-drift
 # treatment): invalid and in need of a re-run, not merely slow. Quiet
 # starts measure 1.3-2.3 with the bench JVM idle; contended ones 8+.
+# This is the fallback for artifacts that don't record their gate's
+# effective limit; artifacts carrying `load1_limit` (r18 Bench) are
+# judged against the limit their own gate actually ran with.
 LOAD1_LIMIT = 4.0
+
+
+def load1_limit_of(env):
+    v = (env or {}).get("load1_limit")
+    return v if isinstance(v, (int, float)) and v > 0 else LOAD1_LIMIT
 
 # Acceptance bar for the new artifact's RAW total. The r15 verdict's
 # directive set the bar at "<= ~175 probe-0.44-box seconds"; raw suite
@@ -172,9 +180,10 @@ def main():
         if env:
             tag = ""
             ls = env.get("load1_start")
-            if isinstance(ls, (int, float)) and ls > LOAD1_LIMIT:
+            lim = load1_limit_of(env)
+            if isinstance(ls, (int, float)) and ls > lim:
                 tag = (f"  ** CONTENTION-SUSPECT: load1_start {ls:.2f} > "
-                       f"{LOAD1_LIMIT} — suite started into sustained "
+                       f"{lim} — suite started into sustained "
                        "co-tenant load, re-run **")
             print(f"{path}: env "
                   + " ".join(f"{k}={v}" for k, v in env.items()) + tag)
@@ -274,8 +283,9 @@ def main():
     if drift > DRIFT_LIMIT:
         reasons.append(f"{kind} drift {drift:.2f}x > {DRIFT_LIMIT}x (contended run)")
     new_ls = (new_e or {}).get("load1_start")
-    if isinstance(new_ls, (int, float)) and new_ls > LOAD1_LIMIT:
-        reasons.append(f"load1_start {new_ls:.2f} > {LOAD1_LIMIT} "
+    new_lim = load1_limit_of(new_e)
+    if isinstance(new_ls, (int, float)) and new_ls > new_lim:
+        reasons.append(f"load1_start {new_ls:.2f} > {new_lim} "
                        "(contended start — re-run)")
     if new_t > TOTAL_LIMIT_S:
         reasons.append(f"total {new_t:.1f} > {TOTAL_LIMIT_S} seconds")
