@@ -58,20 +58,24 @@ class GraphSpec extends AnyFunSuite {
     val li = (Seq(1L, 2L).flatMap(o => Seq(1L, 2L, 3L, 4L).map(p => (o, p)))
       ++ Seq(10L, 11L, 12L).map(p => (3L, p)))
       .toDF("l_orderkey", "l_partkey")
-    for ((regime, max) <- grRegimes) {
-      val got = graft.operators.Graph.trianglesCore(li, max).collect()
+    for ((regime, max, wedge) <- grRegimes) {
+      val got = graft.operators.Graph.trianglesCore(li, max, wedge).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
         s"$regime $got")
     }
   }
 
-  // Every gr-family contract test runs BOTH regimes (componentsOf's
-  // convention): the default call takes the driver finish on these
-  // test-sized graphs, and max = 0 forces the distributed join plans.
-  private val grRegimes: Seq[(String, Long)] =
-    Seq("driver-finish" -> graft.operators.Dedup.DriverFinishEdges,
-      "distributed-joins" -> 0L)
+  // Every gr-family contract test runs ALL THREE regimes (componentsOf's
+  // convention, extended r18): the default call takes the driver finish
+  // on these test-sized graphs; max = 0 forces the distributed join
+  // plans; wedgeBudget = 0 takes the driver-finish collect but trips the
+  // Σ deg² budget, exercising the re-distributed fallback frame.
+  private val grRegimes: Seq[(String, Long, Long)] =
+    Seq(("driver-finish", graft.operators.Dedup.DriverFinishEdges,
+        graft.operators.Graph.DriverWedgeBudget),
+      ("distributed-joins", 0L, graft.operators.Graph.DriverWedgeBudget),
+      ("wedge-fallback", graft.operators.Dedup.DriverFinishEdges, 0L))
 
   test("gr3 link prediction: star leaves and square diagonals, edges excluded") {
     import spark.implicits._
@@ -91,8 +95,8 @@ class GraphSpec extends AnyFunSuite {
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val aaSquare = BigDecimal(2.0 / math.log(2))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    for ((regime, max) <- grRegimes) {
-      val got = graft.operators.Graph.linkPredictionCore(li, max).collect()
+    for ((regime, max, wedge) <- grRegimes) {
+      val got = graft.operators.Graph.linkPredictionCore(li, max, wedge).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       assert(got.toSeq == Seq(
         (10L, 12L, 2L, aaSquare), (11L, 13L, 2L, aaSquare),
@@ -154,8 +158,8 @@ class GraphSpec extends AnyFunSuite {
         Seq(10L + 2 * i, 11L + 2 * i).flatMap(o => Seq((o, a), (o, b)))
     }
     val li = (k4 ++ star).toDF("l_orderkey", "l_partkey")
-    for ((regime, max) <- grRegimes) {
-      val got = graft.operators.Graph.clusteringCoefficientCore(li, max)
+    for ((regime, max, wedge) <- grRegimes) {
+      val got = graft.operators.Graph.clusteringCoefficientCore(li, max, wedge)
         .collect()
         .map(r => r.getLong(0) ->
           (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
