@@ -183,17 +183,33 @@ object Bench {
     * probe-drift treatment) — a loaded-start artifact is invalid, not
     * merely slow. Returns (arrival load1, seconds waited).
     */
-  private def loadGate(limit: Double): (Double, Double) = {
+  private def loadGate(limit: Double, spinThreads: Int): (Double, Double) = {
     val maxWait = sys.env.getOrElse("SPARK_GRAFT_LOAD_WAIT_S", "240").toInt
+    // Spin condition (r18, after run 5 of the closing band): guest
+    // loadavg CANNOT see host-level CPU steal — a run started at load1
+    // 0.69 with the spin kernel already reading 0.70 s (vs the 0.33 s
+    // quiet band) and totaled 201.9 s. The gate therefore also blocks
+    // while a single spin shot exceeds `SPARK_GRAFT_SPIN_LIMIT`
+    // (default 0.6 s — above every quiet reading on the 32-cpu boxes,
+    // 0.32–0.41 s incl. both official artifacts, and below every burst
+    // reading, 0.65–1.0 s). A slower box class that can never meet the
+    // default pays at most `maxWait` and self-documents via
+    // `load_gate_s` + `spin_start_s`; override the limit there.
+    val spinLimit = sys.env.getOrElse("SPARK_GRAFT_SPIN_LIMIT", "0.6").toDouble
     val arrival = load1
     if (maxWait <= 0 || arrival < 0) return (arrival, 0.0)
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
-    while (load1 > limit && elapsed < maxWait) Thread.sleep(5000)
-    if (load1 > limit)
+    var spinNow = spinShot(spinThreads)
+    while ((load1 > limit || spinNow > spinLimit) && elapsed < maxWait) {
+      Thread.sleep(5000)
+      spinNow = spinShot(spinThreads)
+    }
+    if (load1 > limit || spinNow > spinLimit)
       System.err.println(f"[bench] load gate timed out at $elapsed%.0f s " +
-        f"(load1 still ${load1}%.2f > $limit%.1f) — starting anyway; " +
-        "expect a CONTENTION-SUSPECT artifact")
+        f"(load1 ${load1}%.2f vs $limit%.1f, spin $spinNow%.2f vs " +
+        f"$spinLimit%.1f) — starting anyway; expect a CONTENTION-SUSPECT " +
+        "artifact")
     (arrival, elapsed)
   }
 
@@ -307,13 +323,13 @@ object Bench {
     // env-overridden limit would otherwise silently disagree with the
     // judge's hardcoded default).
     val load1Limit = sys.env.getOrElse("SPARK_GRAFT_LOAD1_LIMIT", "4.0").toDouble
-    val (load1Arrival, loadGateS) = loadGate(load1Limit)
+    val spinThreads = cpus.toInt
+    spinShot(spinThreads) // one throwaway shot compiles the kernel
+    val (load1Arrival, loadGateS) = loadGate(load1Limit, spinThreads)
     val load1Start = load1
     val memStart = memAvailG
     val gateS = quietGate(spark)
     val probeStart = probe(spark)
-    val spinThreads = cpus.toInt
-    spinShot(spinThreads) // one throwaway shot compiles the kernel
     val spinStart = spin(spinThreads)
     // Post-reclaim drain settle (r16, also outside every timed window):
     // releaseAll's System.gc() kicks ContextCleaner into draining its

@@ -174,6 +174,19 @@ def main():
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     old_speed = probe_speed(sys.argv[1], old_p, old_s)
     new_speed = probe_speed(sys.argv[2], new_p, new_s)
+    # Cross-artifact spin comparison (r18): a STEADY host-level steal is
+    # invisible to guest loadavg AND to the within-run drift check (both
+    # spin readings slow equally) — but the spin kernel is deterministic
+    # CPU work, so against the SAME box's prior artifact a slow start is
+    # visible. Reported, never verdict-gated (boxes can legitimately
+    # change between rounds; the raw-total bar is the backstop).
+    if old_s[0] and old_s[1] and new_s and new_s[0]:
+        base = min(old_s[0], old_s[1])
+        if base > 0 and new_s[0] / base > 1.3:
+            print(f"note: new spin_start {new_s[0]:.3f}s is "
+                  f"{new_s[0] / base:.2f}x the old artifact's best spin "
+                  f"{base:.3f}s — steady host-steal suspect if the box is "
+                  "unchanged (not verdict-gated)")
     # r17 env block (heap/local-dir/loadavg/MemAvailable brackets) — the
     # diagnostics for slow-probe runs; printed verbatim when present.
     for path, env in ((sys.argv[1], old_e), (sys.argv[2], new_e)):
