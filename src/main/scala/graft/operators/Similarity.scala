@@ -776,7 +776,17 @@ object Similarity {
           if (i == 1) c.rel.map(r => round6(r * 0.7))
           else {
             val ss = chosen.flatMap(s => sim(c, s))
-            val ms = if (ss.isEmpty) 0.0 else ss.max
+            // Ordering pinned (r19 ADVICE): the max-of-sims must treat NaN
+            // as GREATEST to stay bit-identical with Spark's max aggregate
+            // in the distributed form (a NaN-ELEMENT candidate's sims are
+            // NaN and must dominate; zero norms throw in the fetch — ANSI
+            // DIVIDE_BY_ZERO covers doubles, SimilaritySpec pins both
+            // paths). Scala 2.13's default Ordering[Double]
+            // happens to agree but is deprecated; an IeeeOrdering import or
+            // flag change would silently break parity — TotalOrdering keeps
+            // java.lang.Double.compare semantics (NaN > +Inf) explicitly.
+            val ms = if (ss.isEmpty) 0.0
+              else ss.max(Ordering.Double.TotalOrdering)
             c.rel.map(r => round6(r * 0.7 - ms * 0.3))
           }
         (c, mmr)

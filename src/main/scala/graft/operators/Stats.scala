@@ -249,8 +249,13 @@ object Stats {
     * on the same corpus) and for callers that want the sketch monitor's
     * values rather than the gated bound checks.
     */
-  private[graft] def psiDriftSketchFull(src: DataFrame): DataFrame =
-    psiFromCuts(psiTagged(src), sketchCuts(psiTagged(src)))
+  private[graft] def psiDriftSketchFull(src: DataFrame): DataFrame = {
+    // ONE tagged frame feeds both the cut sketch and the counting tail
+    // (r19 ADVICE: building psiTagged twice re-ran the min-ts aggregate
+    // and the corpus scan — test-only path, but no reason to pay it).
+    val tagged = psiTagged(src)
+    psiFromCuts(tagged, sketchCuts(tagged))
+  }
 
   private def sketchCuts(tagged: DataFrame): DataFrame =
     tagged.filter(col("in_ref"))

@@ -271,9 +271,13 @@ class SimilaritySpec extends AnyFunSuite {
     // arrive with null rel, sort LAST under the desc argmax (Spark's
     // nulls-last), tiebreak by vec_id among themselves, and must not
     // crash the driver replay (a naive getSeq[Float] unboxing would NPE
-    // on the null element). Zero-norm vectors are unreachable: ANSI mode
-    // (Spark 4 default) raises DIVIDE_BY_ZERO in the Spark-side fetch,
-    // in the old distributed form and the replay alike.
+    // on the null element). Zero-norm vectors are unreachable: Spark 4
+    // ANSI raises DIVIDE_BY_ZERO for DOUBLE division too (r19: verified
+    // empirically — `select 0e0/0e0` throws under ansi.enabled, and the
+    // zero-norm test below pins it), in the old distributed form and the
+    // replay's Spark-side fetch alike. NaN is still REACHABLE — a NaN
+    // ELEMENT makes the denominator NaN, which the ANSI zero check does
+    // not catch — so the NaN path gets its own test below.
     val rows = spark.sql(
       """select * from values
         |  (0L, array(1f, 1f, 0f, 0f)),
@@ -287,6 +291,59 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.mmrCore(rows).collect()
       .sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
     assert(got == Seq(1L, 2L, 6L, 7L), got)
+  }
+
+  test("sim11 MMR NaN-element candidate: NaN-first pick order, NaN-greatest max") {
+    import org.apache.spark.sql.functions._
+    // NaN-ELEMENT vector 8: the dot and the norm are both NaN, and a NaN
+    // denominator slips past ANSI's zero check (it is not == 0), so
+    // rel = NaN reaches the candidate frame — the one reachable NaN path
+    // (zero norms throw, see the test below). In the Spark-side fetch NaN
+    // sorts GREATEST under rel.desc, so it arrives FIRST, and the
+    // replay's argmax keys NaN mmr to -Infinity — rank 1 goes to the NaN
+    // doc in both forms. Every later round's sim against the chosen NaN
+    // doc is NaN, and the max-of-sims must treat NaN as greatest (Spark's
+    // max-aggregate semantics — the pinned TotalOrdering in mmrCore; an
+    // IeeeOrdering would silently drop the NaN and break parity): all
+    // remaining mmr collapse to NaN and the id tiebreak orders ranks 2..3
+    // ascending.
+    val rows = spark.sql(
+      """select * from values
+        |  (0L, array(1f, 1f, 0f, 0f)),
+        |  (1L, array(1f, 0.06f, 0f, 0f)),
+        |  (2L, array(0.02f, 1f, 0f, 0f)),
+        |  (8L, array(float('NaN'), 0f, 0f, 0f))
+        |  as t(vec_id, embedding)""".stripMargin)
+      .withColumn("nrm", sqrt(graft.operators.Similarity.dot(
+        col("embedding"), col("embedding"))))
+    val got = Similarity.mmrCore(rows).collect()
+      .sortBy(_.getAs[Long]("rank"))
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Any]("mmr"))).toSeq
+    assert(got.map(_._1) == Seq(8L, 1L, 2L), got)
+    // rank 1 carries the NaN through round6 untouched; ranks 2+ are NaN
+    // because the max-of-sims saw the NaN doc's NaN similarity.
+    assert(got.forall { case (_, m) =>
+      m.asInstanceOf[Double].isNaN }, got)
+  }
+
+  test("sim11 MMR zero-norm candidate: ANSI DIVIDE_BY_ZERO in the fetch (pinned)") {
+    import org.apache.spark.sql.functions._
+    // Pins the comment above: Spark 4 ANSI raises DIVIDE_BY_ZERO for
+    // DOUBLE division too (not only integral/decimal), so a zero-norm
+    // candidate can never reach the replay — if a Spark upgrade ever
+    // relaxes this, the NaN-path test's coverage story changes and this
+    // failure is the flag.
+    val rows = spark.sql(
+      """select * from values
+        |  (0L, array(1f, 1f, 0f, 0f)),
+        |  (1L, array(1f, 0.06f, 0f, 0f)),
+        |  (8L, array(0f, 0f, 0f, 0f))
+        |  as t(vec_id, embedding)""".stripMargin)
+      .withColumn("nrm", sqrt(graft.operators.Similarity.dot(
+        col("embedding"), col("embedding"))))
+    val e = intercept[Exception] { Similarity.mmrCore(rows) }
+    assert(e.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"expected ANSI DIVIDE_BY_ZERO, got: ${e.getMessage}")
   }
 
   test("sim16 PCA: axis-0 variance corpus recovers loading (1,0,..), ratio 1") {
