@@ -200,16 +200,38 @@ object Bench {
     if (maxWait <= 0 || arrival < 0) return (arrival, 0.0)
     val t0 = System.nanoTime()
     def elapsed = (System.nanoTime() - t0) / 1e9
-    var spinNow = spinShot(spinThreads)
-    while ((load1 > limit || spinNow > spinLimit) && elapsed < maxWait) {
+    // r19 ADVICE fix: the old loop fired a 32-thread spin shot every
+    // cycle even while load1 ALONE blocked — at ~0.35 s of all-core work
+    // per 5.35 s cycle that adds ~2 to the very 1-minute loadavg the gate
+    // is waiting on, so a box recovering into the quiet band (1.3–2.3)
+    // could be self-held above 4.0 for the full 240 s. The spin shot now
+    // runs only once load1 itself is under the limit (it gates HOST steal,
+    // which loadavg cannot see — checking it while guest load is high adds
+    // information about nothing and load to everything).
+    def spinIfQuiet(l: Double): Double =
+      if (l > limit) -1.0 else spinShot(spinThreads)
+    var l = arrival
+    var spinNow = spinIfQuiet(l)
+    var cycles = 0
+    while ((l > limit || spinNow > spinLimit) && elapsed < maxWait) {
       Thread.sleep(5000)
-      spinNow = spinShot(spinThreads)
+      cycles += 1
+      l = load1
+      spinNow = spinIfQuiet(l)
     }
-    if (load1 > limit || spinNow > spinLimit)
+    if (l > limit || spinNow > spinLimit)
       System.err.println(f"[bench] load gate timed out at $elapsed%.0f s " +
-        f"(load1 ${load1}%.2f vs $limit%.1f, spin $spinNow%.2f vs " +
+        f"(load1 $l%.2f vs $limit%.1f, spin $spinNow%.2f vs " +
         f"$spinLimit%.1f) — starting anyway; expect a CONTENTION-SUSPECT " +
         "artifact")
+    // Second half of the ADVICE fix: if the gate looped at all, its own
+    // spin shots are still inside the 1-minute EMA when main() samples
+    // load1_start immediately after this returns — decay them with a
+    // spin-free settle so the artifact-of-record field reads the BOX, not
+    // the gate (15 s halves a ~0.5 contribution; full quiet runs that
+    // never looped pay nothing).
+    if (cycles > 0) Thread.sleep(
+      sys.env.getOrElse("SPARK_GRAFT_LOAD_SETTLE_S", "20").toInt * 1000L)
     (arrival, elapsed)
   }
 
@@ -344,7 +366,21 @@ object Bench {
     // queries whose min ≥ 1 s (the drain tail scales with the
     // predecessor's garbage; ~45 of 231 queries, ~45 s of untimed wall).
     val settleMs = sys.env.getOrElse("SPARK_GRAFT_SETTLE_MS", "1000").toInt
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Mid-suite spin samples (r19, the r18 verdict's #5): the steal
+    // arbiter previously saw two instants (suite start/end), so a
+    // co-tenant burst that rose and died INSIDE the suite was invisible
+    // to the drift check and could only be inferred from per-query
+    // outliers. Two settled spins at the 1/3 and 2/3 query boundaries
+    // (outside every timed window, after that query's reclaim/settle;
+    // ~1.5 s total) put four points on the timeline so compare_bench can
+    // localize a burst to the query block it taxed. Emitted on the env
+    // line as spin_third1_s/spin_third2_s.
+    val ordered = selected.toSeq.sortBy(_._1)
+    val third1At = ordered.size / 3
+    val third2At = 2 * ordered.size / 3
+    var spinThird1 = -1.0
+    var spinThird2 = -1.0
+    val results = ordered.zipWithIndex.map { case ((name, fn), idx) =>
       def sample(): Double = {
         val t0 = System.nanoTime()
         try { run(fn(spark, sfDir)); (System.nanoTime() - t0) / 1e9 }
@@ -379,6 +415,11 @@ object Bench {
       val best = if (times.exists(_ < 0)) -1.0 else times.min
       if (settleMs > 0 && (best < 0 || best >= 1.0))
         Thread.sleep(settleMs.toLong)
+      // thirds fire when >= 3 queries are selected (single-query dev runs
+      // have size/3 == 0, which idx + 1 never equals)
+      if (idx + 1 == third1At) spinThird1 = spin(spinThreads)
+      if (idx + 1 == third2At && third2At != third1At)
+        spinThird2 = spin(spinThreads)
       name -> best
     }.toMap
     val probeEnd = probe(spark)
@@ -409,17 +450,48 @@ object Bench {
         List(e) :: acc
       else (e :: acc.head) :: acc.tail
     }.map(_.reverse).reverse.filter(_.nonEmpty)
+    // Full-record tee (r19, the r18 verdict's #2): the driver's
+    // BENCH_r{N}.json keeps only the last ~2000 chars of stdout, so the
+    // per-query map survives for only the ~23 slowest queries — r18's
+    // headline fix (sim11) left NO official number in the record. Every
+    // metric line below is therefore ALSO written verbatim to a committed
+    // file (`bench_full_r{N}.json`, N inferred as max existing BENCH_r* +
+    // 1, overridable via SPARK_GRAFT_FULL_OUT) that compare_bench.py
+    // prefers when its total matches the driver artifact's. stdout layout
+    // is unchanged — the tee is the record, not a new format.
+    val fullLines = scala.collection.mutable.Buffer.empty[String]
+    def emit(line: String): Unit = { println(line); fullLines += line }
     parts.zipWithIndex.foreach { case (p, i) =>
-      println(s"""{"metric":"per-query","part":${i + 1},"parts":${parts.size},"order":"asc-time","unit":"sec","sf":"$sfDir","queries":${p.mkString("{", ",", "}")}}""")
+      emit(s"""{"metric":"per-query","part":${i + 1},"parts":${parts.size},"order":"asc-time","unit":"sec","sf":"$sfDir","queries":${p.mkString("{", ",", "}")}}""")
     }
     // Environment block (r17): one extra small line ABOVE the contract
     // line — the contract line itself stays minimal and last (its
     // truncation-robustness rationale above), while these fields make a
     // slow-probe run diagnosable from the artifact: heap ceiling (the
     // build.sbt -Xmx actually in force), local-dir device, loadavg
-    // bracket, MemAvailable bracket.
-    println(s"""{"metric":"env","heap_max_g":${fmt(Runtime.getRuntime.maxMemory / 1e9)},"local_dir":"${spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))}","load1_arrival":${fmt(load1Arrival)},"load_gate_s":${fmt(loadGateS)},"load1_limit":${fmt(load1Limit)},"load1_start":${fmt(load1Start)},"load1_end":${fmt(load1)},"mem_avail_g_start":${fmt(memStart)},"mem_avail_g_end":${fmt(memAvailG)},"runs_per_query":$runsPerQuery}""")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"spin_start_s":${fmt(spinStart)},"spin_end_s":${fmt(spinEnd)},"quiet_gate_s":${fmt(gateS)}}""")
+    // bracket, MemAvailable bracket, mid-suite spin points (r19).
+    val thirds = Seq("spin_third1_s" -> spinThird1, "spin_third2_s" -> spinThird2)
+      .collect { case (k, v) if v >= 0 => s""","$k":${fmt(v)}""" }.mkString
+    emit(s"""{"metric":"env","heap_max_g":${fmt(Runtime.getRuntime.maxMemory / 1e9)},"local_dir":"${spark.sparkContext.getConf.get("spark.local.dir", System.getProperty("java.io.tmpdir"))}","load1_arrival":${fmt(load1Arrival)},"load_gate_s":${fmt(loadGateS)},"load1_limit":${fmt(load1Limit)},"load1_start":${fmt(load1Start)},"load1_end":${fmt(load1)},"mem_avail_g_start":${fmt(memStart)},"mem_avail_g_end":${fmt(memAvailG)}$thirds,"runs_per_query":$runsPerQuery}""")
+    emit(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failures":$failures,"probe_start_s":${fmt(probeStart)},"probe_end_s":${fmt(probeEnd)},"spin_start_s":${fmt(spinStart)},"spin_end_s":${fmt(spinEnd)},"quiet_gate_s":${fmt(gateS)}}""")
+    try {
+      val out = sys.env.get("SPARK_GRAFT_FULL_OUT").getOrElse {
+        val rx = "BENCH_r(\\d+)\\.json".r
+        val n = Option(new java.io.File(".").listFiles).toSeq.flatten
+          .flatMap(f => f.getName match {
+            case rx(d) => Some(d.toInt)
+            case _ => None
+          })
+          .foldLeft(0)(math.max) + 1
+        f"bench_full_r$n%02d.json"
+      }
+      val w = new java.io.PrintWriter(out, "UTF-8")
+      try fullLines.foreach(w.println) finally w.close()
+      System.err.println(s"[bench] full per-query record written to $out")
+    } catch { case e: Throwable =>
+      // The tee must never fail the bench — the stdout record stands.
+      System.err.println(s"[bench] full-record write failed: ${e.getMessage}")
+    }
     graft.sources.Lake.cleanupScratch(spark)
     spark.stop()
   }
