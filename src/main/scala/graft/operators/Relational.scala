@@ -253,17 +253,67 @@ object Relational {
       rsd: Double = 0.02): DataFrame =
     columnProfile(src, numCols, strCols, exact = false, rsd)
 
-  /** prof7 — prof1's 100 TB sketch path, DECLARED as a first-class gated
-    * query: [[profileApprox]] over the same customer columns. No DuckDB
-    * oracle can hash-match HLL++ internals, so the driver gate is
-    * rows-only BY DESIGN (SmokeSpec pins the rows-only set explicitly);
-    * the accuracy contract lives in SketchSpec (≤5% distinct error on
-    * known cardinalities, exact null accounting, Expand-free plan).
+  /** prof7 — prof1's 100 TB sketch path as a first-class gated query.
+    *
+    * Partial oracle (r19, finishing the prof8/drift3 graduation from
+    * r18): no DuckDB oracle can hash-match HLL++ internals, so the OLD
+    * gate was rows-only — the weakest check in the suite. The gated
+    * output now carries every EXACT profile column (row/null counts and
+    * extrema, hash-checked against DuckDB) plus `nd_ok`, the in-query
+    * sketch bound: the HLL++ estimate (rsd 0.02) must land within 5% of
+    * the exact distinct count (SketchSpec's bound, now enforced on the
+    * gated corpus every round). DuckDB emits literal TRUE, so an
+    * estimator drifting out of tolerance hash-FAILS the round instead of
+    * passing rows-only. The raw estimate itself stays out of the hash
+    * (engine-specific — prof8's convention).
+    *
+    * The exact count_distinct here is GATE INSTRUMENTATION: it plans
+    * through Expand, which is exactly what the sketch path avoids at
+    * scale — the VALUE-carrying 100 TB form remains [[profileApprox]]
+    * (one ordinary hash aggregate, Expand-free plan asserted by
+    * SketchSpec), and the bound check is how the gate proves that form's
+    * estimates against the exact twin on the same scan.
     */
-  def prof7ProfileSketch(spark: SparkSession, dir: String): DataFrame =
-    profileApprox(t(spark, dir, "customer"),
-      Seq("c_custkey", "c_nationkey", "c_acctbal"),
-      Seq("c_name", "c_mktsegment"))
+  def prof7ProfileSketch(spark: SparkSession, dir: String): DataFrame = {
+    val src = t(spark, dir, "customer")
+    val numCols = Seq("c_custkey", "c_nationkey", "c_acctbal")
+    val strCols = Seq("c_name", "c_mktsegment")
+    // TWO 1-row aggregates joined, NOT one: mixing the 5 DISTINCT
+    // aggregates with 5 HLL sketches in a single agg trips Spark's
+    // RewriteDistinctAggregates into a pathological plan — measured
+    // 14.8 s isolated min-of-3 at sf0.1/local[32] vs 0.83 s for prof1's
+    // exact-only aggregate and ~0.3 s for the sketch-only one. Keeping
+    // each family in its known-good shape (the exact side on prof1's
+    // Expand path, the sketch side as one plain hash aggregate — the
+    // same Expand-free plan SketchSpec pins for profileApprox) costs one
+    // extra scan of the profiled table and runs ~13x faster.
+    val exactAggs = (numCols ++ strCols).flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c"),
+        count_distinct(col(c)).as(s"ndx_$c")) ++
+        (if (numCols.contains(c))
+          Seq(round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
+            round(max(col(c)).cast("double"), 2).as(s"mx_$c"))
+        else Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
+    } :+ count(lit(1)).as("n_rows")
+    val approxAggs = (numCols ++ strCols)
+      .map(c => approx_count_distinct(col(c), 0.02).as(s"nda_$c"))
+    val one = src.agg(exactAggs.head, exactAggs.tail: _*)
+      .crossJoin(broadcast(src.agg(approxAggs.head, approxAggs.tail: _*)))
+    val rows = (numCols ++ strCols).map { c =>
+      val num = numCols.contains(c)
+      struct(lit(c).as("column_name"), col("n_rows"),
+        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
+        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
+        (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str"),
+        (abs(col(s"nda_$c").cast("double") - col(s"ndx_$c")) <=
+          greatest(col(s"ndx_$c") * 0.05, lit(1.0))).as("nd_ok"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy("column_name")
+  }
 
   /** prof8 — prof2's 100 TB sketch path as a first-class gated query:
     * [[equiDepthApprox]] over the same events.value, 8 buckets.
@@ -1772,9 +1822,11 @@ object Relational {
     * under heavy ties the rank-based ntile splits tied customers across
     * buckets by the custkey tiebreak while the value-based CASE keeps
     * ties together — the usual sketch-vs-exact trade, documented not
-    * hidden. Rows-only gate (prof8's convention): the sketch's cut
-    * placement has no cross-engine mirror; the exact twin carries the
-    * hash gate.
+    * hidden. The driver gate is [[seg1RfmApproxGate]] (r19): the scores'
+    * cut placement has no cross-engine mirror, so the gate hash-checks
+    * the exact metric columns plus the GK rank-error bound as an
+    * in-query boolean; this value-carrying form stays the API surface,
+    * pinned against its exact twin in InvariantSpec.
     */
   def seg1RfmApprox(spark: SparkSession, dir: String): DataFrame =
     seg1RfmApproxCore(t(spark, dir, "orders"))
@@ -1805,9 +1857,69 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** seg1_rfm_approx's PARTIAL-oracle gate (r19, the prof8/drift3
+    * graduation pattern, closing the last rows-only row): the gated
+    * output is the per-customer EXACT metric frame `(o_custkey,
+    * recency_days, frequency, monetary)` — hash-checked against DuckDB,
+    * byte-identical to seg1_rfm's non-score columns — plus `cuts_ok`,
+    * the in-query GK rank-error bound on all 12 quintile cuts: each
+    * returned cut is an actual data value whose occupied rank interval
+    * `[count(< cut) + 1, count(<= cut)]` must intersect the target rank
+    * `q·n` within `n/accuracy + 2` ranks (percentile_approx's published
+    * guarantee at accuracy 100000 is rank error ≤ n·1e-5, i.e. < 1 rank
+    * at gated scale; +2 absorbs the ceil/floor convention). DuckDB emits
+    * literal TRUE, so a sketch whose cut placement drifts out of its
+    * rank contract hash-FAILS the round instead of passing rows-only.
+    * Tie robustness: tied values WIDEN the occupied rank interval, so
+    * heavy ties (frequency's small-int domain) make the bound easier,
+    * never spuriously tight. The engine-specific quintile SCORES stay
+    * out of the hash — [[seg1RfmApproxCore]] carries them and
+    * InvariantSpec pins them against the exact ntile twin.
+    *
+    * Plan shape: the scoped-persisted per-customer frame feeds the cut
+    * sketch, ONE rank-stat aggregate (24 conditional sums + n against
+    * the broadcast 1-row cut frame — scan-local, no extra shuffle), and
+    * the output projection; nothing sorts globally.
+    */
+  def seg1RfmApproxGate(spark: SparkSession, dir: String): DataFrame =
+    seg1RfmApproxGateCore(t(spark, dir, "orders"))
+
+  private[graft] def seg1RfmApproxGateCore(orders: DataFrame): DataFrame = {
+    val per = rfmPerCustomer(orders)
+    val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
+    val acc = lit(100000)
+    val cuts = per.agg(
+      percentile_approx(col("recency_days"), qs, acc).as("rc"),
+      percentile_approx(col("frequency"), qs, acc).as("fc"),
+      percentile_approx(col("sum_cents"), qs, acc).as("mc"))
+    val metrics = Seq("recency_days" -> "rc", "frequency" -> "fc",
+      "sum_cents" -> "mc")
+    val rankAggs = metrics.flatMap { case (m, cn) =>
+      (1 to 4).flatMap { i =>
+        val cut = element_at(col(cn), i)
+        Seq(sum(when(col(m) < cut, 1L).otherwise(0L)).as(s"lt_${cn}_$i"),
+          sum(when(col(m) <= cut, 1L).otherwise(0L)).as(s"le_${cn}_$i"))
+      }
+    } :+ count(lit(1)).as("n")
+    val stats = per.crossJoin(broadcast(cuts))
+      .agg(rankAggs.head, rankAggs.tail: _*)
+    val tol = col("n") / 100000.0 + lit(2.0)
+    val ok = metrics.flatMap { case (_, cn) =>
+      (1 to 4).map { i =>
+        val target = col("n") * (i / 5.0)
+        (col(s"lt_${cn}_$i") + 1 <= target + tol) &&
+          (col(s"le_${cn}_$i") >= target - tol)
+      }
+    }.reduce(_ && _)
+    per.crossJoin(broadcast(stats.select(ok.as("cuts_ok"))))
+      .select(col("o_custkey"), col("recency_days"), col("frequency"),
+        r2(col("sum_cents") / 100.0).as("monetary"), col("cuts_ok"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "seg1_rfm" -> seg1Rfm,
-    "seg1_rfm_approx" -> seg1RfmApprox,
+    "seg1_rfm_approx" -> seg1RfmApproxGate,
     "sql4_recursive_rollup" -> sql4RecursiveRollup,
     "sql3_window_facade" -> sql3WindowFacade,
     "sql1_revenue_by_nation" -> sql1RevenueByNation,
@@ -1882,6 +1994,55 @@ object Relational {
         |FROM (SELECT unnest(generate_series(1, 8)) AS bucket) b
         |CROSS JOIN tot
         |ORDER BY bucket""".stripMargin,
+    // prof7's PARTIAL oracle (r19): every exact profile column
+    // hash-gates; nd_ok is Spark's in-query HLL-vs-exact bound, TRUE by
+    // contract (see prof7ProfileSketch's scaladoc) — DuckDB emits the
+    // literal, so an out-of-tolerance estimate hash-FAILS.
+    "prof7_profile_sketch" ->
+      """WITH s AS (SELECT * FROM customer)
+        |SELECT * FROM (
+        |  SELECT 'c_custkey' AS column_name, count(*) AS n_rows,
+        |    count(*) - count(c_custkey) AS n_nulls,
+        |    round(CAST(min(c_custkey) AS DOUBLE), 2) AS min_num,
+        |    round(CAST(max(c_custkey) AS DOUBLE), 2) AS max_num,
+        |    NULL AS min_str, NULL AS max_str, TRUE AS nd_ok FROM s
+        |  UNION ALL
+        |  SELECT 'c_nationkey', count(*), count(*) - count(c_nationkey),
+        |    round(CAST(min(c_nationkey) AS DOUBLE), 2),
+        |    round(CAST(max(c_nationkey) AS DOUBLE), 2), NULL, NULL, TRUE
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'c_acctbal', count(*), count(*) - count(c_acctbal),
+        |    round(CAST(min(c_acctbal) AS DOUBLE), 2),
+        |    round(CAST(max(c_acctbal) AS DOUBLE), 2), NULL, NULL, TRUE
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'c_name', count(*), count(*) - count(c_name),
+        |    NULL, NULL, min(c_name), max(c_name), TRUE FROM s
+        |  UNION ALL
+        |  SELECT 'c_mktsegment', count(*), count(*) - count(c_mktsegment),
+        |    NULL, NULL, min(c_mktsegment), max(c_mktsegment), TRUE FROM s)
+        |ORDER BY column_name""".stripMargin,
+    // seg1_rfm_approx's PARTIAL oracle (r19): the exact per-customer
+    // metric frame hash-gates (identical to seg1_rfm minus the scores);
+    // cuts_ok is Spark's in-query GK rank-error bound, TRUE by contract
+    // (see seg1RfmApproxGate's scaladoc).
+    "seg1_rfm_approx" ->
+      """WITH per AS (
+        |  SELECT o_custkey,
+        |    max(CAST(o_orderdate AS DATE)) AS last_d,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT o_custkey,
+        |  CAST(date_diff('day', last_d, (SELECT max(last_d) FROM per))
+        |    AS BIGINT) AS recency_days,
+        |  frequency,
+        |  round(sum_cents / 100.0, 2) AS monetary,
+        |  TRUE AS cuts_ok
+        |FROM per
+        |ORDER BY o_custkey""".stripMargin,
     "seg1_rfm" ->
       """WITH per AS (
         |  SELECT o_custkey,

@@ -36,17 +36,16 @@ class SmokeSpec extends AnyFunSuite {
       s"${failures.size} queries failed to execute:\n${failures.mkString("\n")}")
   }
 
-  test("every query has oracle SQL or is a documented rows-only check") {
+  test("every query has oracle SQL — the rows-only set is EMPTY") {
     // an entry in `queries` without oracle SQL downgrades the driver's
-    // gate to rows-only — keep that set explicit and intentional: ONLY
-    // sketch-path queries whose outputs carry engine-specific HLL/GK
-    // values even in bound-check form (accuracy contracts live in
-    // SketchSpec, and seg1_rfm_approx's cut placement is pinned against
-    // its exact twin in InvariantSpec). prof8/drift3 graduated to
-    // PARTIAL oracles in r18 (exact totals + in-query sketch bound
-    // booleans the DuckDB side emits as literals).
+    // gate to rows-only. As of r19 the set is EMPTY: prof8/drift3
+    // graduated to PARTIAL oracles in r18 and prof7/seg1_rfm_approx in
+    // r19 (exact columns hash-gated + in-query sketch-bound booleans the
+    // DuckDB side emits as literals — see each gate's scaladoc). Any
+    // future sketch query must ship at least a partial oracle; this
+    // assertion is the tripwire.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(rowsOnly == Set("prof7_profile_sketch", "seg1_rfm_approx"),
+    assert(rowsOnly == Set.empty[String],
       s"undeclared rows-only queries: ${rowsOnly.toSeq.sorted.mkString(", ")}")
     // and no orphaned oracle SQL for queries that no longer exist
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
