@@ -177,16 +177,34 @@ object Pipelines {
     import graft.functions.EvalOnce.once
     import graft.functions.TextFunctions.{langId, qualityScore}
 
-    val cleaned = Preprocess.clean(graft.Tables.t(spark, dir, "documents")).df
+    // Clean the CONSUMED columns, not the whole table (r19, the pipe1
+    // checkpoint shave): the pipeline's output derives from (doc_id,
+    // text) only, and P9's dedup-on-all-columns blocks column pruning
+    // through the clean — so the full-table form shuffled and
+    // placeholder-scrubbed lang/source/n_chars just to drop them at the
+    // checkpoint projection. Pruning FIRST is also exactly the oracle's
+    // model (keptCtes' `cleaned` CTE cleans doc_id+text and nothing
+    // else); on any corpus with unique doc_id the two forms agree (P9
+    // then no-ops under both widths), and the composed pipelines' gates
+    // hash-pin that agreement every round. At 100 TB this is the
+    // difference between shuffling the 2 consumed columns and the whole
+    // row.
+    val cleaned = Preprocess.clean(graft.Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))).df
     // NO quality filter before clustering: the held-out benchmark is
     // carved from the FULL cleaned corpus, so an eval document below the
     // quality bar must still poison its near-dup component — a kept train
     // doc that near-dups a low-quality eval doc is still a leak. (Round 6
     // clustered the filtered corpus, which let exactly that case through.)
+    // langId is NOT computed here (r19): quality gates eligibility so it
+    // must score every cleaned doc, but lang_detected is consumed only on
+    // the SURVIVORS (pipe1's stratified sample key; pipe3 never reads it)
+    // — deferring it to the post-window projection skips the detector
+    // over every dropped/duplicate doc and lets pipe3's plan prune it
+    // entirely.
     val scored = cleaned
       .select(col("doc_id"), col("text"),
-        once(qualityScore(col("text"))).as("quality"),
-        once(langId(col("text"))).as("lang_detected"))
+        once(qualityScore(col("text"))).as("quality"))
       .localCheckpoint()
     // ONE split definition shared with dd6/dd7 (Dedup.isEvalSplit).
     val isEval = graft.operators.Dedup.isEvalSplit(col("doc_id"))
@@ -195,8 +213,8 @@ object Pipelines {
     // leaked wholesale: any training doc near-duplicating eval data (or
     // near-duplicating a doc that does) trains on the benchmark.
     val eligibleBase = scored.filter(col("quality") >= 0.5 && !isEval)
-    val outCols = Seq(col("doc_id"), col("text"), col("lang_detected"),
-      col("quality"), col("canonical_doc_id"))
+    val outCols = Seq(col("doc_id"), col("text"), col("quality"),
+      col("canonical_doc_id"))
     // Regime-gated tail (r18, the pipe1 application of the gr-family
     // driver finishes): in the driver regime the active assignment is
     // already a collected broadcast-sized list, so the contamination
@@ -212,9 +230,16 @@ object Pipelines {
     // sf0.1/local[32] (min-of-3, spin 0.32-0.35 on every run): pipe1
     // 5.38 → 4.16/4.57 s across two quiet post-change runs, pipe3
     // → 3.68 s (r17 official 4.13); the residual pipe1 cost is the
-    // scored checkpoint (~2 s of clean + quality/langid expression CPU
-    // over the corpus — shared work both regimes need) plus the banded
-    // dedup machinery (~2 s, dd5's floor).
+    // scored checkpoint (~1.4 s of clean + scoring expression CPU over
+    // the corpus — shared work both regimes need) plus the banded dedup
+    // machinery (~1.6 s, dd5's floor) and a 0.4 s tail.
+    // r19 checkpoint shave (the r18 verdict's #4; same-box isolated
+    // min-of-4 A/B, spin 0.32-0.40 and probe 0.53-0.55 on BOTH runs):
+    // pruning the clean to the consumed (doc_id, text) and deferring
+    // langId to the survivors-only projection took pipe1 4.36 → 3.46 s
+    // and pipe3 3.93 → 3.50 s — pipe1's missed r17 target of ≤3.5 s
+    // reached isolated, oracle hashes unchanged (pipe1-4 PASS at
+    // sf0.01).
     val eligible = graft.operators.Dedup.clusterAssignmentOf(
         scored.select(col("doc_id"), col("text"))) match {
       case Left(assign) =>
@@ -253,7 +278,8 @@ object Pipelines {
       .withColumn("rk", row_number().over(
         Window.partitionBy("canonical_doc_id").orderBy("doc_id")))
       .filter(col("rk") === 1)
-      .select(col("doc_id"), col("text"), col("lang_detected"), col("quality"))
+      .select(col("doc_id"), col("text"),
+        once(langId(col("text"))).as("lang_detected"), col("quality"))
   }
 
   /** pipe3 — the trainer-facing composition: pipe1's cleaned/deduped/

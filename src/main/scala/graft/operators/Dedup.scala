@@ -983,6 +983,18 @@ object Dedup {
     * quality pass; tracks dd5's own cost, not a regression signal of
     * its own unless the gap to dd5 grows.
     *
+    * r19 A/B verdict on the r18 normalized-only flag (official
+    * 1.96→2.67 s, raw 1.36x / norm 1.58x at a 0.86 box factor): NOISE —
+    * no code change touched dd11 or dd5 between the rounds. Same-box
+    * isolated min-of-4, two runs: dd11 2.55 s with dd5 1.75 (spin
+    * 0.324/0.324, the quiet band) and 3.11 with dd5 2.26 (spin_end
+    * 0.434 — busier box, BOTH inflated; the dd11/dd5 ratio held at
+    * 1.37–1.45 across runs). The r18 official 2.67 sits inside today's
+    * isolated band; the r17 official 1.96 came from the artifact
+    * compare_bench retro-flags CONTENTION-SUSPECT (load1_start 8.49),
+    * whose per-query numbers are not adjudication anchors. Band
+    * re-pinned: 2.5–3.1 s isolated, tracking dd5 at ~1.4x.
+    *
     * r16 A/B verdict on the r15 artifact's 1.77x suite-vs-isolated gap
     * (6.07 s in-suite vs 3.42 isolated): NOT this query's plan and NOT
     * cache debris from the dd family — it was the bench harness's
