@@ -287,32 +287,16 @@ object Relational {
     // Expand path, the sketch side as one plain hash aggregate — the
     // same Expand-free plan SketchSpec pins for profileApprox) costs one
     // extra scan of the profiled table and runs ~13x faster.
-    val exactAggs = (numCols ++ strCols).flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
-        count_distinct(col(c)).as(s"ndx_$c")) ++
-        (if (numCols.contains(c))
-          Seq(round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
-            round(max(col(c)).cast("double"), 2).as(s"mx_$c"))
-        else Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
-    } :+ count(lit(1)).as("n_rows")
+    val exactAggs = profileBaseAggs(numCols, strCols) ++
+      (numCols ++ strCols).map(c => count_distinct(col(c)).as(s"ndx_$c"))
     val approxAggs = (numCols ++ strCols)
       .map(c => approx_count_distinct(col(c), 0.02).as(s"nda_$c"))
     val one = src.agg(exactAggs.head, exactAggs.tail: _*)
       .crossJoin(broadcast(src.agg(approxAggs.head, approxAggs.tail: _*)))
-    val rows = (numCols ++ strCols).map { c =>
-      val num = numCols.contains(c)
-      struct(lit(c).as("column_name"), col("n_rows"),
-        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
-        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
-        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
-        (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
-        (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str"),
-        (abs(col(s"nda_$c").cast("double") - col(s"ndx_$c")) <=
-          greatest(col(s"ndx_$c") * 0.05, lit(1.0))).as("nd_ok"))
-    }
-    one.select(explode(array(rows: _*)).as("r"))
-      .select(col("r.*"))
-      .orderBy("column_name")
+    profileRows(one, numCols, strCols,
+      mid = _ => Seq.empty,
+      end = c => Seq((abs(col(s"nda_$c").cast("double") - col(s"ndx_$c")) <=
+        greatest(col(s"ndx_$c") * 0.05, lit(1.0))).as("nd_ok")))
   }
 
   /** prof8 — prof2's 100 TB sketch path as a first-class gated query:
@@ -358,25 +342,50 @@ object Relational {
 
   private def columnProfile(src: DataFrame, numCols: Seq[String],
       strCols: Seq[String], exact: Boolean, rsd: Double = 0.02): DataFrame = {
-    val aggs = (numCols ++ strCols).flatMap { c =>
-      Seq(count(col(c)).as(s"cnt_$c"),
+    val aggs = profileBaseAggs(numCols, strCols) ++
+      (numCols ++ strCols).map(c =>
         (if (exact) count_distinct(col(c))
-         else approx_count_distinct(col(c), rsd)).as(s"nd_$c")) ++
+         else approx_count_distinct(col(c), rsd)).as(s"nd_$c"))
+    val one = src.agg(aggs.head, aggs.tail: _*)
+    profileRows(one, numCols, strCols,
+      mid = c => Seq(col(s"nd_$c").as("n_distinct")),
+      end = _ => Seq.empty)
+  }
+
+  /** The per-column count/min/max aggregate set (+ n_rows) shared by
+    * [[columnProfile]] (prof1/prof7's exact side) — ONE definition so a
+    * profile-convention change (rounding, null accounting) cannot make
+    * prof1 and prof7 silently diverge.
+    */
+  private def profileBaseAggs(numCols: Seq[String],
+      strCols: Seq[String]): Seq[Column] =
+    (numCols ++ strCols).flatMap { c =>
+      Seq(count(col(c)).as(s"cnt_$c")) ++
         (if (numCols.contains(c))
           Seq(round(min(col(c)).cast("double"), 2).as(s"mn_$c"),
             round(max(col(c)).cast("double"), 2).as(s"mx_$c"))
         else Seq(min(col(c)).as(s"mn_$c"), max(col(c)).as(s"mx_$c")))
     } :+ count(lit(1)).as("n_rows")
-    val one = src.agg(aggs.head, aggs.tail: _*)
+
+  /** Long-format pivot of the 1-row profile frame (struct → explode →
+    * one row per column; no second scan, no per-column jobs). `mid(c)`
+    * injects fields after n_nulls (prof1's n_distinct), `end(c)` appends
+    * trailing fields (prof7's nd_ok bound boolean).
+    */
+  private def profileRows(one: DataFrame, numCols: Seq[String],
+      strCols: Seq[String], mid: String => Seq[Column],
+      end: String => Seq[Column]): DataFrame = {
     val rows = (numCols ++ strCols).map { c =>
       val num = numCols.contains(c)
-      struct(lit(c).as("column_name"), col("n_rows"),
-        (col("n_rows") - col(s"cnt_$c")).as("n_nulls"),
-        col(s"nd_$c").as("n_distinct"),
-        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
-        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
-        (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
-        (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str"))
+      val fields = Seq(lit(c).as("column_name"), col("n_rows"),
+          (col("n_rows") - col(s"cnt_$c")).as("n_nulls")) ++
+        mid(c) ++
+        Seq((if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+          (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
+          (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
+          (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str")) ++
+        end(c)
+      struct(fields: _*)
     }
     one.select(explode(array(rows: _*)).as("r"))
       .select(col("r.*"))
@@ -1834,7 +1843,7 @@ object Relational {
   private[graft] def seg1RfmApproxCore(orders: DataFrame): DataFrame = {
     val per = rfmPerCustomer(orders)
     val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-    val acc = lit(100000)
+    val acc = lit(RfmSketchAccuracy)
     val cuts = per.agg(
       percentile_approx(col("recency_days"), qs, acc).as("rc"),
       percentile_approx(col("frequency"), qs, acc).as("fc"),
@@ -1884,10 +1893,16 @@ object Relational {
   def seg1RfmApproxGate(spark: SparkSession, dir: String): DataFrame =
     seg1RfmApproxGateCore(t(spark, dir, "orders"))
 
+  /** The ONE GK accuracy shared by the production scorer and its gate —
+    * the gate's rank tolerance derives from it, so tuning the sketch
+    * cannot silently detach the bound from the sketch's actual error.
+    */
+  private val RfmSketchAccuracy = 100000
+
   private[graft] def seg1RfmApproxGateCore(orders: DataFrame): DataFrame = {
     val per = rfmPerCustomer(orders)
     val qs = array(lit(0.2), lit(0.4), lit(0.6), lit(0.8))
-    val acc = lit(100000)
+    val acc = lit(RfmSketchAccuracy)
     val cuts = per.agg(
       percentile_approx(col("recency_days"), qs, acc).as("rc"),
       percentile_approx(col("frequency"), qs, acc).as("fc"),
@@ -1903,7 +1918,7 @@ object Relational {
     } :+ count(lit(1)).as("n")
     val stats = per.crossJoin(broadcast(cuts))
       .agg(rankAggs.head, rankAggs.tail: _*)
-    val tol = col("n") / 100000.0 + lit(2.0)
+    val tol = col("n") / RfmSketchAccuracy.toDouble + lit(2.0)
     val ok = metrics.flatMap { case (_, cn) =>
       (1 to 4).map { i =>
         val target = col("n") * (i / 5.0)

@@ -107,9 +107,14 @@ def load(path):
         return parsed
     fparsed = _parse(open(full).read())
     total, ftotal = parsed[1], fparsed[1]
-    if ftotal is None or (total is not None and abs(ftotal - total) > 0.0005):
-        print(f"note: {full} total {ftotal} != {path} total {total} — "
-              "different run, ignoring the full record")
+    if ftotal is None or total is None or abs(ftotal - total) > 0.0005:
+        # total is None = the artifact truncated past its own contract
+        # line (the r03-r06 failure mode): the full record CANNOT be
+        # verified against it, and silently adopting it would let a
+        # stale or internal-run file masquerade as the official record —
+        # the exact guarantee this check exists for. Report, don't adopt.
+        print(f"note: {full} total {ftotal} vs {path} total {total} — "
+              "unverifiable or different run, ignoring the full record")
         return parsed
     print(f"{path}: using full record {full} "
           f"({len(fparsed[0])} queries vs {len(parsed[0])} in the tail)")
