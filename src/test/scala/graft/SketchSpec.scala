@@ -103,6 +103,49 @@ class SketchSpec extends AnyFunSuite {
     assert(exactPlan.contains("Expand"), exactPlan.take(2000))
   }
 
+  test("prof7 gate: exact columns match prof1, nd_ok holds (r19 partial oracle)") {
+    // The gated sketch profile must agree with the exact profile on every
+    // EXACT column (same base-aggregate builder — profileBaseAggs — so a
+    // divergence here means the shared scaffolding forked), and its HLL
+    // bound boolean must hold on the gated corpus, because the DuckDB
+    // oracle compares it against literal TRUE every round.
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("column_name"),
+      r.getAs[Long]("n_rows"), r.getAs[Long]("n_nulls"),
+      Option(r.getAs[java.lang.Double]("min_num")),
+      Option(r.getAs[java.lang.Double]("max_num")),
+      Option(r.getAs[String]("min_str")), Option(r.getAs[String]("max_str")))
+    val gate = graft.operators.Relational.prof7ProfileSketch(spark, sf).collect()
+    val exact = graft.operators.Relational.prof1ColumnProfile(spark, sf).collect()
+    assert(gate.map(key).toSeq == exact.map(key).toSeq)
+    assert(gate.forall(_.getAs[Boolean]("nd_ok")), gate.mkString("\n"))
+  }
+
+  test("seg1 gate: exact metrics match the ntile twin, cuts_ok holds, ties widen") {
+    // r19 partial oracle: the gate's (o_custkey, recency_days, frequency,
+    // monetary) must be byte-identical to the exact path's non-score
+    // columns (the oracle hashes exactly these), and the GK rank bound
+    // must hold on the gated corpus.
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("o_custkey"),
+      r.getAs[Long]("recency_days"), r.getAs[Long]("frequency"),
+      r.getAs[Double]("monetary"))
+    val orders = Tables.t(spark, sf, "orders")
+    val gate = graft.operators.Relational.seg1RfmApproxGateCore(orders).collect()
+    val exact = graft.operators.Relational.seg1RfmCore(orders).collect()
+    assert(gate.map(key).toSeq == exact.map(key).toSeq)
+    assert(gate.forall(_.getAs[Boolean]("cuts_ok")), s"cuts_ok false at sf")
+    // Tie robustness (the scaladoc claim): a frame where every metric is
+    // CONSTANT is the worst tie case — each cut's occupied rank interval
+    // is the whole domain, so the intersection test must still pass.
+    import spark.implicits._
+    val tied = (1 to 40).map(i =>
+      (i.toLong, "1997-03-0" + (1 + i % 3), 100.0)).toDF(
+      "o_custkey", "o_orderdate", "o_totalprice")
+    val tiedGate = graft.operators.Relational.seg1RfmApproxGateCore(tied).collect()
+    assert(tiedGate.length == 40)
+    assert(tiedGate.forall(_.getAs[Boolean]("cuts_ok")),
+      "ties must widen the rank interval, never break the bound")
+  }
+
   test("bloom prefilter: no false negatives, sized FPR, join-equivalent") {
     import graft.functions.Sketches
     // index = keys 0..9999; incoming = 5000..14999 -> 5000 true members,
