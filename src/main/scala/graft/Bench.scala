@@ -521,6 +521,7 @@ object Bench {
       }
     }
     graft.sources.Lake.cleanupScratch(spark)
+    graft.operators.Relational.cleanupBucketScratch(spark)
     spark.stop()
   }
 }

@@ -66,6 +66,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     graft.sources.Lake.cleanupScratch(spark)
+    graft.operators.Relational.cleanupBucketScratch(spark)
     spark.stop()
   }
 }

@@ -821,6 +821,41 @@ object Relational {
     (to, tl)
   }
 
+  /** End-of-session hygiene for [[bucketedOrderTables]] (r19, the lake
+    * `cleanupScratch` convention applied to the warehouse): each session
+    * writes its own app-id-tagged j5 tables and, with Spark's default
+    * in-memory catalog, a dead session leaves only the files behind —
+    * audited at 110 stranded `spark-warehouse/j5_*` dirs (296 MB) across
+    * 19 rounds, the same debris class as the r18 lake-scratch finding
+    * (a standing suspect for the official box's "slow Spark-stack
+    * mode"). Drops THIS session's tables through the catalog (managed →
+    * files go with them), then sweeps j5 dirs of DEAD sessions — with a
+    * 2-hour mtime guard so a concurrently-running session's live tables
+    * are never deleted (sessions here live minutes). Never fails the
+    * run; survivors are reported (Bench.reclaim's visibility rule).
+    */
+  private[graft] def cleanupBucketScratch(spark: SparkSession): Unit = try {
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("j5_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    val wh = new java.io.File(sys.props("user.dir"), "spark-warehouse")
+    val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).toSeq.flatten.foreach(rm)
+      f.delete(): Unit
+    }
+    val stale = Option(wh.listFiles).toSeq.flatten
+      .filter(f => f.getName.startsWith("j5_") && f.lastModified() < cutoff)
+    stale.foreach(rm)
+    val left = Option(wh.listFiles).toSeq.flatten
+      .count(_.getName.startsWith("j5_"))
+    if (left > 0)
+      System.err.println(s"[bucket] warehouse cleanup left $left j5_* dir(s)" +
+        " (younger than the 2h live-session guard)")
+  } catch { case e: Throwable =>
+    System.err.println(s"[bucket] warehouse cleanup failed: ${e.getMessage}")
+  }
+
   /** j5 — bucketed co-located join: revenue per order priority from a
     * lineitem ⋈ orders join over tables BUCKETED on the join key — the
     * storage-layout answer to repeated large-large joins at 100 TB
