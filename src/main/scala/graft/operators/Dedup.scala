@@ -86,9 +86,25 @@ object Dedup {
     * produces the same absence. Parameterized over the corpus frame so
     * pipelines can shingle a cleaned/filtered corpus, not just the raw
     * table.
+    *
+    * Width pin BEFORE the expensive projection (r20, the supportPairsPlan
+    * precedent): the corpus parquet is a single row group at bench scale,
+    * so the scan — and with it the tokenize+shingle+distinct chain, the
+    * most expensive per-row work in the dedup family — ran as ONE task
+    * while 31 cores idled. The numeric repartition moves only the raw
+    * (doc_id, text) rows and is the one form AQE must respect; hashing on
+    * doc_id (not round-robin) makes the downstream verify joins'
+    * cached-side distribution explicit. At production scale a 100 TB
+    * corpus arrives in thousands of splits and the pin is a no-op-shaped
+    * rebalance; at toy scale it is the difference between serial and
+    * parallel shingling (measured r20 same-box min-of-3: dd3 2.24 →
+    * 1.56 s together with the scan-local signature fusion below).
     */
   private[graft] def shingledOf(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokensOrdered(col("text")).as("t"))
+    docs.repartition(
+        math.max(2, docs.sparkSession.sparkContext.defaultParallelism / 4),
+        col("doc_id"))
+      .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), shinglesOf(col("t")).as("sh"))
 
@@ -302,18 +318,35 @@ object Dedup {
   private val BandSize = 2 // 4 bands x 2 rows
 
   /** Per-doc MinHash signature from an (already shingled) frame: ONE md5
-    * per exploded shingle, with the 8 "permutations" taken as the md5's
-    * disjoint 4-hex-char windows (16 bits each — plenty against ~10^2
+    * per shingle, with the 8 "permutations" taken as the md5's disjoint
+    * 4-hex-char windows (16 bits each — plenty against ~10^2
     * shingles/doc). 8x less hashing than md5-per-seed at identical
     * portability: substr windows of the same lowercase hex are independent
     * orderings on both engines.
+    *
+    * SCAN-LOCAL (r20): the shingle set already lives in one array per
+    * row, so the per-window minimum is an `array_min` over a lambda
+    * projection — no explode, no groupBy, no shuffle. The r2–r19 form
+    * exploded every shingle through a corpus-sized hash aggregate, which
+    * charged every banded query (dd3/dd5/dd7/dd9/dd11/pr1/pipe1/pipe3)
+    * one full exchange + AQE stage for an aggregation whose groups were
+    * exactly the input rows. `array_min` skips nulls like the `min`
+    * aggregate, and the md5 array is pinned behind [[graft.functions.EvalOnce]]
+    * so CollapseProject cannot inline the hashing 8x into the window
+    * minima. Rows with an empty shingle array produced no signature under
+    * the explode (and must produce none here — `concat_ws` would
+    * otherwise band their all-null signature as md5("")): the size guard
+    * reproduces that absence for any input frame.
     */
   private def signatures(sh: DataFrame): DataFrame = {
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-      .select(col("doc_id"), md5(col("s")).as("h"))
+    val hashed = sh.filter(size(col("sh")) >= 1)
+      .select(col("doc_id"),
+        graft.functions.EvalOnce.once(
+          transform(col("sh"), s => md5(s))).as("hs"))
     val aggs = (0 until NumHashes).map(k =>
-      min(substring(col("h"), k * 4 + 1, 4)).as(s"s$k"))
-    ex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      array_min(transform(col("hs"),
+        h => substring(h, k * 4 + 1, 4))).as(s"s$k"))
+    hashed.select(col("doc_id") +: aggs: _*)
   }
 
   /** LSH band buckets in long format (doc_id, band, bucket). */
