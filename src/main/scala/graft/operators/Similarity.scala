@@ -561,26 +561,29 @@ object Similarity {
     * — |sum| ≤ 5·10⁸ ≪ 2⁵³) are exact integer arithmetic end-to-end:
     * no float-summation order can diverge between engines.
     *
-    * Scale shape: both assignment passes keep vectors in ARRAY form — the
-    * K-row centroid table is broadcast, each corpus row scores K
-    * zip_with/aggregate integer folds, and the rank-1 filter compiles to a
-    * map-side WindowGroupLimit (the shuffle carries one row per vector,
-    * as sim5). Only the mean update explodes to (vector, dim) long format,
-    * and its hash aggregate combines map-side down to K×64 rows before the
-    * exchange. The corpus never self-joins; one Lloyd round is one extra
-    * scan-shaped pass, and further rounds would iterate the same two
-    * stages.
+    * Scale shape: both assignment passes keep vectors in ARRAY form and
+    * run SCAN-LOCAL — the K-row centroid table collapses to one broadcast
+    * cid-sorted array row and each corpus row folds its argmin over it in
+    * the projection (K zip_with/aggregate integer folds; no row fan-out,
+    * no per-vector exchange, no window). Only the mean update explodes to
+    * (vector, dim) long format, and its hash aggregate combines map-side
+    * down to K×64 rows before the exchange. The corpus never self-joins;
+    * one Lloyd round is one extra scan-shaped pass, and further rounds
+    * would iterate the same two stages.
     */
   def kmeansRefine(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Scoped-persist the quantized frame: FIVE subtrees of the one final
-    // plan consume it (the corpus-count k sizing, the seed prefix, both
-    // assignment passes, the mean update) — without the cache each
-    // re-scans parquet and re-quantizes. Measured at sf0.1/local[32],
-    // warm: ~2.2-2.4 s vs ~2.5-2.7 s (the explode/assign arithmetic
-    // dominates; the cache trims the redundant scan+quantize work, ~12%).
+    // Scoped-persist the quantized frame: FOUR subtrees of the one final
+    // plan consume it (the corpus-count k sizing, the seed prefix, the
+    // seed-assignment pass, the mean update) — without the cache each
+    // re-scans parquet and re-quantizes. The repartition ahead of the
+    // quantize projection is the shingledOf width pin (r20): the single
+    // row-group parquet otherwise runs every cached-side map stage —
+    // including both K×d assignment folds — as ONE task.
     val e6 = graft.engine.Caching.scopedPersist(
       t(spark, dir, "embeddings")
+        .repartition(math.max(2,
+          spark.sparkContext.defaultParallelism / 4), col("vec_id"))
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * lit(1e6)).cast("long")).as("v6")))
@@ -603,26 +606,40 @@ object Similarity {
     def dist2(a: Column, b: Column): Column =
       aggregate(zip_with(a, b, (x, c) => (x - c) * (x - c)),
         lit(0L), (acc, v) => acc + v)
-    def assign(centroids: DataFrame, as: String): DataFrame =
-      e6.join(broadcast(centroids))
-        .select(col("vec_id"), col("cid"), dist2(col("v6"), col("c6")).as("d2"))
-        .withColumn("rk", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2").asc, col("cid").asc)))
-        .filter(col("rk") === 1)
-        .select(col("vec_id"), col("cid").as(as))
-    val a0 = assign(seeds, "cid_seed")
+    // Scan-local nearest-centroid argmin (r20, replacing the K-row
+    // fan-out join + per-vec_id rank window of r13–r19): the centroid
+    // table collapses to ONE cid-sorted array row, the broadcast ships
+    // that row to every task, and each vector takes `array_min` over the
+    // per-centroid (d2, cid) structs in the scan projection — no row
+    // blowup, no vec_id exchange, no window. Struct ordering compares
+    // (d2, cid) lexicographically, which IS rank 1 under the old
+    // (d2 asc, cid asc) window order. d2 stays the same exact integer
+    // arithmetic, so no float-summation order can diverge between
+    // engines.
+    def asRow(centroids: DataFrame): DataFrame =
+      centroids.agg(sort_array(collect_list(struct(col("cid"), col("c6"))))
+        .as("cents"))
+    def nearest(cents: Column, v: Column): Column =
+      array_min(transform(cents,
+        c => struct(dist2(v, c.getField("c6")).as("d2"),
+          c.getField("cid").as("cid"))))
+        .getField("cid")
+    val a0 = e6.join(broadcast(asRow(seeds)))
+      .select(col("vec_id"), col("v6"),
+        nearest(col("cents"), col("v6")).as("cid_seed"))
     // Mean update in (cluster, dim) long format: integer sums, exact-double
-    // floor division, reassembled into dim-ordered centroid arrays.
-    val c1 = e6.join(a0, "vec_id")
+    // floor division, reassembled into dim-ordered centroid arrays. a0
+    // carries v6, so no corpus self-join is needed to attach vectors.
+    val c1 = a0
       .select(col("cid_seed").as("cid"), posexplode(col("v6")).as(Seq("d", "x")))
       .groupBy("cid", "d")
       .agg(floor(sum(col("x")).cast("double") / count(lit(1))).cast("long").as("c"))
       .groupBy("cid")
       .agg(transform(array_sort(collect_list(struct(col("d"), col("c")))),
         s => s.getField("c")).as("c6"))
-    val a1 = assign(c1, "cid_refined")
-    a0.join(a1, "vec_id")
-      .select(col("vec_id"), col("cid_seed"), col("cid_refined"))
+    a0.join(broadcast(asRow(c1)))
+      .select(col("vec_id"), col("cid_seed"),
+        nearest(col("cents"), col("v6")).as("cid_refined"))
       .orderBy("vec_id")
   }
 
@@ -1015,8 +1032,21 @@ object Similarity {
     // count(*) semantics: a null-embedding row counts toward n but
     // contributes nothing to the sums, exactly as the old
     // explode-dropped-null form behaved).
-    val e = emb.select(
-      transform(col("embedding"), x => x.cast("double")).as("v"))
+    // Width pin before the d²/2-per-row pair explode (r20, shingledOf's
+    // precedent): the embeddings parquet is a single row group at bench
+    // scale, so the explode + partial covariance aggregate — ~2k structs
+    // per row, the query's entire data-plane cost — ran as ONE task.
+    // Keyed on a hash of the vector (the core's only guaranteed column —
+    // SimilaritySpec drives it without vec_id; round-robin would sort
+    // whole rows first under sortBeforeRepartition): deterministic
+    // placement, so the per-partition summation order is stable run to
+    // run. The shuffle moves only the raw vectors and the aggregate's
+    // shuffled artifact is still the fixed d·(d+1)/2 groups. Measured r20
+    // warm min-of-3 at sf0.1: 2.66 → 1.11 s.
+    val e = emb
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
+        hash(col("embedding")))
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
     val n = emb.count().toDouble
     val tri = e.select(explode(flatten(transform(
         sequence(lit(0), size(col("v")) - 1), a =>
