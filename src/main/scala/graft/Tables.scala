@@ -52,6 +52,26 @@ object Tables {
       }.toIndexedSeq: _*)
     } else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** [[t]] plus a keyed width pin for HEAVY per-row projections (r20):
+    * the driver parquet tables are single row groups at bench scale, so a
+    * scan — and every expression chain fused into it — runs as ONE task
+    * regardless of `maxPartitionBytes` (a row group cannot split). Sites
+    * whose scan-side work is expensive (tokenize/regex/shingle chains
+    * over the text corpus) repartition the raw rows first so the chain
+    * runs wide; the keyed form is deterministic and is the one shape AQE
+    * must not coalesce. Quarter-width (not full): the frames are small
+    * enough that full-width fans every downstream stage into near-empty
+    * tasks whose launch overhead exceeds the win (measured on the dedup
+    * family, r20). At production scale the table arrives in thousands of
+    * splits and the pin is a cheap rebalance of an already-wide scan;
+    * sites whose work is a plain aggregate keep [[t]] — repartitioning
+    * raw rows ahead of a map-side partial combine only adds a shuffle.
+    */
+  def tWide(spark: SparkSession, dir: String, name: String,
+      key: String = "doc_id"): DataFrame =
+    t(spark, dir, name).repartition(
+      math.max(2, spark.sparkContext.defaultParallelism / 4), col(key))
+
   /** Round a double aggregate to cents — for sums of monetary columns. */
   def r2(c: Column): Column = round(c, 2)
 

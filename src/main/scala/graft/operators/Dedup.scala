@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.t
+import graft.Tables.{t, tWide}
 import graft.functions.TextFunctions.{fingerprint, tokenSet}
 
 /** Deduplication operator family over `documents` (north-star extension,
@@ -202,7 +202,7 @@ object Dedup {
     // verify-side sets from the cached frame (tokenization is the dominant
     // per-doc cost; it must not run once per plan subtree).
     val toks = graft.engine.Caching.scopedPersist(
-      t(spark, dir, "documents")
+      tWide(spark, dir, "documents")
         .select(col("doc_id"), tokenSet(col("text")).as("tks")))
     // Token sets are hashed to 60-bit ints (15 hex chars of md5) BEFORE
     // the pairwise stage: array_intersect on primitive longs beats string
@@ -899,24 +899,32 @@ object Dedup {
       .filter(substring(md5(col("doc_id").cast("string")), 2, 1) < "8")
     val index = docs.filter(!isEvalSplit(col("doc_id"))).unionAll(planted)
       .select((col("doc_id") + IdShift).as("doc_id"), col("text"))
-    val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exactHits = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .join(index.select(col("doc_id").as("ix_id"), fingerprint(col("text")).as("fp")),
         "fp")
-      .groupBy("doc_id").agg(min("ix_id").as("exact_id"))
+      .select(col("doc_id"), lit(0).as("kind"), col("ix_id").as("mid"))
     // Shingle the combined corpus once (the dd7-measured union decision);
     // short docs (< 2 tokens) have no shingles and can only match exactly.
     val sh = graft.engine.Caching.scopedPersist(
       shingledOf(batch.unionAll(index)))
-    val near = crossVerifiedPairs(sh)
-      .groupBy(col("lo_id").as("doc_id")).agg(min("hi_id").as("near_id"))
+    val nearHits = crossVerifiedPairs(sh)
+      .select(col("lo_id").as("doc_id"), lit(1).as("kind"), col("hi_id").as("mid"))
+    // ONE verdict aggregate over the union of both hit layers (r20,
+    // replacing a per-layer groupBy + two left joins): min(struct(kind,
+    // mid)) orders lexicographically — any exact hit (kind 0) beats every
+    // near hit, and within a layer the minimum index id wins — exactly
+    // the old coalesce(exact_id, near_id) precedence, one exchange and
+    // one broadcast join cheaper.
+    val best = exactHits.unionAll(nearHits)
+      .groupBy("doc_id")
+      .agg(min(struct(col("kind"), col("mid"))).as("b"))
     batch.select(col("doc_id"))
-      .join(exact, Seq("doc_id"), "left")
-      .join(near, Seq("doc_id"), "left")
+      .join(best, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        when(col("exact_id").isNotNull, lit("exact"))
-          .when(col("near_id").isNotNull, lit("near"))
+        when(col("b.kind") === 0, lit("exact"))
+          .when(col("b.kind") === 1, lit("near"))
           .otherwise(lit("unique")).as("verdict"),
-        (coalesce(col("exact_id"), col("near_id"), lit(IdShift - 1)) - IdShift)
+        (coalesce(col("b.mid"), lit(IdShift - 1)) - IdShift)
           .as("match_doc_id"))
       .orderBy("doc_id")
   }
@@ -966,7 +974,7 @@ object Dedup {
     */
   def spanContamination(spark: SparkSession, dir: String): DataFrame = {
     val k = SpanTokens
-    val toks = t(spark, dir, "documents")
+    val toks = tWide(spark, dir, "documents")
       .select(shiftGuardedId.as("doc_id"), tokensOrdered(col("text")).as("tk"))
       .filter(size(col("tk")) >= k)
     // One md5 per window; array_distinct BEFORE the explode so repeated

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables.{r6, r6s, t}
+import graft.Tables.{r6, r6s, t, tWide}
 import graft.functions.TextFunctions._
 
 /** Text-analysis operators over the `documents` table (north-star
@@ -27,6 +27,10 @@ object TextAnalysis {
   /** Per-document analysis columns (the profile a training-data pipeline
     * attaches before filtering).
     */
+  // NOT tWide (r20 A/B): the pin left t1's wall unchanged (1.47 s both
+  // forms, warm min-of-3 at sf0.1) while quadrupling taskTime — the
+  // range-partitioned output sort replays the projection either way, so
+  // the pin only multiplies launch overhead.
   def profile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select(col("doc_id"),
@@ -223,6 +227,10 @@ object TextAnalysis {
     // fully-pipelined tokenize projection per subtree (same lesson as
     // dd7's signature split; contrast dd2/dd3, where the REUSED side is a
     // pairwise-join input, not a linear projection).
+    // NOT tWide (r20): the uncached frame feeds FOUR plan subtrees, so a
+    // width-pin exchange replays once per subtree and measurably loses to
+    // the pipelined single-task tokenize (A/B warm min-of-3 at sf0.1:
+    // 1.14 s unpinned vs 1.85 s pinned).
     val docs = t(spark, dir, "documents")
       .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
     val bi = docs.filter(size(col("tk")) >= 2)
@@ -382,7 +390,7 @@ object TextAnalysis {
     * applying it.
     */
   private def tokenStream(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents")
+    tWide(spark, dir, "documents")
       .select(explode(tokensOrdered(col("text"))).as("token"))
       .filter(length(col("token")) >= 2)
 
@@ -692,7 +700,7 @@ object TextAnalysis {
   def topBigram(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.TextFunctions.rawShingles
-    val docs = t(spark, dir, "documents")
+    val docs = tWide(spark, dir, "documents")
       .select(col("doc_id"), tokensOrdered(col("text")).as("tk"))
     val counts = docs.filter(size(col("tk")) >= 2)
       .select(col("doc_id"), (size(col("tk")) - 1).cast("long").as("n_bigrams"),
@@ -1086,7 +1094,7 @@ object TextAnalysis {
     * sort; scan-bound at 100 TB like the rest of the family.
     */
   def gopherRules(spark: SparkSession, dir: String): DataFrame =
-    gopherRulesCore(t(spark, dir, "documents"))
+    gopherRulesCore(tWide(spark, dir, "documents"))
 
   /** t27 over an explicit `(doc_id, text)` frame — TextAnalysisSpec
     * plants one violator per rule and one passer.
@@ -1239,7 +1247,7 @@ object TextAnalysis {
     * factor), not a regression; no structural change warranted.
     */
   def boilerplate(spark: SparkSession, dir: String): DataFrame =
-    boilerplateCore(t(spark, dir, "documents"))
+    boilerplateCore(tWide(spark, dir, "documents"))
 
   /** t30 over an explicit `(doc_id, text)` frame — TextAnalysisSpec
     * plants one 5-gram shared by 3 docs (boilerplate) against a 2-doc
