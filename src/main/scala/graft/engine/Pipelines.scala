@@ -202,9 +202,26 @@ object Pipelines {
     // — deferring it to the post-window projection skips the detector
     // over every dropped/duplicate doc and lets pipe3's plan prune it
     // entirely.
+    // The checkpoint CARRIES the shingle array (r20): the cleaning pass's
+    // one tokenization now serves both scoring and the banded dedup —
+    // the r19 shape re-tokenized the checkpointed corpus into a separate
+    // scoped shingle cache (a second corpus-sized materialization plus
+    // its job). Docs too short to shingle keep a NULL sh (they stay in
+    // the corpus/nodes but can never be candidates — the same absence
+    // shingledOf's size filter produces). The keyed quarter-width
+    // repartition ahead of the projection is Tables.tWide's width pin:
+    // the cleaned frame is otherwise a single partition, so quality
+    // scoring AND shingling would run as one task (and every checkpoint
+    // consumer would inherit the single-partition layout).
     val scored = cleaned
+      .repartition(math.max(2,
+        spark.sparkContext.defaultParallelism / 4), col("doc_id"))
       .select(col("doc_id"), col("text"),
-        once(qualityScore(col("text"))).as("quality"))
+        once(qualityScore(col("text"))).as("quality"),
+        graft.functions.TextFunctions.tokensOrdered(col("text")).as("tk"))
+      .select(col("doc_id"), col("text"), col("quality"),
+        when(size(col("tk")) >= 2,
+          graft.operators.Dedup.shinglesOf(col("tk"))).as("sh"))
       .localCheckpoint()
     // ONE split definition shared with dd6/dd7 (Dedup.isEvalSplit).
     val isEval = graft.operators.Dedup.isEvalSplit(col("doc_id"))
@@ -240,8 +257,10 @@ object Pipelines {
     // and pipe3 3.93 → 3.50 s — pipe1's missed r17 target of ≤3.5 s
     // reached isolated, oracle hashes unchanged (pipe1-4 PASS at
     // sf0.01).
-    val eligible = graft.operators.Dedup.clusterAssignmentOf(
-        scored.select(col("doc_id"), col("text"))) match {
+    val eligible = graft.operators.Dedup.clusterAssignmentPreShingled(
+        scored.select(col("doc_id")),
+        scored.filter(col("sh").isNotNull)
+          .select(col("doc_id"), col("sh"))) match {
       case Left(assign) =>
         import spark.implicits._
         val bad = assign.iterator.collect {

@@ -561,16 +561,27 @@ object Dedup {
     * and pipe1 paths.
     */
   private[graft] def clusterAssignmentOf(
-      docs: DataFrame): Either[Seq[(Long, Long)], DataFrame] = {
-    val sh = graft.engine.Caching.scopedPersist(shingledOf(docs))
-    val nodes = docs.select(col("doc_id"))
+      docs: DataFrame): Either[Seq[(Long, Long)], DataFrame] =
+    clusterAssignmentPreShingled(docs.select(col("doc_id")),
+      graft.engine.Caching.scopedPersist(shingledOf(docs)))
+
+  /** [[clusterAssignmentOf]] over a PRE-SHINGLED corpus (r20): callers
+    * that already materialized `(doc_id, sh)` — pipe1/pipe3's scored
+    * checkpoint carries the shingle array so the cleaning pass's one
+    * tokenization serves both scoring and dedup — feed it straight into
+    * the banded core with no second tokenize pass and no separate shingle
+    * cache (the checkpoint blocks serve the signature path and both
+    * verify sides). `nodes` must cover ALL corpus ids (including docs too
+    * short to shingle); `sh` rows must have non-empty shingle arrays.
+    */
+  private[graft] def clusterAssignmentPreShingled(
+      nodes: DataFrame, sh: DataFrame): Either[Seq[(Long, Long)], DataFrame] =
     componentsAssignment(nodes,
         verifiedPairsOf(sh).select(col("doc_a"), col("doc_b"))) match {
       case l @ Left(_) => l
       case r @ Right(_) =>
         Right(reassemble(nodes, r).toDF("doc_id", "canonical_doc_id"))
     }
-  }
 
   /** Edge-count bound under which [[componentsOf]] finishes on the driver:
     * at or below it the pair list is broadcast-build-side sized (1M long

@@ -259,8 +259,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("t13 top-bigram keeps the per-doc top-1 rank map-side (WindowGroupLimit)") {
+    // ≥1, not the former partial+final pair: the tWide pin (r20) already
+    // hash-partitions the bigram counts by doc_id, so the rank needs no
+    // exchange of its own and Spark plans a single Final group limit —
+    // strictly better than partial+final around a shuffle. A rank that
+    // shows NO group limit (the full window over every bigram row) is
+    // the regression this pin guards.
     val p = plan("t13_top_bigram")
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 2, p.take(2500))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 1, p.take(2500))
   }
 
   test("d9 token budget windows per domain — never a single-partition global window") {
@@ -475,12 +481,20 @@ class PlanSpec extends AnyFunSuite {
     assert("Scan parquet".r.findAllIn(p).size == 1, p.take(2500))
   }
 
-  test("sim8 keeps both assignment rank-1 filters map-side (WindowGroupLimit)") {
-    // two Lloyd assignment passes, each a partial+final WindowGroupLimit
-    // pair: the exchange carries one row per vector per pass, never the
-    // n×K scored frame
+  test("sim8 assigns scan-local: no per-vector window, no row fan-out") {
+    // r20 shape: each Lloyd assignment is an array_min fold over the
+    // broadcast 1-row centroid array inside the scan projection — the
+    // n×K scored frame, the per-vector exchange, and the rank window no
+    // longer exist. A Window or WindowGroupLimit reappearing here means
+    // an assignment regressed to the fan-out join; the broadcast of the
+    // centroid row must also stay a broadcast (never a cartesian
+    // shuffle).
+    // (the 64-row seed-prefix window survives — bounded and deliberate;
+    // the banned shape is any window keyed per vector)
     val p = plan("sim8_kmeans")
-    assert("WindowGroupLimit".r.findAllIn(p).size >= 4, p.take(3500))
+    assert(!p.contains("WindowGroupLimit") &&
+      !p.contains("windowspecdefinition(vec_id"), p.take(3500))
+    assert(p.contains("array_min(transform(cents"), p.take(3500))
     assert(!p.contains("CartesianProduct"), p.take(3500))
   }
 
