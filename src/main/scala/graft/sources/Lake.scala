@@ -533,7 +533,22 @@ object Lake {
     val ev = t(spark, dir, "events")
       .select(col("ts"), col("user_id"), col("value"))
       .withColumn("day", to_date(col("ts")))
-    val cut = ev.agg(date_add(min(col("day")), 15)).head().getDate(0)
+    // ONE control-plane action (r20, replacing three): the per-day count
+    // histogram — bounded by the table's day span, control-plane sized at
+    // any scale — answers the cut (min day + 15), v1's row count, and the
+    // total in a single aggregate where the old shape paid a min()
+    // aggregate, a filtered count() and a full count() as three separate
+    // jobs. Null-day rows (none in practice) count toward the total but
+    // not the cut/v1 window, matching the old min()/predicate semantics.
+    val hist = ev.groupBy("day").agg(count(lit(1)).as("n")).collect()
+      .map(r => (Option(r.getDate(0)), r.getLong(1)))
+    val n = hist.map(_._2).sum
+    val minDay = hist.flatMap(_._1.map(_.toLocalDate)).min(
+      Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
+    val cut = java.sql.Date.valueOf(minDay.plusDays(15))
+    val n1 = hist.collect {
+      case (Some(d), c) if !d.after(cut) => c
+    }.sum
     val (fs, rootP) = hfs(spark, root)
     def listData(): Set[String] = listParquet(spark, dataDir)
     def budgetFiles(n: Long): Int = math.max(2L, math.ceil(n / 2000.0).toLong).toInt
@@ -542,9 +557,9 @@ object Lake {
     // v1 commit: first 15 days. v2 commit: full compacted rewrite (the
     // OPTIMIZE that supersedes v1's files). Aborted append: no commit.
     val v1 = ev.filter(col("day") <= lit(cut))
-    v1.repartition(budgetFiles(v1.count())).write.mode("append").parquet(dataDir)
+    v1.repartition(budgetFiles(n1)).write.mode("append").parquet(dataDir)
     val v1Files = listData()
-    ev.repartition(budgetFiles(ev.count())).write.mode("append").parquet(dataDir)
+    ev.repartition(budgetFiles(n)).write.mode("append").parquet(dataDir)
     val v2Files = listData() -- v1Files
     t(spark, dir, "events").filter(col("event_id") % 97 === 0)
       .select(col("ts"), col("user_id"), col("value"))
