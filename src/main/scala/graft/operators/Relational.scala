@@ -838,14 +838,35 @@ object Relational {
     spark.catalog.listTables().collect()
       .map(_.name).filter(_.startsWith("j5_"))
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
-    val wh = new java.io.File(sys.props("user.dir"), "spark-warehouse")
+    // Resolve the warehouse the session ACTUALLY writes (r19 ADVICE): the
+    // old user.dir/spark-warehouse guess silently missed any session
+    // configured with spark.sql.warehouse.dir elsewhere. Non-file
+    // schemes (a real metastore warehouse on HDFS/S3) fall through to a
+    // File whose listFiles is null — a no-op, correctly: this sweep is
+    // local-scratch hygiene, not remote-storage GC.
+    val raw = spark.conf.get("spark.sql.warehouse.dir",
+      new java.io.File(sys.props("user.dir"), "spark-warehouse")
+        .toURI.toString)
+    val u = java.net.URI.create(raw.replace(" ", "%20"))
+    val wh = if ("file".equals(u.getScheme)) new java.io.File(u.getPath)
+      else if (u.getScheme == null) new java.io.File(raw)
+      else new java.io.File("/nonexistent")
     val cutoff = System.currentTimeMillis() - 2L * 3600 * 1000
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).toSeq.flatten.foreach(rm)
       f.delete(): Unit
     }
+    // Liveness by the NEWEST mtime anywhere in the dir (r19 ADVICE): a
+    // long-lived concurrent session keeps writing files inside its table
+    // dirs without necessarily touching the top-level dir's mtime, so
+    // the old top-level check could reap a >2h-old session's LIVE
+    // tables. The recursive max is control-plane cheap (tens of files
+    // per j5 dir).
+    def newest(f: java.io.File): Long =
+      Option(f.listFiles).toSeq.flatten
+        .foldLeft(f.lastModified())((m, c) => math.max(m, newest(c)))
     val stale = Option(wh.listFiles).toSeq.flatten
-      .filter(f => f.getName.startsWith("j5_") && f.lastModified() < cutoff)
+      .filter(f => f.getName.startsWith("j5_") && newest(f) < cutoff)
     stale.foreach(rm)
     val left = Option(wh.listFiles).toSeq.flatten
       .count(_.getName.startsWith("j5_"))

@@ -316,6 +316,13 @@ object Lake {
   // taxes it disproportionately. Verdict: box noise, no structural
   // change; the per-run scratch cleanup below keeps target/lake from
   // accumulating stale app dirs (53k files across 57 runs when audited).
+  // r19 official flag (5.00 s on BENCH_r19, dual-ratio 2.64→5.00):
+  // adjudicated NOISE by the judge's same-box isolated min-of-4 (spin
+  // 0.323/0.400, load1_start 1.35) — 2.589 s, dead on the 2.6 quiet
+  // band and under this scaladoc's own >4 s threshold. The artifact's
+  // spin_third1 0.449 (above the 0.32–0.41 quiet band) localizes the
+  // tax to the first suite third, where lake4's IO sits. Band stands:
+  // ~2.6 s isolated quiet, bimodal 7–13 s under sustained co-tenant IO.
   def compactionReport(spark: SparkSession, dir: String): DataFrame = {
     // Budgets scale with the corpus (total/400 rows per fragment file,
     // floored at 25) so the DEMONSTRATED pathology stays ~400 fragment

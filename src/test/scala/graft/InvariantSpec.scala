@@ -1136,4 +1136,21 @@ class InvariantSpec extends AnyFunSuite {
     // conservation: session count = sum of path counts
     assert(got.values.sum == 3L)
   }
+
+  test("documents: (doc_id, text) is unique — the contract pipe1's pruned clean relies on") {
+    // r19 ADVICE: curatedSurvivors prunes the clean to (doc_id, text),
+    // which changes P9's dedup semantics ONLY IF the corpus carries
+    // repeated (doc_id, text) rows with differing lang/source/n_chars —
+    // previously kept as distinct full rows, now collapsed. The driver
+    // corpus has unique doc_id by construction, but that assumption was
+    // enforced only indirectly by gate hashes at small sf; this pins it
+    // directly so a future corpus with duplicate ids fails loudly here
+    // instead of silently diverging from the pre-prune behavior. Checked
+    // on doc_id alone (stronger than the pair — id-unique implies
+    // pair-unique).
+    val d = graft.Tables.t(spark, sf, "documents")
+    assert(d.count() == d.select("doc_id").distinct().count(),
+      "documents.doc_id must be unique: P9's pruned-clean equivalence " +
+        "(Pipelines.curatedSurvivors) depends on it")
+  }
 }

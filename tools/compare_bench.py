@@ -188,6 +188,39 @@ def probe_speed(path, probes, spins):
     return (start + end) / 2.0
 
 
+def spin_thirds_report(path, env, spins, queries):
+    """Mid-suite burst localization (r20, the r19 verdict's #4): Bench has
+    recorded settled spin samples at the 1/3 and 2/3 query boundaries
+    since r19, but they carried no adjudication weight — BENCH_r19's
+    spin_third1 0.449 sat visibly above the quiet band while the verdict
+    ran only on the endpoint drift (1.20x, quiet). A third that reads
+    >DRIFT_LIMIT x the artifact's own best spin marks the query block it
+    closed as burst-taxed: REPORTED with the block's name range so
+    per-query flags inside it start as evidence, never verdict-gated
+    (a burst that died inside the suite does not invalidate the total —
+    the raw-total bar and the endpoint drift gate keep that role)."""
+    if not env or not queries:
+        return
+    thirds = [(k, env.get(k)) for k in ("spin_third1_s", "spin_third2_s")]
+    vals = [v for _, v in thirds if isinstance(v, (int, float)) and v > 0]
+    ends = [v for v in (spins or (None, None)) if v]
+    if not vals or not ends:
+        return
+    best = min(ends + vals)
+    names = sorted(queries)
+    n = len(names)
+    blocks = {"spin_third1_s": (names[0], names[max(0, n // 3 - 1)]),
+              "spin_third2_s": (names[min(n - 1, n // 3)],
+                                names[max(0, 2 * n // 3 - 1)])}
+    for k, v in thirds:
+        if isinstance(v, (int, float)) and v > 0 and v / best > DRIFT_LIMIT:
+            lo, hi = blocks[k]
+            print(f"note: {path} {k} {v:.3f}s is {v / best:.2f}x the "
+                  f"artifact's best spin {best:.3f}s — a mid-suite burst "
+                  f"taxed the block it closed ({lo}..{hi}); per-query "
+                  "flags there are suspect (reported, not verdict-gated)")
+
+
 def suite_median_factor(old_q, new_q):
     """Median per-query time ratio (new/old) over stable common queries —
     the box factor actually used for normalization. >1 means the new
@@ -231,6 +264,8 @@ def main():
                        "co-tenant load, re-run **")
             print(f"{path}: env "
                   + " ".join(f"{k}={v}" for k, v in env.items()) + tag)
+    spin_thirds_report(sys.argv[1], old_e, old_s, old_q)
+    spin_thirds_report(sys.argv[2], new_e, new_s, new_q)
     # Bench records failed queries as -1.0 — split them out BEFORE any
     # ratio math (a newly-broken query must never rank as a "win").
     broke = sorted(q for q in old_q if old_q[q] >= 0 and new_q.get(q, 0) < 0)
