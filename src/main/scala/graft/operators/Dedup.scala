@@ -97,8 +97,11 @@ object Dedup {
     * cached-side distribution explicit. At production scale a 100 TB
     * corpus arrives in thousands of splits and the pin is a no-op-shaped
     * rebalance; at toy scale it is the difference between serial and
-    * parallel shingling (measured r20 same-box min-of-3: dd3 2.24 →
-    * 1.56 s together with the scan-local signature fusion below).
+    * parallel shingling (measured r20 same-box warm min-of-3 together
+    * with the scan-local signature fusion below: dd3 2.24 → 1.88 s Prof,
+    * 1.42 s bench-isolated; full-width was ALSO tried and lost — 32
+    * near-empty tasks per downstream stage cost more than the extra
+    * parallelism bought, hence the quarter-width).
     */
   private[graft] def shingledOf(docs: DataFrame): DataFrame =
     docs.repartition(
