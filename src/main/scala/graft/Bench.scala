@@ -544,15 +544,19 @@ object Bench {
         val w = new java.io.PrintWriter(tmp, "UTF-8")
         try fullLines.foreach(w.println) finally w.close()
         if (inferred) {
-          val target = new java.io.File(out)
-          if (target.exists())
-            System.err.println(s"[bench] $out already exists (concurrent " +
-              s"run?) — full record left at $tmp, NOT overwriting")
-          else if (new java.io.File(tmp).renameTo(target))
+          // Files.move WITHOUT REPLACE_EXISTING is the atomic form of
+          // "promote only if absent": a plain exists()+renameTo pair
+          // leaves a window where a concurrent run's just-promoted
+          // record is silently replaced (rename(2) clobbers).
+          try {
+            java.nio.file.Files.move(java.nio.file.Paths.get(tmp),
+              java.nio.file.Paths.get(out))
             System.err.println(s"[bench] full per-query record written to $out")
-          else
-            System.err.println(s"[bench] rename $tmp -> $out failed — " +
-              "full record left at the temp name")
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException =>
+              System.err.println(s"[bench] $out already exists (concurrent " +
+                s"run?) — full record left at $tmp, NOT overwriting")
+          }
         } else
           System.err.println(s"[bench] full per-query record written to $out")
       } catch { case e: Throwable =>

@@ -69,8 +69,18 @@ object Tables {
     */
   def tWide(spark: SparkSession, dir: String, name: String,
       key: String = "doc_id"): DataFrame =
-    t(spark, dir, name).repartition(
-      math.max(2, spark.sparkContext.defaultParallelism / 4), col(key))
+    wide(t(spark, dir, name), col(key))
+
+  /** The width-pin POLICY in one place (quarter width, floor 2, keyed):
+    * a measured tuning decision — full width was A/B'd and lost to
+    * near-empty-task launch overhead on the dedup family — so a future
+    * retune edits one site. Every pin site (tWide, Dedup.shingledOf,
+    * Pipelines.curatedSurvivors, Similarity's quantized/covariance
+    * frames) routes through here.
+    */
+  def wide(df: DataFrame, key: Column): DataFrame =
+    df.repartition(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / 4), key)
 
   /** Round a double aggregate to cents — for sums of monetary columns. */
   def r2(c: Column): Column = round(c, 2)

@@ -213,9 +213,14 @@ object Pipelines {
     // the cleaned frame is otherwise a single partition, so quality
     // scoring AND shingling would run as one task (and every checkpoint
     // consumer would inherit the single-partition layout).
-    val scored = cleaned
-      .repartition(math.max(2,
-        spark.sparkContext.defaultParallelism / 4), col("doc_id"))
+    // The when() guard around the shingle HOF is the shape shinglesOf's
+    // scaladoc prices at ~2x the row-level filter — but the filter form
+    // is unavailable HERE (short docs must stay in the corpus; only
+    // their shingles are absent), and the cost is paid once inside the
+    // checkpoint against the r19 shape's whole second tokenize pass +
+    // separate cache materialization: the A/B that accepted it (pipe1
+    // 28→22 stages, wall 3.19→3.04 warm Prof) includes it.
+    val scored = graft.Tables.wide(cleaned, col("doc_id"))
       .select(col("doc_id"), col("text"),
         once(qualityScore(col("text"))).as("quality"),
         graft.functions.TextFunctions.tokensOrdered(col("text")).as("tk"))

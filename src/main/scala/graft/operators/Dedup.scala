@@ -104,9 +104,7 @@ object Dedup {
     * parallelism bought, hence the quarter-width).
     */
   private[graft] def shingledOf(docs: DataFrame): DataFrame =
-    docs.repartition(
-        math.max(2, docs.sparkSession.sparkContext.defaultParallelism / 4),
-        col("doc_id"))
+    graft.Tables.wide(docs, col("doc_id"))
       .select(col("doc_id"), tokensOrdered(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
       .select(col("doc_id"), shinglesOf(col("t")).as("sh"))

@@ -590,9 +590,7 @@ object Similarity {
     // row-group parquet otherwise runs every cached-side map stage —
     // including both K×d assignment folds — as ONE task.
     val e6 = graft.engine.Caching.scopedPersist(
-      t(spark, dir, "embeddings")
-        .repartition(math.max(2,
-          spark.sparkContext.defaultParallelism / 4), col("vec_id"))
+      graft.Tables.wide(t(spark, dir, "embeddings"), col("vec_id"))
         .select(col("vec_id"),
           transform(col("embedding"),
             x => round(x.cast("double") * lit(1e6)).cast("long")).as("v6")))
@@ -1047,14 +1045,17 @@ object Similarity {
     // per row, the query's entire data-plane cost — ran as ONE task.
     // Keyed on a hash of the vector (the core's only guaranteed column —
     // SimilaritySpec drives it without vec_id; round-robin would sort
-    // whole rows first under sortBeforeRepartition): deterministic
-    // placement, so the per-partition summation order is stable run to
-    // run. The shuffle moves only the raw vectors and the aggregate's
-    // shuffled artifact is still the fixed d·(d+1)/2 groups. Measured r20
-    // warm min-of-3 at sf0.1: 2.66 → 1.11 s.
-    val e = emb
-      .repartition(emb.sparkSession.sparkContext.defaultParallelism,
-        hash(col("embedding")))
+    // whole rows first under sortBeforeRepartition): placement is
+    // deterministic, though the final aggregate's MERGE order of the
+    // ~width partial sums follows shuffle fetch order — so sxx/sxi are
+    // stable only to ulps across runs, the same error class the
+    // cross-engine gate already absorbs (power iteration contracts
+    // perturbations; every emitted value rounds on the 6-grid), where
+    // the old single-task plan was bit-stable. The shuffle moves only
+    // the raw vectors and the aggregate's shuffled artifact is still the
+    // fixed d·(d+1)/2 groups. Measured r20 warm min-of-3 at sf0.1:
+    // 2.66 → 1.11 s; oracle-hash-clean at all three sfs.
+    val e = graft.Tables.wide(emb, hash(col("embedding")))
       .select(transform(col("embedding"), x => x.cast("double")).as("v"))
     val n = emb.count().toDouble
     val tri = e.select(explode(flatten(transform(

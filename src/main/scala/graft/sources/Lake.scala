@@ -550,11 +550,13 @@ object Lake {
     val hist = ev.groupBy("day").agg(count(lit(1)).as("n")).collect()
       .map(r => (Option(r.getDate(0)), r.getLong(1)))
     val n = hist.map(_._2).sum
-    val minDay = hist.flatMap(_._1.map(_.toLocalDate)).min(
+    // minOption: an empty (or all-null-ts) table must degrade to the old
+    // shape — null cut, empty v1 — not throw on empty.min.
+    val minDay = hist.flatMap(_._1.map(_.toLocalDate)).minOption(
       Ordering.fromLessThan[java.time.LocalDate](_ isBefore _))
-    val cut = java.sql.Date.valueOf(minDay.plusDays(15))
+    val cut = minDay.map(d => java.sql.Date.valueOf(d.plusDays(15))).orNull
     val n1 = hist.collect {
-      case (Some(d), c) if !d.after(cut) => c
+      case (Some(d), c) if cut != null && !d.after(cut) => c
     }.sum
     val (fs, rootP) = hfs(spark, root)
     def listData(): Set[String] = listParquet(spark, dataDir)

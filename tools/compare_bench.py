@@ -209,15 +209,25 @@ def spin_thirds_report(path, env, spins, queries):
     best = min(ends + vals)
     names = sorted(queries)
     n = len(names)
+    # Block names are valid ONLY when the parsed map covers (close to)
+    # the full suite Bench computed its boundaries over: a truncated
+    # BENCH_r{N}.json tail (~23 slowest queries, full record missing or
+    # total-mismatched) would yield boundaries of the slowest-queries
+    # subset and attribute the burst to the WRONG block. 200 splits the
+    # modes (full records carry 231; tails ~23).
+    full = n >= 200
     blocks = {"spin_third1_s": (names[0], names[max(0, n // 3 - 1)]),
               "spin_third2_s": (names[min(n - 1, n // 3)],
-                                names[max(0, 2 * n // 3 - 1)])}
+                                names[max(0, 2 * n // 3 - 1)])} if full else {}
     for k, v in thirds:
         if isinstance(v, (int, float)) and v > 0 and v / best > DRIFT_LIMIT:
-            lo, hi = blocks[k]
+            where = ("the block it closed ({}..{})".format(*blocks[k])
+                     if full else
+                     f"the suite {k.replace('spin_', '').replace('_s', '')} "
+                     "block (per-query map too truncated to name it)")
             print(f"note: {path} {k} {v:.3f}s is {v / best:.2f}x the "
                   f"artifact's best spin {best:.3f}s — a mid-suite burst "
-                  f"taxed the block it closed ({lo}..{hi}); per-query "
+                  f"taxed {where}; per-query "
                   "flags there are suspect (reported, not verdict-gated)")
 
 
