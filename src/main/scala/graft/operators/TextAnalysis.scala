@@ -508,14 +508,106 @@ object TextAnalysis {
       .toDF("step", "pair", "unit", "n_occurrences")
   }
 
+  /** Vocab-row bound under which [[bpeTrainRaw]] elects its merges on
+    * the driver (r20, the dd5 [[graft.operators.Dedup.DriverFinishEdges]]
+    * convention): a `(distinct [a-z]+ token, long weight)` row is tens
+    * of bytes, so 1M rows is broadcast-build-side sized — the regime
+    * where Spark itself would ship the frame to every executor. Above
+    * the bound (or when a caller forces it) the distributed elect loop
+    * below runs unchanged.
+    */
+  private[graft] val DriverVocabRows = 1000000L
+
   /** The trainer itself, returning the raw merge list (t22's encode
     * applies `replace(t, rp, digit)` in step order).
+    *
+    * Two regimes, decided by ONE bounded collect on the distinct-token
+    * frame (r20): the k-step elect→merge→recount loop iterates on
+    * VOCAB-sized data (the Zipf crush above), yet the distributed form
+    * paid 2 jobs / ~4 AQE stages per step — ~24 sequential driver
+    * round-trips for t21/t22/t31 each, the dominant cost of all three
+    * at bench scale (t31 profiled at 33 stages with 0.7 s of task
+    * time). At or below [[DriverVocabRows]] the loop now runs in plain
+    * Scala on the collected vocab — integer weights, the same 2-char
+    * windows, the same (n desc, decoded-pair asc) election and the same
+    * non-overlapping left-to-right `replace` (`String.replace` and
+    * Spark's `StringReplace` share the contract), so the merge list is
+    * bit-identical (TextAnalysisSpec pins both regimes on seeded random
+    * corpora; the sf0.001/0.01/0.1 oracle hashes are unchanged). The
+    * corpus-width tokenize/aggregate that FEEDS the vocab stays
+    * distributed — at 100 TB that one pass dominates and the vocab is
+    * orders smaller; a vocabulary past 1M distinct tokens falls back to
+    * the distributed loop unchanged.
     */
-  private[graft] def bpeTrainRaw(tokens: DataFrame, k: Int): Seq[BpeMerge] = {
+  private[graft] def bpeTrainRaw(tokens: DataFrame, k: Int,
+      driverVocabMax: Long = DriverVocabRows): Seq[BpeMerge] = {
     require(k >= 1 && k <= 10, "sentinel alphabet is '0'-'9'")
-    var vocab = tokens.select(col("token").as("t"))
+    val vocab0 = tokens.select(col("token").as("t"))
       .groupBy("t").agg(count(lit(1)).as("w"))
-      .localCheckpoint()
+    // One job decides the regime AND delivers the small-regime data:
+    // limit(bound+1) caps the collect at bound+1 rows (a count-first
+    // gate would pay a second full aggregate in both regimes).
+    val head = vocab0.limit(driverVocabMax.toInt + 1).collect()
+    if (head.length <= driverVocabMax)
+      bpeTrainDriver(head.iterator.map(r => (r.getString(0), r.getLong(1))), k)
+    else bpeTrainDistributed(vocab0, k)
+  }
+
+  /** Driver-regime trainer: the elect loop over a collected vocabulary.
+    * Semantics are the distributed loop's, line for line — see
+    * [[bpeTrainRaw]]'s scaladoc for the equivalence argument.
+    */
+  private def bpeTrainDriver(
+      vocab0: Iterator[(String, Long)], k: Int): Seq[BpeMerge] = {
+    val units = scala.collection.mutable.LinkedHashMap[String, String]()
+    def dec(s: String): String = units.getOrElse(s, s)
+    var vocab: scala.collection.Map[String, Long] =
+      scala.collection.mutable.HashMap.from(vocab0)
+    val merges = Seq.newBuilder[BpeMerge]
+    var dry = false
+    for (i <- 0 until k if !dry) {
+      val counts = scala.collection.mutable.HashMap[String, Long]()
+      vocab.foreach { case (t, w) =>
+        var p = 0
+        while (p < t.length - 1) {
+          val rp = t.substring(p, p + 2)
+          counts.update(rp, counts.getOrElse(rp, 0L) + w)
+          p += 1
+        }
+      }
+      if (counts.isEmpty) dry = true // vocab merged away (distributed: empty limit(1))
+      else {
+        // Election order (n desc, decoded pair asc) — pair label is
+        // ASCII [a-z+], where Java and UTF8String orderings agree; the
+        // label determines rp (decode is injective per symbol and '+'
+        // never occurs in a unit), so the order is strict.
+        val (rp, n) = counts.minBy { case (rp, n) =>
+          (-n, dec(rp.substring(0, 1)) + "+" + dec(rp.substring(1, 2)))
+        }
+        val pair = dec(rp.substring(0, 1)) + "+" + dec(rp.substring(1, 2))
+        val unit = dec(rp.substring(0, 1)) + dec(rp.substring(1, 2))
+        merges += BpeMerge(i.toLong, rp, pair, unit, n)
+        units += (i.toString -> unit)
+        if (i < k - 1) {
+          val next = scala.collection.mutable.HashMap[String, Long]()
+          vocab.foreach { case (t, w) =>
+            val m = t.replace(rp, i.toString)
+            if (m.length >= 2) next.update(m, next.getOrElse(m, 0L) + w)
+          }
+          vocab = next
+        }
+      }
+    }
+    merges.result()
+  }
+
+  /** Distributed-regime trainer (the pre-r20 form, unchanged): one
+    * elect job + one re-segment checkpoint per step over the vocab
+    * frame.
+    */
+  private def bpeTrainDistributed(
+      vocab0: DataFrame, k: Int): Seq[BpeMerge] = {
+    var vocab = vocab0.localCheckpoint()
     val units = scala.collection.mutable.LinkedHashMap[String, String]()
     val merges = Seq.newBuilder[BpeMerge]
     var dry = false

@@ -411,6 +411,28 @@ class InvariantSpec extends AnyFunSuite {
     }
   }
 
+  test("t21 BPE training: driver and distributed regimes elect identical merges") {
+    import spark.implicits._
+    // r20 regime gate (the dd5 convention): driverVocabMax = 0 forces
+    // the distributed elect loop; the default runs the driver trainer.
+    // Both must produce the same merge list on any corpus — including
+    // tie-heavy ones (short alphabet) and a merged-away corpus.
+    val rnd = new scala.util.Random(47)
+    for (trial <- 1 to 3) {
+      val alphabet = "abc"
+      val tokens = Seq.fill(50)(
+        Seq.fill(2 + rnd.nextInt(5))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val drv = TextAnalysis.bpeTrainRaw(tokens.toDF("token"), 6)
+      val dst = TextAnalysis.bpeTrainRaw(tokens.toDF("token"), 6,
+        driverVocabMax = 0L)
+      assert(drv == dst, s"trial $trial, corpus $tokens")
+    }
+    // merged-away corpus: one token, one possible merge, then dry
+    val one = Seq("ab", "ab").toDF("token")
+    assert(TextAnalysis.bpeTrainRaw(one, 3) ==
+      TextAnalysis.bpeTrainRaw(one, 3, driverVocabMax = 0L))
+  }
+
   test("t21 BPE training: elected counts are monotone non-increasing (real corpus)") {
     // a merge only removes old adjacencies, and every new pair contains
     // the new unit (count ≤ the elected count) — so the elected maximum
