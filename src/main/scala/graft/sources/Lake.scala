@@ -202,9 +202,19 @@ object Lake {
       .drop("mnu", "mxu", "mnv", "mxv")
   }
 
+  // Width pin (r20, the shingledOf precedent): the events parquet is a
+  // single row group at bench scale, so the 64-term interleave
+  // projection — and the range sampler's replay of it — ran as ONE
+  // task. The pin feeds both the stats aggregate (map-side partials)
+  // and the keyed projection; min/max and the Morton code are exact
+  // integers, so the result is order-insensitive. Same-box isolated
+  // min-of-4 A/B at sf0.1: 2.402 -> 1.654 s (lake3's write pin A/B'd
+  // in the same pair: 3.111 -> 1.061 s).
   def zorderKeys(spark: SparkSession, dir: String): DataFrame =
-    withZKey(t(spark, dir, "events")
-        .select(col("event_id"), col("user_id"), col("value")))
+    withZKey(graft.Tables.wide(
+        t(spark, dir, "events")
+          .select(col("event_id"), col("user_id"), col("value")),
+        col("event_id")))
       .select(col("event_id"), col("zvalue"))
       .orderBy("event_id")
 
@@ -267,8 +277,15 @@ object Lake {
     */
   private[graft] def incrementalScan(spark: SparkSession, dir: String): DataFrame = {
     val out = lakeDir(spark, "events_by_day")
-    t(spark, dir, "events")
-      .withColumn("day", to_date(col("ts")))
+    // Keyed width pin on the ingest write (r20): the single-row-group
+    // scan otherwise funnels every day's file through ONE dynamic-
+    // partitioning writer task. Hashing on `day` keeps one writer per
+    // day (same file count, parallel writers); within-file row order
+    // becomes fetch-ordered, which only the r2-rounded value sum could
+    // see — the same ulp class the cross-engine gate already absorbs.
+    graft.Tables.wide(
+        t(spark, dir, "events").withColumn("day", to_date(col("ts"))),
+        col("day"))
       .write.mode("overwrite").partitionBy("day").parquet(out)
     // control-plane watermark: only the partition column is touched
     // (empty data-column ReadSchema), one value ships to the driver
