@@ -42,7 +42,14 @@ object Cleaning {
       lit(null).cast("string").as("empty_col"),
       col("o_orderstatus").as("Unnamed: 5"),
       col("o_totalprice").as("total"))
-    Preprocess.clean(messy).df
+    // Width pin before the cleaning pass (r20, the shingledOf
+    // precedent): the orders scan is a single row group, so the fused
+    // try_cast validation aggregate and the cleaning projection ran as
+    // ONE task. Every downstream step is partition-insensitive (exact
+    // validation counts, hash dedup of identical rows, a total-order
+    // sort over all kept columns). Same-box isolated min-of-4 A/B at
+    // sf0.1: 1.833 -> 1.219 s.
+    Preprocess.clean(graft.Tables.wide(messy, col("Order#Key!"))).df
       .orderBy(col("orderkey").asc_nulls_first, col("order_date").asc_nulls_first,
         col("priority_level"), col("total"))
   }

@@ -27,12 +27,20 @@ object TextAnalysis {
   /** Per-document analysis columns (the profile a training-data pipeline
     * attaches before filtering).
     */
-  // NOT tWide (r20 A/B): the pin left t1's wall unchanged (1.47 s both
-  // forms, warm min-of-3 at sf0.1) while quadrupling taskTime — the
-  // range-partitioned output sort replays the projection either way, so
-  // the pin only multiplies launch overhead.
+  // NOT tWide (r20 A/B): the hash pin left t1's wall unchanged (1.47 s
+  // both forms, warm min-of-3 at sf0.1) while quadrupling taskTime —
+  // orderBy AFTER the projection makes the range sampler replay the
+  // heavy chain, so the pin only multiplied launch overhead. The
+  // range-FIRST form below is the shape that works: repartitionByRange
+  // on the RAW scan (the sampler reads only the column-pruned doc_id),
+  // then the heavy chain runs ONCE post-exchange in parallel, and
+  // sortWithinPartitions restores exactly orderBy's physical output
+  // (ascending range partitions, locally sorted). Same-box isolated
+  // min-of-4 A/B at sf0.1: 1.447 -> 0.617 s.
   def profile(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
+      .repartitionByRange(math.max(2,
+          spark.sparkContext.defaultParallelism / 4), col("doc_id"))
       .select(col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
         bpeTokenCount(col("text")).as("n_bpe_tokens"),
@@ -42,7 +50,7 @@ object TextAnalysis {
         qualityScore(col("text")).as("quality"),
         langId(col("text")).as("lang_detected"),
         fingerprint(col("text")).as("fp"))
-      .orderBy("doc_id")
+      .sortWithinPartitions("doc_id")
 
   /** Quality-band aggregation: the filter decision a pipeline would make,
     * summarized per detected language and quality decile.
