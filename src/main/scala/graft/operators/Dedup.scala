@@ -485,17 +485,27 @@ object Dedup {
     * oracle-checked (DuckDB has >>, &, xor, bit_count on BIGINT).
     */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val ex = t(spark, dir, "documents")
-      .select(col("doc_id"), explode(tokenSet(col("text"))).as("tok"))
-      .select(col("doc_id"),
-        conv(md5(col("tok")).substr(1, 15), 16, 10).cast("long").as("h"))
-    val votes = (0 until 60).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
-    val sig = ex.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    // SCAN-LOCAL votes (r20, the dd3 signatures precedent): the per-doc
+    // bit votes were an explode through a corpus-sized 60-column hash
+    // aggregate whose groups were exactly the input rows. The token set
+    // already lives in one array per row, so vote_i = 2·|{h: bit i
+    // set}| − |set| is a filter-size fold over the hashed array — no
+    // explode, no exchange. EvalOnce pins the md5 array against
+    // CollapseProject inlining the hashing 60x; the size ≥ 1 guard
+    // reproduces the explode's empty/null-token-set absence. Same-box
+    // isolated min-of-4 A/B at sf0.1: 1.468 -> 1.219 s.
+    val hs = graft.functions.EvalOnce.once(
+      transform(tokenSet(col("text")),
+        tok => conv(md5(tok).substr(1, 15), 16, 10).cast("long")))
     val fp = (0 until 60).map(i =>
-      when(col(s"v$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      when(lit(2) * size(filter(col("hs"),
+            h => shiftright(h, i).bitwiseAND(1) === 1)) - size(col("hs")) > 0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L)))
       .reduce(_.bitwiseOR(_))
-    val fps = sig.select(col("doc_id"), fp.as("fp"))
+    val fps = tWide(spark, dir, "documents")
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) >= 1)
+      .select(col("doc_id"), fp.as("fp"))
     val bands = (0 until 4).map(b =>
       struct(lit(b).as("band"),
         shiftright(col("fp"), b * 15).bitwiseAND(0x7FFFL).as("chunk")))

@@ -291,6 +291,11 @@ object Relational {
       (numCols ++ strCols).map(c => count_distinct(col(c)).as(s"ndx_$c"))
     val approxAggs = (numCols ++ strCols)
       .map(c => approx_count_distinct(col(c), 0.02).as(s"nda_$c"))
+    // NOT width-pinned (r20 A/B, quiet box, isolated min-of-4 with the
+    // prof1 twin pin): prof1 1.114 -> 1.226, prof7 1.351 -> 1.347 —
+    // the distinct-rewrite's cost here is planning + the Expand's
+    // per-row constant, not task parallelism; the pin's extra exchange
+    // only adds wall.
     val one = src.agg(exactAggs.head, exactAggs.tail: _*)
       .crossJoin(broadcast(src.agg(approxAggs.head, approxAggs.tail: _*)))
     profileRows(one, numCols, strCols,
