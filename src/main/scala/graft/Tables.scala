@@ -77,6 +77,14 @@ object Tables {
     * retune edits one site. Every pin site (tWide, Dedup.shingledOf,
     * Pipelines.curatedSurvivors, Similarity's quantized/covariance
     * frames) routes through here.
+    *
+    * A "no-op below 8 cores" gate was A/B'd at cpus=4/sf0.1 and
+    * REJECTED (r20): the pins are individually mixed at 4 cores (lake2
+    * 2.7 unpinned vs 3.1 pinned, but sim16 2.6 unpinned vs 1.8 pinned)
+    * and the 12-query subset totals tie within noise (20.2 pinned /
+    * 20.6 gated, both well under the r19 base's 22.7) — while the gate
+    * would make the local[4] test suite exercise different plans than
+    * the 32-core bench. One uniform policy wins.
     */
   def wide(df: DataFrame, key: Column): DataFrame =
     df.repartition(
